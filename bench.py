@@ -1,0 +1,54 @@
+#!/usr/bin/env python
+"""Benchmark runner: every catalog query at $SPARK_GRAFT_SF_DIR
+(default sf0.1), one JSON line to stdout.
+
+Each query is forced end-to-end with the ``noop`` sink so Catalyst
+cannot prune work the way ``count()`` would allow.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from formula1_dataengineering_spark.plans import QUERIES
+from formula1_dataengineering_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark(app_name="f1spark-bench")
+
+    timings: dict[str, float] = {}
+    # Warm the JVM + parquet footers once so per-query numbers measure
+    # the query, not session startup.
+    QUERIES["pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    total = 0.0
+    for name, fn in QUERIES.items():
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_total_runtime",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

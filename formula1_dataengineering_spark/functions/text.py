@@ -1,0 +1,79 @@
+"""Text-analysis column expressions for the training-data pipeline.
+
+Language-ID, quality scoring, token counting and fingerprinting over the
+``documents`` table (task brief). Everything here is built-in-function
+composition (split / explode-free aggregates / length arithmetic) so it
+stays JVM-side and is expressible 1:1 in the DuckDB oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tiny deterministic stopword lists for n-gram-free heuristic lang-ID.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "nicht"],
+    "fr": ["le", "la", "les", "et", "pas"],
+}
+
+FINGERPRINT_MOD = 1_000_000_007
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization → array<string> (empty tokens removed)."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def stopword_hits(text: Column, words: list[str]) -> Column:
+    """How many tokens are in ``words`` (vectorized, no UDF)."""
+    toks = tokens(F.lower(text))
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def quality_metrics(text: Column) -> dict[str, Column]:
+    """Length / punctuation / stopword-ratio quality signals.
+
+    Mirrors the quality heuristics a pretraining filter applies; all
+    ratios are rounded by the caller for oracle hashing.
+    """
+    n_chars = F.length(text)
+    toks = tokens(text)
+    n_tokens = F.size(toks)
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[.,;:!?]", ""))
+    stop_hits = stopword_hits(text, STOPWORDS["en"])
+    return {
+        "n_chars": n_chars.cast("int"),
+        "n_tokens": n_tokens.cast("int"),
+        "avg_token_len": F.when(
+            n_tokens > 0,
+            (F.length(F.regexp_replace(text, r"\s+", "")) / n_tokens),
+        ).cast("double"),
+        "punct_ratio": F.when(n_chars > 0, n_punct / n_chars).cast("double"),
+        "stopword_ratio": F.when(n_tokens > 0, stop_hits / n_tokens).cast("double"),
+    }
+
+
+def weighted_char_fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: Σ ascii(c_i)·(i+1) mod p.
+
+    A position-weighted rolling hash — order-sensitive (anagrams get
+    different prints) yet expressible in both Spark and ANSI-ish SQL, so
+    the oracle can verify it exactly. Built on sequence+substring so the
+    DuckDB translation (range + string slice) is mechanical. 64-bit
+    safe: doc_len × 255 × doc_len stays far below 2^63 for any document
+    shorter than ~170M chars, so a single final mod suffices.
+    """
+    weighted = F.transform(
+        F.sequence(F.lit(1), F.length(text)),
+        lambda i: F.ascii(F.substring(text, i, 1)).cast("long") * i.cast("long"),
+    )
+    return (
+        F.aggregate(weighted, F.lit(0).cast("long"), lambda acc, x: acc + x)
+        % FINGERPRINT_MOD
+    )

@@ -1,0 +1,242 @@
+"""DuckDB oracle SQL — one entry per key in ``queries.QUERIES``.
+
+Each statement computes the *same relation with the same column names*
+as the Spark query, over the driver's pre-registered parquet views.
+Canonicalization contract (shared with queries.py):
+
+- float aggregates rounded at the same precision on both sides;
+- timestamps exported as epoch-microsecond bigints (``epoch_us`` here,
+  ``unix_micros`` in Spark);
+- integer-family outputs cast so DuckDB's HUGEINT sums / BIGINT
+  row_numbers match Spark's longs/ints;
+- every ranking has the same total order on both sides.
+"""
+
+from __future__ import annotations
+
+ORACLE_SQL: dict[str, str] = {}
+
+ORACLE_SQL["pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                        AS sum_qty,
+       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       round(avg(l_quantity), 4)                                        AS avg_qty,
+       round(avg(l_extendedprice), 4)                                   AS avg_price,
+       round(avg(l_discount), 4)                                        AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+ORACLE_SQL["revenue_by_nation"] = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+ORACLE_SQL["order_priority_buckets"] = """
+SELECT o_orderpriority,
+       CASE WHEN o_totalprice < 50000 THEN 'low'
+            WHEN o_totalprice < 150000 THEN 'mid'
+            ELSE 'high' END AS price_bucket,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY 1, 2
+"""
+
+ORACLE_SQL["distinct_flag_status"] = """
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+"""
+
+ORACLE_SQL["rollup_priority_status"] = """
+SELECT o_orderpriority, o_orderstatus,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+ORACLE_SQL["pivot_returnflag_status"] = """
+SELECT l_returnflag,
+       round(avg(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4) AS avg_qty_open,
+       round(avg(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4) AS avg_qty_filled
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+ORACLE_SQL["unpivot_part_measures"] = """
+SELECT p_partkey, 'size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
+UNION ALL
+SELECT p_partkey, 'retailprice' AS measure, p_retailprice AS value FROM part
+"""
+
+ORACLE_SQL["cheapest_order_per_customer"] = """
+SELECT o_custkey, o_orderkey, o_totalprice, o_orderpriority
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC) AS rk
+  FROM orders
+)
+WHERE rk = 1
+"""
+
+ORACLE_SQL["top5_orders_per_segment"] = """
+SELECT c_mktsegment, o_orderkey, o_totalprice, CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice, row_number() OVER (
+    PARTITION BY c.c_mktsegment ORDER BY o.o_totalprice DESC, o.o_orderkey ASC) AS rk
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+WHERE rk <= 5
+"""
+
+ORACLE_SQL["priority_grid"] = """
+WITH filtered AS (
+  SELECT * FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+), ranked AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice, row_number() OVER (
+    PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM filtered
+), counts AS (
+  SELECT o_orderpriority, count(*) AS n,
+         CASE o_orderpriority WHEN '1-URGENT' THEN 0 WHEN '2-HIGH' THEN 1 ELSE 2 END AS ord
+  FROM filtered GROUP BY 1
+), offsets AS (
+  SELECT o_orderpriority,
+         COALESCE(SUM(n) OVER (ORDER BY ord
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM counts
+)
+SELECT CAST(off + rk AS INTEGER) AS grid_position,
+       o_orderkey, o_orderpriority, o_totalprice
+FROM ranked JOIN offsets USING (o_orderpriority)
+"""
+
+ORACLE_SQL["running_revenue_per_supplier"] = """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       round(sum(l_extendedprice) OVER (
+         PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_revenue
+FROM lineitem
+WHERE l_suppkey <= 3
+"""
+
+ORACLE_SQL["value_delta_per_user"] = """
+SELECT event_id, user_id,
+       round(value - lag(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id), 2) AS value_delta
+FROM events
+"""
+
+ORACLE_SQL["sessionize_events"] = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions, count(*) AS n_events
+FROM sessions GROUP BY user_id
+"""
+
+ORACLE_SQL["interval_join_user_cohort"] = """
+SELECT r.r_name AS cohort, e.event_type,
+       count(*) AS n_events, round(sum(e.value), 2) AS total_value
+FROM events e
+JOIN region r
+  ON e.user_id BETWEEN r.r_regionkey * 30 AND r.r_regionkey * 30 + 29
+GROUP BY 1, 2
+"""
+
+ORACLE_SQL["asof_backward_purchase"] = """
+WITH views AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+), purchases AS (
+  SELECT user_id, ts, event_id AS purchase_id, value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT v.event_id, v.user_id, epoch_us(v.ts) AS ts_us,
+       p.purchase_id, round(p.purchase_value, 2) AS purchase_value,
+       epoch_us(p.ts) AS purchase_ts_us
+FROM views v
+ASOF LEFT JOIN purchases p ON v.user_id = p.user_id AND v.ts >= p.ts
+"""
+
+ORACLE_SQL["asof_nearest_error"] = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), errors AS (
+  SELECT user_id, ts, event_id AS error_id FROM events WHERE event_type = 'error'
+), bwd AS (
+  SELECT c.event_id, c.user_id, c.ts, e.error_id AS b_id, e.ts AS b_ts
+  FROM clicks c ASOF LEFT JOIN errors e ON c.user_id = e.user_id AND c.ts >= e.ts
+), fwd AS (
+  SELECT c.event_id, e.error_id AS f_id, e.ts AS f_ts
+  FROM clicks c ASOF LEFT JOIN errors e ON c.user_id = e.user_id AND c.ts <= e.ts
+)
+SELECT b.event_id, b.user_id, epoch_us(b.ts) AS ts_us,
+       CASE WHEN b_id IS NOT NULL AND (f_id IS NULL OR (b.ts - b_ts) <= (f_ts - b.ts))
+            THEN b_id ELSE f_id END AS error_id,
+       CASE WHEN b_id IS NOT NULL AND (f_id IS NULL OR (b.ts - b_ts) <= (f_ts - b.ts))
+            THEN epoch_us(b_ts) ELSE epoch_us(f_ts) END AS error_ts_us
+FROM bwd b JOIN fwd f USING (event_id)
+"""
+
+ORACLE_SQL["customers_without_orders"] = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+ORACLE_SQL["segment_active_customers"] = """
+SELECT c_mktsegment, count(*) AS n_active_customers
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY 1
+"""
+
+ORACLE_SQL["customer_has_big_order"] = """
+SELECT o_custkey,
+       count(CASE WHEN o_totalprice > 150000 THEN 1 END) > 0 AS has_big_order,
+       count(*) AS n_orders
+FROM orders GROUP BY 1
+"""
+
+ORACLE_SQL["union_hot_cold_items"] = """
+SELECT l_orderkey, l_linenumber, 'hot' AS slice FROM lineitem WHERE l_quantity >= 45
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'cold' AS slice FROM lineitem WHERE l_quantity <= 5
+"""
+
+ORACLE_SQL["format_order_runtime"] = """
+SELECT o_orderkey,
+       round(o_totalprice / 1000.0, 3) AS runtime_s,
+       CAST(FLOOR(ms / 60000) AS BIGINT)::VARCHAR || ':' ||
+       lpad(CAST(FLOOR((ms % 60000) / 1000) AS BIGINT)::VARCHAR, 2, '0') || '.' ||
+       lpad(CAST(ms % 1000 AS BIGINT)::VARCHAR, 3, '0') AS runtime_fmt
+FROM (SELECT *, CAST(round(o_totalprice / 1000.0 * 1000) AS BIGINT) AS ms FROM orders)
+"""
+
+ORACLE_SQL["events_tumbling_5min"] = """
+SELECT CAST(FLOOR(epoch_us(ts) / 300000000) * 300 AS BIGINT) AS window_start_s,
+       event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+"""

@@ -1,0 +1,434 @@
+"""The named query catalog — one entry per operator family from
+SURVEY.md §2, expressed Spark-first over the driver's synthetic tables.
+
+Each callable takes ``(spark, sf_dir)`` and returns a **lazy**
+DataFrame. Column names are aliased identically in the DuckDB oracle
+(``oracles.py``) because the correctness harness hashes values after
+sorting columns by name.
+
+Determinism rules (SURVEY §5, §7 hard-part #2):
+- every window/rank has a total order (unique tie-break key);
+- every float aggregate is rounded at a fixed precision in BOTH engines;
+- timestamps leave the engine as epoch micros (bigint) — Spark
+  session-TZ vs DuckDB naive-UTC never touches the hash.
+
+Scale notes are inline per query; the general rules: dimension sides
+broadcast, facts shuffle at most once per query, filters/projections sit
+directly on the scan so Catalyst pushes them into Parquet.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    STOPWORDS,
+    quality_metrics,
+    stopword_hits,
+    token_count,
+    weighted_char_fingerprint,
+)
+from ..functions.timefmt import format_lap_time
+from ..functions.vectors import cosine_similarity
+from ..operators.asof import asof_join
+from ..operators.grid import ordered_group_position
+from ..operators.interval import interval_join
+from ..operators.ranking import rank1_per_group, topk_per_group
+from ..sources.catalog import load
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+
+#: Queries with no SQL-expressible oracle (driver records rows-only
+#: checks for these; keep the set minimal and justified).
+NO_ORACLE: set[str] = set()
+
+
+def query(name: str) -> Callable[[QueryFn], QueryFn]:
+    def register(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        return fn
+
+    return register
+
+
+# --------------------------------------------------------------------------
+# Aggregation / projection core (SURVEY §2.2 P1-P11, §2.4 A2/A3/A5)
+# --------------------------------------------------------------------------
+
+
+@query("pricing_summary")
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped grouped aggregation (A2/A5 + derived P1 columns).
+
+    Scale: single hash aggregate with map-side partial aggregation; the
+    shipdate filter and 7-column projection push into the Parquet scan.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query("revenue_by_nation")
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim-join chain (J4): fact ⋈ supplier ⋈ nation ⋈ region.
+
+    Scale: supplier/nation/region are broadcast — zero shuffles for the
+    joins, one for the final aggregate. Mirrors the reference's driver/
+    color enrichment joins (src/session_object.py:145-147) at TPC shape.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query("order_priority_buckets")
+def order_priority_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional bucketing (P15) + null-safe default (F9/P16)."""
+    o = load(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "low")
+        .when(F.col("o_totalprice") < 150000, "mid")
+        .otherwise("high")
+    )
+    return (
+        o.withColumn("price_bucket", bucket)
+        .groupBy("o_orderpriority", "price_bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@query("distinct_flag_status")
+def distinct_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct projection (A4) — the engine-side analog of pandas
+    ``unique()`` (reference: src/data_processing.py:43-44)."""
+    return load(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@query("rollup_priority_status")
+def rollup_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets — free Spark SQL capability beyond the
+    reference surface (SURVEY §2.4 note)."""
+    o = load(spark, sf_dir, "orders")
+    return o.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@query("pivot_returnflag_status")
+def pivot_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot to wide (U4 — classes.py:86's dict-of-Series transpose)."""
+    li = load(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.avg("l_quantity"), 4))
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("O").alias("avg_qty_open"),
+        F.col("F").alias("avg_qty_filled"),
+    )
+
+
+@query("unpivot_part_measures")
+def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot to long (U3 — classes.py:86-90's transpose+melt)."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.expr(
+            "stack(2, 'size', cast(p_size as double), "
+            "'retailprice', p_retailprice) as (measure, value)"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Ranking / windows (SURVEY §2.5 W1-W5, §2.4 A1)
+# --------------------------------------------------------------------------
+
+
+@query("cheapest_order_per_customer")
+def cheapest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmin full row per group with tie-break (A1/W1): the fastest-lap
+    pattern (reference: src/session_object.py:156-165) on orders."""
+    o = load(spark, sf_dir, "orders")
+    best = rank1_per_group(
+        o,
+        "o_custkey",
+        [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
+    )
+    return best.select("o_custkey", "o_orderkey", "o_totalprice", "o_orderpriority")
+
+
+@query("top5_orders_per_segment")
+def top5_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group (W2) with deterministic rank emitted (W3)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    return topk_per_group(
+        j,
+        "c_mktsegment",
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        5,
+        keep_rank="rk",
+    ).select("c_mktsegment", "o_orderkey", "o_totalprice", "rk")
+
+
+@query("priority_grid")
+def priority_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-group grid assembly (O4 redesign): explicit global
+    position instead of ordered concat (src/data_processing.py:287-290)."""
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH", "3-MEDIUM")
+    )
+    out = ordered_group_position(
+        o,
+        "o_orderpriority",
+        ["1-URGENT", "2-HIGH", "3-MEDIUM"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        position_col="grid_position",
+    )
+    return out.select("grid_position", "o_orderkey", "o_orderpriority", "o_totalprice")
+
+
+@query("running_revenue_per_supplier")
+def running_revenue_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative window frame (beyond-reference W extension; the
+    reference's TODO list asks for lap-time development, so:318-320)."""
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_suppkey") <= 3)
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sum("l_extendedprice").over(w), 2).alias("running_revenue"),
+    )
+
+
+@query("value_delta_per_user")
+def value_delta_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() delta per key — the reference's own TODO (position-change
+    analytics, src/session_object.py:318-320)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("value_delta"),
+    )
+
+
+@query("sessionize_events")
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag-gap > 30 min starts a new session; count
+    sessions per user. Batch analog of streaming session windows."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
+    sess = e.withColumn("__new", is_new).withColumn(
+        "session_id",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return sess.groupBy("user_id").agg(
+        F.max("session_id").cast("bigint").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins (SURVEY §2.3 J1-J6)
+# --------------------------------------------------------------------------
+
+
+@query("interval_join_user_cohort")
+def interval_join_user_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (J1 — laps×stints shape): events land in a cohort
+    whose [lo, hi] user_id range they fall into.
+
+    Scale: the cohort table carries an aligned bucket equi-key, so the
+    plan is broadcast-hash + range residual, never a nested loop
+    (SURVEY §4.3 J1 row)."""
+    e = load(spark, sf_dir, "events").withColumn(
+        "bucket", F.floor(F.col("user_id") / 30).cast("int")
+    )
+    reg = load(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("bucket"),
+        F.col("r_name").alias("cohort"),
+        (F.col("r_regionkey") * 30).alias("lo"),
+        (F.col("r_regionkey") * 30 + 29).alias("hi"),
+    )
+    j = interval_join(e, reg, point="user_id", lo="lo", hi="hi", on="bucket")
+    return j.groupBy("cohort", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@query("asof_backward_purchase")
+def asof_backward_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of backward join (J2 — tire-stint assignment shape,
+    src/session_object.py:55-80): each view event matched to the user's
+    most recent purchase at-or-before it."""
+    e = load(spark, sf_dir, "events")
+    views = e.where(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id"), F.col("value").alias("purchase_value")
+    )
+    m = asof_join(views, purchases, on="ts", by="user_id", direction="backward")
+    return m.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "purchase_id",
+        F.round("purchase_value", 2).alias("purchase_value"),
+        F.unix_micros("ts_right").alias("purchase_ts_us"),
+    )
+
+
+@query("asof_nearest_error")
+def asof_nearest_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of nearest join (J3 — telemetry×location shape,
+    src/session_object.py:240-250): each click matched to the user's
+    nearest error event in time; ties go backward (earlier)."""
+    e = load(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    errors = e.where(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("error_id")
+    )
+    m = asof_join(clicks, errors, on="ts", by="user_id", direction="nearest")
+    return m.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "error_id",
+        F.unix_micros("ts_right").alias("error_ts_us"),
+    )
+
+
+@query("customers_without_orders")
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join — NOT EXISTS (beyond reference; SURVEY §2.3 notes the
+    reference has none, Spark gives it free)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query("segment_active_customers")
+def segment_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (EXISTS) + grouped count."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_active_customers"))
+    )
+
+
+@query("customer_has_big_order")
+def customer_has_big_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exists-style boolean flag per key (A6/P17 — the incomplete-data
+    flag, src/session_object.py:78)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        (F.count(F.when(F.col("o_totalprice") > 150000, 1)) > 0).alias("has_big_order"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Set ops / scalar functions (SURVEY §2.7, §2.8)
+# --------------------------------------------------------------------------
+
+
+@query("union_hot_cold_items")
+def union_hot_cold_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-all of two filtered slices (U1) with a provenance tag —
+    order-independent by design (O4 lesson)."""
+    li = load(spark, sf_dir, "lineitem")
+    hot = li.where(F.col("l_quantity") >= 45).select(
+        "l_orderkey", "l_linenumber", F.lit("hot").alias("slice")
+    )
+    cold = li.where(F.col("l_quantity") <= 5).select(
+        "l_orderkey", "l_linenumber", F.lit("cold").alias("slice")
+    )
+    return hot.unionByName(cold)
+
+
+@query("format_order_runtime")
+def format_order_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lap-time formatter (F2/F3) as a column expression over a
+    seconds-valued column."""
+    o = load(spark, sf_dir, "orders")
+    secs = F.col("o_totalprice") / 1000.0
+    return o.select(
+        "o_orderkey",
+        F.round(secs, 3).alias("runtime_s"),
+        format_lap_time(secs).alias("runtime_fmt"),
+    )
+
+
+@query("events_tumbling_5min")
+def events_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregate (batch form of the streaming module's
+    query — event-time bucketing, SURVEY §2.9)."""
+    e = load(spark, sf_dir, "events")
+    bucket = (F.floor(F.unix_micros("ts") / F.lit(300 * 1_000_000)) * 300).cast("bigint")
+    return (
+        e.withColumn("window_start_s", bucket)
+        .groupBy("window_start_s", "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+    )

@@ -1,0 +1,60 @@
+"""SparkSession factory.
+
+The reference runs single-threaded eager pandas (no session concept);
+here every query is a lazy Catalyst plan executed by a tuned session.
+
+Scale notes (100 TB target):
+- AQE on: runtime join-strategy switches, partition coalescing, and
+  skew-join splitting replace any hand-scheduling.
+- ``spark.sql.shuffle.partitions`` defaults to the local core count for
+  tests; on a real cluster this is overridden (or left to AQE's
+  coalescing with a high initial value).
+- UTC session timezone pins timestamp semantics so results hash-match
+  the DuckDB oracle (naive-UTC) bit-for-bit.
+- Arrow on: every pandas boundary (toPandas, pandas_udf, applyInPandas)
+  is vectorized batch transfer, never row pickling.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEF_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "formula1_dataengineering_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    Local mode is a single JVM; ``spark.driver.memory`` is the only
+    memory knob. On a cluster, executors/memory come from spark-submit
+    and everything here still applies.
+    """
+    master = master or f"local[{_DEF_CPUS}]"
+    shuffle = str(shuffle_partitions or _DEF_CPUS)
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", shuffle)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        # Deterministic float formatting across JVM locales.
+        .config("spark.sql.legacy.sizeOfNull", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

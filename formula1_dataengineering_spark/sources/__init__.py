@@ -1,0 +1,1 @@
+from .catalog import TABLES, load, register_views  # noqa: F401

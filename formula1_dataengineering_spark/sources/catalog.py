@@ -1,0 +1,68 @@
+"""Table catalog over the driver's synthetic Parquet layout.
+
+The reference's "sources" are ~60 sequential HTTP GETs per F1 session
+(reference: src/data_processing.py:30-100, src/session_object.py:135-154,
+src/helper_functions.py:7-31 — the retry wrapper). In the new engine all
+ingestion is an offline concern; queries read schema-stable Parquet so
+Catalyst gets predicate pushdown + column pruning for free.
+
+At 100 TB the fact tables (``lineitem``, ``events`` — analogous to the
+reference's laps/telemetry) would be written partitioned by a coarse
+time/key column (e.g. ``o_orderdate`` month, ``session_key``) and
+bucketed by join key; ``load`` only binds paths, so that layout change
+is transparent to every query in ``plans``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Every table the driver materializes per scale factor (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Small dimension tables — always broadcast-join these sides.
+DIM_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one catalog table. Lazy — no job runs until an action.
+
+    The ``events`` table is written with nanosecond parquet timestamps,
+    which Spark's vectorized reader rejects; we read them as raw nanos
+    (``nanosAsLong``) and truncate to a proper micro-precision
+    ``TimestampType`` — the same truncation DuckDB applies, so oracle
+    hashes agree (SURVEY §7 hard-part #4).
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        from pyspark.sql import functions as F
+
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every catalog table as a temp view for ``spark.sql``."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
