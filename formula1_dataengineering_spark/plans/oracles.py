@@ -240,3 +240,215 @@ SELECT CAST(FLOOR(epoch_us(ts) / 300000000) * 300 AS BIGINT) AS window_start_s,
 FROM events
 GROUP BY 1, 2
 """
+
+# --------------------------------------------------------------------------
+# Training-data pipeline oracles. The minhash/simhash statements are
+# generated from the same hash-family parameters the Spark operators use
+# (dedup.MERSENNE_P, a_i = 2i+1, b_i = 7+3i) so signatures match exactly.
+# --------------------------------------------------------------------------
+
+ORACLE_SQL["dedup_exact_docs"] = """
+SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY text
+"""
+
+_P = 2147483647
+_H = 12
+_BANDS = 4
+_R = _H // _BANDS
+
+_MINHASH_BASE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(t)) AS shingle FROM toks
+), dict AS (
+  SELECT shingle, row_number() OVER (ORDER BY shingle) AS sid
+  FROM (SELECT DISTINCT shingle FROM sh)
+), ids AS (
+  SELECT doc_id, sid FROM sh JOIN dict USING (shingle)
+), sig AS (
+  SELECT doc_id, {sig_exprs}
+  FROM ids GROUP BY doc_id
+)
+"""
+
+_SIG_EXPRS = ", ".join(
+    f"CAST(min(({2 * i + 1} * sid + {7 + 3 * i}) % {_P}) AS BIGINT) AS sig_{i}"
+    for i in range(_H)
+)
+
+ORACLE_SQL["minhash_signatures_docs"] = (
+    _MINHASH_BASE.format(sig_exprs=_SIG_EXPRS) + "SELECT * FROM sig"
+)
+
+_BAND_SELECTS = "\nUNION ALL\n".join(
+    "SELECT doc_id, "
+    + ", ".join(f"sig_{i}" for i in range(_H))
+    + f", {b} AS band, "
+    + " || '_' || ".join(f"CAST(sig_{b * _R + j} AS VARCHAR)" for j in range(_R))
+    + " AS key FROM sig"
+    for b in range(_BANDS)
+)
+
+_EQ_SUM = " + ".join(
+    f"CASE WHEN a.sig_{i} = b.sig_{i} THEN 1 ELSE 0 END" for i in range(_H)
+)
+
+ORACLE_SQL["minhash_lsh_docs"] = (
+    _MINHASH_BASE.format(sig_exprs=_SIG_EXPRS)
+    + f""", bands AS (
+{_BAND_SELECTS}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(({_EQ_SUM}) / {float(_H)}, 4) AS est_jaccard
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT * FROM pairs"""
+)
+
+_SIMHASH_BITS = 32
+_BIT_SUMS = ", ".join(
+    f"SUM(cnt * (2 * ((h // {1 << j}) % 2) - 1)) AS s_{j}"
+    for j in range(_SIMHASH_BITS)
+)
+_SIM_VALUE = " + ".join(
+    f"CASE WHEN s_{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(_SIMHASH_BITS)
+)
+
+ORACLE_SQL["simhash_docs"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), counts AS (
+  SELECT doc_id, token, count(*) AS cnt FROM toks GROUP BY 1, 2
+), dict AS (
+  SELECT token, row_number() OVER (ORDER BY token) AS tid
+  FROM (SELECT DISTINCT token FROM toks)
+), hashed AS (
+  SELECT doc_id, cnt, (1103515245 * tid + 12345) % {_P} AS h
+  FROM counts JOIN dict USING (token)
+), bit_sums AS (
+  SELECT doc_id, {_BIT_SUMS} FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, CAST({_SIM_VALUE} AS BIGINT) AS simhash FROM bit_sums
+"""
+
+ORACLE_SQL["ngram_jaccard_docs"] = """
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+), grams AS (
+  SELECT doc_id, source, unnest(list_distinct(
+    list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))
+  )) AS gram FROM toks
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM grams GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+  FROM grams a JOIN grams b
+    ON a.gram = b.gram AND a.source = b.source AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(ni * 1.0 / (sa.n + sb.n - ni), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE ni * 1.0 / (sa.n + sb.n - ni) >= 0.05
+"""
+
+_COS = (
+    "list_dot_product(a.v, b.v) / "
+    "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+)
+
+ORACLE_SQL["knn_bruteforce"] = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS} AS cos
+  FROM e a JOIN e b ON a.vec_id < 10 AND a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+ORACLE_SQL["knn_ivf_label"] = f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS} AS cos
+  FROM e a JOIN e b
+    ON a.vec_id < 10 AND a.vec_id <> b.vec_id AND a.label = b.label
+), ranked AS (
+  SELECT query_id, neighbor_id, cos, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+ORACLE_SQL["embedding_neardup"] = f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_COS}, 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id AND a.label = b.label
+WHERE {_COS} >= 0.25
+"""
+
+ORACLE_SQL["doc_quality"] = """
+SELECT doc_id,
+       CAST(len(text) AS INTEGER) AS n_chars,
+       CAST(len(string_split_regex(text, '\\s+')) AS INTEGER) AS n_tokens,
+       round(len(regexp_replace(text, '\\s+', '', 'g')) * 1.0
+             / len(string_split_regex(text, '\\s+')), 4) AS avg_token_len,
+       round((len(text) - len(regexp_replace(text, '[.,;:!?]', '', 'g'))) * 1.0
+             / len(text), 4) AS punct_ratio,
+       round(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                 t -> t IN ('the', 'a', 'of', 'and', 'to'))) * 1.0
+             / len(string_split_regex(text, '\\s+')), 4) AS stopword_ratio
+FROM documents
+"""
+
+ORACLE_SQL["doc_language_id"] = """
+WITH hits AS (
+  SELECT doc_id, lang,
+    len(list_filter(string_split_regex(lower(text), '\\s+'),
+        t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS en,
+    len(list_filter(string_split_regex(lower(text), '\\s+'),
+        t -> t IN ('der', 'die', 'das', 'und', 'nicht'))) AS de,
+    len(list_filter(string_split_regex(lower(text), '\\s+'),
+        t -> t IN ('le', 'la', 'les', 'et', 'pas'))) AS fr
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN en >= de AND en >= fr AND en > 0 THEN 'en'
+            WHEN de >= fr AND de > 0 THEN 'de'
+            WHEN fr > 0 THEN 'fr'
+            ELSE 'und' END AS pred_lang,
+       CAST(en AS INTEGER) AS en_hits
+FROM hits
+"""
+
+ORACLE_SQL["doc_fingerprint"] = """
+SELECT doc_id,
+       CAST(list_sum(list_transform(range(1, len(text) + 1),
+            i -> ord(text[i]) * CAST(i AS BIGINT))) % 1000000007 AS BIGINT)
+         AS fingerprint
+FROM documents
+"""
+
+ORACLE_SQL["token_stats_by_source"] = """
+SELECT source,
+       CAST(sum(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS total_tokens,
+       round(avg(len(string_split_regex(text, '\\s+'))), 4) AS avg_tokens,
+       CAST(max(n_chars) AS BIGINT) AS max_chars,
+       count(*) AS n_docs
+FROM documents
+GROUP BY source
+"""

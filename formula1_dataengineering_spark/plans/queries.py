@@ -34,9 +34,17 @@ from ..functions.text import (
 from ..functions.timefmt import format_lap_time
 from ..functions.vectors import cosine_similarity
 from ..operators.asof import asof_join
+from ..operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
 from ..operators.grid import ordered_group_position
 from ..operators.interval import interval_join
 from ..operators.ranking import rank1_per_group, topk_per_group
+from ..operators.similarity import cosine_topk, ivf_topk, neardup_pairs
 from ..sources.catalog import load
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -431,4 +439,127 @@ def events_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.withColumn("window_start_s", bucket)
         .groupBy("window_start_s", "event_type")
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Training-data pipeline: dedup / similarity / text analysis (task brief —
+# beyond the reference surface, first-class engine components)
+# --------------------------------------------------------------------------
+
+
+@query("dedup_exact_docs")
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: representative id + copy count per distinct text."""
+    d = load(spark, sf_dir, "documents")
+    return exact_dedup(d, ["text"], "doc_id").select("keep_id", "n_copies")
+
+
+@query("minhash_signatures_docs")
+def minhash_signatures_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (portable hash family, unigram shingles)."""
+    d = load(spark, sf_dir, "documents")
+    return minhash_signatures(d, num_hashes=12, shingle_k=1)
+
+
+@query("minhash_lsh_docs")
+def minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs with estimated Jaccard."""
+    d = load(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, num_hashes=12, bands=4, shingle_k=1)
+
+
+@query("simhash_docs")
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit frequency-weighted SimHash per document."""
+    d = load(spark, sf_dir, "documents")
+    return simhash(d, num_bits=32)
+
+
+@query("ngram_jaccard_docs")
+def ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact bigram-set Jaccard pairs, blocked by source."""
+    d = load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, block_col="source", n=2, threshold=0.05)
+
+
+@query("knn_bruteforce")
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for query vectors (vec_id < 10)."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    return cosine_topk(q, e, k=5)
+
+
+@query("knn_ivf_label")
+def knn_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-5: probe only the query's label cell."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    return ivf_topk(q, e, cell_col="label", k=5)
+
+
+@query("embedding_neardup")
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs within label buckets, cosine >= 0.25."""
+    e = load(spark, sf_dir, "embeddings")
+    return neardup_pairs(e, bucket_col="label", threshold=0.25)
+
+
+@query("doc_quality")
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score signals per document (length/punct/stopword)."""
+    d = load(spark, sf_dir, "documents")
+    m = quality_metrics(F.col("text"))
+    return d.select(
+        "doc_id",
+        m["n_chars"].alias("n_chars"),
+        m["n_tokens"].alias("n_tokens"),
+        F.round(m["avg_token_len"], 4).alias("avg_token_len"),
+        F.round(m["punct_ratio"], 4).alias("punct_ratio"),
+        F.round(m["stopword_ratio"], 4).alias("stopword_ratio"),
+    )
+
+
+@query("doc_language_id")
+def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID from stopword hits (en/de/fr/und)."""
+    d = load(spark, sf_dir, "documents")
+    en = stopword_hits(F.col("text"), STOPWORDS["en"])
+    de = stopword_hits(F.col("text"), STOPWORDS["de"])
+    fr = stopword_hits(F.col("text"), STOPWORDS["fr"])
+    pred = (
+        F.when((en >= de) & (en >= fr) & (en > 0), "en")
+        .when((de >= fr) & (de > 0), "de")
+        .when(fr > 0, "fr")
+        .otherwise("und")
+    )
+    return d.select(
+        "doc_id", "lang", pred.alias("pred_lang"), en.alias("en_hits")
+    )
+
+
+@query("doc_fingerprint")
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-weighted rolling-hash fingerprint per document."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", weighted_char_fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+@query("token_stats_by_source")
+def token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count statistics per source (corpus accounting)."""
+    d = load(spark, sf_dir, "documents")
+    tc = token_count(F.col("text"))
+    return (
+        d.withColumn("__tc", tc)
+        .groupBy("source")
+        .agg(
+            F.sum("__tc").cast("bigint").alias("total_tokens"),
+            F.round(F.avg("__tc"), 4).alias("avg_tokens"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+            F.count("*").alias("n_docs"),
+        )
     )
