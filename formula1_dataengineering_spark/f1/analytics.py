@@ -1,0 +1,223 @@
+"""F1 analytics as standalone lazy-DataFrame transformations.
+
+Each function re-expresses one reference pipeline (SURVEY §3) as a
+single Catalyst plan. The ``F1Session`` facade wraps these with cached
+per-session state; these free functions are the testable core.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join
+from ..operators.grid import ordered_group_position
+from ..operators.ranking import rank1_per_group, topk_per_group
+
+
+def with_actual_lap_time(laps: DataFrame) -> Column | DataFrame:
+    """Derived ``actual_lap_time`` = round(s1+s2+s3, 3) (P1 —
+    reference: src/data_processing.py:88, src/session_object.py:144).
+    Null when any sector is null (out-laps), matching pandas NaN
+    propagation."""
+    return laps.withColumn(
+        "actual_lap_time",
+        F.round(
+            F.col("duration_sector_1")
+            + F.col("duration_sector_2")
+            + F.col("duration_sector_3"),
+            3,
+        ),
+    )
+
+
+def assign_tire_information(laps: DataFrame, stints: DataFrame) -> DataFrame:
+    """Tire compound / age / stint per lap — as-of backward + validity
+    window (J2 — reference: src/session_object.py:55-80).
+
+    The as-of match picks the latest stint with ``lap_start <=
+    lap_number``; laps past the stint's ``lap_end`` (gaps between
+    stints) get nulls (P16); ``tire_age`` = lap_number − lap_start +
+    tyre_age_at_start (W4 arithmetic form — O(1), no extra shuffle).
+    """
+    st = stints.select(
+        "session_key",
+        "driver_number",
+        F.col("lap_start").cast("int").alias("lap_start"),
+        "lap_end",
+        "compound",
+        "stint_number",
+        "tyre_age_at_start",
+    )
+    joined = asof_join(
+        laps.withColumn("__on", F.col("lap_number").cast("int")),
+        st.withColumn("__on", F.col("lap_start")),
+        on="__on",
+        by=["session_key", "driver_number"],
+        direction="backward",
+        right_cols=["lap_end", "compound", "stint_number", "tyre_age_at_start"],
+        strategy="broadcast",
+    ).drop("__on")
+    # ``__on_right`` is the matched stint's lap_start.
+    valid = F.col("lap_number") <= F.col("lap_end")
+    return (
+        joined.withColumn("compound", F.when(valid, F.col("compound")))
+        .withColumn("stint_number", F.when(valid, F.col("stint_number")))
+        .withColumn(
+            "tire_age",
+            F.when(
+                valid,
+                F.col("lap_number") - F.col("__on_right") + F.col("tyre_age_at_start"),
+            ),
+        )
+        .drop("lap_end", "__on_right", "tyre_age_at_start")
+    )
+
+
+def fastest_lap_per_driver(laps_with_time: DataFrame) -> DataFrame:
+    """Best lap row per driver, (actual_lap_time, date_start) tie-break
+    (A1/W1 — reference: src/session_object.py:156-165,
+    src/data_processing.py:283-284; the window form is the only
+    deterministic mapping, SURVEY §2.5 W1)."""
+    return rank1_per_group(
+        laps_with_time.where(F.col("actual_lap_time").isNotNull()),
+        ["session_key", "driver_number"],
+        [
+            F.col("actual_lap_time").asc(),
+            F.col("date_start").asc(),
+            F.col("lap_number").asc(),
+        ],
+    )
+
+
+def session_position_order(laps_with_time: DataFrame) -> DataFrame:
+    """Provisional classification: per-driver bests ordered, with an
+    explicit ``position`` (W3 — reference: src/session_object.py:167-174)."""
+    best = fastest_lap_per_driver(laps_with_time)
+    w = Window.partitionBy("session_key").orderBy(
+        F.col("actual_lap_time").asc(), F.col("date_start").asc(), F.col("driver_number").asc()
+    )
+    return best.withColumn("position", F.row_number().over(w))
+
+
+def bucket_qualifying_laps(
+    laps: DataFrame, sessions: DataFrame, red_flag_limit_min: int = 70
+) -> DataFrame:
+    """Label each qualifying lap Q1/Q2/Q3 from official segment
+    durations (P15 — reference: src/data_processing.py:199-241).
+
+    Q1 = 18 min, Q2 = 15 min, Q3 = 12 min with 7/8-min breaks; the
+    boundaries come from the session's ``date_start``. The reference's
+    red-flag guard (dp:218-220) raises when the session exceeds
+    ``red_flag_limit_min``; here over-long sessions are flagged with a
+    boolean column so the distributed job never throws mid-stage —
+    callers assert on the flag driver-side.
+    """
+    s = sessions.select(
+        "session_key",
+        F.col("date_start").alias("__s_start"),
+        F.col("date_end").alias("__s_end"),
+    )
+    q2_offset = (18 + 7) * 60  # Q1 18 min + 7 min break
+    q3_offset = q2_offset + (15 + 8) * 60  # + Q2 15 min + 8 min break
+    j = laps.join(F.broadcast(s), "session_key")
+    start_us = F.unix_micros(F.col("__s_start"))
+    lap_us = F.unix_micros(F.col("date_start"))
+    qualifying = (
+        F.when(lap_us < start_us + q2_offset * 1_000_000, "Q1")
+        .when(lap_us < start_us + q3_offset * 1_000_000, "Q2")
+        .otherwise("Q3")
+    )
+    over_limit = (
+        F.unix_micros(F.col("__s_end")) - start_us
+    ) > red_flag_limit_min * 60 * 1_000_000
+    return (
+        j.withColumn("qualifying", qualifying)
+        .withColumn("red_flag_suspect", over_limit)
+        .drop("__s_start", "__s_end")
+    )
+
+
+def qualifying_classification(
+    laps: DataFrame,
+    sessions: DataFrame,
+    q3_size: int = 10,
+    q2_elim: int = 5,
+    q1_elim: int = 5,
+) -> DataFrame:
+    """Full qualifying grid (§3.2 lifecycle): bucket → filter pit-out
+    laps (P8) → best lap per driver per Q (W1) → grid = Q3 order ⊕
+    Q2-eliminated ⊕ Q1-eliminated with explicit positions (O4 redesign
+    — reference: src/data_processing.py:269-291).
+
+    Eliminated drivers are those ranked beyond the cutoff in their Q
+    segment, ordered by their segment-best time.
+    """
+    bucketed = bucket_qualifying_laps(laps, sessions)
+    with_time = with_actual_lap_time(bucketed)
+    clean = with_time.where(
+        (~F.col("is_pit_out_lap")) & F.col("actual_lap_time").isNotNull()
+    )
+    # Best lap per driver within each Q segment.
+    best = rank1_per_group(
+        clean,
+        ["session_key", "qualifying", "driver_number"],
+        [F.col("actual_lap_time").asc(), F.col("date_start").asc(), F.col("lap_number").asc()],
+    )
+    # Rank drivers within each segment.
+    seg_rank = Window.partitionBy("session_key", "qualifying").orderBy(
+        F.col("actual_lap_time").asc(), F.col("date_start").asc(), F.col("driver_number").asc()
+    )
+    ranked = best.withColumn("segment_rank", F.row_number().over(seg_rank))
+    # Grid contributions: Q3 ranks 1..q3_size; Q2's bottom q2_elim in
+    # their Q2 order; Q1's bottom q1_elim in their Q1 order.
+    q3 = ranked.where((F.col("qualifying") == "Q3") & (F.col("segment_rank") <= q3_size))
+    n_q2 = Window.partitionBy("session_key", "qualifying")
+    with_counts = ranked.withColumn("segment_n", F.count("*").over(n_q2))
+    q2_out = with_counts.where(
+        (F.col("qualifying") == "Q2")
+        & (F.col("segment_rank") > F.col("segment_n") - q2_elim)
+    )
+    q1_out = with_counts.where(
+        (F.col("qualifying") == "Q1")
+        & (F.col("segment_rank") > F.col("segment_n") - q1_elim)
+    )
+    assembled = (
+        q3.select("session_key", "driver_number", "qualifying", "actual_lap_time", "segment_rank")
+        .unionByName(
+            q2_out.select(
+                "session_key", "driver_number", "qualifying", "actual_lap_time", "segment_rank"
+            )
+        )
+        .unionByName(
+            q1_out.select(
+                "session_key", "driver_number", "qualifying", "actual_lap_time", "segment_rank"
+            )
+        )
+    )
+    return ordered_group_position(
+        assembled,
+        "qualifying",
+        ["Q3", "Q2", "Q1"],
+        [F.col("segment_rank").asc()],
+        position_col="grid_position",
+    )
+
+
+def avg_lap_time_by_driver_compound(
+    laps_with_tires: DataFrame,
+    ignored_compounds: tuple[str, ...] = ("UNKNOWN", "TEST_UNKNOWN"),
+) -> DataFrame:
+    """Driver × compound average lap time, long form (A2 + P9/P10 —
+    reference: classes.py:77-95; the pivot→melt round-trip disappears
+    because groupBy already emits long form, SURVEY §2.7 U3)."""
+    return (
+        laps_with_tires.where(F.col("actual_lap_time").isNotNull())
+        .where(F.col("compound").isNotNull())
+        .where(~F.col("compound").isin(*ignored_compounds))
+        .groupBy("session_key", "driver_number", "compound")
+        .agg(
+            F.round(F.avg("actual_lap_time"), 3).alias("avg_lap_time"),
+            F.count("*").alias("n_laps"),
+        )
+    )

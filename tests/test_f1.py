@@ -1,0 +1,165 @@
+"""End-to-end tests of the F1 facade over fixture tables — the golden
+tests SURVEY §5.3 calls for (the reference ships none)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from formula1_dataengineering_spark.f1.analytics import (
+    assign_tire_information,
+    with_actual_lap_time,
+)
+from formula1_dataengineering_spark.f1.session_facade import (
+    F1Session,
+    f1_weekends,
+    sessions_in_weekend,
+)
+
+from .f1_fixtures import QUALI_KEY, RACE_KEY, build_tables
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    return build_tables(spark)
+
+
+@pytest.fixture(scope="module")
+def quali(spark, tables):
+    return F1Session(spark, QUALI_KEY, tables)
+
+
+@pytest.fixture(scope="module")
+def race(spark, tables):
+    return F1Session(spark, RACE_KEY, tables)
+
+
+def test_session_info(quali):
+    info = quali.session_info()
+    assert info == {
+        "session_type": "Qualifying",
+        "circuit": "TestRing",
+        "name": "Qualifying",
+    }
+
+
+def test_tire_assignment_validity_window(race, tables):
+    laps = with_actual_lap_time(tables["laps"]).where(
+        F.col("session_key") == RACE_KEY
+    )
+    out = assign_tire_information(laps, tables["stints"]).toPandas()
+    d1 = out[out.driver_number == 1].set_index("lap_number")
+    # inside stint 1
+    assert d1.loc[5, "compound"] == "SOFT"
+    assert d1.loc[5, "tire_age"] == 4  # 5 - 1 + 0
+    # gap lap: no stint covers lap 9 (P16 null-out)
+    assert pd.isna(d1.loc[9, "compound"])
+    assert pd.isna(d1.loc[9, "tire_age"])
+    # stint 2 resumes
+    assert d1.loc[10, "compound"] == "HARD"
+    assert d1.loc[10, "tire_age"] == 2  # 10 - 10 + 2
+    assert d1.loc[20, "tire_age"] == 12
+    # null compound stint keeps nulls but stays valid
+    d3 = out[out.driver_number == 3].set_index("lap_number")
+    assert pd.isna(d3.loc[5, "compound"])
+    # every lap matched at most one stint (as-of invariant)
+    assert out.groupby(["driver_number", "lap_number"]).size().max() == 1
+
+
+def test_fastest_laps_tie_break(quali):
+    best = quali.fastest_laps().toPandas().set_index("driver_number")
+    # driver 3 and 2 both best 88.2; both have their Q3 lap as best
+    assert best.loc[2, "actual_lap_time"] == 88.2
+    assert best.loc[3, "actual_lap_time"] == 88.2
+    order = quali.position_order().toPandas()
+    pos = order.set_index("driver_number")["position"]
+    # position_order mirrors the reference's get_session_position_order
+    # (so:167-174): raw best laps, pit-out NOT excluded — d5's 10.0 s
+    # pit-out lap ranks first here (the qualifying pipeline filters it).
+    assert pos[5] == 1
+    assert pos[1] == 2
+    assert pos[3] == 3  # earlier date_start wins the tie
+    assert pos[2] == 4
+
+
+def test_position_order_is_permutation(quali):
+    order = quali.position_order().toPandas()
+    # drivers with at least one valid lap: all 20 (null-sector lap on d1
+    # doesn't erase its valid laps)
+    assert sorted(order["position"]) == list(range(1, 21))
+
+
+def test_qualifying_grid(quali):
+    grid = quali.qualifying_results().toPandas().set_index("grid_position")
+    assert len(grid) == 20
+    # Q3 top-10: d1, then tie d3 before d2, then d4..d10
+    assert list(grid.loc[1:10, "driver_number"]) == [1, 3, 2, 4, 5, 6, 7, 8, 9, 10]
+    # Q2 eliminated: drivers 11-15 in their Q2 order
+    assert list(grid.loc[11:15, "driver_number"]) == [11, 12, 13, 14, 15]
+    assert set(grid.loc[11:15, "qualifying"]) == {"Q2"}
+    # Q1 eliminated: drivers 16-20
+    assert list(grid.loc[16:20, "driver_number"]) == [16, 17, 18, 19, 20]
+    # the 10.0s pit-out lap of d5 was excluded: d5 sits at position 5
+    assert grid.loc[5, "driver_number"] == 5
+
+
+def test_qualifying_guard_on_race(race):
+    with pytest.raises(ValueError, match="not Qualifying"):
+        race.qualifying_results()
+
+
+def test_avg_lap_by_compound_filters(race):
+    out = race.avg_lap_by_compound().toPandas()
+    # UNKNOWN compound (d2 stint 2) and null compounds (d3) excluded
+    assert set(out["compound"]) == {"SOFT", "HARD", "MEDIUM"}
+    d2 = out[(out.driver_number == 2) & (out.compound == "MEDIUM")]
+    assert d2["n_laps"].iloc[0] == 12
+
+
+def test_lap_telemetry_bounds(race):
+    tel = race.lap_telemetry(1, 2).toPandas()
+    # lap 2 of driver 1: [start_lap2, start_lap3) at 95 s cadence → 95/0.25
+    assert abs(len(tel) - 380) <= 1
+    assert (tel["seconds_from_lap_start"] >= 0).all()
+    assert (tel["seconds_from_lap_start"] <= 95.0).all()
+
+
+def test_nearest_asof_matches_pandas(race):
+    got = (
+        race.track_position_with_gear(1, 1)
+        .select("date", "date_right", "x", "y")
+        .toPandas()
+        .sort_values("date", ignore_index=True)
+    )
+    tel = race.lap_telemetry(1, 1).select("date").toPandas().sort_values("date")
+    loc = race.lap_track_position(1, 1).select("date", "x", "y").toPandas().sort_values("date")
+    want = pd.merge_asof(
+        tel, loc.rename(columns={"date": "date_loc"}),
+        left_on="date", right_on="date_loc", direction="nearest",
+    ).sort_values("date", ignore_index=True)
+    assert len(got) == len(want)
+    pd.testing.assert_series_equal(
+        got["date_right"], want["date_loc"], check_names=False
+    )
+    pd.testing.assert_series_equal(got["x"], want["x"], check_names=False)
+
+
+def test_pit_stops(race):
+    out = race.pit_stops(1).toPandas()
+    assert list(out.columns) == ["driver_number", "lap_number", "pit_duration"]
+    assert len(out) == 1 and out["pit_duration"].iloc[0] == 22.5
+
+
+def test_catalogs(spark, tables):
+    wk = f1_weekends(tables["meetings"], 2024).toPandas()
+    assert wk.values.tolist() == [["Test Grand Prix 2024", 501]]
+    ss = sessions_in_weekend(tables["sessions"], 501).toPandas()
+    assert sorted(ss["session_name"]) == ["Qualifying", "Race"]
+
+
+def test_zero_lap_driver_absent_from_rankings(race):
+    order = race.position_order().toPandas()
+    assert 4 not in set(order["driver_number"])
+    # driver 3 (all-null lap times) also absent (dp:114-115 case)
+    assert 3 not in set(order["driver_number"])
