@@ -1,0 +1,140 @@
+"""Structured Streaming analytics over the ``events`` stream table.
+
+The reference is strictly batch (SURVEY §2.9) — it polls a REST API.
+These are the streaming analogs the engine adds: the lap/telemetry
+analytics become event-time windowed aggregations with watermark-based
+late-data handling, and the Q1/Q2/Q3 session bucketing becomes
+``session_window``.
+
+Batch/stream parity: each aggregation here has the same shape as a
+batch catalog query (``events_tumbling_5min``, ``sessionize_events``)
+so results are cross-checkable — run the stream to completion over a
+static parquet directory and compare with the batch plan.
+
+Scale notes: watermarks bound state; the shuffle key is
+(window, event_type) or user_id — both well-distributed. For 100 TB/day
+the source becomes Kafka with the same downstream plan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: The events table's physical schema: ts is INT64 nanos in parquet
+#: (the batch catalog handles this too, sources/catalog.py).
+_EVENTS_RAW = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the events parquet with proper event-time.
+
+    Static parquet stands in for the real unbounded source (Kafka) —
+    the transformations downstream are source-agnostic.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file-stream source monitors a DIRECTORY; select the single
+    # table file with a glob filter.
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_event_counts(
+    events: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Tumbling-window counts + value sums per event type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_value_sums(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Sliding-window value sums (each event lands in window/slide
+    overlapping windows)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide))
+        .agg(F.round(F.sum("value"), 2).alias("total_value"), F.count("*").alias("n_events"))
+        .select(F.col("window.start").alias("window_start"), "total_value", "n_events")
+    )
+
+
+def sessionized_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Per-user session windows (gap-based) — the streaming form of the
+    batch ``sessionize_events`` lag/cumsum plan."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Exactly-once-per-key stream: drop duplicate event_ids within the
+    watermark horizon (stateful dedup — bounded state via watermark)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def run_to_completion(
+    stream_df: DataFrame, query_name: str, output_mode: str = "append"
+) -> DataFrame:
+    """Drive a (bounded-source) streaming plan to completion via the
+    memory sink; returns the result as a batch DataFrame. Test/dev
+    helper — production uses a real sink with checkpointing.
+
+    Windowed aggregations over a bounded source should pass
+    ``output_mode="complete"``: in append mode a window only emits once
+    the watermark passes it, and a static file's final windows never
+    finalize before the source is exhausted.
+    """
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")

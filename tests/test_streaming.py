@@ -1,0 +1,62 @@
+"""Streaming analytics: run bounded streams to completion and check
+batch/stream parity against the equivalent batch plans."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from formula1_dataengineering_spark.sources.catalog import load
+from formula1_dataengineering_spark.streaming import (
+    read_events_stream,
+    run_to_completion,
+    sessionized_counts,
+    stream_dedup,
+    tumbling_event_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_tumbling_counts_match_batch(spark):
+    stream = read_events_stream(spark, SF)
+    got = run_to_completion(
+        tumbling_event_counts(stream), "t_tumbling", output_mode="complete"
+    ).toPandas()
+
+    batch = load(spark, SF, "events")
+    want = (
+        batch.groupBy(F.window("ts", "5 minutes"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .toPandas()
+    )
+    key = ["window_start", "event_type"]
+    g = got[key + ["n_events", "total_value"]].sort_values(key, ignore_index=True)
+    w = want.sort_values(key, ignore_index=True)
+    assert g.equals(w)
+
+
+def test_sessionized_counts_total(spark):
+    stream = read_events_stream(spark, SF)
+    got = run_to_completion(
+        sessionized_counts(stream), "t_sessions", output_mode="complete"
+    ).toPandas()
+    # every event lands in exactly one session window
+    assert got["n_events"].sum() == load(spark, SF, "events").count()
+    # session windows per user never overlap
+    for _, grp in got.groupby("user_id"):
+        g = grp.sort_values("session_start")
+        assert (g["session_end"].shift() <= g["session_start"]).iloc[1:].all()
+
+
+def test_stream_dedup_passthrough(spark):
+    stream = read_events_stream(spark, SF)
+    got = run_to_completion(stream_dedup(stream), "t_dedup")
+    n = load(spark, SF, "events").count()
+    assert got.count() == n  # event_ids are unique → nothing dropped
+    assert got.select("event_id").distinct().count() == n
