@@ -116,7 +116,9 @@ def minhash_lsh_pairs(
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
     r = num_hashes // bands
-    sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k, mode)
+    # Cache the signatures: the band self-join consumes them twice, and
+    # without the cache the whole dictionary+explode pipeline runs twice.
+    sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k, mode).cache()
 
     band_rows = sig.select(
         F.col(id_col),

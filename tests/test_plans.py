@@ -1,0 +1,84 @@
+"""Physical-plan regression tests — the scale properties the 100 TB
+target depends on, asserted so a refactor can't silently lose them:
+predicate pushdown into parquet, column pruning, broadcast dim joins,
+and single-shuffle as-of joins."""
+
+from __future__ import annotations
+
+import pytest
+
+from formula1_dataengineering_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def formatted_plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    plan = formatted_plan(spark, "pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in plan  # filter reached the scan
+    # column pruning: orderkey/partkey never read
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema
+    # map-side partial aggregation (two HashAggregates around the exchange)
+    assert plan.count("HashAggregate") >= 2
+
+
+def _tree(plan: str) -> str:
+    """Just the operator tree (the detail section re-lists operators)."""
+    return plan.split("\n(1)")[0]
+
+
+def test_revenue_by_nation_broadcasts_all_dims(spark):
+    plan = formatted_plan(spark, "revenue_by_nation")
+    assert _tree(plan).count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_asof_union_single_shuffle(spark):
+    plan = formatted_plan(spark, "asof_backward_purchase")
+    # the sort-based as-of: exactly one exchange feeding one window
+    body = _tree(plan)
+    assert body.count("Exchange") == 1
+    assert body.count("Window") == 1
+    # event_type filters pushed to both scans
+    assert "EqualTo(event_type,view)" in plan
+    assert "EqualTo(event_type,purchase)" in plan
+
+
+def test_interval_join_is_broadcast_not_nested_loop(spark):
+    plan = formatted_plan(spark, "interval_join_user_cohort")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_knn_broadcasts_queries(spark):
+    plan = formatted_plan(spark, "knn_bruteforce")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # the corpus side is never shuffled before scoring
+    pre_window = plan.split("Window")[0]
+    assert "Exchange hashpartitioning" not in pre_window
+
+
+def test_tire_assignment_broadcast_strategy(spark):
+    """The stint as-of uses the broadcast range-join strategy — the
+    small-dimension path (SURVEY §2.3 J2 at laps×stints shape)."""
+    import tests.f1_fixtures as fx
+    from formula1_dataengineering_spark.f1.analytics import (
+        assign_tire_information,
+        with_actual_lap_time,
+    )
+
+    tables = fx.build_tables(spark)
+    out = assign_tire_information(with_actual_lap_time(tables["laps"]), tables["stints"])
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
