@@ -144,6 +144,76 @@ def minhash_signatures(
     return ids.groupBy(id_col).agg(*aggs)
 
 
+def _band_rows(
+    sig: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band, key) — one row per document per LSH band."""
+    r = num_hashes // bands
+    return sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "_", *[F.col(f"sig_{b * r + j}") for j in range(r)]
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.key")
+
+
+def minhash_lsh_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    mode: str = "portable",
+) -> DataFrame:
+    """Duplicate clusters at LSH-BUCKET granularity: (doc_id, cluster_id).
+
+    The scale-correct dedup clustering: every (band, key) bucket is a
+    hyperedge, represented as STAR edges (member → bucket-min member)
+    instead of all-pairs — edge count is Σ bucket-size, not
+    Σ bucket-size², so the quadratic candidate-pair set never
+    materializes. Components of the star graph equal components of the
+    all-pairs bucket graph. Singleton documents keep their own id as
+    cluster_id; cluster_id is the minimum doc id in the cluster
+    (deterministic).
+
+    Pair-level refinement (est/exact Jaccard thresholds) is what
+    :func:`minhash_lsh_pairs` / :func:`ngram_jaccard_pairs` are for;
+    cluster-then-refine is the standard large-corpus pipeline order.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must divide evenly into bands")
+    from .graph import connected_components
+
+    sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k, mode)
+    w = Window.partitionBy("band", "key")
+    stars = _band_rows(sig, id_col, num_hashes, bands).withColumn(
+        "center", F.min(id_col).over(w)
+    )
+    edges = (
+        stars.where(F.col(id_col) != F.col("center"))
+        .select(F.col(id_col).alias("id_a"), F.col("center").alias("id_b"))
+        .distinct()
+    )
+    comp = connected_components(edges, "id_a", "id_b")
+    return docs.select(id_col).join(
+        comp, docs[id_col] == comp["node"], "left"
+    ).select(
+        id_col,
+        F.coalesce("component", F.col(id_col)).cast("bigint").alias("cluster_id"),
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -161,7 +231,6 @@ def minhash_lsh_pairs(
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
-    r = num_hashes // bands
     # Cache the signatures: the band self-join consumes them twice, and
     # without the cache the whole dictionary+explode pipeline runs twice.
     sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k, mode).cache()
@@ -169,22 +238,7 @@ def minhash_lsh_pairs(
     # Slim band rows: only (id, band, key) enter the self-join, so the
     # pair explosion (up to bands× the distinct pair count before dedup)
     # shuffles 2 longs + 2 small cols per row — never the signatures.
-    band_rows = sig.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "_", *[F.col(f"sig_{b * r + j}") for j in range(r)]
-                        ).alias("key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select(id_col, "bk.band", "bk.key")
+    band_rows = _band_rows(sig, id_col, num_hashes, bands)
 
     a = band_rows.alias("a")
     b = band_rows.alias("b")

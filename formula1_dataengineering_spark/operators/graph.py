@@ -1,0 +1,128 @@
+"""Distributed graph operators for dedup clustering.
+
+Connected components turns near-duplicate *pairs* (LSH candidates,
+embedding near-dups) into duplicate *clusters* — the step an actual
+training-data dedup pipeline needs before picking one canonical
+document per cluster. The reference has no analog (task brief:
+first-class training-data operators).
+
+Algorithm: iterative min-label propagation. Each round every node
+takes the minimum component label among itself and its neighbors;
+convergence is reached when no label changes (diameter-bounded round
+count; near-dup clusters are dense, so 2-4 rounds in practice).
+
+Scale notes: the label table is one row per node — orders of magnitude
+smaller than the edge set — so each round is edges ⋈ labels (the
+planner broadcasts labels while they fit, shuffle-joins beyond) plus a
+groupBy(node).min shuffle of *node-degree-bounded* size. Lineage is
+cut every round with ``localCheckpoint`` so the plan doesn't grow
+unboundedly (on a real cluster, set a checkpoint dir and use
+``checkpoint`` for fault tolerance). Edges are cached: every round and
+the convergence check re-consume them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Component label (min reachable node id) per node of ``edges``.
+
+    Edges are treated as undirected. Output: ``(node, component)``,
+    one row per distinct node appearing in any edge. Deterministic:
+    the component id is the minimum node id in the component.
+    """
+    # Symmetrize with ONE scan of the (possibly expensive) edge plan:
+    # explode each edge into both directions instead of a self-union,
+    # which would execute the upstream pipeline twice. No distinct —
+    # duplicate edges don't change a min-aggregate, and (id_a < id_b)
+    # pair inputs can't collide after direction-explosion anyway.
+    sym = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                    F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
+        .cache()
+    )
+    # Per-round label handling needs BOTH properties:
+    # - exact size stats, so the planner broadcasts the label table
+    #   into the big edge join while it fits (and falls back to a
+    #   shuffle join at billion-node scale). A cached-and-materialized
+    #   InMemoryRelation provides them.
+    # - lineage truncation, or Catalyst re-analyzes an ever-deeper
+    #   plan each round (quadratic driver time). ``localCheckpoint``
+    #   provides it — and its LogicalRDD carries the origin plan's
+    #   stats, so truncating does not surrender the broadcast.
+    def materialize(df: DataFrame) -> tuple[DataFrame, bool]:
+        c = df.cache()
+        changed = bool(
+            c.agg(F.max(F.coalesce("__changed", F.lit(False)))).first()[0]
+        )
+        chk = c.localCheckpoint().select("node", "component")
+        c.unpersist()
+        return chk, changed
+
+    labels, _ = materialize(
+        sym.select(F.col("a").alias("node")).distinct()
+        .withColumn("component", F.col("node"))
+        .withColumn("__changed", F.lit(False))
+    )
+    for _ in range(max_iter):
+        neigh_min = (
+            sym.join(
+                labels.select(
+                    F.col("node").alias("b"), F.col("component").alias("nbr_label")
+                ),
+                "b",
+            )
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("nbr_label").alias("min_nbr"))
+        )
+        # One job per round: the changed flag rides along in the
+        # materialized result, so the convergence check costs no
+        # second join+count pass over the labels.
+        labels, changed = materialize(
+            labels.join(neigh_min, "node", "left").select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("min_nbr", F.col("component"))
+                ).alias("component"),
+                (F.col("min_nbr") < F.col("component")).alias("__changed"),
+            )
+        )
+        if not changed:
+            break
+        # Pointer jumping (path halving): component := component(component).
+        # Label-table-only self-joins — never the edge set — collapse
+        # label chains in O(log diameter) cheap rounds, so the expensive
+        # edge join above typically runs twice (once to seed, once to
+        # confirm convergence) instead of diameter-many times.
+        for _ in range(max_iter):
+            parents = labels.select(
+                F.col("node").alias("__pnode"), F.col("component").alias("__pcomp")
+            )
+            labels, jumped = materialize(
+                labels.join(
+                    parents, labels["component"] == parents["__pnode"], "left"
+                ).select(
+                    "node",
+                    F.coalesce("__pcomp", F.col("component")).alias("component"),
+                    (F.col("__pcomp") < F.col("component")).alias("__changed"),
+                )
+            )
+            if not jumped:
+                break
+    sym.unpersist()
+    return labels

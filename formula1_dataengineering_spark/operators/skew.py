@@ -1,0 +1,42 @@
+"""Skew-aware join: explicit key salting.
+
+AQE's skew-join handling (``spark.sql.adaptive.skewJoin``) splits
+oversized sort-merge partitions at runtime and is the first line of
+defense. Salting is the explicit fallback for the cases AQE can't fix —
+a broadcast-ineligible dimension joined on a key where one value
+dominates (e.g. a null-heavy foreign key or a celebrity user id).
+
+Mechanics: the fact side gets a uniform random-but-deterministic salt
+in ``[0, n)`` derived by hashing the whole row; the dimension side is
+exploded ``n``× (one copy per salt value). The join key becomes
+(key, salt), splitting each hot key's rows across ``n`` shuffle
+partitions. Semantics are identical to the unsalted equi-join — the
+oracle for the demo query is the plain SQL join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    n_salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join ``fact ⋈ dim`` on ``on`` with an ``n_salt``-way salt.
+
+    ``dim`` is replicated ``n_salt``× — keep it the (much) smaller
+    side. Output columns match ``fact.join(dim, on, how)``.
+    """
+    fact_cols = fact.columns
+    salted_fact = fact.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in fact_cols]), F.lit(n_salt))
+    )
+    salted_dim = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)).cast("array<bigint>"))
+    )
+    return salted_fact.join(salted_dim, on + ["__salt"], how).drop("__salt")

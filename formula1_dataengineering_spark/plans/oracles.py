@@ -452,3 +452,80 @@ SELECT source,
 FROM documents
 GROUP BY source
 """
+
+
+# --------------------------------------------------------------------------
+# Scale-path oracles: clustering (recursive CTE), IVF centroids,
+# percentiles, sliding windows, salted join (plain-join oracle).
+# --------------------------------------------------------------------------
+
+# Connected components as a recursive CTE: propagate every reachable
+# label, take the min per node. The Spark side iterates min-label
+# propagation to a fixpoint — same fixpoint, so values hash-match.
+# Edges are LSH-bucket STARS (member → bucket min), matching the Spark
+# operator: components of the star graph equal components of the
+# all-pairs bucket graph, with linearly many edges.
+ORACLE_SQL["neardup_clusters"] = f"""
+WITH RECURSIVE bandkeys AS (
+{_MINHASH_BASE.format(sig_exprs=_SIG_EXPRS)}, bands AS (
+{_BAND_SELECTS}
+)
+SELECT doc_id, band, key FROM bands
+), stars AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY band, key) AS center
+  FROM bandkeys
+), edges0 AS (
+  SELECT DISTINCT doc_id AS s, center AS d FROM stars WHERE doc_id != center
+), edges AS (
+  SELECT s, d FROM edges0 UNION SELECT d, s FROM edges0
+), reach(node, lab) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.node
+), comp AS (
+  SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node
+)
+SELECT d.doc_id, CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+"""
+
+ORACLE_SQL["label_centroids"] = """
+SELECT label, CAST(g.i - 1 AS INT) AS dim_idx,
+       round(avg(embedding[g.i]), 6) AS centroid
+FROM embeddings CROSS JOIN generate_series(1, 64) AS g(i)
+WHERE g.i <= len(embedding)
+GROUP BY 1, 2
+"""
+
+ORACLE_SQL["value_percentiles_by_type"] = """
+SELECT event_type,
+       round(quantile_cont(value, 0.25), 4) AS p25,
+       round(quantile_cont(value, 0.50), 4) AS p50,
+       round(quantile_cont(value, 0.75), 4) AS p75
+FROM events
+GROUP BY 1
+"""
+
+# Every event belongs to exactly two 10-min/5-min-slide windows:
+# the one starting at its 5-min bucket and the one 5 min earlier.
+ORACLE_SQL["events_sliding_10m_5m"] = """
+WITH assigned AS (
+  SELECT (epoch_us(ts) // 300000000) * 300000000 AS w, event_type, value
+  FROM events
+), both_windows AS (
+  SELECT w AS window_start_us, event_type, value FROM assigned
+  UNION ALL
+  SELECT w - 300000000, event_type, value FROM assigned
+)
+SELECT window_start_us, event_type, count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM both_windows
+GROUP BY 1, 2
+"""
+
+ORACLE_SQL["salted_user_event_totals"] = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+"""

@@ -563,3 +563,123 @@ def token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_docs"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Scale path: dedup clustering, IVF training, skew, distribution stats
+# --------------------------------------------------------------------------
+
+
+@query("neardup_clusters")
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS per document — the keep/drop decision a real
+    dedup pipeline acts on. LSH-bucket star edges (linear in corpus
+    size, never the quadratic pair set) + iterative connected
+    components (min-label propagation); singletons keep their own id."""
+    from ..operators.dedup import minhash_lsh_clusters
+
+    d = load(spark, sf_dir, "documents")
+    return minhash_lsh_clusters(d, num_hashes=12, bands=4, shingle_k=1)
+
+
+@query("label_centroids")
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding vectors, long form
+    (label, dim_idx, centroid). The IVF training step: centroids are
+    the coarse cells ``ivf_topk`` probes. posexplode keeps the
+    arithmetic JVM-side; one shuffle on (label, dim_idx)."""
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("dim_idx", "v"))
+        .groupBy("label", "dim_idx")
+        .agg(F.round(F.avg("v"), 6).alias("centroid"))
+    )
+
+
+@query("value_percentiles_by_type")
+def value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p25/p50/p75 of event value per event type (distribution
+    stats for pipeline monitoring). Spark's ``percentile`` and
+    DuckDB's ``quantile_cont`` share linear-interpolation semantics."""
+    e = load(spark, sf_dir, "events")
+    pct = F.percentile("value", F.lit([0.25, 0.5, 0.75]))
+    return (
+        e.groupBy("event_type")
+        .agg(pct.alias("__p"))
+        .select(
+            "event_type",
+            F.round(F.element_at("__p", 1), 4).alias("p25"),
+            F.round(F.element_at("__p", 2), 4).alias("p50"),
+            F.round(F.element_at("__p", 3), 4).alias("p75"),
+        )
+    )
+
+
+@query("events_sliding_10m_5m")
+def events_sliding_10m_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregate (10 min window, 5 min slide) — batch
+    form of the streaming module's ``sliding_value_sums``. Each event
+    lands in exactly two windows; Spark's ``window`` generates both
+    JVM-side."""
+    e = load(spark, sf_dir, "events")
+    w = F.window("ts", "10 minutes", "5 minutes")
+    return (
+        e.groupBy(w.alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query("salted_user_event_totals")
+def salted_user_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-dim join via the explicit salting strategy (skew path),
+    then per-segment totals. Semantically identical to the plain
+    equi-join — which is exactly what the oracle runs — so the salt's
+    semantic transparency is itself under test."""
+    from ..operators.skew import salted_join
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(
+        o, c.withColumnRenamed("c_custkey", "o_custkey"), ["o_custkey"], n_salt=8
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@query("media_feature_stats")
+def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: documents → opaque binary media
+    column (deterministic fake payload) → mapInPandas feature
+    extraction → per-kind feature norms. The decode step is the
+    container-stubbed fake (sources.multimodal); the Spark-side schema,
+    batching and partitioning are real. No SQL oracle — the binary
+    pipeline is not SQL-expressible (driver records rows-only)."""
+    from ..sources.multimodal import demo_media_from_documents, extract_features
+
+    d = load(spark, sf_dir, "documents")
+    media = demo_media_from_documents(d)
+    feats = extract_features(media, fake=True)
+    vec = F.aggregate(
+        F.col("features"),
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
+    )
+    return (
+        feats.withColumn("__sq", vec)
+        .groupBy("kind")
+        .agg(
+            F.count("*").alias("n_media"),
+            F.round(F.avg("__sq"), 4).alias("avg_sq_norm"),
+        )
+    )
+
+
+NO_ORACLE.add("media_feature_stats")

@@ -1,0 +1,60 @@
+"""Unit tests: connected components (min-label propagation) and the
+salted skew join's semantic transparency."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from formula1_dataengineering_spark.operators.graph import connected_components
+from formula1_dataengineering_spark.operators.skew import salted_join
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3-4, island 10-11, self-contained 20-20 (self loop)
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (20, 20)], ["src", "dst"]
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_connected_components_long_path_converges(spark):
+    # a 12-node path needs multiple propagation rounds end to end
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["src", "dst"]
+    )
+    comp = connected_components(edges)
+    assert comp.select("component").distinct().count() == 1
+    assert comp.agg(F.min("component")).first()[0] == 0
+    assert comp.count() == 13
+
+
+def test_salted_join_equals_plain_join(spark):
+    fact = spark.createDataFrame(
+        [(k, v) for k in ("hot", "hot", "hot", "cold") for v in range(5)],
+        ["k", "v"],
+    )
+    dim = spark.createDataFrame(
+        [("hot", 1), ("cold", 2), ("absent", 3)], ["k", "grp"]
+    )
+    got = sorted(salted_join(fact, dim, ["k"], n_salt=4).collect())
+    want = sorted(fact.join(dim, ["k"]).collect())
+    assert got == want
+    # every salt value is exercised on the dim side
+    salted_dim_rows = dim.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0), F.lit(3)).cast("array<bigint>")),
+    ).count()
+    assert salted_dim_rows == 12
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    fact = spark.createDataFrame([("a", 1), ("b", 2)], ["k", "v"])
+    dim = spark.createDataFrame([("a", 10)], ["k", "grp"])
+    rows = sorted(
+        salted_join(fact, dim, ["k"], n_salt=2, how="left").collect()
+    )
+    assert [(r["k"], r["grp"]) for r in rows] == [("a", 10), ("b", None)]
