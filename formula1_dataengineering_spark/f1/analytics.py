@@ -221,3 +221,43 @@ def avg_lap_time_by_driver_compound(
             F.count("*").alias("n_laps"),
         )
     )
+
+
+def race_positions_by_lap(laps_with_time: DataFrame) -> DataFrame:
+    """Race-position development per lap — the reference's own TODO
+    (src/session_object.py:318-320: "race position changes, lap-time
+    development"), realized with lag/lead windows the reference never
+    got to.
+
+    For every (session, driver, lap): cumulative race time, provisional
+    position (rank of cumulative time within the lap, driver_number
+    tie-break for determinism), and position_change vs the previous lap
+    (positive = places gained). Laps with null ``actual_lap_time``
+    (out-laps with missing sectors) are excluded — a cumulative sum
+    over them would silently skip time.
+
+    Scale: two window shuffles — one partitioned by (session, driver)
+    for the running sum and lag, one by (session, lap) for the rank.
+    """
+    valid = laps_with_time.where(F.col("actual_lap_time").isNotNull())
+    w_cum = (
+        Window.partitionBy("session_key", "driver_number")
+        .orderBy("lap_number")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = valid.withColumn(
+        "race_time", F.round(F.sum("actual_lap_time").over(w_cum), 3)
+    )
+    w_rank = Window.partitionBy("session_key", "lap_number").orderBy(
+        F.col("race_time").asc(), F.col("driver_number").asc()
+    )
+    pos = cum.withColumn("position", F.row_number().over(w_rank))
+    w_prev = Window.partitionBy("session_key", "driver_number").orderBy("lap_number")
+    return pos.select(
+        "session_key",
+        "driver_number",
+        "lap_number",
+        "race_time",
+        "position",
+        (F.lag("position").over(w_prev) - F.col("position")).alias("position_change"),
+    )

@@ -8,6 +8,9 @@ stays JVM-side and is expressible 1:1 in the DuckDB oracle SQL.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -77,3 +80,30 @@ def weighted_char_fingerprint(text: Column) -> Column:
         F.aggregate(weighted, F.lit(0).cast("long"), lambda acc, x: acc + x)
         % FINGERPRINT_MOD
     )
+
+
+def weighted_char_fingerprint_fast(text: Column) -> Column:
+    """Arrow-batched :func:`weighted_char_fingerprint`.
+
+    Same value: Σ codepoint(c_i)·(i+1) mod p. UTF-32-LE decode gives the
+    codepoint array in one vectorized step (identical to Spark's
+    ``ascii()`` per character), then a single dot product per document.
+    The column-expression form's per-character interpreted HOF is ~8×
+    slower at corpus scale; this is the hot path used by the catalog.
+    (The UDF is built lazily — ``pandas_udf`` needs an active session.)
+    """
+
+    @F.pandas_udf("long")
+    def fp(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if not t:
+                out.append(0)
+                continue
+            cps = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+            out.append(
+                int(cps @ np.arange(1, len(cps) + 1, dtype=np.int64)) % FINGERPRINT_MOD
+            )
+        return pd.Series(out, dtype="int64")
+
+    return fp(text)

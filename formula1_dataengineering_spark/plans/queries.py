@@ -29,7 +29,7 @@ from ..functions.text import (
     quality_metrics,
     stopword_hits,
     token_count,
-    weighted_char_fingerprint,
+    weighted_char_fingerprint_fast,
 )
 from ..functions.timefmt import format_lap_time
 from ..functions.vectors import cosine_similarity
@@ -544,7 +544,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Position-weighted rolling-hash fingerprint per document."""
     d = load(spark, sf_dir, "documents")
     return d.select(
-        "doc_id", weighted_char_fingerprint(F.col("text")).alias("fingerprint")
+        "doc_id", weighted_char_fingerprint_fast(F.col("text")).alias("fingerprint")
     )
 
 

@@ -114,6 +114,48 @@ def stream_dedup(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def user_running_totals(
+    events: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running event count + value total, maintained across micro-batches.
+
+    The built-in windowed aggregates can't express "current running
+    total per key, emitted on every update" — this is the arbitrary-
+    state escape hatch (SURVEY §7 extension; state is per-user, Arrow
+    batches in/out). State grows with the distinct-user count: bound it
+    in production with a state TTL (``GroupStateTimeout``) keyed to the
+    business horizon.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id bigint, n_events bigint, total_value double"
+    state_schema = "n bigint, total double"
+
+    def update(key: tuple, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 2)],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
 def run_to_completion(
     stream_df: DataFrame, query_name: str, output_mode: str = "append"
 ) -> DataFrame:

@@ -163,3 +163,33 @@ def test_zero_lap_driver_absent_from_rankings(race):
     assert 4 not in set(order["driver_number"])
     # driver 3 (all-null lap times) also absent (dp:114-115 case)
     assert 3 not in set(order["driver_number"])
+
+
+def test_race_positions_by_lap(spark):
+    import tests.f1_fixtures as fx
+    from formula1_dataengineering_spark.f1.analytics import (
+        race_positions_by_lap,
+        with_actual_lap_time,
+    )
+    from pyspark.sql import functions as F
+
+    tables = fx.build_tables(spark)
+    laps = with_actual_lap_time(tables["laps"]).where(
+        F.col("session_key") == fx.RACE_KEY
+    )
+    out = race_positions_by_lap(laps).toPandas()
+
+    # positions are a permutation 1..k within every lap
+    for lap, grp in out.groupby("lap_number"):
+        assert sorted(grp["position"]) == list(range(1, len(grp) + 1))
+    # fixture race pace is strictly ordered by driver number -> driver 0
+    # holds P1 on every lap it completes
+    d0 = out[out["driver_number"] == 0]
+    assert (d0["position"] == 1).all()
+    # first lap has no previous position
+    assert out[out["lap_number"] == out["lap_number"].min()]["position_change"].isna().all()
+    # net position change telescopes: first position - last position
+    for d, grp in out.groupby("driver_number"):
+        grp = grp.sort_values("lap_number")
+        net = grp["position_change"].dropna().sum()
+        assert net == grp["position"].iloc[0] - grp["position"].iloc[-1]

@@ -60,3 +60,32 @@ def test_stream_dedup_passthrough(spark):
     n = load(spark, SF, "events").count()
     assert got.count() == n  # event_ids are unique → nothing dropped
     assert got.select("event_id").distinct().count() == n
+
+
+def test_user_running_totals_stateful(spark):
+    from formula1_dataengineering_spark.streaming.events import user_running_totals
+
+    stream = read_events_stream(spark, SF)
+    got = run_to_completion(
+        user_running_totals(stream), "t_running", output_mode="update"
+    ).toPandas()
+    # keep each user's LAST emission (max n_events) — robust to the
+    # source splitting into several micro-batches
+    got = (
+        got.sort_values(["user_id", "n_events"])
+        .groupby("user_id", as_index=False)
+        .last()
+    )
+    want = (
+        load(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .toPandas()
+        .sort_values("user_id", ignore_index=True)
+    )
+    got = got.sort_values("user_id", ignore_index=True)
+    assert got["n_events"].tolist() == want["n_events"].tolist()
+    assert (got["total_value"] - want["total_value"]).abs().max() < 0.02
