@@ -261,3 +261,19 @@ def race_positions_by_lap(laps_with_time: DataFrame) -> DataFrame:
         "position",
         (F.lag("position").over(w_prev) - F.col("position")).alias("position_change"),
     )
+
+
+def incomplete_tire_data_flags(laps_with_tires: DataFrame) -> DataFrame:
+    """Per-driver data-quality flag: any lap missing compound /
+    tire_age / stint_number after tire assignment (P17/A6 — reference:
+    src/session_object.py:78 warns per driver; here one exists-style
+    aggregate over the whole session instead of a per-partition loop).
+    """
+    missing = (
+        F.col("compound").isNull()
+        | F.col("tire_age").isNull()
+        | F.col("stint_number").isNull()
+    )
+    return laps_with_tires.groupBy("session_key", "driver_number").agg(
+        (F.count(F.when(missing, 1)) > 0).alias("incomplete_tire_data")
+    )

@@ -58,8 +58,10 @@ class F1Session:
         if row is None:
             return {"session_type": "Unknown", "circuit": "Unknown", "name": "Unknown"}
         d = row.asDict()
+        # initcap'd like the reference's .capitalize() display form
+        # (F4 — src/session_object.py:279, src/data_visualization.py:22)
         return {
-            "session_type": d.get("session_type") or "Unknown",
+            "session_type": (d.get("session_type") or "Unknown").capitalize(),
             "circuit": d.get("circuit_short_name") or "Unknown",
             "name": d.get("session_name") or "Unknown",
         }

@@ -193,3 +193,35 @@ def test_race_positions_by_lap(spark):
         grp = grp.sort_values("lap_number")
         net = grp["position_change"].dropna().sum()
         assert net == grp["position"].iloc[0] - grp["position"].iloc[-1]
+
+
+def test_incomplete_tire_data_flags(spark):
+    import tests.f1_fixtures as fx
+    from formula1_dataengineering_spark.f1.analytics import (
+        assign_tire_information,
+        incomplete_tire_data_flags,
+        with_actual_lap_time,
+    )
+    from pyspark.sql import functions as F
+
+    tables = fx.build_tables(spark)
+    laps = with_actual_lap_time(tables["laps"]).where(
+        F.col("session_key") == fx.RACE_KEY
+    )
+    tires = assign_tire_information(laps, tables["stints"])
+    flags = {
+        (r["driver_number"]): r["incomplete_tire_data"]
+        for r in incomplete_tire_data_flags(tires).collect()
+    }
+    # fixture race has stint gaps (laps between stints -> null compound)
+    assert any(flags.values())
+    # and flags must agree with a direct null scan
+    direct = {
+        r["driver_number"]: r["n"] > 0
+        for r in tires.groupBy("driver_number")
+        .agg(F.count(F.when(F.col("compound").isNull(), 1)).alias("n"))
+        .collect()
+    }
+    for d, has_null_compound in direct.items():
+        if has_null_compound:
+            assert flags[d]
