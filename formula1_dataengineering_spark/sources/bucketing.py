@@ -1,0 +1,56 @@
+"""Bucketed-table layout: the co-located-join story for 100 TB.
+
+Repeated big-to-big equi-joins (laps ⋈ stints ⋈ telemetry on
+(session_key, driver_number); orders ⋈ customer on custkey) shuffle
+both sides every query. Writing the tables bucketed by the join key
+moves that shuffle to WRITE time, once: bucketed scans report a
+``HashPartitioning`` output that satisfies the join's distribution
+requirement, so the per-query Exchange disappears (and with ``sortBy``
+the sort does too).
+
+Rules of thumb encoded here:
+- bucket count is a layout contract — both sides of a co-located join
+  need the SAME count (Spark can coalesce mismatched counts only when
+  one divides the other);
+- pick buckets so one bucket ≈ one task's comfortable input
+  (128-512 MB post-compression) at the TARGET scale, not test scale;
+- always ``sortBy`` the join key inside buckets: sort-merge then reads
+  pre-sorted runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 8,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed, bucket-sorted parquet table in the
+    session catalog (or as an external table at ``path`` — the
+    warehouse dir is a static conf, so tests point tables at temp
+    dirs this way)."""
+    writer = df.write.format("parquet").mode("overwrite").bucketBy(
+        n_buckets, *bucket_cols
+    )
+    writer = writer.sortBy(*(sort_cols or bucket_cols))
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
+def colocated_join(
+    spark: SparkSession, left_table: str, right_table: str, on: list[str], how: str = "inner"
+) -> DataFrame:
+    """Join two same-bucketed catalog tables on their bucket key.
+
+    With matching bucket specs this plans as an exchange-free
+    sort-merge join — verified by the plan-regression test
+    (``tests/test_bucketing.py``).
+    """
+    return spark.table(left_table).join(spark.table(right_table), on, how)

@@ -114,6 +114,45 @@ def stream_dedup(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def stream_view_purchase_join(
+    events: DataFrame, watermark: str = "30 minutes", horizon_minutes: int = 30
+) -> DataFrame:
+    """Stream-stream inner join: each view matched to purchases by the
+    same user within ``horizon_minutes`` after it (attribution window).
+
+    Both sides carry watermarks and the join condition bounds event
+    time in BOTH directions — that's what lets the engine expire join
+    state (a stream-stream join without time bounds would buffer
+    forever). State per side ≈ watermark-horizon's worth of events.
+    """
+    views = (
+        events.where(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return views.join(
+        purchases,
+        F.expr(
+            "user_id = p_user_id AND purchase_ts >= view_ts "
+            f"AND purchase_ts <= view_ts + INTERVAL {int(horizon_minutes)} MINUTES"
+        ),
+    ).drop("p_user_id")
+
+
 def user_running_totals(
     events: DataFrame, watermark: str = "10 minutes"
 ) -> DataFrame:

@@ -89,3 +89,35 @@ def test_user_running_totals_stateful(spark):
     got = got.sort_values("user_id", ignore_index=True)
     assert got["n_events"].tolist() == want["n_events"].tolist()
     assert (got["total_value"] - want["total_value"]).abs().max() < 0.02
+
+
+def test_stream_stream_join_matches_batch(spark):
+    from formula1_dataengineering_spark.streaming.events import (
+        stream_view_purchase_join,
+    )
+
+    stream = read_events_stream(spark, SF)
+    got = run_to_completion(
+        stream_view_purchase_join(stream), "t_ssjoin", output_mode="append"
+    )
+
+    batch = load(spark, SF, "events")
+    views = batch.where(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts"), F.col("event_id").alias("view_id")
+    )
+    purchases = batch.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    want = views.join(
+        purchases,
+        F.expr(
+            "user_id = p_user_id AND purchase_ts >= view_ts "
+            "AND purchase_ts <= view_ts + INTERVAL 30 MINUTES"
+        ),
+    )
+    assert got.count() == want.count()
+    g = sorted((r["view_id"], r["purchase_id"]) for r in got.collect())
+    w = sorted((r["view_id"], r["purchase_id"]) for r in want.collect())
+    assert g == w
