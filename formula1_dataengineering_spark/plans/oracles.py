@@ -529,3 +529,33 @@ SELECT c_mktsegment, count(*) AS n_orders,
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY 1
 """
+
+ORACLE_SQL["cube_flag_status"] = """
+SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+ORACLE_SQL["ntile_price_quartiles"] = """
+SELECT o_orderpriority, CAST(quartile AS INTEGER) AS quartile,
+       count(*) AS n_orders, round(avg(o_totalprice), 2) AS avg_price
+FROM (
+  SELECT o_orderpriority, o_totalprice,
+         ntile(4) OVER (PARTITION BY o_orderpriority
+                        ORDER BY o_totalprice ASC, o_orderkey ASC) AS quartile
+  FROM orders
+)
+GROUP BY 1, 2
+"""
+
+ORACLE_SQL["parts_above_brand_avg"] = """
+SELECT p_partkey, p_brand, p_retailprice,
+       round(brand_avg, 4) AS brand_avg
+FROM (
+  SELECT p_partkey, p_brand, p_retailprice,
+         avg(p_retailprice) OVER (PARTITION BY p_brand) AS brand_avg
+  FROM part
+)
+WHERE p_retailprice > brand_avg
+"""

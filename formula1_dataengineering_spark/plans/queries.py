@@ -683,3 +683,54 @@ def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NO_ORACLE.add("media_feature_stats")
+
+
+@query("cube_flag_status")
+def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) — all grouping-set combos
+    (rollup's sibling; Catalyst expands to a single shuffle)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+@query("ntile_price_quartiles")
+def ntile_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile assignment of orders by price within each priority
+    (ntile window) + per-quartile aggregates."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+    )
+
+
+@query("parts_above_brand_avg")
+def parts_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts priced above their brand's average — the correlated-
+    scalar-subquery shape, decorrelated into a window aggregate (one
+    shuffle on brand, no per-row subquery execution)."""
+    p = load(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand")
+    return (
+        p.withColumn("brand_avg", F.avg("p_retailprice").over(w))
+        .where(F.col("p_retailprice") > F.col("brand_avg"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            "p_retailprice",
+            F.round(F.col("brand_avg"), 4).alias("brand_avg"),
+        )
+    )
