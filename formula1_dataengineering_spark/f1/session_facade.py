@@ -16,7 +16,7 @@ per-driver dict disappears into ``Window.partitionBy(driver_number)``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.asof import asof_join
@@ -89,6 +89,33 @@ class F1Session:
 
     def position_order(self) -> DataFrame:
         return session_position_order(self.laps())
+
+    def fastest_laps_chart_data(self) -> DataFrame:
+        """Chart-ready fastest-lap comparison: the data layer of the
+        reference's ``compare_fastest_lap_characteristics`` /
+        ``plot_fastest_laps`` figures (K1 — src/session_object.py:259-311,
+        src/data_visualization.py:3-49). Per driver: best lap, formatted
+        ``M:SS.mmm`` label (F2 as a pure column expression, no UDF),
+        acronym and team colour, ordered by position. Rendering stays at
+        the presentation edge via ``.toPandas()``."""
+        from ..functions.timefmt import format_lap_time
+
+        w = Window.orderBy(
+            F.col("actual_lap_time").asc(), F.col("date_start").asc()
+        )
+        return (
+            self.fastest_laps()
+            .withColumn("position", F.row_number().over(w))
+            .withColumn("lap_time_label", format_lap_time(F.col("actual_lap_time")))
+            .select(
+                "position",
+                "driver_number",
+                "name_acronym",
+                "team_colour",
+                "actual_lap_time",
+                "lap_time_label",
+            )
+        )
 
     # -- qualifying (dp:199-291 lifecycle) -------------------------------
     def qualifying_results(self) -> DataFrame:

@@ -298,11 +298,12 @@ def simhash(
     dict_df = _term_ids(toks, "token", mode)
     h = (F.lit(1103515245) * F.col("term_id") + F.lit(12345)) % MERSENNE_P
     withh = counts.join(dict_df, "token").withColumn("h", h)
+    # Bit j via integer shiftright — stays in whole-stage codegen as a
+    # long op (a 2^j division would round-trip through double).
     bit_sums = withh.groupBy(id_col).agg(
         *[
             F.sum(
-                F.col("cnt")
-                * (2 * ((F.col("h") / F.lit(1 << j)).cast("long") % 2) - 1)
+                F.col("cnt") * (2 * (F.shiftright(F.col("h"), j) % 2) - 1)
             ).alias(f"s_{j}")
             for j in range(num_bits)
         ]

@@ -1,0 +1,109 @@
+"""Differential tests: asof_join vs pandas ``merge_asof`` — the
+reference's own implementation (src/session_object.py:62, :248) used as
+a randomized oracle across directions × strategies × seeds.
+
+Right (by, on) pairs are made unique (pandas' winner among exact
+duplicates is sort-order-dependent, ours is tie-break-deterministic),
+and left/right on-grids are interleaved even/odd so "nearest" never
+sees an exact distance tie (pandas and this engine both prefer
+backward, but staying off the boundary keeps the test sharp).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from formula1_dataengineering_spark.operators.asof import asof_join
+
+
+def _frames(seed: int, with_by: bool):
+    rng = np.random.default_rng(seed)
+    n_left, n_right = 60, 40
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 4, n_left) if with_by else np.zeros(n_left, dtype="int64"),
+            "on": (rng.integers(0, 500, n_left) * 2).astype("int64"),
+            "lid": np.arange(n_left, dtype="int64"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 4, n_right) if with_by else np.zeros(n_right, dtype="int64"),
+            "on": (rng.integers(0, 500, n_right) * 2 + 1).astype("int64"),
+            "val": rng.integers(0, 100, n_right).astype("int64"),
+        }
+    )
+    right = right.drop_duplicates(subset=["k", "on"], keep="first").reset_index(drop=True)
+    return left, right
+
+
+def _pandas_asof(left, right, direction, with_by, tolerance=None):
+    kwargs = dict(on="on", direction=direction)
+    if with_by:
+        kwargs["by"] = "k"
+    if tolerance is not None:
+        kwargs["tolerance"] = tolerance
+    out = pd.merge_asof(
+        left.sort_values("on", kind="stable"),
+        right.sort_values("on", kind="stable"),
+        **kwargs,
+    )
+    return dict(zip(out["lid"], out["val"]))
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+@pytest.mark.parametrize("strategy", ["union", "broadcast"])
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("with_by", [True, False])
+def test_asof_join_matches_pandas(spark, direction, strategy, seed, with_by):
+    left, right = _frames(seed, with_by)
+    want = _pandas_asof(left, right, direction, with_by)
+
+    sl = spark.createDataFrame(left)
+    sr = spark.createDataFrame(right)
+    got_rows = asof_join(
+        sl,
+        sr,
+        on="on",
+        by="k" if with_by else None,
+        direction=direction,
+        right_cols=["val"],
+        strategy=strategy,
+    ).collect()
+    assert len(got_rows) == len(left)  # every left row exactly once
+    got = {r["lid"]: r["val"] for r in got_rows}
+    for lid, w in want.items():
+        g = got[lid]
+        if pd.isna(w):
+            assert g is None, f"lid={lid}: expected no match, got {g}"
+        else:
+            assert g == w, f"lid={lid}: expected {w}, got {g}"
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_asof_join_tolerance_matches_pandas(spark, direction):
+    from pyspark.sql import functions as F
+
+    left, right = _frames(7, True)
+    tol = 50
+    want = _pandas_asof(left, right, direction, True, tolerance=tol)
+    got = {
+        r["lid"]: r["val"]
+        for r in asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on="on",
+            by="k",
+            direction=direction,
+            tolerance=F.lit(tol),
+            right_cols=["val"],
+        ).collect()
+    }
+    for lid, w in want.items():
+        g = got[lid]
+        if pd.isna(w):
+            assert g is None
+        else:
+            assert g == w

@@ -225,3 +225,21 @@ def test_incomplete_tire_data_flags(spark):
     for d, has_null_compound in direct.items():
         if has_null_compound:
             assert flags[d]
+
+
+def test_fastest_laps_chart_data(spark):
+    import tests.f1_fixtures as fx
+    from formula1_dataengineering_spark.f1.session_facade import F1Session
+
+    tables = fx.build_tables(spark)
+    sess = F1Session(spark, fx.QUALI_KEY, tables)
+    rows = sess.fastest_laps_chart_data().collect()
+    # ordered 1..n, one row per driver with a lap
+    assert [r["position"] for r in rows] == list(range(1, len(rows) + 1))
+    times = [r["actual_lap_time"] for r in rows]
+    assert times == sorted(times)
+    # M:SS.mmm label matches the numeric value
+    for r in rows:
+        m, rest = r["lap_time_label"].split(":")
+        s, ms = rest.split(".")
+        assert abs(int(m) * 60 + int(s) + int(ms) / 1000 - r["actual_lap_time"]) < 0.0015

@@ -82,3 +82,32 @@ def test_tire_assignment_broadcast_strategy(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_salted_join_no_nested_loop(spark):
+    plan = formatted_plan(spark, "salted_user_event_totals")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # salt expansion stays on the dim side: fact scans only its 3 cols
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert any("o_custkey" in r and "o_orderdate" not in r for r in reads)
+
+
+def test_sliding_window_single_agg_shuffle(spark):
+    plan = formatted_plan(spark, "events_sliding_10m_5m")
+    body = _tree(plan)
+    # window explode feeds ONE exchange (the aggregate); AQE may add a
+    # read stage but never a second hash partitioning
+    assert body.count("Exchange hashpartitioning") <= 1
+
+
+def test_cube_partial_aggregation(spark):
+    plan = formatted_plan(spark, "cube_flag_status")
+    assert "Expand" in plan
+    assert plan.count("HashAggregate") >= 2  # map-side partial + final
+
+
+def test_centroids_pushdown(spark):
+    plan = formatted_plan(spark, "label_centroids")
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "vec_id" not in read  # only label + embedding are scanned
