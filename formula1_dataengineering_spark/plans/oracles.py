@@ -559,3 +559,40 @@ FROM (
 )
 WHERE p_retailprice > brand_avg
 """
+
+ORACLE_SQL["props_json_stats"] = """
+SELECT event_type,
+       count(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_with_k,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+FROM events
+GROUP BY 1
+"""
+
+ORACLE_SQL["normalized_embeddings"] = """
+WITH normed AS (
+  SELECT vec_id, embedding,
+         sqrt(list_aggregate(
+           list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+           'sum')) AS n
+  FROM embeddings
+)
+SELECT vec_id, CAST(g.i - 1 AS INT) AS dim_idx,
+       round(CAST(embedding[g.i] AS DOUBLE) / n, 6) AS nval
+FROM normed CROSS JOIN generate_series(1, 64) AS g(i)
+WHERE g.i <= len(embedding) AND n > 0
+"""
+
+ORACLE_SQL["sql_top_revenue_nations"] = """
+WITH rev AS (
+  SELECT n.n_name,
+         round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n   ON s.s_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+)
+SELECT n_name, revenue,
+       CAST(row_number() OVER (ORDER BY revenue DESC, n_name ASC) AS INTEGER) AS rk
+FROM rev
+"""

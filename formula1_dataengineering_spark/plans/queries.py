@@ -734,3 +734,74 @@ def parts_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("brand_avg"), 4).alias("brand_avg"),
         )
     )
+
+
+@query("props_json_stats")
+def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull ``$.k`` out of the JSON props
+    column and aggregate per event type (the raw-API-dump path — the
+    reference decodes JSON at ingestion; a lakehouse keeps it and
+    extracts lazily). ``get_json_object`` runs JVM-side; at scale
+    prefer ``from_json`` with an explicit schema once fields stabilize."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.withColumn("__k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("__k").alias("n_with_k"),
+            F.round(F.avg("__k"), 4).alias("avg_k"),
+            F.max("__k").alias("max_k"),
+        )
+    )
+
+
+@query("normalized_embeddings")
+def normalized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-normalize embeddings, long form (vec_id, dim_idx, nval) —
+    the preprocessing step before cosine reduces to a dot product.
+    Elements are upcast to double BEFORE squaring on both engines so
+    float32 arithmetic can't diverge between Spark and the oracle."""
+    e = load(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    norm = F.sqrt(sq)
+    return (
+        e.select("vec_id", norm.alias("__n"), F.posexplode("embedding").alias("dim_idx", "v"))
+        .where(F.col("__n") > 0)
+        .select(
+            "vec_id",
+            "dim_idx",
+            F.round(F.col("v").cast("double") / F.col("__n"), 6).alias("nval"),
+        )
+    )
+
+
+@query("sql_top_revenue_nations")
+def sql_top_revenue_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The text-SQL surface: same engine, ``spark.sql`` entrypoint over
+    temp views (CTE + join + window). Everything else in the catalog is
+    DataFrame-API; this proves the SQL front door resolves against the
+    same tables and optimizer."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    load(spark, sf_dir, "supplier").createOrReplaceTempView("v_supplier")
+    load(spark, sf_dir, "nation").createOrReplaceTempView("v_nation")
+    return spark.sql(
+        """
+        WITH rev AS (
+          SELECT n.n_name,
+                 round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+          FROM v_lineitem l
+          JOIN v_supplier s ON l.l_suppkey = s.s_suppkey
+          JOIN v_nation n   ON s.s_nationkey = n.n_nationkey
+          GROUP BY n.n_name
+        )
+        SELECT n_name, revenue,
+               CAST(row_number() OVER (ORDER BY revenue DESC, n_name ASC) AS INT) AS rk
+        FROM rev
+        ORDER BY rk
+        """
+    )
