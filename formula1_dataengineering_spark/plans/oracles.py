@@ -551,10 +551,12 @@ GROUP BY 1, 2
 
 ORACLE_SQL["parts_above_brand_avg"] = """
 SELECT p_partkey, p_brand, p_retailprice,
-       round(brand_avg, 4) AS brand_avg
+       round(brand_total, 2) AS brand_total, n_in_brand
 FROM (
   SELECT p_partkey, p_brand, p_retailprice,
-         avg(p_retailprice) OVER (PARTITION BY p_brand) AS brand_avg
+         avg(p_retailprice) OVER (PARTITION BY p_brand) AS brand_avg,
+         sum(p_retailprice) OVER (PARTITION BY p_brand) AS brand_total,
+         count(*) OVER (PARTITION BY p_brand) AS n_in_brand
   FROM part
 )
 WHERE p_retailprice > brand_avg

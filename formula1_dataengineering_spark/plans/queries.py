@@ -724,14 +724,22 @@ def parts_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on brand, no per-row subquery execution)."""
     p = load(spark, sf_dir, "part")
     w = Window.partitionBy("p_brand")
+    # Emit the brand SUM + COUNT, not the rounded average: an average of
+    # doubles is sum-order-sensitive in its last ulp, and at sf0.01 one
+    # brand landed exactly on a round-to-4dp boundary (…9375 vs …9380).
+    # The predicate still uses the exact window average — a 2-decimal
+    # price can't equal it, so membership is order-stable.
     return (
         p.withColumn("brand_avg", F.avg("p_retailprice").over(w))
+        .withColumn("brand_total", F.sum("p_retailprice").over(w))
+        .withColumn("n_in_brand", F.count("*").over(w))
         .where(F.col("p_retailprice") > F.col("brand_avg"))
         .select(
             "p_partkey",
             "p_brand",
             "p_retailprice",
-            F.round(F.col("brand_avg"), 4).alias("brand_avg"),
+            F.round(F.col("brand_total"), 2).alias("brand_total"),
+            "n_in_brand",
         )
     )
 

@@ -58,3 +58,37 @@ def test_salted_join_left_keeps_unmatched(spark):
         salted_join(fact, dim, ["k"], n_salt=2, how="left").collect()
     )
     assert [(r["k"], r["grp"]) for r in rows] == [("a", 10), ("b", None)]
+
+
+def test_minhash_fast_mode_invariants(spark):
+    """The xxhash64 (dictionary-free) id path — the 100 TB scale mode.
+    No SQL oracle can reproduce xxhash64, so invariants stand in:
+    exact-duplicate texts must collide on full signatures and surface
+    as LSH candidates with est_jaccard = 1."""
+    from formula1_dataengineering_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),   # exact dup of 1
+            (3, "epsilon zeta eta theta"),
+            (4, "completely different words here"),
+        ],
+        ["doc_id", "text"],
+    )
+    sig = minhash_signatures(docs, num_hashes=8, shingle_k=2, mode="fast")
+    rows = {r["doc_id"]: tuple(r[f"sig_{i}"] for i in range(8)) for r in sig.collect()}
+    assert len(rows) == 4
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(
+            docs, num_hashes=8, bands=4, shingle_k=2, mode="fast"
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
