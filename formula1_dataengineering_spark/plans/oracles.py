@@ -598,3 +598,32 @@ SELECT n_name, revenue,
        CAST(row_number() OVER (ORDER BY revenue DESC, n_name ASC) AS INTEGER) AS rk
 FROM rev
 """
+
+ORACLE_SQL["regex_token_stats"] = """
+WITH toks AS (
+  SELECT source,
+         len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x != '')) AS n,
+         len(list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x != ''))) AS nd
+  FROM documents
+)
+SELECT source, CAST(sum(n) AS BIGINT) AS total_tokens,
+       round(avg(n), 4) AS avg_tokens,
+       round(avg(CAST(nd AS DOUBLE) / n), 4) AS avg_ttr
+FROM toks GROUP BY 1
+"""
+
+ORACLE_SQL["quantized_embeddings"] = """
+WITH scaled AS (
+  SELECT vec_id,
+         CAST(list_aggregate(list_transform(embedding, x -> abs(x)), 'max') AS DOUBLE) AS s,
+         embedding
+  FROM embeddings
+)
+SELECT vec_id, CAST(g.i - 1 AS INT) AS dim_idx,
+       CAST(greatest(-127, least(127,
+            round(CAST(embedding[g.i] AS DOUBLE) / s * 127.0, 0))) AS INTEGER) AS qval
+FROM scaled CROSS JOIN generate_series(1, 64) AS g(i)
+WHERE g.i <= len(embedding) AND s > 0
+"""

@@ -813,3 +813,51 @@ def sql_top_revenue_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY rk
         """
     )
+
+
+@query("regex_token_stats")
+def regex_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenization (task brief): split on word/number/
+    punctuation-run boundaries instead of whitespace, then per-source
+    token accounting. The regex runs JVM-side (``regexp_extract_all``-
+    equivalent via split on the complement)."""
+    d = load(spark, sf_dir, "documents")
+    # tokens = maximal runs of [a-z0-9]+ lowercased — a subword-friendly
+    # normal form (punctuation and whitespace both act as boundaries)
+    toks = F.array_remove(F.split(F.lower("text"), r"[^a-z0-9]+"), "")
+    return (
+        d.withColumn("__n", F.size(toks))
+        .withColumn("__distinct", F.size(F.array_distinct(toks)))
+        .groupBy("source")
+        .agg(
+            F.sum("__n").cast("bigint").alias("total_tokens"),
+            F.round(F.avg("__n"), 4).alias("avg_tokens"),
+            F.round(F.avg(F.col("__distinct") / F.col("__n")), 4).alias("avg_ttr"),
+        )
+    )
+
+
+@query("quantized_embeddings")
+def quantized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of embeddings, long form — the
+    storage/bandwidth lever for ANN at 100 TB (4× smaller vectors,
+    dot products in integer SIMD). scale = max|x| per vector; values
+    map to round(x/scale*127), clamped."""
+    e = load(spark, sf_dir, "embeddings")
+    absmax = F.array_max(F.transform("embedding", lambda x: F.abs(x)))
+    q = F.col("v").cast("double") / F.col("__s") * 127.0
+    return (
+        e.select(
+            "vec_id",
+            absmax.cast("double").alias("__s"),
+            F.posexplode("embedding").alias("dim_idx", "v"),
+        )
+        .where(F.col("__s") > 0)
+        .select(
+            "vec_id",
+            "dim_idx",
+            F.greatest(
+                F.lit(-127), F.least(F.lit(127), F.round(q, 0).cast("int"))
+            ).alias("qval"),
+        )
+    )

@@ -92,3 +92,17 @@ def test_minhash_fast_mode_invariants(spark):
         ).collect()
     }
     assert pairs[(1, 2)] == 1.0
+
+
+def test_connected_components_empty_edges(spark):
+    """Degenerate input must not crash convergence detection (the max
+    over zero rows is NULL)."""
+    from pyspark.sql import types as T
+
+    empty = spark.createDataFrame(
+        [],
+        T.StructType(
+            [T.StructField("src", T.LongType()), T.StructField("dst", T.LongType())]
+        ),
+    )
+    assert connected_components(empty).count() == 0
