@@ -25,6 +25,40 @@ from ..functions.vectors import dot_pandas, l2_norm_pandas
 from .ranking import topk_per_group
 
 
+def _local_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Partition-local top-k per query — the map-side combine for the
+    ranking window.
+
+    The global ``row_number`` window must shuffle its whole input; for
+    brute-force scoring that input is |corpus| × |queries| rows, which
+    at 100 TB is the entire job. Cutting each partition down to its own
+    k best rows per query first (no shuffle — one pandas pass per
+    partition) bounds the exchange at k × partitions × queries rows.
+    Exact, not approximate: the reduction uses the same total order as
+    the final window (cosine desc, neighbor_id asc — tie-free), and a
+    row outside its partition's top k can never be in the global top k.
+    """
+    import pandas as pd
+
+    cols = scored.columns
+    sort_kw = dict(
+        by=["query_id", "cosine", "neighbor_id"],
+        ascending=[True, False, True],
+        na_position="last",
+    )
+
+    def reduce_part(batches):
+        best: pd.DataFrame | None = None
+        for pdf in batches:
+            both = pdf if best is None else pd.concat([best, pdf], ignore_index=True)
+            both = both.sort_values(**sort_kw)
+            best = both.groupby("query_id", sort=False).head(k)
+        if best is not None:
+            yield best
+
+    return scored.mapInPandas(reduce_part, schema=scored.schema)
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -58,7 +92,7 @@ def cosine_topk(
         .drop("__qvec", "__cvec", "__qnorm", "__cnorm")
     )
     return topk_per_group(
-        scored,
+        _local_topk(scored, k),
         "query_id",
         [F.col("cosine").desc(), F.col("neighbor_id").asc()],
         k,
@@ -146,14 +180,20 @@ def ivf_topk(
         F.col(cell_col).alias("__cell"),
     )
     denom = F.col("__qnorm") * F.col("__cnorm")
-    scored = c.join(
-        F.broadcast(q),
-        (q["__cell"] == c["__cell"]) & (F.col("query_id") != F.col("neighbor_id")),
-    ).withColumn(
-        "cosine", F.when(denom > 0, dot_pandas(F.col("__qvec"), F.col("__cvec")) / denom)
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (q["__cell"] == c["__cell"]) & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .withColumn(
+            "cosine",
+            F.when(denom > 0, dot_pandas(F.col("__qvec"), F.col("__cvec")) / denom),
+        )
+        # slim to unambiguous columns before the local-topk reduction
+        .select("query_id", "neighbor_id", "cosine")
     )
     return topk_per_group(
-        scored,
+        _local_topk(scored, k),
         "query_id",
         [F.col("cosine").desc(), F.col("neighbor_id").asc()],
         k,
