@@ -164,3 +164,52 @@ def demo_media_from_documents(docs: DataFrame) -> DataFrame:
             F.lit("source"), F.col("source"), F.lit("lang"), F.col("lang")
         ).alias("meta"),
     )
+
+
+THUMBS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("thumb", T.BinaryType()),
+        T.StructField("thumb_w", T.IntegerType()),
+        T.StructField("thumb_h", T.IntegerType()),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, width: int = 8, height: int = 8, fake: bool = True
+) -> DataFrame:
+    """Image resize → fixed-size thumbnail payload.
+
+    Real implementation needs PIL/opencv (not in this container) — the
+    non-fake path raises ``NotImplementedError``. The fake path emits a
+    deterministic byte-subsampled pseudo-thumbnail of exactly
+    ``width*height`` bytes (zero-padded), keeping the Spark-side
+    contract real: binary-in/binary-out schema, Arrow batching, and
+    per-row size invariants the tests pin down. Non-image rows are
+    dropped (filter, not null-fill — downstream ops want image-only).
+    """
+    n_out = width * height
+
+    def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError("image codecs not installed; use fake=True")
+            ids, thumbs = [], []
+            for mid, kind, b in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                if kind != "image" or not b:
+                    continue
+                step = max(1, len(b) // n_out)
+                sampled = bytes(b[::step][:n_out])
+                ids.append(mid)
+                thumbs.append(sampled.ljust(n_out, b"\x00"))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "thumb": pd.Series(thumbs, dtype=object),
+                    "thumb_w": pd.Series([width] * len(ids), dtype="int32"),
+                    "thumb_h": pd.Series([height] * len(ids), dtype="int32"),
+                }
+            )
+
+    return media.mapInPandas(rs, schema=THUMBS_SCHEMA)

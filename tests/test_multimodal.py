@@ -64,3 +64,26 @@ def test_frame_sampling_only_video(media):
     joined = b"".join(one["frame_payload"])
     orig = media.where(F.col("media_id") == int(one["media_id"].iloc[0])).first()["payload"]
     assert bytes(orig).startswith(joined)
+
+
+def test_resize_images_fixed_size_and_deterministic(media):
+    from formula1_dataengineering_spark.sources.multimodal import resize_images
+
+    t1 = resize_images(media, width=8, height=8).collect()
+    t2 = resize_images(media, width=8, height=8).collect()
+    assert sorted(r["media_id"] for r in t1) == sorted(r["media_id"] for r in t2)
+    by_id1 = {r["media_id"]: bytes(r["thumb"]) for r in t1}
+    by_id2 = {r["media_id"]: bytes(r["thumb"]) for r in t2}
+    assert by_id1 == by_id2  # deterministic
+    assert all(len(v) == 64 for v in by_id1.values())  # exactly w*h bytes
+    # image rows only
+    kinds = {r["media_id"]: r["kind"] for r in media.collect()}
+    assert all(kinds[i] == "image" for i in by_id1)
+
+
+def test_resize_images_real_path_gated(media):
+    import pytest
+    from formula1_dataengineering_spark.sources.multimodal import resize_images
+
+    with pytest.raises(Exception):
+        resize_images(media, fake=False).collect()
