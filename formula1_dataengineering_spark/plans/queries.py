@@ -32,7 +32,6 @@ from ..functions.text import (
     weighted_char_fingerprint_fast,
 )
 from ..functions.timefmt import format_lap_time
-from ..functions.vectors import cosine_similarity
 from ..operators.asof import asof_join
 from ..operators.dedup import (
     exact_dedup,
