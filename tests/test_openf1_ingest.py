@@ -80,3 +80,24 @@ def test_partitioned_roundtrip(spark, tmp_path):
     assert "session_key=9001" in str(
         (tmp_path / "laps.parquet").iterdir().__next__().name
     ) or any("session_key=" in p.name for p in (tmp_path / "laps.parquet").iterdir())
+
+
+def test_partition_pruning_visible_in_plan(spark, tmp_path):
+    """The session_key filter must prune PARTITIONS (directory level),
+    not just rows — the 100 TB telemetry-layout contract."""
+    payload = json.dumps(
+        [
+            {"session_key": k, "driver_number": d, "lap_number": 1,
+             "duration_sector_1": 30.0, "duration_sector_2": 30.0,
+             "duration_sector_3": 32.5, "is_pit_out_lap": False}
+            for k in (9001, 9002, 9003)
+            for d in (1, 2)
+        ]
+    ).encode()
+    write_partitioned(ingest_json_records(spark, "laps", [payload]), "laps", str(tmp_path))
+    pruned = spark.read.parquet(str(tmp_path / "laps.parquet")).where(
+        "session_key = 9002"
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "session_key" in plan.split("PartitionFilters", 1)[1][:120]
+    assert pruned.count() == 2
