@@ -65,13 +65,24 @@ def connected_components(
     #   plan each round (quadratic driver time). ``localCheckpoint``
     #   provides it — and its LogicalRDD carries the origin plan's
     #   stats, so truncating does not surrender the broadcast.
+    # Caches are released one round late: a LAZY localCheckpoint
+    # materializes inside the next round's job (saving a dedicated
+    # checkpoint job per round), so the cache must outlive this round.
+    pending_unpersist: list[DataFrame] = []
+
     def materialize(df: DataFrame) -> tuple[DataFrame, bool]:
         c = df.cache()
+        # Job 1 (the only one this round): fill the cache + convergence
+        # aggregate. The checkpoint is taken AFTER materialization so
+        # its origin stats are the exact in-memory size — that is what
+        # lets the planner broadcast the label table next round.
         changed = bool(
             c.agg(F.max(F.coalesce("__changed", F.lit(False)))).first()[0]
         )
-        chk = c.localCheckpoint().select("node", "component")
-        c.unpersist()
+        chk = c.localCheckpoint(eager=False).select("node", "component")
+        while pending_unpersist:
+            pending_unpersist.pop().unpersist()
+        pending_unpersist.append(c)
         return chk, changed
 
     labels, _ = materialize(
@@ -124,5 +135,10 @@ def connected_components(
             )
             if not jumped:
                 break
+    # Materialize the final labels eagerly so every intermediate cache
+    # (and the edge set) can be released before returning.
+    labels = labels.localCheckpoint()
+    while pending_unpersist:
+        pending_unpersist.pop().unpersist()
     sym.unpersist()
     return labels
