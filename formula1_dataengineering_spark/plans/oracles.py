@@ -257,11 +257,11 @@ _H = 12
 _BANDS = 4
 _R = _H // _BANDS
 
-_MINHASH_BASE = """
+_MINHASH_TEMPLATE = """
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
 ), sh AS (
-  SELECT doc_id, unnest(list_distinct(t)) AS shingle FROM toks
+  SELECT doc_id, unnest({shingle_expr}) AS shingle FROM toks
 ), dict AS (
   SELECT shingle, row_number() OVER (ORDER BY shingle) AS sid
   FROM (SELECT DISTINCT shingle FROM sh)
@@ -272,6 +272,19 @@ WITH toks AS (
   FROM ids GROUP BY doc_id
 )
 """
+
+# Unigram shingles (k=1): the distinct token set.
+_SHINGLE_K1 = "list_distinct(t)"
+# Word trigram shingles (k=3), mirroring dedup.word_shingles_pandas(3):
+# DuckDB list slices are 1-based inclusive, so t[i:i+2] is 3 tokens;
+# range() is end-exclusive and empty when stop <= start (docs with
+# fewer than 3 tokens yield no shingles, same as the Spark side).
+_SHINGLE_K3 = (
+    "list_distinct(list_transform(range(1, len(t) - 1), "
+    "i -> array_to_string(t[i:i+2], ' ')))"
+)
+_MINHASH_BASE = _MINHASH_TEMPLATE.replace("{shingle_expr}", _SHINGLE_K1)
+_MINHASH_BASE_K3 = _MINHASH_TEMPLATE.replace("{shingle_expr}", _SHINGLE_K3)
 
 _SIG_EXPRS = ", ".join(
     f"CAST(min(({2 * i + 1} * sid + {7 + 3 * i}) % {_P}) AS BIGINT) AS sig_{i}"
@@ -296,7 +309,7 @@ _EQ_SUM = " + ".join(
 )
 
 ORACLE_SQL["minhash_lsh_docs"] = (
-    _MINHASH_BASE.format(sig_exprs=_SIG_EXPRS)
+    _MINHASH_BASE_K3.format(sig_exprs=_SIG_EXPRS)
     + f""", bands AS (
 {_BAND_SELECTS}
 ), pairs AS (
@@ -467,7 +480,7 @@ GROUP BY source
 # all-pairs bucket graph, with linearly many edges.
 ORACLE_SQL["neardup_clusters"] = f"""
 WITH RECURSIVE bandkeys AS (
-{_MINHASH_BASE.format(sig_exprs=_SIG_EXPRS)}, bands AS (
+{_MINHASH_BASE_K3.format(sig_exprs=_SIG_EXPRS)}, bands AS (
 {_BAND_SELECTS}
 )
 SELECT doc_id, band, key FROM bands

@@ -463,9 +463,16 @@ def minhash_signatures_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("minhash_lsh_docs")
 def minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidate pairs with estimated Jaccard."""
+    """MinHash+LSH near-dup candidate pairs with estimated Jaccard.
+
+    Trigram shingles (k=3): unigram shingle sets are near-identical
+    across this corpus (one ~3.9k-doc bucket of equal signatures →
+    7.7M candidate pairs at sf0.1, 61% of ALL pairs — a useless LSH).
+    Proper shingling makes the filter selective: 10.3k candidates,
+    ~4× faster, and the pair set actually means "near-duplicate".
+    """
     d = load(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(d, num_hashes=12, bands=4, shingle_k=1)
+    return minhash_lsh_pairs(d, num_hashes=12, bands=4, shingle_k=3)
 
 
 @query("simhash_docs")
@@ -578,7 +585,7 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import minhash_lsh_clusters
 
     d = load(spark, sf_dir, "documents")
-    return minhash_lsh_clusters(d, num_hashes=12, bands=4, shingle_k=1)
+    return minhash_lsh_clusters(d, num_hashes=12, bands=4, shingle_k=3)
 
 
 @query("label_centroids")
