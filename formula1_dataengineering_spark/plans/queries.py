@@ -775,14 +775,14 @@ def normalized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unit-normalize embeddings, long form (vec_id, dim_idx, nval) —
     the preprocessing step before cosine reduces to a dot product.
     Elements are upcast to double BEFORE squaring on both engines so
-    float32 arithmetic can't diverge between Spark and the oracle."""
+    float32 arithmetic can't diverge between Spark and the oracle.
+    The norm uses the Arrow-batched kernel: the HOF ``aggregate`` form
+    is interpreted per element (32k vecs x 64 dims = 2M lambda steps,
+    measured ~3x slower end-to-end on this query)."""
+    from ..functions.vectors import l2_norm_pandas
+
     e = load(spark, sf_dir, "embeddings")
-    sq = F.aggregate(
-        "embedding",
-        F.lit(0.0),
-        lambda acc, x: acc + x.cast("double") * x.cast("double"),
-    )
-    norm = F.sqrt(sq)
+    norm = l2_norm_pandas(F.col("embedding"))
     return (
         e.select("vec_id", norm.alias("__n"), F.posexplode("embedding").alias("dim_idx", "v"))
         .where(F.col("__n") > 0)
