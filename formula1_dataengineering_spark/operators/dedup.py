@@ -294,17 +294,17 @@ def simhash(
     toks = docs.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
     )
-    counts = toks.groupBy(id_col, "token").agg(F.count("*").alias("cnt"))
     dict_df = _term_ids(toks, "token", mode)
     h = (F.lit(1103515245) * F.col("term_id") + F.lit(12345)) % MERSENNE_P
-    withh = counts.join(dict_df, "token").withColumn("h", h)
+    # No per-(doc, token) count stage: summing each token INSTANCE's ±1
+    # contribution is the same count-weighted total, one shuffle fewer
+    # (map-side partials absorb the repetition).
+    withh = toks.join(dict_df, "token").withColumn("h", h)
     # Bit j via integer shiftright — stays in whole-stage codegen as a
     # long op (a 2^j division would round-trip through double).
     bit_sums = withh.groupBy(id_col).agg(
         *[
-            F.sum(
-                F.col("cnt") * (2 * (F.shiftright(F.col("h"), j) % 2) - 1)
-            ).alias(f"s_{j}")
+            F.sum(2 * (F.shiftright(F.col("h"), j) % 2) - 1).alias(f"s_{j}")
             for j in range(num_bits)
         ]
     )
