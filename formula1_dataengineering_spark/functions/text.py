@@ -107,3 +107,45 @@ def weighted_char_fingerprint_fast(text: Column) -> Column:
         return pd.Series(out, dtype="int64")
 
     return fp(text)
+
+
+def tf_idf_top_terms(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+):
+    """Top-k TF-IDF terms per document (smooth idf: ln((N+1)/(df+1))+1).
+
+    The per-document term-importance signal a training pipeline uses
+    for keyword extraction and quality filtering. All built-ins: one
+    shuffle for tf (doc, token), one tiny shuffle for df (vocab-sized,
+    re-joined to tf — AQE broadcasts it when it fits), then a per-doc
+    ranking window. N comes from one count job at plan-build time
+    (scalar, like the kNN query-set collect).
+
+    Ranking is on the unrounded double with a token tie-break: equal
+    (tf, df) pairs produce bit-identical scores on any engine, so the
+    order is deterministic.
+    """
+    from pyspark.sql import Window
+
+    n_docs = docs.count()
+    toks = docs.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token"))
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    idf = F.log((F.lit(float(n_docs) + 1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
+    scored = tf.join(df_, "token").withColumn("tfidf", F.col("tf") * idf)
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(
+            id_col,
+            "token",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.round("tfidf", 4).alias("tfidf"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )

@@ -502,6 +502,33 @@ SELECT d.doc_id, CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
 FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
 """
 
+# Ranking is on the UNROUNDED tfidf (matching the Spark window): equal
+# (tf, df) pairs are bit-identical doubles on both engines, and the
+# token tie-break makes the order total.
+ORACLE_SQL["tfidf_top_terms"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2
+), dfx AS (
+  SELECT token, count(*) AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT doc_id, token, tf, df,
+         tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) AS tfidf
+  FROM tf JOIN dfx USING (token) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+         round(tfidf, 4) AS tfidf,
+         CAST(row_number() OVER (
+           PARTITION BY doc_id ORDER BY tfidf DESC, token
+         ) AS INT) AS rk
+  FROM scored
+)
+SELECT * FROM ranked WHERE rk <= 5
+"""
+
 ORACLE_SQL["label_centroids"] = """
 SELECT label, CAST(g.i - 1 AS INT) AS dim_idx,
        round(avg(embedding[g.i]), 6) AS centroid

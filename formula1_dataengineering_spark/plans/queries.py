@@ -571,6 +571,16 @@ def token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("tfidf_top_terms")
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document (smooth idf) — keyword
+    extraction / quality filtering signal for the training pipeline."""
+    from ..functions.text import tf_idf_top_terms
+
+    d = load(spark, sf_dir, "documents")
+    return tf_idf_top_terms(d, k=5)
+
+
 # --------------------------------------------------------------------------
 # Scale path: dedup clustering, IVF training, skew, distribution stats
 # --------------------------------------------------------------------------
