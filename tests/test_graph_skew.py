@@ -9,27 +9,48 @@ from formula1_dataengineering_spark.operators.graph import connected_components
 from formula1_dataengineering_spark.operators.skew import salted_join
 
 
-def test_connected_components_chain_and_islands(spark):
+import pytest
+
+
+# small_graph_edges=0 forces the distributed iterative path; the default
+# takes the driver-side union-find path. Both must agree exactly.
+@pytest.mark.parametrize("small", [0, None])
+def test_connected_components_chain_and_islands(spark, small):
     # chain 1-2-3-4, island 10-11, self-contained 20-20 (self loop)
     edges = spark.createDataFrame(
         [(2, 1), (2, 3), (3, 4), (10, 11), (20, 20)], ["src", "dst"]
     )
+    kw = {} if small is None else {"small_graph_edges": small}
     got = {
         r["node"]: r["component"]
-        for r in connected_components(edges).collect()
+        for r in connected_components(edges, **kw).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
 
 
-def test_connected_components_long_path_converges(spark):
+@pytest.mark.parametrize("small", [0, None])
+def test_connected_components_long_path_converges(spark, small):
     # a 12-node path needs multiple propagation rounds end to end
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(12)], ["src", "dst"]
     )
-    comp = connected_components(edges)
+    kw = {} if small is None else {"small_graph_edges": small}
+    comp = connected_components(edges, **kw)
     assert comp.select("component").distinct().count() == 1
     assert comp.agg(F.min("component")).first()[0] == 0
     assert comp.count() == 13
+
+
+def test_connected_components_paths_agree_on_random_graph(spark):
+    # differential: both strategies produce identical labelings
+    import random
+
+    rng = random.Random(7)
+    pairs = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    edges = spark.createDataFrame(pairs, ["src", "dst"])
+    small = sorted(connected_components(edges).collect())
+    big = sorted(connected_components(edges, small_graph_edges=0).collect())
+    assert small == big
 
 
 def test_salted_join_equals_plain_join(spark):
