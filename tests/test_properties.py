@@ -1,0 +1,139 @@
+"""Property-based checks (SURVEY §5 item 4): operator invariants under
+randomized inputs, via hypothesis.
+
+Each property runs few examples (Spark jobs are ~100 ms each) but every
+example is adversarial: random key overlaps, duplicate timestamps,
+empty sides. Deadlines are disabled — JVM warmup would trip them.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from formula1_dataengineering_spark.operators.asof import asof_join
+from formula1_dataengineering_spark.operators.graph import connected_components
+from formula1_dataengineering_spark.operators.grid import ordered_group_position
+from formula1_dataengineering_spark.operators.interval import interval_join
+
+_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+_keys = st.integers(min_value=0, max_value=3)
+_times = st.integers(min_value=0, max_value=50)
+
+
+@given(
+    left=st.lists(st.tuples(_keys, _times), min_size=1, max_size=20),
+    right=st.lists(st.tuples(_keys, _times, st.integers(0, 99)), max_size=20),
+)
+@_SETTINGS
+def test_asof_backward_invariants(spark, left, right):
+    """Left-join shape: |out| == |left|; match is the latest right
+    time <= left time within the same key (or null)."""
+    ldf = spark.createDataFrame(left, ["k", "t"]).withColumn(
+        "lid", F.monotonically_increasing_id()
+    )
+    rdf = spark.createDataFrame(right, ["k", "t", "v"]) if right else (
+        spark.createDataFrame([], "k int, t int, v int")
+    )
+    out = asof_join(ldf, rdf, on="t", by="k", direction="backward").collect()
+    assert len(out) == len(left)
+    by_key: dict[int, list[tuple[int, int]]] = {}
+    for k, t, v in right:
+        by_key.setdefault(k, []).append((t, v))
+    for row in out:
+        cands = [(t, v) for t, v in by_key.get(row["k"], []) if t <= row["t"]]
+        if not cands:
+            assert row["t_right"] is None
+        else:
+            best_t = max(t for t, _ in cands)
+            assert row["t_right"] == best_t
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["A", "B", "C"]), st.integers(0, 9)),
+        min_size=1,
+        max_size=25,
+    )
+)
+@_SETTINGS
+def test_ordered_group_position_is_permutation(spark, rows):
+    """Positions are exactly 1..n with groups stacked in order."""
+    df = spark.createDataFrame(
+        [(g, v, i) for i, (g, v) in enumerate(rows)], ["g", "v", "id"]
+    )
+    out = ordered_group_position(
+        df, "g", ["A", "B", "C"], [F.col("v").asc(), F.col("id").asc()],
+        position_col="pos",
+    ).collect()
+    assert sorted(r["pos"] for r in out) == list(range(1, len(rows) + 1))
+    # group blocks are contiguous and ordered A < B < C
+    order = {g: i for i, g in enumerate("ABC")}
+    by_pos = sorted(out, key=lambda r: r["pos"])
+    assert [order[r["g"]] for r in by_pos] == sorted(order[r["g"]] for r in by_pos)
+
+
+@given(
+    points=st.lists(st.tuples(_keys, _times), max_size=20),
+    spans=st.lists(st.tuples(_keys, _times, _times), max_size=10),
+)
+@_SETTINGS
+def test_interval_join_membership(spark, points, spans):
+    """Every emitted row satisfies the range predicate; inner-join
+    output equals the brute-force pair filter."""
+    p = spark.createDataFrame(points, ["k", "t"]) if points else (
+        spark.createDataFrame([], "k int, t int")
+    )
+    s = (
+        spark.createDataFrame(
+            [(k, min(a, b), max(a, b)) for k, a, b in spans], ["k", "lo", "hi"]
+        )
+        if spans
+        else spark.createDataFrame([], "k int, lo int, hi int")
+    )
+    got = sorted(
+        (r["k"], r["t"], r["lo"], r["hi"])
+        for r in interval_join(
+            p, s, "t", "lo", "hi", on=["k"], how="inner"
+        ).collect()
+    )
+    want = sorted(
+        (k, t, lo, hi)
+        for k, t in points
+        for k2, lo, hi in ((k2, min(a, b), max(a, b)) for k2, a, b in spans)
+        if k == k2 and lo <= t <= hi
+    )
+    assert got == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)), min_size=1, max_size=30
+    )
+)
+@_SETTINGS
+def test_connected_components_invariants(spark, edges):
+    """component <= node (min-id labeling), edge endpoints agree, and
+    labels match a reference union-find."""
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert all(c <= n for n, c in got.items())
+    for a, b in edges:
+        assert got[a] == got[b]
+    # reference labeling
+    nodes = {n for e in edges for n in e}
+    comp = {n: n for n in nodes}
+    for _ in nodes:
+        for a, b in edges:
+            m = min(comp[a], comp[b])
+            comp[a] = comp[b] = m
+        for n in comp:
+            comp[n] = comp[comp[n]]
+    assert got == comp
