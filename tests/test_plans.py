@@ -58,10 +58,14 @@ def test_interval_join_is_broadcast_not_nested_loop(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_knn_broadcasts_queries(spark):
+def test_knn_gemm_scan_no_join_no_shuffle(spark):
+    """Brute-force kNN scores in the scan stage: the query matrix is
+    closure-broadcast into mapInPandas, so there is NO join operator at
+    all, and the corpus reaches scoring without any exchange — the only
+    shuffle in the query is the final tiny top-k ranking window."""
     plan = formatted_plan(spark, "knn_bruteforce")
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
-    # the corpus side is never shuffled before scoring
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "MapInPandas" in plan
     pre_window = plan.split("Window")[0]
     assert "Exchange hashpartitioning" not in pre_window
 
@@ -111,3 +115,14 @@ def test_centroids_pushdown(spark):
     plan = formatted_plan(spark, "label_centroids")
     read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "vec_id" not in read  # only label + embedding are scanned
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_unbounded_join_strategy_anywhere(spark, name):
+    """Catalog-wide plan hygiene: no query may compile to a cartesian
+    product or broadcast nested-loop join — the two strategies whose
+    cost explodes with input size. Guards every future catalog entry,
+    not just the ones with dedicated plan tests."""
+    plan = formatted_plan(spark, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
