@@ -22,8 +22,14 @@ def stratified_sample(
     return df.sampleBy(strata_col, fractions, seed=seed)
 
 
+#: Knuth's multiplicative constant, used by the portable sample hash.
+SAMPLE_HASH_A = 2654435761
+SAMPLE_HASH_P = 2147483647
+
+
 def deterministic_sample_per_group(
-    df: DataFrame, group_col: str, id_col: str, k: int, seed: int = 42
+    df: DataFrame, group_col: str, id_col: str, k: int, seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """Exactly-k-per-group sample, reproducible across runs/partitioning.
 
@@ -32,10 +38,17 @@ def deterministic_sample_per_group(
     is a pure function of (id, seed), unlike ``rand()``-based sampling
     which varies with partition layout. One window shuffle on the
     group key.
+
+    ``portable=True`` swaps xxhash64 for a multiplicative-mod hash
+    ``(A·id + seed) mod P`` that any SQL engine reproduces exactly —
+    the oracle-testable mode (ids must keep ``A·id + seed`` within
+    int64, true for any id < 2^31).
     """
-    w = Window.partitionBy(group_col).orderBy(
-        F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col)
-    )
+    if portable:
+        h = (F.lit(SAMPLE_HASH_A) * F.col(id_col) + F.lit(seed)) % SAMPLE_HASH_P
+    else:
+        h = F.xxhash64(F.col(id_col), F.lit(seed))
+    w = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
     return (
         df.withColumn("__rk", F.row_number().over(w))
         .where(F.col("__rk") <= k)

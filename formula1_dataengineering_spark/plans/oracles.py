@@ -502,6 +502,20 @@ SELECT d.doc_id, CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
 FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
 """
 
+# Portable multiplicative-mod sample hash (sampling.SAMPLE_HASH_A/P):
+# any SQL engine reproduces membership exactly.
+ORACLE_SQL["deterministic_event_sample"] = """
+WITH ranked AS (
+  SELECT event_type, event_id, user_id, round(value, 4) AS value,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY (2654435761 * event_id + 7) % 2147483647, event_id
+         ) AS rk
+  FROM events
+)
+SELECT event_type, event_id, user_id, value FROM ranked WHERE rk <= 3
+"""
+
 # Ranking is on the UNROUNDED tfidf (matching the Spark window): equal
 # (tf, df) pairs are bit-identical doubles on both engines, and the
 # token tie-break makes the order total.

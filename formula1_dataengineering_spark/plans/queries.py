@@ -581,6 +581,43 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tf_idf_top_terms(d, k=5)
 
 
+@query("deterministic_event_sample")
+def deterministic_event_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size (k=3) per-event-type sample whose membership is a pure
+    function of (event_id, seed) — reproducible across runs, partition
+    layouts, and engines (portable multiplicative hash), unlike rand()
+    sampling. The inspection-sample primitive for corpus QA."""
+    from ..operators.sampling import deterministic_sample_per_group
+
+    e = load(spark, sf_dir, "events")
+    return deterministic_sample_per_group(
+        e, "event_type", "event_id", k=3, seed=7, portable=True
+    ).select("event_type", "event_id", "user_id", F.round("value", 4).alias("value"))
+
+
+NO_ORACLE.add("sketch_profile_by_type")
+
+
+@query("sketch_profile_by_type")
+def sketch_profile_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type sketch profile: HLL++ approximate distinct users +
+    approximate p50/p95 + exact count in one aggregation pass — the
+    dashboard-number path that never shuffles raw values. No SQL
+    oracle: sketch internals are engine-specific (driver records
+    rows-only; accuracy bounds are unit-tested instead)."""
+    from ..operators.sampling import sketch_profile
+
+    e = load(spark, sf_dir, "events")
+    p = sketch_profile(e, "event_type", "value", "user_id")
+    return p.select(
+        "event_type",
+        "n_rows",
+        "approx_ids",
+        F.round(F.col("approx_p50_p95")[0], 4).alias("approx_p50"),
+        F.round(F.col("approx_p50_p95")[1], 4).alias("approx_p95"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Scale path: dedup clustering, IVF training, skew, distribution stats
 # --------------------------------------------------------------------------
