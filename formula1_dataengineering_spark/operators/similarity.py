@@ -21,6 +21,10 @@ documented trade.
 
 from __future__ import annotations
 
+# Module-level pandas import: pandas_udf resolves stringified
+# annotations ('pd.Series') against these globals at decoration time.
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -224,3 +228,49 @@ def ivf_topk(
     )
     scored = _gemm_batch_topk(pruned, groups, id_col, vec_col, k, cell_col)
     return _finalize_topk(scored, k)
+
+
+def srp_buckets(
+    embeddings: DataFrame,
+    planes,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-random-projection (SRP) LSH bucket per vector.
+
+    ``planes`` is an (n_planes, dim) float64 matrix of hyperplanes;
+    bit j of the bucket id is ``dot(vec, plane_j) > 0``. Cosine-similar
+    vectors agree on most sign bits, so same-bucket vectors are ANN
+    candidates — the LSH-bucketed scale path for similarity search
+    (probe one bucket instead of the corpus; multi-probe = flip bits).
+
+    One GEMM per Arrow batch against the closure-broadcast plane
+    matrix; no shuffle at all — bucketing is a pure map. Deterministic
+    given fixed planes (seeded), so it is oracle-reproducible from the
+    same plane literals.
+    """
+    import numpy as np
+    import pandas as pd
+
+    P = np.asarray(planes, dtype=np.float64)
+    weights = (1 << np.arange(P.shape[0], dtype=np.int64))
+
+    @F.pandas_udf("long")
+    def bucket(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="int64")
+        M = np.stack(vs.to_numpy()).astype(np.float64, copy=False)
+        return pd.Series(((M @ P.T) > 0) @ weights)
+
+    return embeddings.select(
+        F.col(id_col), bucket(F.col(vec_col)).alias("bucket")
+    )
+
+
+def default_srp_planes(n_planes: int = 8, dim: int = 64, seed: int = 7):
+    """Seeded Gaussian hyperplanes shared by the Spark operator and the
+    oracle SQL (emitted there as decimal literals — Python repr is
+    shortest-round-trip, so both engines parse the identical double)."""
+    import numpy as np
+
+    return np.random.RandomState(seed).standard_normal((n_planes, dim))

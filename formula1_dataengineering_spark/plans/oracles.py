@@ -369,6 +369,24 @@ JOIN sizes sb ON id_b = sb.doc_id
 WHERE ni * 1.0 / (sa.n + sb.n - ni) >= 0.05
 """
 
+def _srp_sql() -> str:
+    """SRP bucket oracle: the same seeded hyperplanes as the Spark
+    operator, emitted as decimal literals (repr = shortest round-trip,
+    so DuckDB parses the identical double)."""
+    from ..operators.similarity import default_srp_planes
+
+    planes = default_srp_planes()
+    bits = " + ".join(
+        f"CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"[{', '.join(repr(float(x)) for x in row)}]) > 0 "
+        f"THEN {1 << j} ELSE 0 END"
+        for j, row in enumerate(planes)
+    )
+    return f"SELECT vec_id, CAST({bits} AS BIGINT) AS bucket FROM embeddings"
+
+
+ORACLE_SQL["srp_lsh_buckets"] = _srp_sql()
+
 _COS = (
     "list_dot_product(a.v, b.v) / "
     "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"

@@ -505,6 +505,18 @@ def knn_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(q, e, cell_col="label", k=5)
 
 
+@query("srp_lsh_buckets")
+def srp_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection LSH bucket per embedding — the
+    LSH-bucketed ANN scale path (probe one bucket, not the corpus).
+    Pure map, no shuffle; one GEMM per Arrow batch against 8 seeded
+    hyperplanes shared bit-for-bit with the oracle."""
+    from ..operators.similarity import default_srp_planes, srp_buckets
+
+    e = load(spark, sf_dir, "embeddings")
+    return srp_buckets(e, default_srp_planes())
+
+
 @query("embedding_neardup")
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs within label buckets, cosine >= 0.25."""
