@@ -235,6 +235,7 @@ def srp_buckets(
     planes,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """Sign-random-projection (SRP) LSH bucket per vector.
 
@@ -263,7 +264,9 @@ def srp_buckets(
         return pd.Series(((M @ P.T) > 0) @ weights)
 
     return embeddings.select(
-        F.col(id_col), bucket(F.col(vec_col)).alias("bucket")
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        bucket(F.col(vec_col)).alias("bucket"),
     )
 
 

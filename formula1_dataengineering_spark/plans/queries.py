@@ -517,6 +517,19 @@ def srp_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return srp_buckets(e, default_srp_planes())
 
 
+@query("knn_srp_bucket")
+def knn_srp_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 probing only the query's SRP-LSH bucket — the
+    data-independent ANN cell structure (no training step, unlike IVF;
+    recall trades against 2^n_planes cell granularity)."""
+    from ..operators.similarity import default_srp_planes, ivf_topk, srp_buckets
+
+    e = load(spark, sf_dir, "embeddings")
+    eb = srp_buckets(e, default_srp_planes(), keep_cols=("embedding",))
+    q = eb.where(F.col("vec_id") < 10)
+    return ivf_topk(q, eb, cell_col="bucket", k=5)
+
+
 @query("embedding_neardup")
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs within label buckets, cosine >= 0.25."""
