@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from ..operators.asof import asof_join
 from ..operators.grid import ordered_group_position
-from ..operators.ranking import rank1_per_group, topk_per_group
+from ..operators.ranking import rank1_per_group
 
 
 def with_actual_lap_time(laps: DataFrame) -> Column | DataFrame:
