@@ -277,3 +277,46 @@ def default_srp_planes(n_planes: int = 8, dim: int = 64, seed: int = 7):
     import numpy as np
 
     return np.random.RandomState(seed).standard_normal((n_planes, dim))
+
+
+def srp_multiprobe_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    planes,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Multi-probe SRP ANN: probe the query's SRP bucket AND every
+    1-bit-flip neighbor bucket (the standard recall lever for LSH ANN —
+    near misses usually differ in exactly one marginal sign bit).
+
+    Query buckets and their probe sets are computed driver-side (the
+    query set is small by contract); the corpus is bucketed in the scan
+    stage (``srp_buckets``) and scored by the shared GEMM cell-probe
+    kernel, with each query registered in all n_planes+1 cells it
+    probes. A corpus vector lives in exactly one bucket, so no
+    (query, neighbor) pair is scored twice. Zero corpus shuffle.
+    """
+    import numpy as np
+
+    P = np.asarray(planes, dtype=np.float64)
+    weights = 1 << np.arange(P.shape[0], dtype=np.int64)
+
+    q_pdf = queries.select(id_col, vec_col).toPandas()
+    groups: dict = {}
+    if len(q_pdf):
+        Q = np.stack(q_pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
+        qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+        qids = q_pdf[id_col].to_numpy()
+        qbuckets = ((Q @ P.T) > 0) @ weights
+        per_cell: dict = {}
+        for i, qb in enumerate(qbuckets):
+            for cell in (int(qb), *(int(qb ^ w) for w in weights)):
+                per_cell.setdefault(cell, []).append(i)
+        for cell, idxs in per_cell.items():
+            groups[cell] = (qids[idxs], Q[idxs], qn[idxs])
+    bucketed = srp_buckets(corpus, P, id_col, vec_col, keep_cols=(vec_col,))
+    pruned = bucketed.where(F.col("bucket").isin(list(groups)))
+    scored = _gemm_batch_topk(pruned, groups, id_col, vec_col, k, "bucket")
+    return _finalize_topk(scored, k)

@@ -423,6 +423,46 @@ FROM ranked WHERE rank <= 5
 
 ORACLE_SQL["knn_srp_bucket"] = _srp_knn_sql()
 
+
+def _srp_multiprobe_sql() -> str:
+    """Multi-probe membership is pure bucket algebra: a pair is scored
+    iff xor(bucket_a, bucket_b) is 0 or a single probe bit."""
+    from ..operators.similarity import default_srp_planes
+
+    planes = default_srp_planes()
+    bits = " + ".join(
+        f"CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"[{', '.join(repr(float(x)) for x in row)}]) > 0 "
+        f"THEN {1 << j} ELSE 0 END"
+        for j, row in enumerate(planes)
+    )
+    probe_set = ", ".join(str(1 << j) for j in range(len(planes)))
+    cos = (
+        "list_dot_product(a.v, b.v) / "
+        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, ({bits}) AS bucket
+  FROM embeddings
+), scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {cos} AS cos
+  FROM e a JOIN e b
+    ON a.vec_id < 10 AND a.vec_id <> b.vec_id
+   AND xor(a.bucket, b.bucket) IN (0, {probe_set})
+), ranked AS (
+  SELECT query_id, neighbor_id, cos, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
+       CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+ORACLE_SQL["knn_srp_multiprobe"] = _srp_multiprobe_sql()
+
 _COS = (
     "list_dot_product(a.v, b.v) / "
     "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"

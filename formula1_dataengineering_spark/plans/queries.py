@@ -530,6 +530,18 @@ def knn_srp_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(q, eb, cell_col="bucket", k=5)
 
 
+@query("knn_srp_multiprobe")
+def knn_srp_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe SRP ANN top-5: the query's bucket plus every
+    1-bit-flip neighbor bucket — recall recovered at 9/256 of the
+    brute-force candidate space."""
+    from ..operators.similarity import default_srp_planes, srp_multiprobe_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    return srp_multiprobe_topk(q, e, default_srp_planes(), k=5)
+
+
 @query("embedding_neardup")
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs within label buckets, cosine >= 0.25."""
