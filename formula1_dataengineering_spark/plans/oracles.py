@@ -775,3 +775,118 @@ SELECT vec_id, CAST(g.i - 1 AS INT) AS dim_idx,
 FROM scaled CROSS JOIN generate_series(1, 64) AS g(i)
 WHERE g.i <= len(embedding) AND s > 0
 """
+
+ORACLE_SQL["shipping_priority_top10"] = """
+SELECT l_orderkey,
+       epoch_us(o_orderdate) AS o_orderdate_us,
+       o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+ORACLE_SQL["nation_market_share"] = """
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       round(sum(CASE WHEN n_name = 'NATION_3'
+                      THEN l_extendedprice * (1 - l_discount)
+                      ELSE 0.0 END), 2) AS nation_rev,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev,
+       round(round(sum(CASE WHEN n_name = 'NATION_3'
+                            THEN l_extendedprice * (1 - l_discount)
+                            ELSE 0.0 END), 2)
+             / round(sum(l_extendedprice * (1 - l_discount)), 2), 6) AS share
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY 1
+"""
+
+ORACLE_SQL["grouping_sets_revenue"] = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+ORACLE_SQL["nation_activity_full_outer"] = """
+WITH c AS (
+  SELECT c_nationkey AS nationkey, count(*) AS n_customers,
+         round(sum(c_acctbal), 2) AS cust_balance
+  FROM customer WHERE c_mktsegment = 'MACHINERY' GROUP BY 1
+), s AS (
+  SELECT s_nationkey AS nationkey, count(*) AS n_suppliers,
+         round(sum(s_acctbal), 2) AS supp_balance
+  FROM supplier WHERE s_acctbal > 5000 GROUP BY 1
+)
+SELECT CAST(coalesce(c.nationkey, s.nationkey) AS INT) AS nationkey,
+       coalesce(n_customers, 0) AS n_customers,
+       coalesce(cust_balance, 0.0) AS cust_balance,
+       coalesce(n_suppliers, 0) AS n_suppliers,
+       coalesce(supp_balance, 0.0) AS supp_balance
+FROM c FULL OUTER JOIN s USING (nationkey)
+"""
+
+ORACLE_SQL["supplier_balance_distribution"] = """
+SELECT s_suppkey,
+       CAST(s_nationkey AS INT) AS s_nationkey,
+       s_acctbal,
+       round(percent_rank() OVER w, 6) AS bal_pct_rank,
+       round(cume_dist() OVER w, 6) AS bal_cume_dist
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal)
+"""
+
+ORACLE_SQL["hourly_moving_value"] = """
+SELECT event_id, user_id,
+       round(sum(value) OVER w, 2) AS hour_value,
+       count(*) OVER w AS hour_events
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+ORACLE_SQL["user_event_type_profile"] = """
+SELECT user_id,
+       string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_csv,
+       count(DISTINCT event_type) AS n_types,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY user_id
+"""
+
+ORACLE_SQL["monthly_revenue_trend"] = """
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         round(sum(o_totalprice), 2) AS revenue,
+         count(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT epoch_us(month) AS month_us, revenue, n_orders,
+       round(revenue - lag(revenue) OVER (ORDER BY month), 2) AS mom_delta
+FROM m
+"""
+
+ORACLE_SQL["decile_value_spread"] = """
+WITH t AS (
+  SELECT o_orderpriority, o_totalprice,
+         CAST(ntile(10) OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice, o_orderkey) AS INT) AS decile
+  FROM orders
+)
+SELECT o_orderpriority, decile,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi,
+       count(*) AS n_orders
+FROM t GROUP BY 1, 2
+"""

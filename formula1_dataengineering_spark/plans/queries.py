@@ -951,3 +951,259 @@ def quantized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("qval"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Classic analytic shapes round 2: fact-fact joins, grouping sets, outer
+# joins of aggregates, distribution windows, range frames, array profiles
+# --------------------------------------------------------------------------
+
+
+@query("shipping_priority_top10")
+def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped: customer ⋈ orders ⋈ lineitem with opposed date
+    filters, revenue per order, global top-10.
+
+    Scale: the orders⋈lineitem join is the one real shuffle (both sides
+    hash on orderkey); the segment-filtered customer side broadcasts
+    under AQE. The global top-10 is a TakeOrderedAndProject — each
+    partition keeps 10 rows, no full sort ever materializes.
+    """
+    cust = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust.select("c_custkey"), orders.o_custkey == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "o_orderdate_us"
+            ),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@query("nation_market_share")
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8-shaped conditional aggregation: one nation's share of
+    yearly supplier revenue. Emits numerator and denominator as
+    order-stable rounded sums plus the ratio.
+
+    Scale: lineitem⋈orders is a fact-fact shuffle join on orderkey;
+    supplier/nation broadcast. One aggregate keyed by year (tiny key
+    space → map-side partials collapse almost everything).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    target = F.when(F.col("n_name") == "NATION_3", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(F.sum(target), 2).alias("nation_rev"),
+            F.round(F.sum(rev), 2).alias("total_rev"),
+        )
+        .withColumn(
+            "share", F.round(F.col("nation_rev") / F.col("total_rev"), 6)
+        )
+    )
+
+
+@query("grouping_sets_revenue")
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond the catalog's ROLLUP/CUBE): per-
+    returnflag totals, per-linestatus totals, and the grand total in one
+    pass. NULL group cells are labeled 'ALL' so the hash is unambiguous.
+
+    Scale: Spark expands grouping sets into one Expand + single hash
+    aggregate — one shuffle regardless of how many sets are listed.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM {li}
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """,
+        li=li,
+    )
+
+
+@query("nation_activity_full_outer")
+def nation_activity_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join of two independent per-nation aggregates
+    (customer-side vs supplier-side), null-coalesced — the one outer-join
+    flavor the catalog lacked.
+
+    Scale: both inputs aggregate to ≤|nation| rows before the join, so
+    the full-outer join runs on two tiny pre-aggregated sides; at 100 TB
+    the aggregates shuffle once each and the join itself is trivial.
+    """
+    cust = (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "MACHINERY")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("cust_balance"),
+        )
+    )
+    sup = (
+        load(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") > 5000)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("supp_balance"),
+        )
+    )
+    return cust.join(sup, "nationkey", "full_outer").select(
+        F.col("nationkey").cast("int").alias("nationkey"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("cust_balance", F.lit(0.0)).alias("cust_balance"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        F.coalesce("supp_balance", F.lit(0.0)).alias("supp_balance"),
+    )
+
+
+@query("supplier_balance_distribution")
+def supplier_balance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist within nation — the distribution window
+    functions (complements the catalog's ntile/row_number coverage).
+    Ties share a value in both functions, so the output is deterministic
+    without a tie-break column.
+
+    Scale: one shuffle on the partition key; each nation's partition
+    sorts locally. Skew-safe — supplier spreads evenly across nations.
+    """
+    sup = load(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal")
+    return sup.select(
+        "s_suppkey",
+        F.col("s_nationkey").cast("int").alias("s_nationkey"),
+        "s_acctbal",
+        F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
+    )
+
+
+@query("hourly_moving_value")
+def hourly_moving_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE frame: per-user moving 1-hour sum/count over the
+    event stream — the sliding-window-per-row shape (vs the catalog's
+    bucketed tumbling/sliding windows).
+
+    Scale: one shuffle on user_id; the range frame scans each partition
+    once with a two-pointer frame, no self-join blowup.
+    """
+    e = load(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("hour_value"),
+        F.count("*").over(w).alias("hour_events"),
+    )
+
+
+@query("user_event_type_profile")
+def user_event_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-aggregation profile per user: distinct event types as a
+    sorted CSV string (deterministic stand-in for the array), grouped
+    count-distinct, and totals.
+
+    Scale: collect_set + count_distinct share one shuffle on user_id;
+    the set is bounded by |event_type| (5), so no group blows up.
+    """
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias(
+            "types_csv"
+        ),
+        F.countDistinct("event_type").alias("n_types"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@query("monthly_revenue_trend")
+def monthly_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_trunc month buckets + lag() month-over-month delta — the
+    calendar-bucket flavor of time aggregation (vs duration-based
+    tumbling windows).
+
+    Scale: aggregate keyed by month (~80 groups) collapses map-side;
+    the trend window then runs on one tiny partition. The global
+    orderBy on ~80 rows is free.
+    """
+    orders = load(spark, sf_dir, "orders")
+    month = F.date_trunc("month", F.col("o_orderdate"))
+    agg = orders.groupBy(month.alias("month")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+    w = Window.orderBy("month")
+    return agg.select(
+        F.unix_micros("month").alias("month_us"),
+        "revenue",
+        "n_orders",
+        F.round(F.col("revenue") - F.lag("revenue").over(w), 2).alias(
+            "mom_delta"
+        ),
+    )
+
+
+@query("decile_value_spread")
+def decile_value_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level window composition: ntile(10) deciles of order value
+    per priority class, then min/max/count per decile — windows feeding
+    a grouped aggregate.
+
+    Scale: one shuffle for the ntile window (partition by priority),
+    one for the re-aggregate; both keyed small.
+    """
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_totalprice",
+            F.ntile(10).over(w).cast("int").alias("decile"),
+        )
+        .groupBy("o_orderpriority", "decile")
+        .agg(
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+            F.count("*").alias("n_orders"),
+        )
+    )
