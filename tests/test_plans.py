@@ -126,3 +126,35 @@ def test_no_unbounded_join_strategy_anywhere(spark, name):
     plan = formatted_plan(spark, name)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_shipping_priority_topk_never_full_sorts(spark):
+    """Q3-shaped global top-10 must run as TakeOrderedAndProject (per-
+    partition heap of 10), never a full Sort — at 100 TB the revenue
+    relation is huge and a global sort of it would be the bottleneck."""
+    plan = formatted_plan(spark, "shipping_priority_top10")
+    assert "TakeOrderedAndProject" in plan
+    # filters reached both fact scans
+    assert "LessThan(o_orderdate" in plan
+    assert "GreaterThan(l_shipdate" in plan
+
+
+def test_hourly_moving_value_single_shuffle_pruned_scan(spark):
+    """RANGE-frame window: exactly one exchange (hash on user_id) and a
+    scan pruned to the four referenced columns — no self-join, no extra
+    sort beyond the window's own."""
+    plan = formatted_plan(spark, "hourly_moving_value")
+    tree = _tree(plan)
+    assert tree.count("Exchange") == 1
+    assert "Join" not in tree
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "props" not in read_schema and "event_type" not in read_schema
+
+
+def test_grouping_sets_single_aggregate_pass(spark):
+    """GROUPING SETS compiles to Expand + one hash-aggregate pair, not
+    one aggregation job per set."""
+    plan = formatted_plan(spark, "grouping_sets_revenue")
+    tree = _tree(plan)
+    assert "Expand" in tree
+    assert tree.count("Exchange") == 1

@@ -137,3 +137,79 @@ def test_connected_components_invariants(spark, edges):
         for n in comp:
             comp[n] = comp[comp[n]]
     assert got == comp
+
+
+# ---------------------------------------------------------------------------
+# Invariants for the classic-warehouse-shape queries (cheap, sf0.001) —
+# these hold for ANY data, complementing the oracle's value-equality.
+# ---------------------------------------------------------------------------
+
+_SF = "/root/testdata/sf0.001"
+
+
+def test_decile_spread_invariants(spark):
+    from formula1_dataengineering_spark.plans import QUERIES
+    from formula1_dataengineering_spark.sources.catalog import load
+
+    rows = QUERIES["decile_value_spread"](spark, _SF).collect()
+    assert all(1 <= r.decile <= 10 for r in rows)
+    assert all(r.lo <= r.hi for r in rows)
+    n_orders = load(spark, _SF, "orders").count()
+    assert sum(r.n_orders for r in rows) == n_orders
+
+
+def test_full_outer_covers_both_sides(spark):
+    from formula1_dataengineering_spark.plans import QUERIES
+    from formula1_dataengineering_spark.sources.catalog import load
+
+    rows = QUERIES["nation_activity_full_outer"](spark, _SF).collect()
+    got = {r.nationkey for r in rows}
+    cust = {
+        r.c_nationkey
+        for r in load(spark, _SF, "customer")
+        .where("c_mktsegment = 'MACHINERY'")
+        .select("c_nationkey")
+        .distinct()
+        .collect()
+    }
+    sup = {
+        r.s_nationkey
+        for r in load(spark, _SF, "supplier")
+        .where("s_acctbal > 5000")
+        .select("s_nationkey")
+        .distinct()
+        .collect()
+    }
+    assert got == cust | sup
+    # coalesced zeros exactly where one side is absent
+    assert all((r.n_customers == 0) == (r.nationkey not in cust) for r in rows)
+    assert all((r.n_suppliers == 0) == (r.nationkey not in sup) for r in rows)
+
+
+def test_monthly_trend_first_month_has_null_delta(spark):
+    from formula1_dataengineering_spark.plans import QUERIES
+
+    rows = QUERIES["monthly_revenue_trend"](spark, _SF).collect()
+    nulls = [r for r in rows if r.mom_delta is None]
+    assert len(nulls) == 1
+    assert nulls[0].month_us == min(r.month_us for r in rows)
+
+
+def test_event_type_profile_internal_consistency(spark):
+    from formula1_dataengineering_spark.plans import QUERIES
+
+    for r in QUERIES["user_event_type_profile"](spark, _SF).collect():
+        types = r.types_csv.split(",")
+        assert len(types) == r.n_types
+        assert types == sorted(types)
+        assert r.n_events >= r.n_types
+
+
+def test_hourly_moving_value_frame_bounds(spark):
+    from formula1_dataengineering_spark.plans import QUERIES
+    from formula1_dataengineering_spark.sources.catalog import load
+
+    df = QUERIES["hourly_moving_value"](spark, _SF)
+    rows = df.collect()
+    assert all(r.hour_events >= 1 for r in rows)  # frame includes current row
+    assert len(rows) == load(spark, _SF, "events").count()
