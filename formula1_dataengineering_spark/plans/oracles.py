@@ -890,3 +890,35 @@ SELECT o_orderpriority, decile,
        count(*) AS n_orders
 FROM t GROUP BY 1, 2
 """
+
+ORACLE_SQL["media_decode_stats"] = """
+WITH bytesum AS (
+  SELECT doc_id, CAST(sum(ascii(c)) AS BIGINT) AS bsum
+  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+  GROUP BY doc_id
+), decoded AS (
+  SELECT d.doc_id,
+         CASE (d.doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         length(d.text) AS n_bytes,
+         b.bsum % 1000000007 AS checksum
+  FROM documents d JOIN bytesum b USING (doc_id)
+)
+SELECT kind,
+       count(*) AS n_media,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(sum(checksum) AS BIGINT) AS sum_checksum,
+       round(avg(checksum % 640 + 1), 4) AS avg_width,
+       round(avg(checksum % 480 + 1), 4) AS avg_height
+FROM decoded GROUP BY kind
+"""
+
+ORACLE_SQL["video_frame_sample"] = """
+WITH vids AS (
+  SELECT doc_id AS media_id, length(text) AS len
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT media_id,
+       CAST(least(8, greatest(1, len // 256)) AS BIGINT) AS n_frames,
+       CAST(least(len, least(8, greatest(1, len // 256)) * 256) AS BIGINT) AS frame_bytes
+FROM vids
+"""

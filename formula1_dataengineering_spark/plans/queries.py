@@ -1207,3 +1207,50 @@ def decile_value_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_orders"),
         )
     )
+
+
+@query("media_decode_stats")
+def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-exact oracle over the multimodal DECODE plumbing: documents
+    → binary payloads → ``mapInPandas`` pseudo-decode (byte count,
+    checksum, pseudo dims) → per-kind aggregate. The corpus is pure
+    ASCII, so DuckDB reproduces the byte arithmetic from the text
+    itself — this pins the Arrow batch path value-for-value, unlike the
+    rows-only feature-vector check.
+
+    Scale: decode streams one Arrow batch at a time (no payload ever
+    collects); the aggregate shuffles 3 groups.
+    """
+    from ..sources.multimodal import decode_media, demo_media_from_documents
+
+    d = load(spark, sf_dir, "documents")
+    decoded = decode_media(demo_media_from_documents(d), fake=True)
+    return decoded.groupBy("kind").agg(
+        F.count("*").alias("n_media"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.sum("checksum").alias("sum_checksum"),
+        F.round(F.avg("width"), 4).alias("avg_width"),
+        F.round(F.avg("height"), 4).alias("avg_height"),
+    )
+
+
+@query("video_frame_sample")
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (1 row in → k frames out via ``mapInPandas``),
+    verified value-exactly: per-video frame count and total sampled
+    bytes follow from the payload length alone, so DuckDB can predict
+    them without decoding.
+
+    Scale: the explode happens inside the Arrow batch — no JVM-side
+    row blowup before the aggregate; output is one row per video.
+    """
+    from ..sources.multimodal import demo_media_from_documents, sample_frames
+
+    d = load(spark, sf_dir, "documents")
+    frames = sample_frames(
+        demo_media_from_documents(d), every_n_bytes=256, max_frames=8
+    )
+    return frames.groupBy("media_id").agg(
+        F.count("*").cast("bigint").alias("n_frames"),
+        F.sum(F.octet_length("frame_payload")).alias("frame_bytes"),
+    )

@@ -85,6 +85,10 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
     plumbing is exercised.
     """
 
+    # The closure must be self-contained (no references to this module's
+    # globals): the consuming SparkSession may run workers without this
+    # package on sys.path, and cloudpickle serializes module-level
+    # functions by reference, not by value.
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not fake:
@@ -92,7 +96,17 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
                     "media codecs (PIL/ffmpeg) are not installed in this "
                     "environment; pass fake=True for the deterministic stub"
                 )
-            yield _fake_decode_batch(pdf)
+            payloads = pdf["payload"]
+            pdf = pdf.copy()
+            pdf["n_bytes"] = payloads.map(
+                lambda b: len(b) if b is not None else 0
+            ).astype("int32")
+            pdf["checksum"] = payloads.map(
+                lambda b: sum(b) % 1_000_000_007 if b is not None else 0
+            ).astype("int64")
+            pdf["width"] = (pdf["checksum"] % 640 + 1).astype("int32")
+            pdf["height"] = (pdf["checksum"] % 480 + 1).astype("int32")
+            yield pdf
 
     return media.mapInPandas(decode, schema=DECODED_SCHEMA)
 
