@@ -922,3 +922,42 @@ SELECT media_id,
        CAST(least(len, least(8, greatest(1, len // 256)) * 256) AS BIGINT) AS frame_bytes
 FROM vids
 """
+
+ORACLE_SQL["part_segment_set_ops"] = """
+WITH building AS (
+  SELECT DISTINCT l_partkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+), machinery AS (
+  SELECT DISTINCT l_partkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'MACHINERY'
+)
+SELECT l_partkey, 'both' AS membership
+FROM (SELECT l_partkey FROM building INTERSECT SELECT l_partkey FROM machinery)
+UNION ALL
+SELECT l_partkey, 'building_only' AS membership
+FROM (SELECT l_partkey FROM building EXCEPT SELECT l_partkey FROM machinery)
+"""
+
+ORACLE_SQL["supplier_rank_tiers"] = """
+SELECT s_suppkey,
+       CAST(s_nationkey AS INT) AS s_nationkey,
+       CAST(floor(s_acctbal / 1000) AS BIGINT) AS bal_tier,
+       CAST(rank() OVER w AS INT) AS tier_rank,
+       CAST(dense_rank() OVER w AS INT) AS tier_dense_rank
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey ORDER BY floor(s_acctbal / 1000) DESC)
+"""
+
+ORACLE_SQL["order_value_histogram"] = """
+SELECT least(CAST(floor(o_totalprice / 20000) AS INT), 29) AS bucket,
+       count(*) AS n_orders,
+       round(min(o_totalprice), 2) AS min_price,
+       round(max(o_totalprice), 2) AS max_price,
+       CAST(least(CAST(floor(o_totalprice / 20000) AS INT), 29) * 20000 AS DOUBLE) AS bucket_lo
+FROM orders
+GROUP BY 1
+"""

@@ -1254,3 +1254,90 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_frames"),
         F.sum(F.octet_length("frame_payload")).alias("frame_bytes"),
     )
+
+
+@query("part_segment_set_ops")
+def part_segment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set operators (absent from the reference, free
+    in Spark SQL — SURVEY §2.7 note): parts bought by BUILDING-segment
+    customers vs MACHINERY-segment customers, labeled by membership.
+
+    Scale: each side is lineitem⋈orders (shuffle on orderkey) with the
+    segment-filtered customer side broadcast, distinct-reduced to part
+    keys before the set op — the INTERSECT/EXCEPT operates on two
+    already-small key sets, not on fact rows.
+    """
+
+    def parts_for(segment: str) -> DataFrame:
+        li = load(spark, sf_dir, "lineitem")
+        orders = load(spark, sf_dir, "orders")
+        cust = load(spark, sf_dir, "customer").where(
+            F.col("c_mktsegment") == segment
+        )
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(
+                F.broadcast(cust.select("c_custkey")),
+                orders.o_custkey == F.col("c_custkey"),
+            )
+            .select("l_partkey")
+            .distinct()
+        )
+
+    building, machinery = parts_for("BUILDING"), parts_for("MACHINERY")
+    return (
+        building.intersect(machinery)
+        .withColumn("membership", F.lit("both"))
+        .unionByName(
+            building.subtract(machinery).withColumn(
+                "membership", F.lit("building_only")
+            )
+        )
+    )
+
+
+@query("supplier_rank_tiers")
+def supplier_rank_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank() vs dense_rank() with REAL ties: suppliers ranked by their
+    acctbal thousand-bucket within nation — gaps appear in rank but not
+    dense_rank, and both are tie-deterministic (equal inputs get equal
+    outputs), so no tie-break column is needed.
+
+    Scale: one shuffle on the partition key; per-nation sort is local.
+    """
+    sup = load(spark, sf_dir, "supplier")
+    tier = F.floor(F.col("s_acctbal") / 1000).cast("long")
+    w = Window.partitionBy("s_nationkey").orderBy(F.col("bal_tier").desc())
+    return (
+        sup.select(
+            "s_suppkey",
+            F.col("s_nationkey").cast("int").alias("s_nationkey"),
+            tier.alias("bal_tier"),
+        )
+        .withColumn("tier_rank", F.rank().over(w))
+        .withColumn("tier_dense_rank", F.dense_rank().over(w))
+    )
+
+
+@query("order_value_histogram")
+def order_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order values (30 × 20k buckets, top-
+    clamped) — the profiling primitive for choosing partition bounds at
+    scale. Portable floor arithmetic, no engine-specific functions.
+
+    Scale: single aggregate over ≤30 groups; map-side partials collapse
+    nearly all rows before the shuffle.
+    """
+    o = load(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / 20000).cast("int"), F.lit(29)
+    )
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .withColumn("bucket_lo", (F.col("bucket") * 20000).cast("double"))
+    )
