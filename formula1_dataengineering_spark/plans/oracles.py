@@ -961,3 +961,37 @@ SELECT least(CAST(floor(o_totalprice / 20000) AS INT), 29) AS bucket,
 FROM orders
 GROUP BY 1
 """
+
+ORACLE_SQL["corpus_selection"] = """
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+), grams AS (
+  SELECT doc_id, source, unnest(list_distinct(
+    list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))
+  )) AS gram FROM toks
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM grams GROUP BY 1
+), losers AS (
+  SELECT DISTINCT b.doc_id
+  FROM grams a JOIN grams b
+    ON a.gram = b.gram AND a.source = b.source AND a.doc_id < b.doc_id
+  JOIN sizes sa ON a.doc_id = sa.doc_id
+  JOIN sizes sb ON b.doc_id = sb.doc_id
+  GROUP BY a.doc_id, b.doc_id, sa.n, sb.n
+  HAVING count(*) * 1.0 / (sa.n + sb.n - count(*)) >= 0.5
+), winners AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+), q AS (
+  SELECT doc_id, source, lang,
+         CAST(len(string_split_regex(text, '\\s+')) AS INTEGER) AS n_tokens,
+         len(list_filter(string_split_regex(lower(text), '\\s+'),
+             x -> x IN ('the', 'a', 'of', 'and', 'to'))) * 1.0
+           / len(string_split_regex(text, '\\s+')) AS stop_ratio
+  FROM documents
+)
+SELECT q.doc_id, q.source, q.lang, q.n_tokens
+FROM q
+JOIN winners ON q.doc_id = winners.doc_id
+WHERE q.n_tokens >= 12 AND q.stop_ratio >= 0.04
+  AND q.doc_id NOT IN (SELECT doc_id FROM losers)
+"""

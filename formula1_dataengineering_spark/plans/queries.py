@@ -1341,3 +1341,36 @@ def order_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("bucket_lo", (F.col("bucket") * 20000).cast("double"))
     )
+
+
+@query("corpus_selection")
+def corpus_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus selection — the composition a real
+    pretraining data pipeline runs, as ONE lazy plan: exact-dedup
+    winners → quality gate (length + stopword density on unrounded
+    ratios, deterministic because both engines divide the same
+    integers) → near-duplicate drop (bigram Jaccard ≥ 0.5 within
+    source blocks; the higher doc_id of each pair loses).
+
+    Scale: dedup and quality are one pass each over the corpus; the
+    near-dup stage reuses the blocked GEMM kernel (pair space bounded
+    by blocks, never corpus²). Anti-/semi-joins keep only doc_id keys
+    moving between stages. Production would dedup on a content hash
+    rather than raw text bytes; grouping semantics are identical.
+    """
+    d = load(spark, sf_dir, "documents")
+    m = quality_metrics(F.col("text"))
+    winners = exact_dedup(d, ["text"], "doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    losers = (
+        ngram_jaccard_pairs(d, block_col="source", n=2, threshold=0.5)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        d.join(winners, "doc_id", "left_semi")
+        .where((m["n_tokens"] >= 12) & (m["stopword_ratio"] >= 0.04))
+        .join(losers, "doc_id", "left_anti")
+        .select("doc_id", "source", "lang", m["n_tokens"].alias("n_tokens"))
+    )
