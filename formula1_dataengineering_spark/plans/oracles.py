@@ -995,3 +995,26 @@ JOIN winners ON q.doc_id = winners.doc_id
 WHERE q.n_tokens >= 12 AND q.stop_ratio >= 0.04
   AND q.doc_id NOT IN (SELECT doc_id FROM losers)
 """
+
+ORACLE_SQL["asof_forward_error"] = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), errors AS (
+  SELECT user_id, ts, event_id AS error_id FROM events WHERE event_type = 'error'
+)
+SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+       e.error_id, epoch_us(e.ts) AS error_ts_us
+FROM purchases p
+ASOF LEFT JOIN errors e ON p.user_id = e.user_id AND p.ts <= e.ts
+"""
+
+ORACLE_SQL["supplier_ship_span"] = """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       epoch_us(l_shipdate) AS ship_us,
+       first_value(epoch_us(l_shipdate)) OVER w AS first_ship_us,
+       last_value(epoch_us(l_shipdate)) OVER w AS last_ship_us,
+       nth_value(l_orderkey, 2) OVER w AS second_orderkey
+FROM lineitem
+WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""

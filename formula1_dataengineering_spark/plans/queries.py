@@ -1374,3 +1374,62 @@ def corpus_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(losers, "doc_id", "left_anti")
         .select("doc_id", "source", "lang", m["n_tokens"].alias("n_tokens"))
     )
+
+
+@query("asof_forward_error")
+def asof_forward_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of FORWARD join — the remaining direction of the as-of family
+    (backward and nearest are covered elsewhere): each purchase matched
+    to the user's next error event at-or-after it, i.e. "did the
+    purchase precede a failure".
+
+    Scale: same single-shuffle union strategy as backward — both sides
+    hash-partition on user_id once; the direction only flips the
+    window's ordering.
+    """
+    e = load(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = load(spark, sf_dir, "events").where(
+        F.col("event_type") == "error"
+    ).select("user_id", "ts", F.col("event_id").alias("error_id"))
+    m = asof_join(purchases, errors, on="ts", by="user_id", direction="forward")
+    return m.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "error_id",
+        F.unix_micros("ts_right").alias("error_ts_us"),
+    )
+
+
+@query("supplier_ship_span")
+def supplier_ship_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over a full-partition frame —
+    the boundary-picking window functions (W5: the reference's
+    ``iloc[0]`` / ``iloc[-1]`` axis-limit lookups, src/session_object.py:305,
+    src/data_visualization.py:42-45), with a total order so ties can't
+    flip the hash.
+
+    Scale: one shuffle on l_suppkey; the frame is computed in a single
+    per-partition pass.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    ship_us = F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+    return (
+        li.select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            ship_us.alias("ship_us"),
+            F.first_value(ship_us).over(w).alias("first_ship_us"),
+            F.last_value(ship_us).over(w).alias("last_ship_us"),
+            F.nth_value(F.col("l_orderkey"), 2).over(w).alias("second_orderkey"),
+        )
+    )
