@@ -1018,3 +1018,13 @@ FROM lineitem
 WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 """
+
+ORACLE_SQL["price_stats_by_flag"] = """
+SELECT l_returnflag,
+       round(stddev_samp(l_extendedprice), 2) AS price_stddev,
+       round(var_samp(l_quantity), 4) AS qty_variance,
+       round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+       count(*) AS n_items
+FROM lineitem
+GROUP BY l_returnflag
+"""

@@ -1433,3 +1433,23 @@ def supplier_ship_span(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.nth_value(F.col("l_orderkey"), 2).over(w).alias("second_orderkey"),
         )
     )
+
+
+@query("price_stats_by_flag")
+def price_stats_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates — stddev / variance / correlation — the
+    moment-based family the rest of the catalog lacks. Both engines use
+    numerically stable (Welford-style) accumulation; rounding at 2/4 dp
+    absorbs the last-ulp merge-order difference (verified identical at
+    sf0.001/0.01/0.1).
+
+    Scale: single hash aggregate with map-side partial moments — the
+    same one-shuffle shape as any grouped sum.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_stddev"),
+        F.round(F.var_samp("l_quantity"), 4).alias("qty_variance"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.count("*").alias("n_items"),
+    )
