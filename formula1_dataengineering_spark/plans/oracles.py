@@ -1028,3 +1028,18 @@ SELECT l_returnflag,
 FROM lineitem
 GROUP BY l_returnflag
 """
+
+ORACLE_SQL["promo_revenue_share"] = """
+WITH m AS (
+  SELECT date_trunc('month', l_shipdate) AS ship_month,
+         round(sum(CASE WHEN p_type = 'PROMO'
+                        THEN l_extendedprice * (1 - l_discount)
+                        ELSE 0.0 END), 2) AS promo_rev,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1
+)
+SELECT epoch_us(ship_month) AS ship_month_us, promo_rev, total_rev,
+       round(promo_rev / total_rev, 6) AS promo_share
+FROM m
+"""

@@ -1453,3 +1453,36 @@ def price_stats_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
         F.count("*").alias("n_items"),
     )
+
+
+@query("promo_revenue_share")
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-shaped: PROMO-part share of revenue per ship month —
+    the lineitem⋈part broadcast dim join (the one dim direction the
+    catalog didn't yet exercise) feeding a conditional-sum ratio.
+
+    Scale: part broadcasts (it's a dimension); one aggregate shuffle
+    keyed by month. Numerator/denominator emitted as order-stable
+    rounded sums alongside the ratio.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    month = F.date_trunc("month", F.col("l_shipdate").cast("timestamp"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(month.alias("ship_month"))
+        .agg(
+            F.round(F.sum(promo), 2).alias("promo_rev"),
+            F.round(F.sum(rev), 2).alias("total_rev"),
+        )
+        .select(
+            F.unix_micros("ship_month").alias("ship_month_us"),
+            "promo_rev",
+            "total_rev",
+            F.round(F.col("promo_rev") / F.col("total_rev"), 6).alias(
+                "promo_share"
+            ),
+        )
+    )
