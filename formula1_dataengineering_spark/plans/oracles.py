@@ -1043,3 +1043,13 @@ SELECT epoch_us(ship_month) AS ship_month_us, promo_rev, total_rev,
        round(promo_rev / total_rev, 6) AS promo_share
 FROM m
 """
+
+ORACLE_SQL["segment_top_customer"] = """
+SELECT c_mktsegment,
+       arg_max(c_custkey, CAST(round(c_acctbal * 100, 0) AS BIGINT) * 1000000 + c_custkey) AS richest_custkey,
+       round(max(c_acctbal), 2) AS max_acctbal,
+       arg_min(c_custkey, CAST(round(c_acctbal * 100, 0) AS BIGINT) * 1000000 + c_custkey) AS poorest_custkey,
+       round(min(c_acctbal), 2) AS min_acctbal
+FROM customer
+GROUP BY c_mktsegment
+"""

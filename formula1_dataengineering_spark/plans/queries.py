@@ -1486,3 +1486,30 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query("segment_top_customer")
+def segment_top_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by / min_by argmin-aggregates — the non-window form of A1
+    (SURVEY §2.4: `groupBy().agg(min_by)` vs the row_number form used in
+    `cheapest_order_per_customer`). Ties are eliminated structurally:
+    the ordering key packs (acctbal-in-cents, custkey) into one long, so
+    both engines pick the same row without relying on tie behavior.
+
+    Scale: single hash aggregate — no window sort, no second shuffle;
+    at 100 TB this is the cheap way to take one extreme row per group.
+    """
+    c = load(spark, sf_dir, "customer")
+    # acctbal has 2 decimals; custkey < 100k at any SF here → unique key.
+    ordkey = (F.round(F.col("c_acctbal") * 100, 0).cast("long") * 1_000_000
+              + F.col("c_custkey"))
+    return (
+        c.withColumn("__k", ordkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.max_by("c_custkey", F.col("__k")).alias("richest_custkey"),
+            F.round(F.max("c_acctbal"), 2).alias("max_acctbal"),
+            F.min_by("c_custkey", F.col("__k")).alias("poorest_custkey"),
+            F.round(F.min("c_acctbal"), 2).alias("min_acctbal"),
+        )
+    )
