@@ -5,21 +5,22 @@ SimHash, and n-gram Jaccard — all expressed as compositions of
 Catalyst-optimizable primitives (split/slice/explode/groupBy/join), no
 Python in the hot path.
 
-Hashing modes:
-- ``portable`` (default in tests): shingle/token ids come from a sorted
-  dictionary (``row_number`` over distinct terms), and the hash family
-  is ``(a_i·id + b_i) mod P`` — mechanically reproducible in the DuckDB
-  oracle, so signatures and candidate pairs hash-match exactly.
-- ``fast``: ids come from ``xxhash64`` (JVM-side, no dictionary join,
-  no global sort) — the 100 TB path. Same topology, cheaper ids; the
-  oracle then only checks invariants, not exact signatures.
+Hashing modes (both inline column expressions — no dictionary table,
+no distinct, no join, no global sort; term ids are computed per row
+inside whole-stage codegen):
+- ``portable`` (default): 48-bit little-endian MD5 prefix mod P.
+  ``F.md5`` emits the standard hex digest; reversing its first six
+  byte pairs gives exactly ``md5_number(term) % 2^48`` in DuckDB
+  (DuckDB's md5_number is the little-endian integer of the digest),
+  so signatures and candidate pairs hash-match the oracle exactly
+  while staying JVM-side and shuffle-free.
+- ``fast``: ``xxhash64`` ids — cheapest per-row hash Spark has; use
+  when oracle portability is not needed. Same topology.
 
-Scale notes: the dictionary mode's global ``row_number`` is a single-
-partition sort of the *distinct-term* set — fine for test oracles, a
-bottleneck at web scale; that is exactly why ``fast`` exists. The LSH
-band join shuffles on (band, key) which is uniformly distributed by
-construction; the candidate-pair space never materializes beyond
-matching buckets.
+Scale notes: with inline ids, MinHash is explode → hash → groupBy-min
+(ONE shuffle); the LSH band join shuffles on (band, key) which is
+uniformly distributed by construction; the candidate-pair space never
+materializes beyond matching buckets.
 """
 
 from __future__ import annotations
@@ -105,20 +106,35 @@ def _shingle_col(text: Column, k: int) -> Column:
     return word_shingles(text, k) if k == 1 else word_shingles_pandas(k)(text)
 
 
-def _term_ids(
-    terms: DataFrame, term_col: str, mode: str
-) -> DataFrame:
-    """(term → id) mapping: sorted-dictionary (portable) or xxhash64."""
-    if mode == "portable":
-        w = Window.orderBy(term_col)
-        return (
-            terms.select(term_col)
-            .distinct()
-            .withColumn("term_id", F.row_number().over(w).cast("long"))
-        )
-    return terms.select(term_col).distinct().withColumn(
-        "term_id", F.abs(F.xxhash64(term_col)) % F.lit(MERSENNE_P)
+def portable_term_id(term: Column) -> Column:
+    """Oracle-portable per-row term id in [0, P): low 48 bits of the
+    little-endian MD5 digest, mod P.
+
+    ``md5`` hex is the big-endian digest; concatenating its first six
+    byte pairs in reverse order and parsing base-16 yields
+    ``int.from_bytes(digest[:6], 'little')`` — which DuckDB computes as
+    ``((md5_number(t) % 2^48) + 2^48) % 2^48`` (md5_number is a signed
+    HUGEINT, hence the double-mod). Pure codegen: md5/substring/concat/
+    conv are all JVM expressions; no dictionary state anywhere.
+    """
+    h = F.md5(term)
+    le48 = F.concat(*[F.substring(h, i, 2) for i in (11, 9, 7, 5, 3, 1)])
+    return (F.conv(le48, 16, 10).cast("long") % F.lit(MERSENNE_P)).alias(
+        "term_id"
     )
+
+
+def fast_term_id(term: Column) -> Column:
+    """xxhash64 term id in [0, P) — cheapest JVM hash, not oracle-portable."""
+    return (F.abs(F.xxhash64(term)) % F.lit(MERSENNE_P)).alias("term_id")
+
+
+def _term_id(term: Column, mode: str) -> Column:
+    if mode == "portable":
+        return portable_term_id(term)
+    if mode == "fast":
+        return fast_term_id(term)
+    raise ValueError(f"unknown term-id mode: {mode!r}")
 
 
 def minhash_signatures(
@@ -130,11 +146,10 @@ def minhash_signatures(
     mode: str = "portable",
 ) -> DataFrame:
     """Per-document MinHash signature: columns ``sig_0..sig_{H-1}``."""
-    ds = docs.select(
-        F.col(id_col), F.explode(_shingle_col(F.col(text_col), shingle_k)).alias("shingle")
-    )
-    dict_df = _term_ids(ds, "shingle", mode)
-    ids = ds.join(dict_df, "shingle").select(id_col, "term_id")
+    ids = docs.select(
+        F.col(id_col),
+        F.explode(_shingle_col(F.col(text_col), shingle_k)).alias("shingle"),
+    ).select(F.col(id_col), _term_id(F.col("shingle"), mode))
     aggs = [
         F.min((F.lit(_hash_a(i)) * F.col("term_id") + F.lit(_hash_b(i))) % MERSENNE_P)
         .cast("long")
@@ -294,12 +309,11 @@ def simhash(
     toks = docs.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
     )
-    dict_df = _term_ids(toks, "token", mode)
-    h = (F.lit(1103515245) * F.col("term_id") + F.lit(12345)) % MERSENNE_P
+    h = (F.lit(1103515245) * _term_id(F.col("token"), mode) + F.lit(12345)) % MERSENNE_P
     # No per-(doc, token) count stage: summing each token INSTANCE's ±1
     # contribution is the same count-weighted total, one shuffle fewer
     # (map-side partials absorb the repetition).
-    withh = toks.join(dict_df, "token").withColumn("h", h)
+    withh = toks.withColumn("h", h)
     # Bit j via integer shiftright — stays in whole-stage codegen as a
     # long op (a 2^j division would round-trip through double).
     bit_sums = withh.groupBy(id_col).agg(

@@ -257,18 +257,29 @@ _H = 12
 _BANDS = 4
 _R = _H // _BANDS
 
-_MINHASH_TEMPLATE = """
+# Inline portable term id, mirroring dedup.portable_term_id: low 48
+# bits of the little-endian md5 digest, mod P. DuckDB's md5_number is
+# the SIGNED little-endian HUGEINT of the digest, so the 2^48 modulo
+# needs the double-mod to stay non-negative.
+_M48 = 281474976710656  # 2^48
+
+
+def _tid(expr: str) -> str:
+    return (
+        f"CAST((((md5_number({expr}) % {_M48}) + {_M48}) % {_M48})"
+        f" % {_P} AS BIGINT)"
+    )
+
+
+_MINHASH_TEMPLATE = f"""
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
 ), sh AS (
-  SELECT doc_id, unnest({shingle_expr}) AS shingle FROM toks
-), dict AS (
-  SELECT shingle, row_number() OVER (ORDER BY shingle) AS sid
-  FROM (SELECT DISTINCT shingle FROM sh)
+  SELECT doc_id, unnest({{shingle_expr}}) AS shingle FROM toks
 ), ids AS (
-  SELECT doc_id, sid FROM sh JOIN dict USING (shingle)
+  SELECT doc_id, {_tid('shingle')} AS sid FROM sh
 ), sig AS (
-  SELECT doc_id, {sig_exprs}
+  SELECT doc_id, {{sig_exprs}}
   FROM ids GROUP BY doc_id
 )
 """
@@ -335,12 +346,9 @@ WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
 ), counts AS (
   SELECT doc_id, token, count(*) AS cnt FROM toks GROUP BY 1, 2
-), dict AS (
-  SELECT token, row_number() OVER (ORDER BY token) AS tid
-  FROM (SELECT DISTINCT token FROM toks)
 ), hashed AS (
-  SELECT doc_id, cnt, (1103515245 * tid + 12345) % {_P} AS h
-  FROM counts JOIN dict USING (token)
+  SELECT doc_id, cnt, (1103515245 * {_tid('token')} + 12345) % {_P} AS h
+  FROM counts
 ), bit_sums AS (
   SELECT doc_id, {_BIT_SUMS} FROM hashed GROUP BY doc_id
 )

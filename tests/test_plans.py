@@ -128,6 +128,27 @@ def test_no_unbounded_join_strategy_anywhere(spark, name):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+@pytest.mark.parametrize(
+    "name", ["minhash_signatures_docs", "minhash_lsh_docs", "simhash_docs"]
+)
+def test_dedup_term_ids_are_inline_no_global_sort(spark, name):
+    """Term ids are inline hash expressions: the plan may contain NO
+    single-partition exchange and no dictionary join/sort. (Round 1
+    benched a row_number-over-all-distinct-terms dictionary — a global
+    sort that would serialize the whole vocabulary onto one task at
+    100 TB; this pins its removal.)"""
+    plan = formatted_plan(spark, name)
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" not in plan
+    tree = _tree(plan)
+    if name == "minhash_signatures_docs":
+        assert "Join" not in tree  # explode -> hash -> groupBy only
+        assert tree.count("Exchange") == 1
+    if name == "simhash_docs":
+        assert "Join" not in tree
+        assert tree.count("Exchange") == 1
+
+
 def test_shipping_priority_topk_never_full_sorts(spark):
     """Q3-shaped global top-10 must run as TakeOrderedAndProject (per-
     partition heap of 10), never a full Sort — at 100 TB the revenue
