@@ -144,7 +144,10 @@ def _asof_union(
         # match); among equal right rows the payload struct breaks ties.
         order = [F.col(_ON).asc(), F.col(_SIDE).asc(), F.col(_PAYLOAD).asc_nulls_first()]
     else:  # forward
-        order = [F.col(_ON).desc(), F.col(_SIDE).asc(), F.col(_PAYLOAD).desc_nulls_first()]
+        # Payload ASC so `last` picks the GREATEST payload among right
+        # rows tied on `on` — the same winner as the range-join
+        # strategy's desc/rank-1 (they must agree row-for-row).
+        order = [F.col(_ON).desc(), F.col(_SIDE).asc(), F.col(_PAYLOAD).asc_nulls_first()]
     w = (
         Window.partitionBy(*by)
         .orderBy(*order)

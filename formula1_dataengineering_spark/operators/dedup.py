@@ -229,6 +229,90 @@ def minhash_lsh_clusters(
     )
 
 
+def lsh_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    mode: str = "portable",
+) -> DataFrame:
+    """Distinct LSH candidate pairs (id_a < id_b), no scores attached.
+
+    The band self-join is the only pair-producing stage; its output is
+    bounded by Σ bucket-size² over (band, key) buckets — uniform by
+    construction — never by corpus². This is the candidate generator
+    both the estimated (:func:`minhash_lsh_pairs`) and the exact
+    (:func:`ngram_jaccard_lsh`) scorers refine.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must divide evenly into bands")
+    sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k, mode)
+    band_rows = _band_rows(sig, id_col, num_hashes, bands)
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_lsh(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    threshold: float = 0.5,
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_k: int = 3,
+    mode: str = "portable",
+) -> DataFrame:
+    """Exact n-gram-set Jaccard over LSH candidate pairs.
+
+    The 100-TB-shaped exact near-dup scorer: the pair space comes from
+    :func:`lsh_candidates` (bounded by LSH buckets, linear-ish in
+    corpus size), and each candidate pair is scored with a pure column
+    expression — ``array_intersect`` of the two distinct-gram arrays —
+    entirely JVM-side. No all-pairs stage of ANY granularity exists in
+    the plan: unlike blocking on a low-cardinality column (e.g.
+    ``source``), whose blocks grow linearly with the corpus and blow
+    the per-block O(B²) GEMM at scale, every stage here is a join or
+    aggregation on keys the optimizer can shuffle-partition freely.
+    """
+    cand = lsh_candidates(
+        docs, id_col, text_col, num_hashes, bands, shingle_k, mode
+    )
+    grams = docs.select(
+        F.col(id_col), _shingle_col(F.col(text_col), n).alias("__grams")
+    )
+    ga = grams.select(
+        F.col(id_col).alias("id_a"), F.col("__grams").alias("__ga")
+    )
+    gb = grams.select(
+        F.col(id_col).alias("id_b"), F.col("__grams").alias("__gb")
+    )
+    ni = F.size(F.array_intersect("__ga", "__gb"))
+    union = F.size("__ga") + F.size("__gb") - ni
+    jacc = ni / union
+    return (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .where((ni > 0) & (jacc >= F.lit(threshold)))
+        .select("id_a", "id_b", F.round(jacc, 4).alias("jaccard"))
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

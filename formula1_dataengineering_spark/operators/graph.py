@@ -31,10 +31,11 @@ from pyspark.sql import functions as F
 #: pass instead of iterated distributedly. LSH-star / near-dup edge
 #: sets are orders of magnitude smaller than the corpus by
 #: construction (one edge per bucket member), so hitting this path is
-#: the common case even for very large corpora; 2M edges ≈ 32 MB of
-#: longs — well under any driver budget, and far cheaper than 4-8
-#: distributed rounds of join+shuffle fixed overhead.
-SMALL_GRAPH_EDGES = 2_000_000
+#: the common case even for very large corpora. 200k edges arrive as
+#: one Arrow batch of two int64 columns (~3 MB) — negligible driver
+#: memory, and still far cheaper than 4-8 distributed rounds of
+#: join+shuffle fixed overhead.
+SMALL_GRAPH_EDGES = 200_000
 
 
 def _unionfind_local(pairs) -> list[tuple[int, int]]:
@@ -103,20 +104,34 @@ def connected_components(
     # exact edge count the strategy choice needs (sym = 2 rows/edge).
     n_sym = sym.count()
     if n_sym <= 2 * small_graph_edges:
-        from pyspark.sql import types as T
+        import pandas as pd
 
         node_type = edges.schema[src].dataType
+        # Collect ONE direction (a <= b keeps self-loop nodes visible)
+        # as an Arrow batch — columnar int64 transfer, not 2n_edges
+        # Python Row objects; union-find symmetrizes implicitly.
+        pdf = sym.where(F.col("a") <= F.col("b")).toPandas()
         mapping = _unionfind_local(
-            (r["a"], r["b"]) for r in sym.collect()
+            zip(pdf["a"].to_numpy().tolist(), pdf["b"].to_numpy().tolist())
         )
-        out = edges.sparkSession.createDataFrame(
-            mapping,
-            T.StructType(
+        if not mapping:  # empty graph: typed empty result, no inference
+            from pyspark.sql import types as T
+
+            schema = T.StructType(
                 [
                     T.StructField("node", node_type, False),
                     T.StructField("component", node_type, False),
                 ]
-            ),
+            )
+            sym.unpersist()
+            return edges.sparkSession.createDataFrame([], schema)
+        out_pdf = pd.DataFrame(mapping, columns=["node", "component"])
+        out = (
+            edges.sparkSession.createDataFrame(out_pdf.astype("int64"))
+            .select(
+                F.col("node").cast(node_type).alias("node"),
+                F.col("component").cast(node_type).alias("component"),
+            )
         )
         sym.unpersist()
         return out

@@ -31,6 +31,27 @@ from pyspark.sql import functions as F
 from .ranking import topk_per_group
 
 
+#: Hard cap on the collected query side of the GEMM kNN paths. The
+#: brute-force contract is |Q| small / |corpus| huge; this makes the
+#: contract an enforced guard instead of a silent driver OOM.
+MAX_QUERY_ROWS = 100_000
+
+
+def _collect_queries(queries: DataFrame, cols: list[str], max_rows: int):
+    """Collect the query side via Arrow, raising if it exceeds the
+    row budget — checked with a LIMIT probe so an oversized query set
+    never materializes on the driver."""
+    pdf = queries.select(*cols).limit(max_rows + 1).toPandas()
+    if len(pdf) > max_rows:
+        raise ValueError(
+            f"query side exceeds the {max_rows}-row budget of the "
+            "GEMM kNN paths (|Q| small / |corpus| huge by contract); "
+            "filter the query set, raise max_query_rows explicitly, or "
+            "reformulate as a bucketed join (srp_buckets / ivf cells)"
+        )
+    return pdf
+
+
 def _gemm_batch_topk(
     corpus: DataFrame,
     query_groups: dict,
@@ -116,6 +137,7 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    max_query_rows: int = MAX_QUERY_ROWS,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query (brute force).
 
@@ -130,7 +152,7 @@ def cosine_topk(
     """
     import numpy as np
 
-    q_pdf = queries.select(id_col, vec_col).toPandas()
+    q_pdf = _collect_queries(queries, [id_col, vec_col], max_query_rows)
     if len(q_pdf):
         Q = np.stack(q_pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
         qnorms = np.sqrt(np.einsum("ij,ij->i", Q, Q))
@@ -202,6 +224,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     cell_col: str = "label",
     k: int = 5,
+    max_query_rows: int = MAX_QUERY_ROWS,
 ) -> DataFrame:
     """IVF-style approximate top-k: score only the query's own cell.
 
@@ -212,7 +235,7 @@ def ivf_topk(
     """
     import numpy as np
 
-    q_pdf = queries.select(id_col, vec_col, cell_col).toPandas()
+    q_pdf = _collect_queries(queries, [id_col, vec_col, cell_col], max_query_rows)
     groups = {}
     for cell, sub in q_pdf.groupby(cell_col, sort=False):
         Q = np.stack(sub[vec_col].to_numpy()).astype(np.float64, copy=False)
@@ -286,6 +309,7 @@ def srp_multiprobe_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    max_query_rows: int = MAX_QUERY_ROWS,
 ) -> DataFrame:
     """Multi-probe SRP ANN: probe the query's SRP bucket AND every
     1-bit-flip neighbor bucket (the standard recall lever for LSH ANN —
@@ -303,7 +327,7 @@ def srp_multiprobe_topk(
     P = np.asarray(planes, dtype=np.float64)
     weights = 1 << np.arange(P.shape[0], dtype=np.int64)
 
-    q_pdf = queries.select(id_col, vec_col).toPandas()
+    q_pdf = _collect_queries(queries, [id_col, vec_col], max_query_rows)
     groups: dict = {}
     if len(q_pdf):
         Q = np.stack(q_pdf[vec_col].to_numpy()).astype(np.float64, copy=False)

@@ -30,8 +30,17 @@ def salted_join(
     """Equi-join ``fact ⋈ dim`` on ``on`` with an ``n_salt``-way salt.
 
     ``dim`` is replicated ``n_salt``× — keep it the (much) smaller
-    side. Output columns match ``fact.join(dim, on, how)``.
+    side. Output matches ``fact.join(dim, on, how)`` — which is also
+    why ``how`` is restricted to inner/left/left_semi/left_anti: for
+    right/full outer joins every unmatched dim row would surface once
+    per salt copy, breaking that contract.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, got {how!r}: "
+            "the dim side is replicated per salt, so outer-preserving the dim "
+            "side would emit unmatched dim rows n_salt times"
+        )
     fact_cols = fact.columns
     salted_fact = fact.withColumn(
         "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in fact_cols]), F.lit(n_salt))

@@ -355,27 +355,37 @@ WITH toks AS (
 SELECT doc_id, CAST({_SIM_VALUE} AS BIGINT) AS simhash FROM bit_sums
 """
 
-ORACLE_SQL["ngram_jaccard_docs"] = """
-WITH toks AS (
-  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
-), grams AS (
-  SELECT doc_id, source, unnest(list_distinct(
+# Shared fragments for the LSH-candidate exact-Jaccard oracles: the
+# candidate pairs come from the same trigram-shingle band topology as
+# minhash_lsh_docs; exact scoring intersects distinct-bigram lists.
+_CAND_GRAMS_SQL = f""", bands AS (
+{_BAND_SELECTS}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+), gr AS (
+  SELECT doc_id, list_distinct(
     list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))
-  )) AS gram FROM toks
-), sizes AS (
-  SELECT doc_id, count(*) AS n FROM grams GROUP BY 1
-), inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
-  FROM grams a JOIN grams b
-    ON a.gram = b.gram AND a.source = b.source AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-)
-SELECT id_a, id_b, round(ni * 1.0 / (sa.n + sb.n - ni), 4) AS jaccard
-FROM inter
-JOIN sizes sa ON id_a = sa.doc_id
-JOIN sizes sb ON id_b = sb.doc_id
-WHERE ni * 1.0 / (sa.n + sb.n - ni) >= 0.05
+  ) AS grams FROM toks
+), scored AS (
+  SELECT id_a, id_b,
+         len(list_intersect(ga.grams, gb.grams)) AS ni,
+         len(ga.grams) + len(gb.grams)
+           - len(list_intersect(ga.grams, gb.grams)) AS un
+  FROM cand
+  JOIN gr ga ON ga.doc_id = id_a
+  JOIN gr gb ON gb.doc_id = id_b
+)"""
+
+ORACLE_SQL["ngram_jaccard_docs"] = (
+    _MINHASH_BASE_K3.format(sig_exprs=_SIG_EXPRS)
+    + _CAND_GRAMS_SQL
+    + """
+SELECT id_a, id_b, round(ni * 1.0 / un, 4) AS jaccard
+FROM scored WHERE ni > 0 AND ni * 1.0 / un >= 0.05
 """
+)
 
 def _srp_sql() -> str:
     """SRP bucket oracle: the same seeded hyperplanes as the Spark
@@ -516,18 +526,27 @@ FROM e a JOIN e b ON a.vec_id < b.vec_id AND a.label = b.label
 WHERE {_COS} >= 0.25
 """
 
+# Token splits mirror text.tokens(): empty strings are dropped after
+# the \s+ split (leading/trailing whitespace would otherwise make the
+# engines disagree on token counts; synthetic data happens to be clean
+# but the oracle must match the SEMANTICS, not the fixture).
 ORACLE_SQL["doc_quality"] = """
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS t
+  FROM documents
+)
 SELECT doc_id,
        CAST(len(text) AS INTEGER) AS n_chars,
-       CAST(len(string_split_regex(text, '\\s+')) AS INTEGER) AS n_tokens,
+       CAST(len(t) AS INTEGER) AS n_tokens,
        round(len(regexp_replace(text, '\\s+', '', 'g')) * 1.0
-             / len(string_split_regex(text, '\\s+')), 4) AS avg_token_len,
+             / len(t), 4) AS avg_token_len,
        round((len(text) - len(regexp_replace(text, '[.,;:!?]', '', 'g'))) * 1.0
              / len(text), 4) AS punct_ratio,
        round(len(list_filter(string_split_regex(lower(text), '\\s+'),
                  t -> t IN ('the', 'a', 'of', 'and', 'to'))) * 1.0
-             / len(string_split_regex(text, '\\s+')), 4) AS stopword_ratio
-FROM documents
+             / len(t), 4) AS stopword_ratio
+FROM toks
 """
 
 ORACLE_SQL["doc_language_id"] = """
@@ -559,12 +578,18 @@ FROM documents
 """
 
 ORACLE_SQL["token_stats_by_source"] = """
+WITH toks AS (
+  SELECT source, n_chars,
+         len(list_filter(string_split_regex(text, '\\s+'), t -> t != ''))
+           AS n_tok
+  FROM documents
+)
 SELECT source,
-       CAST(sum(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS total_tokens,
-       round(avg(len(string_split_regex(text, '\\s+'))), 4) AS avg_tokens,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       round(avg(n_tok), 4) AS avg_tokens,
        CAST(max(n_chars) AS BIGINT) AS max_chars,
        count(*) AS n_docs
-FROM documents
+FROM toks
 GROUP BY source
 """
 
@@ -720,9 +745,9 @@ WHERE p_retailprice > brand_avg
 
 ORACLE_SQL["props_json_stats"] = """
 SELECT event_type,
-       count(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_with_k,
-       round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
-       CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+       count(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_with_k,
+       round(avg(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+       CAST(max(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
 FROM events
 GROUP BY 1
 """
@@ -970,31 +995,22 @@ FROM orders
 GROUP BY 1
 """
 
-ORACLE_SQL["corpus_selection"] = """
-WITH toks AS (
-  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
-), grams AS (
-  SELECT doc_id, source, unnest(list_distinct(
-    list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))
-  )) AS gram FROM toks
-), sizes AS (
-  SELECT doc_id, count(*) AS n FROM grams GROUP BY 1
-), losers AS (
-  SELECT DISTINCT b.doc_id
-  FROM grams a JOIN grams b
-    ON a.gram = b.gram AND a.source = b.source AND a.doc_id < b.doc_id
-  JOIN sizes sa ON a.doc_id = sa.doc_id
-  JOIN sizes sb ON b.doc_id = sb.doc_id
-  GROUP BY a.doc_id, b.doc_id, sa.n, sb.n
-  HAVING count(*) * 1.0 / (sa.n + sb.n - count(*)) >= 0.5
+ORACLE_SQL["corpus_selection"] = (
+    _MINHASH_BASE_K3.format(sig_exprs=_SIG_EXPRS)
+    + _CAND_GRAMS_SQL
+    + """, losers AS (
+  SELECT DISTINCT id_b AS doc_id FROM scored
+  WHERE ni > 0 AND ni * 1.0 / un >= 0.5
 ), winners AS (
   SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
 ), q AS (
   SELECT doc_id, source, lang,
-         CAST(len(string_split_regex(text, '\\s+')) AS INTEGER) AS n_tokens,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'),
+              x -> x != '')) AS INTEGER) AS n_tokens,
          len(list_filter(string_split_regex(lower(text), '\\s+'),
              x -> x IN ('the', 'a', 'of', 'and', 'to'))) * 1.0
-           / len(string_split_regex(text, '\\s+')) AS stop_ratio
+           / len(list_filter(string_split_regex(text, '\\s+'),
+                 x -> x != '')) AS stop_ratio
   FROM documents
 )
 SELECT q.doc_id, q.source, q.lang, q.n_tokens
@@ -1003,6 +1019,7 @@ JOIN winners ON q.doc_id = winners.doc_id
 WHERE q.n_tokens >= 12 AND q.stop_ratio >= 0.04
   AND q.doc_id NOT IN (SELECT doc_id FROM losers)
 """
+)
 
 ORACLE_SQL["asof_forward_error"] = """
 WITH purchases AS (

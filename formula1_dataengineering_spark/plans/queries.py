@@ -37,7 +37,7 @@ from ..operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
     minhash_signatures,
-    ngram_jaccard_pairs,
+    ngram_jaccard_lsh,
     simhash,
 )
 from ..operators.grid import ordered_group_position
@@ -484,9 +484,18 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("ngram_jaccard_docs")
 def ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact bigram-set Jaccard pairs, blocked by source."""
+    """Exact bigram-set Jaccard over MinHash-LSH candidate pairs.
+
+    Cluster-then-refine, the large-corpus order: trigram-shingle LSH
+    bands bound the candidate space (buckets, not corpus²), then each
+    candidate is scored exactly with a JVM-side ``array_intersect`` of
+    bigram sets. Replaces round 1's per-``source`` all-pairs GEMM,
+    whose blocks grow linearly with the corpus.
+    """
     d = load(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(d, block_col="source", n=2, threshold=0.05)
+    return ngram_jaccard_lsh(
+        d, n=2, threshold=0.05, num_hashes=12, bands=4, shingle_k=3
+    )
 
 
 @query("knn_bruteforce")
@@ -1349,12 +1358,13 @@ def corpus_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     pretraining data pipeline runs, as ONE lazy plan: exact-dedup
     winners → quality gate (length + stopword density on unrounded
     ratios, deterministic because both engines divide the same
-    integers) → near-duplicate drop (bigram Jaccard ≥ 0.5 within
-    source blocks; the higher doc_id of each pair loses).
+    integers) → near-duplicate drop (exact bigram Jaccard ≥ 0.5 over
+    LSH candidate pairs; the higher doc_id of each pair loses).
 
     Scale: dedup and quality are one pass each over the corpus; the
-    near-dup stage reuses the blocked GEMM kernel (pair space bounded
-    by blocks, never corpus²). Anti-/semi-joins keep only doc_id keys
+    near-dup stage is LSH-bounded (candidates from trigram-shingle
+    bands, exact scoring via array_intersect — no block whose size
+    grows with the corpus). Anti-/semi-joins keep only doc_id keys
     moving between stages. Production would dedup on a content hash
     rather than raw text bytes; grouping semantics are identical.
     """
@@ -1364,7 +1374,9 @@ def corpus_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("keep_id").alias("doc_id")
     )
     losers = (
-        ngram_jaccard_pairs(d, block_col="source", n=2, threshold=0.5)
+        ngram_jaccard_lsh(
+            d, n=2, threshold=0.5, num_hashes=12, bands=4, shingle_k=3
+        )
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
@@ -1406,31 +1418,53 @@ def asof_forward_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("supplier_ship_span")
 def supplier_ship_span(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """first_value / last_value / nth_value over a full-partition frame —
-    the boundary-picking window functions (W5: the reference's
-    ``iloc[0]`` / ``iloc[-1]`` axis-limit lookups, src/session_object.py:305,
+    """Per-group boundary rows — first/last ship time and the
+    second-ranked orderkey (W5: the reference's ``iloc[0]`` /
+    ``iloc[-1]`` axis-limit lookups, src/session_object.py:305,
     src/data_visualization.py:42-45), with a total order so ties can't
     flip the hash.
 
-    Scale: one shuffle on l_suppkey; the frame is computed in a single
-    per-partition pass.
+    Scale: expressed as grouped min/max/min-struct aggregates re-joined
+    to the fact rows instead of first_value/last_value over an
+    unbounded window frame. The window form was round 1's steepest
+    10×-scale outlier (3.6×): it shuffles AND fully sorts every
+    lineitem partition. Here lineitem is never sorted — the aggregates
+    map-side-combine down to one row per supplier, and the re-joins are
+    plain equi-joins AQE can broadcast or hash; identical output hash.
     """
-    li = load(spark, sf_dir, "lineitem")
-    w = (
-        Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias("ship_us"),
     )
-    ship_us = F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+    # Total order per supplier; (orderkey, linenumber) is a PK so the
+    # order is tie-free and the boundary rows are unique.
+    key = F.struct("l_shipdate", "l_orderkey", "l_linenumber")
+    agg = li.groupBy("l_suppkey").agg(
+        F.min("ship_us").alias("first_ship_us"),
+        F.max("ship_us").alias("last_ship_us"),
+        F.min(key).alias("__s1"),
+    )
+    # Second-ranked row = min key among rows strictly after the min.
+    second = (
+        li.join(agg.select("l_suppkey", "__s1"), "l_suppkey")
+        .where(key > F.col("__s1"))
+        .groupBy("l_suppkey")
+        .agg(F.min(key).alias("__s2"))
+    )
     return (
-        li.select(
+        li.join(agg.drop("__s1"), "l_suppkey")
+        .join(second, "l_suppkey", "left")
+        .select(
             "l_suppkey",
             "l_orderkey",
             "l_linenumber",
-            ship_us.alias("ship_us"),
-            F.first_value(ship_us).over(w).alias("first_ship_us"),
-            F.last_value(ship_us).over(w).alias("last_ship_us"),
-            F.nth_value(F.col("l_orderkey"), 2).over(w).alias("second_orderkey"),
+            "ship_us",
+            "first_ship_us",
+            "last_ship_us",
+            F.col("__s2.l_orderkey").alias("second_orderkey"),
         )
     )
 

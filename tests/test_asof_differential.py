@@ -82,6 +82,35 @@ def test_asof_join_matches_pandas(spark, direction, strategy, seed, with_by):
             assert g == w, f"lid={lid}: expected {w}, got {g}"
 
 
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_tied_on_right_rows_same_winner_both_strategies(spark, direction):
+    """Multiple right rows sharing the same (by, on): both physical
+    strategies must pick the SAME winner (greatest carried payload) —
+    round 1's union strategy picked the smallest in the forward
+    direction, so strategy choice silently changed results on tied
+    keys."""
+    left = pd.DataFrame({"k": [1, 1, 2], "on": [10, 20, 10], "lid": [0, 1, 2]})
+    right = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 2, 2],
+            "on": [15, 15, 15, 5, 5],
+            "val": [7, 3, 9, 2, 8],
+        }
+    )
+    sl, sr = spark.createDataFrame(left), spark.createDataFrame(right)
+    results = {}
+    for strategy in ("union", "broadcast"):
+        rows = asof_join(
+            sl, sr, on="on", by="k", direction=direction,
+            right_cols=["val"], strategy=strategy,
+        ).collect()
+        results[strategy] = {r["lid"]: (r["on_right"], r["val"]) for r in rows}
+    assert results["union"] == results["broadcast"]
+    # the documented winner among ties: greatest payload
+    matched = [v for v in results["union"].values() if v[1] is not None]
+    assert all(val == 9 or val == 8 for _, val in matched)
+
+
 @pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
 def test_asof_join_tolerance_matches_pandas(spark, direction):
     from pyspark.sql import functions as F

@@ -28,6 +28,80 @@ from formula1_dataengineering_spark.operators.dedup import (
 )
 
 
+def test_quality_metrics_match_duckdb_on_dirty_text(spark):
+    """Engine vs oracle token semantics on text the synthetic fixtures
+    never produce: empty strings, leading/trailing/double whitespace.
+    Both sides must drop empty tokens after the \\s+ split (ADVICE r1:
+    the oracle counted raw split elements including empties)."""
+    import duckdb
+
+    from formula1_dataengineering_spark.functions.text import quality_metrics
+
+    texts = [
+        "  leading and trailing  ",
+        "double  space of the",
+        "\tthe a of\nand to ",
+        "single",
+        "a",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    m = quality_metrics(F.col("text"))
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["stop"])
+        for r in df.select(
+            "doc_id",
+            m["n_tokens"].alias("n_tokens"),
+            F.round(m["stopword_ratio"], 4).alias("stop"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE d AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in enumerate(texts)).replace("\t", "' || chr(9) || '").replace("\n", "' || chr(10) || '")
+        + ") t(doc_id, text)"
+    )
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            """
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(text, '\\s+'), t -> t != '')),
+                   round(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> t IN ('the', 'a', 'of', 'and', 'to'))) * 1.0
+                     / len(list_filter(string_split_regex(text, '\\s+'), t -> t != '')), 4)
+            FROM d
+            """
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_salted_join_rejects_dim_preserving_how(spark):
+    from formula1_dataengineering_spark.operators.skew import salted_join
+
+    f = spark.range(10).withColumnRenamed("id", "k")
+    d = spark.range(3).withColumnRenamed("id", "k")
+    for how in ("right", "full", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(f, d, ["k"], n_salt=4, how=how)
+    assert salted_join(f, d, ["k"], n_salt=4, how="left").count() == 10
+
+
+def test_knn_query_budget_guard(spark):
+    from formula1_dataengineering_spark.operators.similarity import cosine_topk
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="row budget"):
+        cosine_topk(vecs, vecs, k=2, max_query_rows=5)
+    # within budget still works
+    assert cosine_topk(vecs.where("vec_id < 3"), vecs, k=2, max_query_rows=5).count() == 6
+
+
 def _random_texts(seed: int, n: int = 60):
     rng = random.Random(seed)
     alphabet = string.ascii_letters + string.digits + " .,;:!?"

@@ -149,6 +149,19 @@ def test_dedup_term_ids_are_inline_no_global_sort(spark, name):
         assert tree.count("Exchange") == 1
 
 
+@pytest.mark.parametrize("name", ["ngram_jaccard_docs", "corpus_selection"])
+def test_exact_jaccard_is_lsh_bounded_no_block_gemm(spark, name):
+    """Exact near-dup scoring must run over LSH candidate pairs, never
+    a per-block all-pairs stage: round 1 grouped by `source` and ran an
+    O(B²) GEMM per block — block size grows linearly with the corpus,
+    so that plan dies at 100×. The LSH plan has no applyInPandas
+    (FlatMapGroupsInPandas) stage at all; scoring is array_intersect
+    in codegen."""
+    plan = formatted_plan(spark, name)
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
 def test_shipping_priority_topk_never_full_sorts(spark):
     """Q3-shaped global top-10 must run as TakeOrderedAndProject (per-
     partition heap of 10), never a full Sort — at 100 TB the revenue
