@@ -945,6 +945,43 @@ SELECT kind,
 FROM decoded GROUP BY kind
 """
 
+# media_feature_stats: the engine's fake feature extractor is pure IEEE
+# arithmetic on integer-valued byte sums (see sources/multimodal.py
+# extract_features) — float64 slot sums are exact integers, sqrt/divide
+# are correctly-rounded IEEE ops, and the float32 cast is deterministic,
+# so DuckDB rebuilds the exact float32 vectors from the text bytes.
+ORACLE_SQL["media_feature_stats"] = """
+WITH chars AS (
+  SELECT doc_id,
+         unnest(string_split(text, '')) AS c,
+         generate_subscripts(string_split(text, ''), 1) AS i
+  FROM documents
+), slots AS (
+  SELECT doc_id, CAST((i - 1) % 16 AS INT) AS slot,
+         CAST(sum(ascii(c)) AS DOUBLE) AS v
+  FROM chars GROUP BY 1, 2
+), norms AS (
+  SELECT doc_id, sqrt(sum(v * v)) AS nrm FROM slots GROUP BY 1
+), fvec AS (
+  SELECT s.doc_id, s.slot,
+         CAST(s.v / (CASE WHEN n.nrm = 0 THEN 1.0 ELSE n.nrm END) AS FLOAT) AS f
+  FROM slots s JOIN norms n USING (doc_id)
+), per_doc AS (
+  SELECT d.doc_id,
+         CASE (d.doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         coalesce(sum(CAST(f.f * f.f AS DOUBLE)), 0.0) AS sq,
+         coalesce(max(CASE WHEN f.slot = 0 THEN f.f END),
+                  CAST(0.0 AS FLOAT)) AS f0
+  FROM documents d LEFT JOIN fvec f ON d.doc_id = f.doc_id
+  GROUP BY 1, 2
+)
+SELECT kind, count(*) AS n_media,
+       round(avg(sq), 4) AS avg_sq_norm,
+       round(avg(f0), 6) AS avg_f0
+FROM per_doc GROUP BY kind
+"""
+
 ORACLE_SQL["video_frame_sample"] = """
 WITH vids AS (
   SELECT doc_id AS media_id, length(text) AS len

@@ -125,8 +125,12 @@ def extract_features(media: DataFrame, dim: int = _FEATURE_DIM, fake: bool = Tru
                 if b:
                     for i, byte in enumerate(b):
                         vec[i % dim] += float(byte)
+                    # No rounding: slot sums are integer-valued float64
+                    # (exact), so norm/divide/float32-cast are pure IEEE
+                    # ops — bit-identical in any engine (DuckDB oracle
+                    # reproduces the vectors exactly).
                     norm = sum(v * v for v in vec) ** 0.5 or 1.0
-                    vec = [round(v / norm, 6) for v in vec]
+                    vec = [v / norm for v in vec]
                 out.append(vec)
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"], "kind": pdf["kind"], "features": out}
