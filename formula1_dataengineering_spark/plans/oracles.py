@@ -1115,3 +1115,86 @@ SELECT c_mktsegment,
 FROM customer
 GROUP BY c_mktsegment
 """
+
+# qualifying_grid_events — replicates the full f1 qualifying lifecycle
+# (bucket → clean → best-per-driver-per-Q → segment rank → Q3⊕Q2⊕Q1
+# assembly with computed offsets). Time compression is integer floor
+# division on epoch micros; lap time is round(v/3+v/3+v/3, 3) — the
+# identical IEEE expression tree the engine evaluates.
+ORACLE_SQL["qualifying_grid_events"] = """
+WITH ev AS (
+  SELECT event_id, ts, user_id, value FROM events WHERE event_type = 'click'
+), b AS (
+  SELECT epoch_us(min(ts)) AS smin FROM ev
+), laps AS (
+  SELECT 'click' AS session_key,
+         e.user_id AS driver_number,
+         b.smin + (epoch_us(e.ts) - b.smin) // 1000 AS lap_us,
+         CAST(row_number() OVER (PARTITION BY e.user_id
+                                 ORDER BY e.ts, e.event_id) AS INT) AS lap_number,
+         round(e.value/3 + e.value/3 + e.value/3, 3) AS actual_lap_time,
+         (e.event_id % 11 = 0) AS is_pit
+  FROM ev e CROSS JOIN b
+), bucketed AS (
+  SELECT l.*, CASE WHEN l.lap_us < b.smin + 1500000000 THEN 'Q1'
+                   WHEN l.lap_us < b.smin + 2880000000 THEN 'Q2'
+                   ELSE 'Q3' END AS qualifying
+  FROM laps l CROSS JOIN b
+), clean AS (
+  SELECT * FROM bucketed WHERE NOT is_pit AND actual_lap_time IS NOT NULL
+), best AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY qualifying, driver_number
+               ORDER BY actual_lap_time, lap_us, lap_number) AS rn
+    FROM clean) t WHERE rn = 1
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY qualifying
+               ORDER BY actual_lap_time, lap_us, driver_number) AS INT) AS segment_rank,
+         count(*) OVER (PARTITION BY qualifying) AS segment_n
+  FROM best
+), assembled AS (
+  SELECT session_key, driver_number, qualifying, actual_lap_time, segment_rank
+  FROM ranked
+  WHERE (qualifying = 'Q3' AND segment_rank <= 10)
+     OR (qualifying = 'Q2' AND segment_rank > segment_n - 5)
+     OR (qualifying = 'Q1' AND segment_rank > segment_n - 5)
+), counts AS (
+  SELECT qualifying, count(*) AS n FROM assembled GROUP BY 1
+), offs AS (
+  SELECT qualifying,
+         CASE qualifying
+           WHEN 'Q3' THEN 0
+           WHEN 'Q2' THEN (SELECT coalesce(sum(n), 0) FROM counts WHERE qualifying = 'Q3')
+           ELSE (SELECT coalesce(sum(n), 0) FROM counts WHERE qualifying IN ('Q3', 'Q2'))
+         END AS off
+  FROM counts
+)
+SELECT a.session_key, a.driver_number, a.qualifying, a.actual_lap_time,
+       a.segment_rank,
+       CAST(o.off + row_number() OVER (PARTITION BY a.qualifying
+                                       ORDER BY a.segment_rank) AS INT) AS grid_position
+FROM assembled a JOIN offs o USING (qualifying)
+"""
+
+ORACLE_SQL["race_positions_events"] = """
+WITH laps AS (
+  SELECT event_type AS session_key, user_id AS driver_number,
+         CAST(row_number() OVER (PARTITION BY event_type, user_id
+                                 ORDER BY ts, event_id) AS INT) AS lap_number,
+         value AS actual_lap_time
+  FROM events
+), cum AS (
+  SELECT *, round(sum(actual_lap_time) OVER (
+              PARTITION BY session_key, driver_number ORDER BY lap_number
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 3) AS race_time
+  FROM laps WHERE actual_lap_time IS NOT NULL
+), pos AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY session_key, lap_number
+               ORDER BY race_time, driver_number) AS INT) AS position
+  FROM cum
+)
+SELECT session_key, driver_number, lap_number, race_time, position,
+       CAST(lag(position) OVER (PARTITION BY session_key, driver_number
+                                ORDER BY lap_number) - position AS INT) AS position_change
+FROM pos
+"""
