@@ -1198,3 +1198,5 @@ SELECT session_key, driver_number, lap_number, race_time, position,
                                 ORDER BY lap_number) - position AS INT) AS position_change
 FROM pos
 """
+
+ORACLE_SQL["events_tumbling_5min_streamed"] = ORACLE_SQL["events_tumbling_5min"]

@@ -1657,3 +1657,38 @@ def race_positions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("actual_lap_time"),
     )
     return race_positions_by_lap(laps)
+
+
+@query("events_tumbling_5min_streamed")
+def events_tumbling_5min_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING path as a gate entry (SURVEY §2.9): readStream over
+    the events parquet → watermarked tumbling-window aggregation →
+    memory sink driven to completion (availableNow), returned as a
+    batch DataFrame with the same schema as ``events_tumbling_5min`` so
+    the identical DuckDB oracle hash-checks the streaming engine.
+
+    Complete output mode: over a bounded source the final windows never
+    pass the watermark, so append mode would drop them (see
+    streaming.events.run_to_completion).
+
+    Scale: state = one row per (5-min window × event_type) within the
+    watermark horizon; shuffle keyed by (window, event_type). On a real
+    cluster the source swaps to Kafka, the sink to a table — the plan
+    between them is unchanged.
+    """
+    from ..streaming.events import (
+        read_events_stream,
+        run_to_completion,
+        tumbling_event_counts,
+    )
+
+    agg = tumbling_event_counts(read_events_stream(spark, sf_dir))
+    res = run_to_completion(agg, "gate_tumbling_5min", output_mode="complete")
+    return res.select(
+        (F.unix_micros("window_start") / F.lit(1_000_000)).cast("bigint").alias(
+            "window_start_s"
+        ),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
