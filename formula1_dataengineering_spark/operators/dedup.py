@@ -248,7 +248,11 @@ def lsh_candidates(
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
-    sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k, mode)
+    # Cache: the band self-join consumes the signature plan twice —
+    # uncached, the whole shingle→hash pipeline would execute twice.
+    sig = minhash_signatures(
+        docs, id_col, text_col, num_hashes, shingle_k, mode
+    ).cache()
     band_rows = _band_rows(sig, id_col, num_hashes, bands)
     a = band_rows.alias("a")
     b = band_rows.alias("b")
@@ -293,9 +297,11 @@ def ngram_jaccard_lsh(
     cand = lsh_candidates(
         docs, id_col, text_col, num_hashes, bands, shingle_k, mode
     )
+    # Cache: both sides of the candidate join read the gram table; the
+    # cache also gives the planner exact sizes for its join strategy.
     grams = docs.select(
         F.col(id_col), _shingle_col(F.col(text_col), n).alias("__grams")
-    )
+    ).cache()
     ga = grams.select(
         F.col(id_col).alias("id_a"), F.col("__grams").alias("__ga")
     )
