@@ -1200,3 +1200,13 @@ FROM pos
 """
 
 ORACLE_SQL["events_tumbling_5min_streamed"] = ORACLE_SQL["events_tumbling_5min"]
+
+ORACLE_SQL["minhash_lsh_fast_dup_recall"] = """
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, 1.0 AS est_jaccard
+FROM d a JOIN d b ON a.text = b.text AND a.doc_id < b.doc_id
+"""

@@ -1692,3 +1692,39 @@ def events_tumbling_5min_streamed(spark: SparkSession, sf_dir: str) -> DataFrame
         "n_events",
         "total_value",
     )
+
+
+@query("minhash_lsh_fast_dup_recall")
+def minhash_lsh_fast_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FAST dedup path (xxhash64 term ids — the mode a 100-TB run
+    uses) under an exact, hash-independent oracle: identical texts have
+    identical signatures, so every exact-duplicate pair MUST surface as
+    an LSH candidate with est_jaccard 1.0. The query runs the complete
+    fast pipeline (shingle → xxhash64 → groupBy-min signatures → band
+    self-join → signature rejoin) and keeps candidates whose texts are
+    verifiably equal — exactly the exact-duplicate pair set, which the
+    oracle computes by grouping on text.
+
+    Hash collisions can't leak in (text equality is re-checked
+    JVM-side) and can't drop out (equal text ⇒ equal bands), so the
+    output is deterministic although xxhash64 isn't SQL-expressible.
+
+    The driver corpus has no exact duplicates, which would make the
+    invariant vacuous — so the query doubles the corpus with id-shifted
+    copies (id + 10^7), guaranteeing every doc one duplicate partner
+    the pipeline must recover.
+    """
+    base = load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = base.unionByName(
+        base.select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    )
+    pairs = minhash_lsh_pairs(d, mode="fast")
+    ta = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("__ta"))
+    tb = d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("__tb"))
+    return (
+        pairs.where(F.col("est_jaccard") == 1.0)
+        .join(ta, "id_a")
+        .join(tb, "id_b")
+        .where(F.col("__ta") == F.col("__tb"))
+        .select("id_a", "id_b", "est_jaccard")
+    )
