@@ -1210,3 +1210,38 @@ WITH d AS (
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, 1.0 AS est_jaccard
 FROM d a JOIN d b ON a.text = b.text AND a.doc_id < b.doc_id
 """
+
+# media_real_decode_stats: the engine DECODES real containers it built
+# from (doc_id, n_chars); the oracle recomputes dimensions from the
+# same formulas and payload sizes from the container math
+# (BMP: 54-byte header + 4-byte-aligned 24bpp rows; PPM: ASCII header
+# + w*h*3; WAV: 44 bytes + 2*n_samples).
+ORACLE_SQL["media_real_decode_stats"] = """
+WITH m AS (
+  SELECT doc_id, n_chars,
+         CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' ELSE 'wav' END AS container,
+         CASE WHEN doc_id % 3 = 2 THEN 'audio' ELSE 'image' END AS kind,
+         CASE doc_id % 3
+           WHEN 0 THEN n_chars % 64 + 1
+           WHEN 1 THEN n_chars % 32 + 1
+           ELSE 8000 + doc_id % 8 * 500 END AS width,
+         CASE doc_id % 3
+           WHEN 0 THEN doc_id % 48 + 1
+           WHEN 1 THEN doc_id % 24 + 1
+           ELSE n_chars END AS height,
+         CASE doc_id % 3
+           WHEN 0 THEN 54 + ((n_chars % 64 + 1) * 3 + 3) // 4 * 4 * (doc_id % 48 + 1)
+           WHEN 1 THEN length('P6' || chr(10) || '# synthetic' || chr(10)
+                             || CAST(n_chars % 32 + 1 AS VARCHAR) || ' '
+                             || CAST(doc_id % 24 + 1 AS VARCHAR) || chr(10) || '255')
+                       + 1 + (n_chars % 32 + 1) * (doc_id % 24 + 1) * 3
+           ELSE 44 + n_chars * 2 END AS n_bytes
+  FROM documents
+)
+SELECT container, kind, count(*) AS n_media,
+       CAST(sum(width) AS BIGINT) AS sum_width,
+       CAST(sum(height) AS BIGINT) AS sum_height,
+       CAST(max(width) AS INT) AS max_width,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes
+FROM m GROUP BY 1, 2
+"""

@@ -1728,3 +1728,39 @@ def minhash_lsh_fast_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("__ta") == F.col("__tb"))
         .select("id_a", "id_b", "est_jaccard")
     )
+
+
+@query("media_real_decode_stats")
+def media_real_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decoding end-to-end: build genuine BMP / PPM / WAV
+    container payloads from (doc_id, n_chars), then decode them with
+    the pure-Python header parsers (``decode_media(fake=False)`` —
+    actual BITMAPINFOHEADER fields, PPM ASCII headers, RIFF chunk
+    walking; no pseudo-decode anywhere). The oracle recomputes the
+    dimensions from the same (doc_id, n_chars) formulas, so a parser
+    bug (endianness, chunk alignment, comment handling) breaks the
+    hash.
+
+    Scale: payload construction and decoding are one fused mapInPandas
+    pass each — payloads never shuffle; only (kind, width, height)
+    reach the aggregate.
+    """
+    from ..sources.multimodal import decode_media, demo_binary_media_from_documents
+
+    d = load(spark, sf_dir, "documents")
+    media = demo_binary_media_from_documents(d)
+    decoded = decode_media(media, fake=False)
+    container = F.when(F.col("media_id") % 3 == 0, "bmp").when(
+        F.col("media_id") % 3 == 1, "ppm"
+    ).otherwise("wav")
+    return (
+        decoded.withColumn("container", container)
+        .groupBy("container", "kind")
+        .agg(
+            F.count("*").alias("n_media"),
+            F.sum(F.col("width").cast("bigint")).alias("sum_width"),
+            F.sum(F.col("height").cast("bigint")).alias("sum_height"),
+            F.max("width").alias("max_width"),
+            F.sum(F.col("n_bytes").cast("bigint")).alias("total_bytes"),
+        )
+    )

@@ -1,13 +1,13 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` + typed
 metadata, processed with Arrow-batched pandas iterators.
 
-Container constraint (task brief): no image/audio codecs are installed,
-so the *decode* step is stubbed — ``decode_media`` raises
-``NotImplementedError`` unless ``fake=True``, which substitutes a
-deterministic byte-level pseudo-decode. Everything around the stub —
-schemas, ``mapInPandas`` signatures, batch iteration, partition
-behavior — is real and tested; swapping in PIL/ffmpeg changes only the
-body of one function.
+Decode is REAL for uncompressed containers: ``parse_media_header``
+reads BMP / PPM / PGM / BITMAPINFOHEADER and walks RIFF/WAVE chunks in
+pure Python (``decode_media(fake=False)``). Compressed codecs
+(PNG/JPEG/MP3/MP4) need libraries this environment doesn't ship —
+those payloads raise a ``ValueError`` naming the magic bytes; swapping
+in PIL/ffmpeg extends only that one function. ``fake=True`` keeps the
+deterministic byte-stat pseudo-decode for text-derived payloads.
 
 Scale notes: payloads stay in executor memory one Arrow batch at a
 time (``mapInPandas`` streams batches — no collect); feature columns
@@ -76,26 +76,87 @@ def _fake_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf
 
 
+def parse_media_header(b: bytes | None) -> tuple[int, int] | None:
+    """REAL header decode for uncompressed containers, pure Python.
+
+    Returns (width, height) for images — for WAV audio, (sample_rate,
+    n_samples_per_channel) in the same two slots. Understands:
+
+    - BMP (``BM`` + BITMAPINFOHEADER): width/height at offsets 18/22,
+      little-endian int32 (height may be negative = top-down rows).
+    - PPM/PGM binary (``P6``/``P5``): ASCII header with #-comments.
+    - WAV (``RIFF....WAVE``): walks RIFF chunks to ``fmt ``/``data``.
+
+    Compressed formats (PNG/JPEG/MP3/MP4...) genuinely need codec
+    libraries this environment doesn't ship — for those the caller
+    falls back or raises. Keeping the parser separate from the Spark
+    stage makes it unit-testable without a session.
+    """
+    if not b or len(b) < 14:
+        return None
+    if b[:2] == b"BM" and len(b) >= 26:
+        w = int.from_bytes(b[18:22], "little", signed=True)
+        h = int.from_bytes(b[22:26], "little", signed=True)
+        return (abs(w), abs(h))
+    if b[:2] in (b"P5", b"P6"):
+        # ASCII fields: magic, width, height, maxval; '#' starts a comment.
+        fields: list[int] = []
+        i = 2
+        while i < len(b) and len(fields) < 2:
+            c = b[i : i + 1]
+            if c == b"#":
+                while i < len(b) and b[i : i + 1] != b"\n":
+                    i += 1
+            elif c.isdigit():
+                j = i
+                while j < len(b) and b[j : j + 1].isdigit():
+                    j += 1
+                fields.append(int(b[i:j]))
+                i = j
+            else:
+                i += 1
+        if len(fields) == 2:
+            return (fields[0], fields[1])
+        return None
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        sample_rate = None
+        block_align = None
+        data_len = None
+        i = 12
+        while i + 8 <= len(b):
+            cid = b[i : i + 4]
+            clen = int.from_bytes(b[i + 4 : i + 8], "little")
+            if cid == b"fmt " and i + 16 <= len(b):
+                sample_rate = int.from_bytes(b[i + 12 : i + 16], "little")
+                block_align = int.from_bytes(b[i + 20 : i + 22], "little")
+            elif cid == b"data":
+                data_len = clen
+            i += 8 + clen + (clen & 1)  # chunks are word-aligned
+        if sample_rate and block_align and data_len is not None:
+            return (sample_rate, data_len // block_align)
+    return None
+
+
 def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
     """Decode payloads → per-item dimensions/stats via ``mapInPandas``.
 
-    Real codecs are NOT in this environment: with ``fake=False`` the
-    stage raises ``NotImplementedError`` at execution time. ``fake=True``
-    runs the deterministic pseudo-decode so the full distributed
-    plumbing is exercised.
+    ``fake=False`` runs :func:`parse_media_header` — REAL pure-Python
+    decoding of uncompressed containers (BMP / PPM / PGM / WAV); a
+    payload none of those parsers recognize raises ``ValueError``
+    naming the magic bytes (compressed codecs like PNG/JPEG need
+    libraries this environment doesn't ship). ``fake=True`` runs the
+    deterministic byte-stat pseudo-decode used by the synthetic-corpus
+    gate queries.
     """
 
     # The closure must be self-contained (no references to this module's
     # globals): the consuming SparkSession may run workers without this
     # package on sys.path, and cloudpickle serializes module-level
     # functions by reference, not by value.
+    parse = parse_media_header
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "media codecs (PIL/ffmpeg) are not installed in this "
-                    "environment; pass fake=True for the deterministic stub"
-                )
             payloads = pdf["payload"]
             pdf = pdf.copy()
             pdf["n_bytes"] = payloads.map(
@@ -104,8 +165,27 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
             pdf["checksum"] = payloads.map(
                 lambda b: sum(b) % 1_000_000_007 if b is not None else 0
             ).astype("int64")
-            pdf["width"] = (pdf["checksum"] % 640 + 1).astype("int32")
-            pdf["height"] = (pdf["checksum"] % 480 + 1).astype("int32")
+            if fake:
+                pdf["width"] = (pdf["checksum"] % 640 + 1).astype("int32")
+                pdf["height"] = (pdf["checksum"] % 480 + 1).astype("int32")
+            else:
+                dims = []
+                for b in payloads:
+                    d = parse(bytes(b) if b is not None else None)
+                    if d is None:
+                        magic = bytes(b[:4]).hex() if b else ""
+                        raise ValueError(
+                            "unsupported media container (magic "
+                            f"0x{magic}): only uncompressed BMP/PPM/PGM/"
+                            "WAV decode without codec libraries"
+                        )
+                    dims.append(d)
+                pdf["width"] = pd.Series(
+                    [d[0] for d in dims], index=pdf.index
+                ).astype("int32")
+                pdf["height"] = pd.Series(
+                    [d[1] for d in dims], index=pdf.index
+                ).astype("int32")
             yield pdf
 
     return media.mapInPandas(decode, schema=DECODED_SCHEMA)
@@ -231,3 +311,86 @@ def resize_images(
             )
 
     return media.mapInPandas(rs, schema=THUMBS_SCHEMA)
+
+
+def demo_binary_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Real container payloads (BMP / PPM / WAV), built per row from
+    the documents table's (doc_id, n_chars) — deterministic input for
+    the REAL decode path. doc_id%3 picks the container; dimensions are
+    simple functions of (doc_id, n_chars) an oracle can recompute.
+
+    Payloads are genuine files: a BMP here opens in any image viewer
+    (solid-byte pixel rows, 4-byte-aligned), the WAV in any player.
+    """
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def bmp(w: int, h: int) -> bytes:
+            row = ((w * 3 + 3) // 4) * 4
+            pix = b"\x7f" * (row * h)
+            info = (
+                (40).to_bytes(4, "little")
+                + w.to_bytes(4, "little", signed=True)
+                + h.to_bytes(4, "little", signed=True)
+                + (1).to_bytes(2, "little")
+                + (24).to_bytes(2, "little")
+                + (0).to_bytes(4, "little")
+                + len(pix).to_bytes(4, "little")
+                + (2835).to_bytes(4, "little") * 2
+                + (0).to_bytes(4, "little") * 2
+            )
+            off = 14 + len(info)
+            head = (
+                b"BM"
+                + (off + len(pix)).to_bytes(4, "little")
+                + (0).to_bytes(4, "little")
+                + off.to_bytes(4, "little")
+            )
+            return head + info + pix
+
+        def ppm(w: int, h: int) -> bytes:
+            return (
+                f"P6\n# synthetic\n{w} {h}\n255\n".encode() + b"\x40" * (w * h * 3)
+            )
+
+        def wav(rate: int, n_samples: int) -> bytes:
+            block_align = 2
+            data = b"\x00" * (n_samples * block_align)
+            fmt = (
+                (1).to_bytes(2, "little")
+                + (1).to_bytes(2, "little")
+                + rate.to_bytes(4, "little")
+                + (rate * block_align).to_bytes(4, "little")
+                + block_align.to_bytes(2, "little")
+                + (16).to_bytes(2, "little")
+            )
+            chunks = (
+                b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+                + b"data" + len(data).to_bytes(4, "little") + data
+            )
+            return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+        for pdf in batches:
+            ids, kinds, payloads = [], [], []
+            for did, nch in zip(pdf["doc_id"], pdf["n_chars"]):
+                did, nch = int(did), int(nch)
+                m = did % 3
+                if m == 0:
+                    kinds.append("image")
+                    payloads.append(bmp(nch % 64 + 1, did % 48 + 1))
+                elif m == 1:
+                    kinds.append("image")
+                    payloads.append(ppm(nch % 32 + 1, did % 24 + 1))
+                else:
+                    kinds.append("audio")
+                    payloads.append(wav(8000 + did % 8 * 500, nch))
+                ids.append(did)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "kind": pd.Series(kinds, dtype=object),
+                    "payload": pd.Series(payloads, dtype=object),
+                    "meta": pd.Series([{}] * len(ids), dtype=object),
+                }
+            )
+
+    return docs.select("doc_id", "n_chars").mapInPandas(build, schema=MEDIA_SCHEMA)

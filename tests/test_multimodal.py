@@ -22,8 +22,10 @@ def media(spark):
     return demo_media_from_documents(load(spark, SF, "documents")).cache()
 
 
-def test_decode_stub_raises_without_fake(media):
-    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+def test_decode_real_rejects_non_container_payloads(media):
+    # the demo media payloads are raw text bytes — not a parseable
+    # container, so the REAL decode path must refuse loudly, not guess
+    with pytest.raises(Exception, match="unsupported media container"):
         decode_media(media, fake=False).collect()
 
 
@@ -87,3 +89,82 @@ def test_resize_images_real_path_gated(media):
 
     with pytest.raises(Exception):
         resize_images(media, fake=False).collect()
+
+
+def test_parse_media_header_real_containers():
+    from formula1_dataengineering_spark.sources.multimodal import parse_media_header
+
+    # BMP, negative height = top-down row order
+    bmp = (
+        b"BM" + (0).to_bytes(8, "little") + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + (17).to_bytes(4, "little", signed=True)
+        + (-9).to_bytes(4, "little", signed=True) + b"\x00" * 20
+    )
+    assert parse_media_header(bmp) == (17, 9)
+    # PPM with a comment line between magic and dimensions
+    assert parse_media_header(b"P6\n# c 9 9\n12 34\n255\n" + b"\x00" * 8) == (12, 34)
+    # WAV: an odd-length chunk precedes fmt (word alignment must hold)
+    fmt = (
+        (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (44100).to_bytes(4, "little") + (88200).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    wav = (
+        b"RIFF" + (100).to_bytes(4, "little") + b"WAVE"
+        + b"LIST" + (3).to_bytes(4, "little") + b"abc\x00"
+        + b"fmt " + (16).to_bytes(4, "little") + fmt
+        + b"data" + (200).to_bytes(4, "little")
+    )
+    assert parse_media_header(wav) == (44100, 100)
+    # compressed containers are honestly unsupported
+    assert parse_media_header(b"\x89PNG\r\n\x1a\n" + b"\x00" * 40) is None
+    assert parse_media_header(None) is None
+
+
+def test_real_decode_roundtrip(spark):
+    from formula1_dataengineering_spark.sources.multimodal import (
+        decode_media,
+        demo_binary_media_from_documents,
+    )
+    from formula1_dataengineering_spark.sources.catalog import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents").limit(30)
+    decoded = decode_media(demo_binary_media_from_documents(docs), fake=False)
+    rows = {r["media_id"]: r for r in decoded.collect()}
+    for r in docs.select("doc_id", "n_chars").collect():
+        d = rows[r["doc_id"]]
+        m = r["doc_id"] % 3
+        if m == 0:
+            assert (d["width"], d["height"]) == (
+                r["n_chars"] % 64 + 1, r["doc_id"] % 48 + 1)
+        elif m == 1:
+            assert (d["width"], d["height"]) == (
+                r["n_chars"] % 32 + 1, r["doc_id"] % 24 + 1)
+        else:
+            assert d["width"] == 8000 + r["doc_id"] % 8 * 500
+            assert d["height"] == r["n_chars"]
+
+
+def test_real_decode_rejects_unknown_container(spark):
+    import pandas as pd
+    import pyspark.errors
+
+    from formula1_dataengineering_spark.sources.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+    )
+
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [1],
+                "kind": ["image"],
+                "payload": [b"\x89PNG\r\n\x1a\n" + b"\x00" * 40],
+                "meta": [{}],
+            }
+        ),
+        schema=MEDIA_SCHEMA,
+    )
+    with pytest.raises(pyspark.errors.PySparkException, match="unsupported media container"):
+        decode_media(media, fake=False).collect()
