@@ -1245,3 +1245,26 @@ SELECT container, kind, count(*) AS n_media,
        CAST(sum(n_bytes) AS BIGINT) AS total_bytes
 FROM m GROUP BY 1, 2
 """
+
+# media_thumbnail_stats: resize_images' fake path keeps bytes at
+# positions 1, 1+step, ... (step = len//64, first 64 samples) and
+# zero-pads to 64; the oracle recomputes those positions' byte values
+# from the text column directly.
+ORACLE_SQL["media_thumbnail_stats"] = """
+WITH img AS (
+  SELECT doc_id, text, length(text) AS len
+  FROM documents WHERE doc_id % 3 = 0 AND length(text) > 0
+), params AS (
+  SELECT doc_id, text, len, greatest(len // 64, 1) AS step FROM img
+), sampled AS (
+  SELECT p.doc_id, sum(ascii(p.text[CAST(1 + k.k * p.step AS INT)])) AS thumb_sum
+  FROM params p, range(0, 64) k(k)
+  WHERE 1 + k.k * p.step <= p.len
+  GROUP BY 1
+)
+SELECT CAST(8 AS INT) AS thumb_w, CAST(8 AS INT) AS thumb_h,
+       count(*) AS n_thumbs,
+       CAST(sum(thumb_sum) AS BIGINT) AS sum_bytes,
+       CAST(count(*) * 64 AS BIGINT) AS total_thumb_bytes
+FROM sampled
+"""

@@ -1764,3 +1764,39 @@ def media_real_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("n_bytes").cast("bigint")).alias("total_bytes"),
         )
     )
+
+
+@query("media_thumbnail_stats")
+def media_thumbnail_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail (resize) path under a byte-arithmetic oracle: image
+    payloads (text bytes, doc_id%3==0) → resize_images' deterministic
+    byte-subsample thumbnails (b[::step][:64], zero-padded to 8×8) →
+    per-thumb byte checksum + per-corpus aggregate. The oracle
+    recomputes the subsampled positions (1, 1+step, ...) and their
+    byte values from the text column, so the slicing arithmetic,
+    padding and kind filter are all hash-checked.
+
+    Scale: one mapInPandas pass; 64-byte thumbs + 2 ints per image row
+    are all that reach the aggregate.
+    """
+    from ..sources.multimodal import demo_media_from_documents, resize_images
+
+    d = load(spark, sf_dir, "documents")
+    thumbs = resize_images(demo_media_from_documents(d), width=8, height=8, fake=True)
+
+    # positional form: `from __future__ import annotations` stringifies
+    # hints, which pandas_udf's signature inspection can't resolve
+    bytesum = F.pandas_udf(
+        lambda s: s.map(lambda b: int(sum(bytes(b))) if b is not None else 0),
+        "long",
+    )
+
+    return (
+        thumbs.withColumn("thumb_sum", bytesum("thumb"))
+        .groupBy("thumb_w", "thumb_h")
+        .agg(
+            F.count("*").alias("n_thumbs"),
+            F.sum("thumb_sum").alias("sum_bytes"),
+            F.sum(F.length("thumb").cast("bigint")).alias("total_thumb_bytes"),
+        )
+    )
