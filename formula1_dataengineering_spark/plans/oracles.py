@@ -1268,3 +1268,28 @@ SELECT CAST(8 AS INT) AS thumb_w, CAST(8 AS INT) AS thumb_h,
        CAST(count(*) * 64 AS BIGINT) AS total_thumb_bytes
 FROM sampled
 """
+
+# tire_assignment_events: stint k covers laps 10k+1 .. 10k+8, so a lap
+# belongs to stint k = (lap-1)//10 iff (lap-1)%10 <= 7 (else the
+# inter-stint gap -> NULL compound and it drops out of the aggregate).
+ORACLE_SQL["tire_assignment_events"] = """
+WITH laps AS (
+  SELECT user_id AS driver_number,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lap,
+         value AS lap_time
+  FROM events WHERE event_type = 'view'
+), tires AS (
+  SELECT driver_number, lap_time,
+         CASE WHEN (lap - 1) % 10 <= 7 THEN
+           CASE CAST((lap - 1) // 10 AS INT) % 3
+             WHEN 0 THEN 'SOFT' WHEN 1 THEN 'MEDIUM' ELSE 'HARD' END
+         END AS compound
+  FROM laps
+)
+SELECT driver_number, compound,
+       round(sum(lap_time), 2) AS total_lap_time,
+       count(*) AS n_laps
+FROM tires
+WHERE compound IS NOT NULL AND lap_time IS NOT NULL
+GROUP BY 1, 2
+"""

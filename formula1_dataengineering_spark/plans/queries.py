@@ -1800,3 +1800,74 @@ def media_thumbnail_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.length("thumb").cast("bigint")).alias("total_thumb_bytes"),
         )
     )
+
+
+@query("tire_assignment_events")
+def tire_assignment_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's tire-assignment lifecycle (as-of backward join +
+    validity-window nulling + tire-age arithmetic — J2/P16/W4,
+    reference: src/session_object.py:55-80) plus the downstream
+    driver×compound aggregate (classes.py:77-95), over driver tables
+    via the SAME f1 code path (assign_tire_information →
+    avg_lap_time_by_driver_compound).
+
+    Mapping: 'view' events are laps (per-user event index = lap
+    number, value = lap time); stints are synthesized per driver as
+    10-lap blocks starting at lap 10k+1, covering laps ≤ 10k+8 (laps
+    9,10 of each block fall in the inter-stint gap → NULL compound,
+    exercising the validity window), compound cycling
+    SOFT/MEDIUM/HARD, tyre_age_at_start = k.
+
+    Scale: stint synthesis is an aggregate + generator over per-driver
+    lap counts (tiny); the as-of join broadcasts it, so lineage-wise
+    this is exactly the production plan for ~20 stints/driver.
+    """
+    from ..f1.analytics import assign_tire_information
+
+    ev = load(spark, sf_dir, "events").where(F.col("event_type") == "view")
+    laps = ev.select(
+        F.lit("view").alias("session_key"),
+        F.col("user_id").alias("driver_number"),
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("lap_number"),
+        F.col("value").alias("actual_lap_time"),
+    )
+    compounds = F.array(F.lit("SOFT"), F.lit("MEDIUM"), F.lit("HARD"))
+    stints = (
+        laps.groupBy("session_key", "driver_number")
+        .agg(F.max("lap_number").alias("__n"))
+        .select(
+            "session_key",
+            "driver_number",
+            F.explode(
+                F.sequence(F.lit(0), ((F.col("__n") - 1) / 10).cast("int"))
+            ).alias("__k"),
+        )
+        .select(
+            "session_key",
+            "driver_number",
+            (F.col("__k") * 10 + 1).alias("lap_start"),
+            (F.col("__k") * 10 + 8).alias("lap_end"),
+            F.element_at(compounds, F.col("__k") % 3 + 1).alias("compound"),
+            (F.col("__k") + 1).alias("stint_number"),
+            F.col("__k").alias("tyre_age_at_start"),
+        )
+    )
+    with_tires = assign_tire_information(laps, stints)
+    # Same filters as avg_lap_time_by_driver_compound (classes.py:77-95)
+    # but emitting sum+count instead of the 3-dp average: stint groups
+    # here are ≤8 rows, so sum/8 of 2-decimal lap times lands EXACTLY on
+    # x.xxx5 rounding boundaries where Spark (decimal-string HALF_UP)
+    # and DuckDB (binary-value rounding) legitimately disagree. The sum
+    # of 2-decimal values rounded at 2 is boundary-free in both.
+    return (
+        with_tires.where(
+            F.col("actual_lap_time").isNotNull() & F.col("compound").isNotNull()
+        )
+        .groupBy("driver_number", "compound")
+        .agg(
+            F.round(F.sum("actual_lap_time"), 2).alias("total_lap_time"),
+            F.count("*").alias("n_laps"),
+        )
+    )
