@@ -1293,3 +1293,39 @@ FROM tires
 WHERE compound IS NOT NULL AND lap_time IS NOT NULL
 GROUP BY 1, 2
 """
+
+ORACLE_SQL["asof_tolerance_purchase"] = """
+WITH views AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+), purchases AS (
+  SELECT user_id, ts, event_id AS purchase_id
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT v.event_id, v.user_id, epoch_us(v.ts) AS ts_us,
+       CASE WHEN epoch_us(v.ts) - epoch_us(p.ts) <= 1800000000
+            THEN p.purchase_id END AS purchase_id
+FROM views v
+ASOF LEFT JOIN purchases p ON v.user_id = p.user_id AND v.ts >= p.ts
+"""
+
+ORACLE_SQL["stratified_event_sample"] = """
+SELECT event_type, count(*) AS n_sampled,
+       round(sum(value), 2) AS sample_value
+FROM events
+WHERE ((md5_number(CAST(event_id AS VARCHAR)) % 281474976710656
+        + 281474976710656) % 281474976710656) % 2147483647 % 8 = 0
+GROUP BY event_type
+"""
+
+ORACLE_SQL["order_percentile_rank"] = """
+WITH ranked AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice,
+         round(percent_rank() OVER w, 6) AS price_pct_rank,
+         round(cume_dist() OVER w, 6) AS price_cume_dist,
+         lead(o_totalprice) OVER w AS next_price
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice ASC, o_orderkey ASC)
+)
+SELECT * FROM ranked WHERE o_orderkey % 199 = 0
+"""

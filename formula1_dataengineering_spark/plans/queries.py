@@ -1871,3 +1871,88 @@ def tire_assignment_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_laps"),
         )
     )
+
+
+@query("asof_tolerance_purchase")
+def asof_tolerance_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of backward with a TOLERANCE bound (the reference's
+    merge_asof(..., tolerance=) surface, src/session_object.py:240-250):
+    each view matched to the user's latest purchase at most 30 minutes
+    old; staler matches null out (the match is still consumed — exactly
+    pandas' tolerance semantics, which the oracle mirrors by nulling
+    after the ASOF pick).
+    """
+    ev = load(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_id"),
+    )
+    j = asof_join(
+        views.withColumn("__on", F.unix_micros("ts")),
+        purchases.withColumn("__on", F.unix_micros("ts")).drop("ts"),
+        on="__on",
+        by=["user_id"],
+        direction="backward",
+        tolerance=F.lit(30 * 60 * 1_000_000),
+        right_cols=["purchase_id"],
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("__on").alias("ts_us"),
+        "purchase_id",
+    )
+
+
+@query("stratified_event_sample")
+def stratified_event_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — the training-data staple
+    (per-stratum rate, reproducible across engines and runs, no RNG
+    state): keep events whose portable content hash ≡ 0 (mod 8), i.e.
+    a 1/8 sample within every event_type stratum, then per-stratum
+    sample stats. The hash is the same 48-bit little-endian MD5 prefix
+    the dedup operators use, so DuckDB reproduces membership exactly.
+
+    Scale: pure map-side filter (no shuffle until the aggregate); the
+    sample decision never needs a sort, a window, or driver state.
+    """
+    from ..operators.dedup import portable_term_id
+
+    e = load(spark, sf_dir, "events")
+    keep = portable_term_id(F.col("event_id").cast("string")) % 8 == 0
+    return (
+        e.where(keep)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.round(F.sum("value"), 2).alias("sample_value"),
+        )
+    )
+
+
+@query("order_percentile_rank")
+def order_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / lead — the relative-position window
+    family (complements rank/dense_rank/ntile/lag elsewhere in the
+    catalog): each order's price percentile within its priority plus
+    the next-higher price, emitted for a deterministic 1-in-199 keyed
+    subset so the result stays compact while every input row still
+    flows through the windows.
+    """
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    ranked = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.round(F.percent_rank().over(w), 6).alias("price_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("price_cume_dist"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+    )
+    return ranked.where(F.col("o_orderkey") % 199 == 0)
