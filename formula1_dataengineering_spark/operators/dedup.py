@@ -190,6 +190,7 @@ def minhash_lsh_clusters(
     bands: int = 4,
     shingle_k: int = 3,
     mode: str = "portable",
+    small_graph_edges: int | None = None,
 ) -> DataFrame:
     """Duplicate clusters at LSH-BUCKET granularity: (doc_id, cluster_id).
 
@@ -220,7 +221,10 @@ def minhash_lsh_clusters(
         .select(F.col(id_col).alias("id_a"), F.col("center").alias("id_b"))
         .distinct()
     )
-    comp = connected_components(edges, "id_a", "id_b")
+    cc_kwargs = (
+        {} if small_graph_edges is None else {"small_graph_edges": small_graph_edges}
+    )
+    comp = connected_components(edges, "id_a", "id_b", **cc_kwargs)
     return docs.select(id_col).join(
         comp, docs[id_col] == comp["node"], "left"
     ).select(

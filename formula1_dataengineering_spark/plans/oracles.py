@@ -1329,3 +1329,5 @@ WITH ranked AS (
 )
 SELECT * FROM ranked WHERE o_orderkey % 199 = 0
 """
+
+ORACLE_SQL["neardup_clusters_distributed"] = ORACLE_SQL["neardup_clusters"]

@@ -1956,3 +1956,20 @@ def order_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("o_totalprice").over(w).alias("next_price"),
     )
     return ranked.where(F.col("o_orderkey") % 199 == 0)
+
+
+@query("neardup_clusters_distributed")
+def neardup_clusters_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering as ``neardup_clusters`` but FORCING the
+    distributed path (small_graph_edges=0): iterative min-label
+    propagation with localCheckpoint lineage truncation — the plan a
+    100-TB corpus actually runs, where the edge set never fits a
+    driver. Hash-matches the identical recursive-CTE oracle, proving
+    the two strategies produce the same labeling on driver data (the
+    property tests prove it on adversarial graphs)."""
+    from ..operators.dedup import minhash_lsh_clusters
+
+    d = load(spark, sf_dir, "documents")
+    return minhash_lsh_clusters(
+        d, num_hashes=12, bands=4, shingle_k=3, small_graph_edges=0
+    )
