@@ -149,3 +149,17 @@ def tf_idf_top_terms(
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+def dup_token_ratio(text: Column) -> Column:
+    """Within-document repetition signal (Gopher-style quality filter):
+    fraction of tokens that are repeats of an earlier token. Pure array
+    arithmetic — JVM-side, oracle-expressible. (The companion
+    most-frequent-token share needs per-token counts; compute it as an
+    explode → groupBy aggregate in the consuming plan, where it scales,
+    rather than as an O(distinct×n) interpreted HOF here.)
+    """
+    toks = tokens(text)
+    n = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    return F.when(n > 0, (n - n_distinct) / n).cast("double")

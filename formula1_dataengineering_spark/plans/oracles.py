@@ -1331,3 +1331,46 @@ SELECT * FROM ranked WHERE o_orderkey % 199 = 0
 """
 
 ORACLE_SQL["neardup_clusters_distributed"] = ORACLE_SQL["neardup_clusters"]
+
+ORACLE_SQL["doc_repetition_stats"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+                                    x -> x != '')) AS token
+  FROM documents
+), per_tok AS (
+  SELECT doc_id, token, count(*) AS c FROM toks GROUP BY 1, 2
+), top AS (
+  SELECT doc_id,
+         CAST(max(c) AS DOUBLE) / sum(c) AS top_share,
+         CAST(sum(c) - count(*) AS DOUBLE) / sum(c) AS dup_ratio
+  FROM per_tok GROUP BY doc_id
+)
+SELECT d.source, count(*) AS n_docs,
+       round(avg(t.dup_ratio), 6) AS avg_dup_ratio,
+       round(avg(t.top_share), 6) AS avg_top_share,
+       round(max(t.top_share), 6) AS max_top_share
+FROM documents d JOIN top t USING (doc_id)
+GROUP BY d.source
+"""
+
+ORACLE_SQL["doc_rarity_score"] = """
+WITH doc_tok AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+                                      x -> x != '')) AS token
+    FROM documents
+  )
+), dfc AS (
+  SELECT token, count(DISTINCT doc_id) AS df FROM doc_tok GROUP BY 1
+), n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, avg(n.n_docs / d.df) AS rarity
+  FROM doc_tok t JOIN dfc d USING (token) CROSS JOIN n
+  GROUP BY t.doc_id
+)
+SELECT doc.source, count(*) AS n_docs,
+       round(avg(s.rarity), 4) AS avg_rarity,
+       round(max(s.rarity), 4) AS max_rarity
+FROM documents doc JOIN scored s USING (doc_id)
+GROUP BY doc.source
+"""

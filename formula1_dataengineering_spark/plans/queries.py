@@ -1973,3 +1973,79 @@ def neardup_clusters_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_clusters(
         d, num_hashes=12, bands=4, shingle_k=3, small_graph_edges=0
     )
+
+
+@query("doc_repetition_stats")
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (Gopher-style repetition
+    filters): duplicate-token fraction (array arithmetic, JVM-side)
+    and most-frequent-token share (explode → per-(doc, token) counts →
+    max/sum — the scalable aggregate form). Per-source aggregates keep
+    the output compact while every document flows through both
+    signals.
+
+    Scale: the explode shuffles once on (doc_id, token) with map-side
+    partial counts; the array path never shuffles at all.
+    """
+    from ..functions.text import dup_token_ratio, tokens
+
+    d = load(spark, sf_dir, "documents")
+    ratio = d.select(
+        "doc_id", "source", dup_token_ratio(F.col("text")).alias("dup_ratio")
+    )
+    top = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            (F.max("count") / F.sum("count")).alias("top_share"),
+        )
+    )
+    return (
+        ratio.join(top, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("dup_ratio"), 6).alias("avg_dup_ratio"),
+            F.round(F.avg("top_share"), 6).alias("avg_top_share"),
+            F.round(F.max("top_share"), 6).alias("max_top_share"),
+        )
+    )
+
+
+@query("doc_rarity_score")
+def doc_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram rarity scoring — a perplexity proxy without log():
+    score(doc) = mean over its DISTINCT tokens of N/df(token) (inverse
+    document frequency as an exact rational). Log-free keeps both
+    engines in exact-rational-then-divide territory — no libm
+    cross-engine drift. Per-source aggregates of the per-doc scores.
+
+    Scale: one explode → distinct (doc, token) → df counts (shuffle on
+    token) → rejoin on token → per-doc mean (shuffle on doc). Both
+    keys are high-cardinality and skew-resistant; df table broadcasts
+    while it fits.
+    """
+    from ..functions.text import tokens
+
+    d = load(spark, sf_dir, "documents")
+    n_docs = d.count()  # tiny scalar; at scale use a broadcast subquery
+    doc_tok = d.select(
+        "doc_id", "source", F.explode_outer(
+            F.array_distinct(tokens(F.col("text")))
+        ).alias("token")
+    )
+    df_counts = doc_tok.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    scored = (
+        doc_tok.join(df_counts, "token")
+        .groupBy("doc_id", "source")
+        .agg(F.avg(F.lit(float(n_docs)) / F.col("df")).alias("rarity"))
+    )
+    return scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("rarity"), 4).alias("avg_rarity"),
+        F.round(F.max("rarity"), 4).alias("max_rarity"),
+    )
