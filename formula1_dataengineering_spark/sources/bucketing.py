@@ -54,3 +54,30 @@ def colocated_join(
     (``tests/test_bucketing.py``).
     """
     return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    max_records_per_file: int | None = None,
+) -> None:
+    """Persist ``df`` as a hive-partitioned parquet directory.
+
+    Partitioning is the PRUNING story (bucketing above is the JOIN
+    story): a filter on a partition column turns into directory-level
+    pruning — at 100 TB a day-partitioned events table makes a 1-day
+    query touch 1/365th of the files before a single row group is
+    opened. Rules of thumb:
+    - partition on low-cardinality, always-filtered columns (date,
+      region, event_type); NEVER on high-cardinality keys (a
+      directory per user id is a metadata explosion);
+    - target partitions ≥ ~1 GB; finer grains belong to row-group
+      statistics (min/max pruning), not directories;
+    - cap file sizes via ``max_records_per_file`` so a hot partition
+      still splits across tasks.
+    """
+    writer = df.write.mode("overwrite")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.partitionBy(*partition_cols).parquet(path)

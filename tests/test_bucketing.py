@@ -57,3 +57,25 @@ def test_colocated_join_correct(spark, bucketed_tables):
         F.col("o_custkey") == F.col("c_custkey"),
     )
     assert joined.count() == plain.count()
+
+
+def test_partitioned_write_prunes_directories(spark, tmp_path):
+    from formula1_dataengineering_spark.sources.bucketing import write_partitioned
+    from formula1_dataengineering_spark.sources.catalog import load
+    from pyspark.sql import functions as F
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    path = str(tmp_path / "events_by_type")
+    write_partitioned(ev, path, ["event_type"])
+
+    back = spark.read.parquet(path)
+    q = back.where(F.col("event_type") == "click")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # the filter must become a PartitionFilter (directory pruning),
+    # not a data Filter evaluated per row
+    assert "PartitionFilters: [" in plan and "event_type" in plan.split(
+        "PartitionFilters:"
+    )[1].split("]")[0]
+    # pruned read returns exactly the partition's rows
+    want = ev.where(F.col("event_type") == "click").count()
+    assert q.count() == want
