@@ -1374,3 +1374,18 @@ SELECT doc.source, count(*) AS n_docs,
 FROM documents doc JOIN scored s USING (doc_id)
 GROUP BY doc.source
 """
+
+ORACLE_SQL["events_stream_dedup"] = """
+SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events
+GROUP BY event_type
+"""
+
+ORACLE_SQL["events_stream_attribution"] = """
+SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+       round(p.value, 2) AS purchase_value
+FROM events v JOIN events p
+  ON v.event_type = 'view' AND p.event_type = 'purchase'
+ AND v.user_id = p.user_id
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTES
+"""

@@ -2049,3 +2049,50 @@ def doc_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("rarity"), 4).alias("avg_rarity"),
         F.round(F.max("rarity"), 4).alias("max_rarity"),
     )
+
+
+@query("events_stream_dedup")
+def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup gate: the events stream UNIONED with
+    itself (every event arrives twice) flows through
+    ``dropDuplicatesWithinWatermark`` on event_id; per-type counts of
+    the surviving rows must equal the plain distinct counts — which is
+    exactly what the oracle computes. Exercises the dedup state store
+    end-to-end with a verifiable invariant.
+
+    Scale: state is one key per event_id inside the watermark horizon
+    — the watermark is what makes streaming dedup bounded at all.
+    """
+    from ..streaming.events import read_events_stream, run_to_completion, stream_dedup
+
+    s1 = read_events_stream(spark, sf_dir)
+    s2 = read_events_stream(spark, sf_dir)
+    deduped = stream_dedup(s1.unionByName(s2))
+    counted = deduped.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    return run_to_completion(counted, "gate_stream_dedup", output_mode="complete")
+
+
+@query("events_stream_attribution")
+def events_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join gate (view → purchase attribution
+    within 30 minutes): both sides watermarked, the join condition
+    time-bounded in both directions so state expires. Run to
+    completion, the emitted pair set equals the batch range join the
+    oracle runs.
+    """
+    from ..streaming.events import (
+        read_events_stream,
+        run_to_completion,
+        stream_view_purchase_join,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    joined = stream_view_purchase_join(ev, horizon_minutes=30).select(
+        "view_id",
+        "purchase_id",
+        F.round("purchase_value", 2).alias("purchase_value"),
+    )
+    return run_to_completion(joined, "gate_stream_attr", output_mode="append")
