@@ -1389,3 +1389,11 @@ FROM events v JOIN events p
  AND v.user_id = p.user_id
  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTES
 """
+
+ORACLE_SQL["events_stateful_running_totals"] = """
+SELECT user_id, count(*) AS n_events,
+       round(sum(coalesce(value, 0.0)), 2) AS total_value
+FROM events GROUP BY user_id
+"""
+
+ORACLE_SQL["events_sessionized_streamed"] = ORACLE_SQL["sessionize_events"]

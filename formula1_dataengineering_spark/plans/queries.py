@@ -2096,3 +2096,59 @@ def events_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("purchase_value", 2).alias("purchase_value"),
     )
     return run_to_completion(joined, "gate_stream_attr", output_mode="append")
+
+
+@query("events_stateful_running_totals")
+def events_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator gate
+    (``applyInPandasWithState`` — the arbitrary-state escape hatch for
+    semantics windows can't express): per-user running totals
+    maintained across micro-batches, run to completion. Over a bounded
+    source the final emission per user equals the batch per-user
+    aggregate — the oracle.
+
+    Scale: state is (count, sum) per user — O(|users|) regardless of
+    event volume; Arrow batches in/out of the Python state function.
+    """
+    from ..streaming.events import (
+        read_events_stream,
+        run_to_completion,
+        user_running_totals,
+    )
+
+    totals = user_running_totals(read_events_stream(spark, sf_dir))
+    res = run_to_completion(
+        totals, "gate_stateful_totals", output_mode="update"
+    )
+    # update mode re-emits a user on every batch containing them; keep
+    # the final (max-count) emission per user — with availableNow over
+    # one parquet file there is one batch, but the plan must not
+    # depend on batch slicing.
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        res.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .select("user_id", "n_events", "total_value")
+    )
+
+
+@query("events_sessionized_streamed")
+def events_sessionized_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window gate: gap-based (30 min) per-user streaming
+    sessionization run to completion, rolled up to per-user session
+    and event counts — which must equal the batch lag/cumsum
+    sessionization (``sessionize_events``), so that query's oracle
+    hash-checks the streaming session-merge state machine.
+    """
+    from ..streaming.events import (
+        read_events_stream,
+        run_to_completion,
+        sessionized_counts,
+    )
+
+    sess = sessionized_counts(read_events_stream(spark, sf_dir), gap="30 minutes")
+    res = run_to_completion(sess, "gate_sessionized", output_mode="complete")
+    return res.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+    )
