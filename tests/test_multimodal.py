@@ -168,3 +168,57 @@ def test_real_decode_rejects_unknown_container(spark):
     )
     with pytest.raises(pyspark.errors.PySparkException, match="unsupported media container"):
         decode_media(media, fake=False).collect()
+
+
+def test_container_roundtrip_property():
+    """Property: any container the generator can build, the parser
+    decodes to the exact dimensions — across degenerate sizes (1×1,
+    single-sample audio) and row alignments."""
+    from hypothesis import given, settings, strategies as st
+
+    from formula1_dataengineering_spark.sources.multimodal import parse_media_header
+
+    def bmp(w, h):
+        row = ((w * 3 + 3) // 4) * 4
+        pix = b"\x7f" * (row * h)
+        info = (
+            (40).to_bytes(4, "little")
+            + w.to_bytes(4, "little", signed=True)
+            + h.to_bytes(4, "little", signed=True)
+            + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+            + (0).to_bytes(4, "little") + len(pix).to_bytes(4, "little")
+            + (2835).to_bytes(4, "little") * 2 + (0).to_bytes(4, "little") * 2
+        )
+        off = 14 + len(info)
+        return (b"BM" + (off + len(pix)).to_bytes(4, "little")
+                + (0).to_bytes(4, "little") + off.to_bytes(4, "little")
+                + info + pix)
+
+    def ppm(w, h):
+        return f"P6\n{w} {h}\n255\n".encode() + b"\x40" * (w * h * 3)
+
+    def wav(rate, n):
+        fmt = ((1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+               + rate.to_bytes(4, "little") + (rate * 2).to_bytes(4, "little")
+               + (2).to_bytes(2, "little") + (16).to_bytes(2, "little"))
+        data = b"\x00" * (n * 2)
+        chunks = (b"fmt " + (16).to_bytes(4, "little") + fmt
+                  + b"data" + len(data).to_bytes(4, "little") + data)
+        return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        kind=st.sampled_from(["bmp", "ppm", "wav"]),
+        a=st.integers(min_value=1, max_value=300),
+        b=st.integers(min_value=1, max_value=200),
+    )
+    def check(kind, a, b):
+        if kind == "bmp":
+            assert parse_media_header(bmp(a, b)) == (a, b)
+        elif kind == "ppm":
+            assert parse_media_header(ppm(a, b)) == (a, b)
+        else:
+            rate = 4000 + a
+            assert parse_media_header(wav(rate, b)) == (rate, b)
+
+    check()
