@@ -51,8 +51,10 @@ def _ordered(mapping):
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query: broadcast dim-join chain + grouped aggregation."""
-    return QUERIES["revenue_by_nation"](spark, "/root/testdata/sf0.001")
+    """Flagship: the reference's qualifying-classification lifecycle
+    (bucket → clean → best-per-driver-per-Q → Q3⊕Q2⊕Q1 grid) end to
+    end through the f1 operator stack."""
+    return QUERIES["qualifying_grid_events"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
