@@ -12,6 +12,7 @@ steady-state cost a production job sees.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -44,6 +45,14 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
         total += best
+        # Operators that cache intermediates (LSH signature tables, CC
+        # edge sets) build a fresh plan per invocation, so entries from
+        # prior queries are unreachable — drop them (and let the
+        # ContextCleaner release orphaned localCheckpoint RDDs) so each
+        # query is measured from a clean executor-memory slate instead
+        # of under 180 runs of accumulated cache+GC pressure.
+        spark.catalog.clearCache()
+        gc.collect()
 
     print(
         json.dumps(

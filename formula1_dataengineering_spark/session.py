@@ -44,6 +44,13 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", shuffle)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Respect the advisory partition size when coalescing instead
+        # of holding partition count at the cluster parallelism — the
+        # Spark-docs-recommended production setting: small shuffles
+        # collapse to few real tasks, 100-TB shuffles still split at
+        # the advisory size. Without it every tiny sf0.1 shuffle pays
+        # 32 task launches.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
