@@ -76,65 +76,77 @@ def _fake_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf
 
 
-def parse_media_header(b: bytes | None) -> tuple[int, int] | None:
-    """REAL header decode for uncompressed containers, pure Python.
+def _make_media_header_parser():
+    """Build the header parser inside a factory: a ``<locals>``
+    qualname makes cloudpickle serialize the function BY VALUE into
+    UDF closures, so Spark workers never need this package importable
+    (a module-level function — even captured via a local alias — is
+    pickled by reference and forces a worker-side import)."""
 
-    Returns (width, height) for images — for WAV audio, (sample_rate,
-    n_samples_per_channel) in the same two slots. Understands:
+    def parse_media_header(b: bytes | None) -> tuple[int, int] | None:
+        """REAL header decode for uncompressed containers, pure Python.
 
-    - BMP (``BM`` + BITMAPINFOHEADER): width/height at offsets 18/22,
-      little-endian int32 (height may be negative = top-down rows).
-    - PPM/PGM binary (``P6``/``P5``): ASCII header with #-comments.
-    - WAV (``RIFF....WAVE``): walks RIFF chunks to ``fmt ``/``data``.
+        Returns (width, height) for images — for WAV audio, (sample_rate,
+        n_samples_per_channel) in the same two slots. Understands:
 
-    Compressed formats (PNG/JPEG/MP3/MP4...) genuinely need codec
-    libraries this environment doesn't ship — for those the caller
-    falls back or raises. Keeping the parser separate from the Spark
-    stage makes it unit-testable without a session.
-    """
-    if not b or len(b) < 14:
-        return None
-    if b[:2] == b"BM" and len(b) >= 26:
-        w = int.from_bytes(b[18:22], "little", signed=True)
-        h = int.from_bytes(b[22:26], "little", signed=True)
-        return (abs(w), abs(h))
-    if b[:2] in (b"P5", b"P6"):
-        # ASCII fields: magic, width, height, maxval; '#' starts a comment.
-        fields: list[int] = []
-        i = 2
-        while i < len(b) and len(fields) < 2:
-            c = b[i : i + 1]
-            if c == b"#":
-                while i < len(b) and b[i : i + 1] != b"\n":
+        - BMP (``BM`` + BITMAPINFOHEADER): width/height at offsets 18/22,
+          little-endian int32 (height may be negative = top-down rows).
+        - PPM/PGM binary (``P6``/``P5``): ASCII header with #-comments.
+        - WAV (``RIFF....WAVE``): walks RIFF chunks to ``fmt ``/``data``.
+
+        Compressed formats (PNG/JPEG/MP3/MP4...) genuinely need codec
+        libraries this environment doesn't ship — for those the caller
+        falls back or raises. Keeping the parser separate from the Spark
+        stage makes it unit-testable without a session.
+        """
+        if not b or len(b) < 14:
+            return None
+        if b[:2] == b"BM" and len(b) >= 26:
+            w = int.from_bytes(b[18:22], "little", signed=True)
+            h = int.from_bytes(b[22:26], "little", signed=True)
+            return (abs(w), abs(h))
+        if b[:2] in (b"P5", b"P6"):
+            # ASCII fields: magic, width, height, maxval; '#' starts a comment.
+            fields: list[int] = []
+            i = 2
+            while i < len(b) and len(fields) < 2:
+                c = b[i : i + 1]
+                if c == b"#":
+                    while i < len(b) and b[i : i + 1] != b"\n":
+                        i += 1
+                elif c.isdigit():
+                    j = i
+                    while j < len(b) and b[j : j + 1].isdigit():
+                        j += 1
+                    fields.append(int(b[i:j]))
+                    i = j
+                else:
                     i += 1
-            elif c.isdigit():
-                j = i
-                while j < len(b) and b[j : j + 1].isdigit():
-                    j += 1
-                fields.append(int(b[i:j]))
-                i = j
-            else:
-                i += 1
-        if len(fields) == 2:
-            return (fields[0], fields[1])
+            if len(fields) == 2:
+                return (fields[0], fields[1])
+            return None
+        if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+            sample_rate = None
+            block_align = None
+            data_len = None
+            i = 12
+            while i + 8 <= len(b):
+                cid = b[i : i + 4]
+                clen = int.from_bytes(b[i + 4 : i + 8], "little")
+                if cid == b"fmt " and i + 16 <= len(b):
+                    sample_rate = int.from_bytes(b[i + 12 : i + 16], "little")
+                    block_align = int.from_bytes(b[i + 20 : i + 22], "little")
+                elif cid == b"data":
+                    data_len = clen
+                i += 8 + clen + (clen & 1)  # chunks are word-aligned
+            if sample_rate and block_align and data_len is not None:
+                return (sample_rate, data_len // block_align)
         return None
-    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
-        sample_rate = None
-        block_align = None
-        data_len = None
-        i = 12
-        while i + 8 <= len(b):
-            cid = b[i : i + 4]
-            clen = int.from_bytes(b[i + 4 : i + 8], "little")
-            if cid == b"fmt " and i + 16 <= len(b):
-                sample_rate = int.from_bytes(b[i + 12 : i + 16], "little")
-                block_align = int.from_bytes(b[i + 20 : i + 22], "little")
-            elif cid == b"data":
-                data_len = clen
-            i += 8 + clen + (clen & 1)  # chunks are word-aligned
-        if sample_rate and block_align and data_len is not None:
-            return (sample_rate, data_len // block_align)
-    return None
+
+    return parse_media_header
+
+
+parse_media_header = _make_media_header_parser()
 
 
 def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
@@ -149,10 +161,9 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
     gate queries.
     """
 
-    # The closure must be self-contained (no references to this module's
-    # globals): the consuming SparkSession may run workers without this
-    # package on sys.path, and cloudpickle serializes module-level
-    # functions by reference, not by value.
+    # Safe to capture: the parser is factory-built (see
+    # _make_media_header_parser), so cloudpickle ships it by value and
+    # workers never import this package.
     parse = parse_media_header
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
