@@ -56,8 +56,15 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(path)
         from pyspark.sql import functions as F
 
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # Spark honored nanosAsLong: truncate raw nanos to micros.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Newer readers surface parquet TIMESTAMP(NANOS) directly as
+            # micro-truncated TIMESTAMP_NTZ; session tz is pinned UTC, so
+            # the cast to TimestampType is value-preserving.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 

@@ -24,12 +24,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: The events table's physical schema: ts is INT64 nanos in parquet
-#: (the batch catalog handles this too, sources/catalog.py).
+#: The events table's physical schema: ts is INT64 nanos in parquet.
+#: The reader surfaces TIMESTAMP(NANOS) as micro-truncated
+#: TIMESTAMP_NTZ; session tz is pinned UTC so the cast to TimestampType
+#: is value-preserving (the batch catalog does the same,
+#: sources/catalog.py).
 _EVENTS_RAW = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -44,7 +47,6 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     Static parquet stands in for the real unbounded source (Kafka) —
     the transformations downstream are source-agnostic.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # The file-stream source monitors a DIRECTORY; select the single
     # table file with a glob filter.
     raw = (
@@ -53,7 +55,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_event_counts(
