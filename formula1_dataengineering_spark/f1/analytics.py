@@ -170,30 +170,24 @@ def qualifying_classification(
     )
     ranked = best.withColumn("segment_rank", F.row_number().over(seg_rank))
     # Grid contributions: Q3 ranks 1..q3_size; Q2's bottom q2_elim in
-    # their Q2 order; Q1's bottom q1_elim in their Q1 order.
-    q3 = ranked.where((F.col("qualifying") == "Q3") & (F.col("segment_rank") <= q3_size))
-    n_q2 = Window.partitionBy("session_key", "qualifying")
-    with_counts = ranked.withColumn("segment_n", F.count("*").over(n_q2))
-    q2_out = with_counts.where(
-        (F.col("qualifying") == "Q2")
-        & (F.col("segment_rank") > F.col("segment_n") - q2_elim)
-    )
-    q1_out = with_counts.where(
-        (F.col("qualifying") == "Q1")
-        & (F.col("segment_rank") > F.col("segment_n") - q1_elim)
-    )
-    assembled = (
-        q3.select("session_key", "driver_number", "qualifying", "actual_lap_time", "segment_rank")
-        .unionByName(
-            q2_out.select(
-                "session_key", "driver_number", "qualifying", "actual_lap_time", "segment_rank"
-            )
+    # their Q2 order; Q1's bottom q1_elim in their Q1 order. One
+    # disjunctive filter over a single branch — a 3-way union of
+    # filters on the same ranked pipeline would re-run the lap scan
+    # and both window shuffles per branch.
+    n_w = Window.partitionBy("session_key", "qualifying")
+    with_counts = ranked.withColumn("segment_n", F.count("*").over(n_w))
+    assembled = with_counts.where(
+        ((F.col("qualifying") == "Q3") & (F.col("segment_rank") <= q3_size))
+        | (
+            (F.col("qualifying") == "Q2")
+            & (F.col("segment_rank") > F.col("segment_n") - q2_elim)
         )
-        .unionByName(
-            q1_out.select(
-                "session_key", "driver_number", "qualifying", "actual_lap_time", "segment_rank"
-            )
+        | (
+            (F.col("qualifying") == "Q1")
+            & (F.col("segment_rank") > F.col("segment_n") - q1_elim)
         )
+    ).select(
+        "session_key", "driver_number", "qualifying", "actual_lap_time", "segment_rank"
     )
     return ordered_group_position(
         assembled,

@@ -135,6 +135,26 @@ def connected_components(
         )
         sym.unpersist()
         return out
+    # Size the per-round shuffles to the graph, not the session: the
+    # label table is one row per node and every round's exchanges move
+    # at most degree-bounded aggregates of it. At ~500k rows per
+    # partition the tasks stay cache-resident; a tiny graph on a wide
+    # session otherwise pays (partitions × rounds) near-empty tasks of
+    # pure scheduling latency. A 100-TB edge set keeps the session
+    # setting (the clamp only ever lowers toward 8, never raises).
+    spark = edges.sparkSession
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    sized = max(8, min(int(saved_parts), n_sym // 500_000))
+    spark.conf.set("spark.sql.shuffle.partitions", str(sized))
+    try:
+        return _propagate(sym, max_iter)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
+
+
+def _propagate(sym: DataFrame, max_iter: int) -> DataFrame:
+    """Iterative min-label propagation + path halving over symmetrized
+    (and cached) edges; unpersists ``sym`` before returning."""
     # Per-round label handling needs BOTH properties:
     # - exact size stats, so the planner broadcasts the label table
     #   into the big edge join while it fits (and falls back to a

@@ -201,7 +201,7 @@ def run_to_completion(
     stream_df: DataFrame,
     query_name: str,
     output_mode: str = "append",
-    state_partitions: int | None = 8,
+    state_partitions: int | None = 4,
 ) -> DataFrame:
     """Drive a (bounded-source) streaming plan to completion via the
     memory sink; returns the result as a batch DataFrame. Test/dev
