@@ -1,0 +1,209 @@
+"""Corpus-curation operators for LLM training-data pipelines.
+
+The reference has no analog (it is an F1 analytics app); these are the
+engine extensions the task brief makes first-class: chunking documents
+into model-context windows, packing documents into fixed token budgets,
+decontaminating a corpus against an eval set, quota sampling, and
+stopword scrubbing. Everything is built-in-function composition plus
+the existing Arrow-batched shingler — no row-at-a-time Python.
+
+Tokenization here is single-space ``split`` (the dedup operators'
+convention, mirrored 1:1 by ``string_split`` in the DuckDB oracles);
+the regex-tokenizing quality stack lives in ``functions/text.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import portable_term_id, word_shingles_pandas
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Overlapping token-window chunks (context windows for embedding /
+    pretraining): one output row per (doc, chunk), with a portable
+    fingerprint of the chunk text for downstream chunk-level dedup.
+
+    Scale: a pure narrow transform — no shuffle, no UDF; chunk count
+    per doc is ceil(n_tokens / stride), so output size is linear in
+    corpus token count. ``slice`` clamps the tail chunk.
+    """
+    toks = F.split(F.col(text_col), " ")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride)
+    )
+    chunk = F.slice(F.col("__toks"), F.col("__start") + 1, chunk_size)
+    return (
+        docs.select(
+            F.col(id_col),
+            toks.alias("__toks"),
+            F.posexplode(starts).alias("chunk_idx", "__start"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx").cast("int"),
+            F.col("__start").cast("int").alias("start_token"),
+            F.size(chunk).cast("int").alias("n_tokens"),
+            portable_term_id(F.concat_ws(" ", chunk)).alias("chunk_fp"),
+        )
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 512,
+    part_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign each document a position in fixed-token-budget training
+    sequences: concatenate docs in deterministic ``id_col`` order
+    within each ``part_col`` partition and cut every ``budget`` tokens
+    (docs may cross a cut — the standard packing approximation; the
+    ``crosses_boundary`` flag marks where an attention reset lands
+    mid-document).
+
+    Scale: one window shuffle keyed by ``part_col``; the running sum is
+    a single pass. Packing is embarrassingly parallel across
+    partitions, which is exactly why the bin space is scoped per
+    partition rather than global (a global order would serialize).
+    """
+    n_tok = F.size(F.split(F.col(text_col), " "))
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_prev = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    return (
+        docs.select(
+            F.col(id_col), F.col(part_col), n_tok.cast("int").alias("n_tokens")
+        )
+        .withColumn("__cum_prev", cum_prev)
+        .select(
+            id_col,
+            part_col,
+            "n_tokens",
+            (F.col("__cum_prev") / budget).cast("int").alias("bin_id"),
+            (F.col("__cum_prev") % budget).cast("int").alias("bin_offset"),
+            (
+                (F.col("__cum_prev") % budget + F.col("n_tokens")) > budget
+            ).alias("crosses_boundary"),
+        )
+    )
+
+
+def contamination_overlap(
+    docs: DataFrame,
+    eval_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: for every non-eval document, how many
+    distinct token ``k``-grams it shares with the eval set
+    (``eval_pred`` selects eval rows), and a contamination flag.
+
+    Scale: the eval gram table is tiny relative to the corpus (eval
+    sets are thousands of rows; corpora are billions) — it broadcasts
+    into the corpus-side gram stream, so the only shuffle is the
+    per-doc distinct-count aggregate of the *matched* grams, which the
+    broadcast join has already cut to near-zero for clean corpora.
+    Grams are hashed to 64-bit portable ids before the join: joining
+    8-gram strings would move ~8x the bytes.
+    """
+    def grams_of(side: DataFrame) -> DataFrame:
+        # Filter BEFORE shingling: the split keeps the (Arrow-batched,
+        # corpus-dominating) shingle stage single-pass per side instead
+        # of running the full-corpus pipeline once per consumer.
+        return side.select(
+            F.col(id_col),
+            F.explode(word_shingles_pandas(k)(F.col(text_col))).alias("__g"),
+        ).select(id_col, portable_term_id(F.col("__g")).alias("gid"))
+
+    eval_grams = grams_of(docs.where(eval_pred)).select("gid").distinct()
+    hits = (
+        grams_of(docs.where(~eval_pred))
+        .join(F.broadcast(eval_grams), "gid")
+        .groupBy(id_col)
+        .agg(F.count_distinct("gid").alias("__n_shared"))
+    )
+    return (
+        docs.where(~eval_pred)
+        .select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("__n_shared", F.lit(0)).cast("int").alias("n_shared_grams"),
+            (F.coalesce("__n_shared", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def quota_sample(
+    df: DataFrame,
+    part_col: str,
+    quota: int,
+    id_col: str,
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Deterministic per-partition quota sample: rank rows by the MD5
+    of their id (a stable pseudo-random order both engines compute
+    identically) and keep ``quota`` per ``part_col`` value.
+
+    Scale: one window shuffle keyed by ``part_col``. For heavily
+    skewed partition sizes the ranking is still a single pass — the
+    window only materializes rank, and rows beyond the quota are
+    dropped before any downstream exchange.
+    """
+    w = Window.partitionBy(part_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .where(F.col(rank_col) <= quota)
+        .select(id_col, part_col, F.col(rank_col).cast("int").alias(rank_col))
+    )
+
+
+def scrub_stats(
+    docs: DataFrame,
+    stopwords: list[str],
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group token/char accounting of a stopword scrub pass —
+    the bookkeeping a filtering stage emits so curation decisions are
+    auditable. All outputs are integers (hash-exact across engines).
+
+    Scale: the filter/measure work happens in the scan stage via
+    higher-order functions (JVM, no shuffle); the only exchange is the
+    final small per-group aggregate with map-side partials.
+    """
+    toks = F.split(F.col(text_col), " ")
+    kept = F.filter(toks, lambda t: ~t.isin(*stopwords))
+    kept_chars = F.aggregate(
+        F.transform(kept, F.length),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    per_doc = docs.select(
+        F.col(group_col),
+        F.size(toks).alias("__n_tok"),
+        F.size(kept).alias("__n_kept"),
+        kept_chars.alias("__kept_chars"),
+    )
+    return per_doc.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("__n_tok").alias("total_tokens"),
+        F.sum("__n_kept").alias("kept_tokens"),
+        F.sum(F.col("__n_tok") - F.col("__n_kept")).alias("removed_tokens"),
+        F.sum("__kept_chars").alias("kept_chars"),
+    )

@@ -1397,3 +1397,92 @@ FROM events GROUP BY user_id
 """
 
 ORACLE_SQL["events_sessionized_streamed"] = ORACLE_SQL["sessionize_events"]
+
+# --- corpus-curation gates (operators/curation.py) ---
+
+ORACLE_SQL["doc_chunking"] = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), st AS (
+  SELECT doc_id, t,
+         unnest(generate_series(0, greatest(len(t) - 1, 0), 48)) AS s
+  FROM toks
+)
+SELECT doc_id,
+       CAST(s // 48 AS INT) AS chunk_idx,
+       CAST(s AS INT) AS start_token,
+       CAST(len(t[s + 1:s + 64]) AS INT) AS n_tokens,
+       {_tid("array_to_string(t[s + 1:s + 64], ' ')")} AS chunk_fp
+FROM st
+"""
+
+ORACLE_SQL["sequence_packing"] = """
+WITH n AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_prev
+  FROM n
+)
+SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
+       CAST(cum_prev // 512 AS INT) AS bin_id,
+       CAST(cum_prev % 512 AS INT) AS bin_offset,
+       (cum_prev % 512 + n_tokens > 512) AS crosses_boundary
+FROM c
+"""
+
+ORACLE_SQL["decontamination_overlap"] = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, len(t) - 6), i -> array_to_string(t[i:i + 7], ' ')
+         ))) AS g
+  FROM toks
+), ids AS (
+  SELECT doc_id, {_tid('g')} AS gid FROM sh
+), ev AS (
+  SELECT DISTINCT gid FROM ids WHERE doc_id % 97 = 0
+), hits AS (
+  SELECT i.doc_id, count(DISTINCT i.gid) AS n_shared
+  FROM ids i JOIN ev USING (gid)
+  WHERE i.doc_id % 97 <> 0 GROUP BY i.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_shared, 0) AS INT) AS n_shared_grams,
+       COALESCE(h.n_shared, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 97 <> 0
+"""
+
+ORACLE_SQL["language_quota_sample"] = """
+SELECT doc_id, lang, CAST(rk AS INT) AS sample_rank FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+) WHERE rk <= 20
+"""
+
+ORACLE_SQL["stopword_scrub_stats"] = """
+WITH f AS (
+  SELECT source, len(string_split(text, ' ')) AS n_tok,
+         list_filter(string_split(text, ' '),
+                     x -> NOT list_contains(['the', 'a', 'of', 'and', 'to'], x))
+           AS kept
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       CAST(sum(len(kept)) AS BIGINT) AS kept_tokens,
+       CAST(sum(n_tok - len(kept)) AS BIGINT) AS removed_tokens,
+       CAST(sum(COALESCE(list_sum(list_transform(kept, x -> len(x))), 0))
+            AS BIGINT) AS kept_chars
+FROM f GROUP BY source
+"""

@@ -2152,3 +2152,73 @@ def events_sessionized_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_sessions"),
         F.sum("n_events").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-curation gate queries (operators/curation.py): the training-
+# data-pipeline stages beyond dedup/similarity — chunking, sequence
+# packing, decontamination, quota sampling, scrub accounting.
+# ---------------------------------------------------------------------------
+
+
+@query("doc_chunking")
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 64-token context-window chunks (stride 48) with a
+    portable chunk fingerprint — the chunk-level carrier for embedding
+    and chunk-dedup stages. Narrow transform: no shuffle at all."""
+    from ..operators.curation import chunk_documents
+
+    return chunk_documents(
+        load(spark, sf_dir, "documents"), chunk_size=64, stride=48
+    )
+
+
+@query("sequence_packing")
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-512-token sequence packing in deterministic doc_id order
+    per source: bin id / offset / boundary-crossing flag per document.
+    One window shuffle keyed by source; bins are partition-scoped so
+    packing parallelizes instead of serializing on a global order."""
+    from ..operators.curation import pack_sequences
+
+    return pack_sequences(
+        load(spark, sf_dir, "documents"), budget=512, part_col="source"
+    )
+
+
+@query("decontamination_overlap")
+def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: distinct shared 8-gram count (portable
+    gram ids, broadcast eval side) + contamination flag for every
+    corpus doc not in the pseudo-eval set (doc_id % 97 == 0)."""
+    from ..operators.curation import contamination_overlap
+
+    return contamination_overlap(
+        load(spark, sf_dir, "documents"), F.col("doc_id") % 97 == 0, k=8
+    )
+
+
+@query("language_quota_sample")
+def language_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language quota sample (20 docs/language,
+    MD5-ordered) — the language-balancing stage of corpus assembly."""
+    from ..operators.curation import quota_sample
+
+    return quota_sample(
+        load(spark, sf_dir, "documents"), part_col="lang", quota=20,
+        id_col="doc_id",
+    )
+
+
+@query("stopword_scrub_stats")
+def stopword_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source integer accounting of a stopword scrub pass (docs,
+    total/kept/removed tokens, kept chars) — the audit trail a
+    filtering stage emits. HOF filter+measure in the scan stage; one
+    small aggregate exchange."""
+    from ..functions.text import STOPWORDS
+    from ..operators.curation import scrub_stats
+
+    return scrub_stats(
+        load(spark, sf_dir, "documents"), STOPWORDS["en"], group_col="source"
+    )

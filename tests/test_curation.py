@@ -1,0 +1,112 @@
+"""Invariant tests for the corpus-curation operators (the oracle
+harness already hash-checks the gate queries; these pin the semantic
+contracts on adversarial shapes the synthetic corpus doesn't hit)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from formula1_dataengineering_spark.operators.curation import (
+    chunk_documents,
+    contamination_overlap,
+    pack_sequences,
+    quota_sample,
+    scrub_stats,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string, lang string")
+
+
+def test_chunks_cover_every_token_and_overlap(spark):
+    text = " ".join(f"w{i}" for i in range(150))
+    out = chunk_documents(
+        _docs(spark, [(1, text, "s", "en")]), chunk_size=64, stride=48
+    ).orderBy("chunk_idx").collect()
+    # ceil over stride: starts at 0, 48, 96, 144
+    assert [r.start_token for r in out] == [0, 48, 96, 144]
+    assert [r.n_tokens for r in out] == [64, 64, 54, 6]
+    # full coverage: last chunk reaches the final token
+    assert out[-1].start_token + out[-1].n_tokens == 150
+    # consecutive chunks overlap by chunk_size - stride (except the tail)
+    assert out[0].start_token + 64 - out[1].start_token == 16
+
+
+def test_chunking_short_and_single_token_docs(spark):
+    out = chunk_documents(
+        _docs(spark, [(1, "only", "s", "en"), (2, "a b", "s", "en")]),
+        chunk_size=4,
+        stride=3,
+    ).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[1]) == 1 and by_doc[1][0].n_tokens == 1
+    assert len(by_doc[2]) == 1 and by_doc[2][0].n_tokens == 2
+
+
+def test_packing_offsets_bounded_and_bins_monotone(spark):
+    rows = [(i, " ".join(["t"] * (37 + 13 * (i % 7))), f"s{i % 3}", "en") for i in range(60)]
+    out = pack_sequences(_docs(spark, rows), budget=100, part_col="source")
+    pdf = out.orderBy("source", "doc_id").toPandas()
+    assert (pdf["bin_offset"] < 100).all() and (pdf["bin_offset"] >= 0).all()
+    for _, grp in pdf.groupby("source"):
+        # bins increase monotonically in doc order and never skip by
+        # more than the doc's own token span
+        bins = grp["bin_id"].to_numpy()
+        assert (bins[1:] >= bins[:-1]).all()
+        # offset equals previous cumulative tokens mod budget
+        cum = grp["n_tokens"].cumsum().shift(1).fillna(0).astype(int)
+        assert (grp["bin_offset"].to_numpy() == (cum % 100).to_numpy()).all()
+        assert (grp["bin_id"].to_numpy() == (cum // 100).to_numpy()).all()
+
+
+def test_contamination_flags_exact_copy_and_clean_doc(spark):
+    eval_text = " ".join(f"e{i}" for i in range(20))
+    clean_text = " ".join(f"c{i}" for i in range(20))
+    docs = _docs(
+        spark,
+        [
+            (0, eval_text, "s", "en"),       # eval member (0 % 97 == 0)
+            (1, eval_text, "s", "en"),       # verbatim copy → contaminated
+            (2, clean_text, "s", "en"),      # disjoint vocab → clean
+            (3, eval_text + " tail", "s", "en"),  # superset → contaminated
+        ],
+    )
+    out = {
+        r.doc_id: r
+        for r in contamination_overlap(docs, F.col("doc_id") % 97 == 0, k=8).collect()
+    }
+    assert set(out) == {1, 2, 3}  # eval rows excluded from the output
+    assert out[1].contaminated and out[1].n_shared_grams == 13  # 20-8+1
+    assert not out[2].contaminated and out[2].n_shared_grams == 0
+    assert out[3].contaminated
+
+
+def test_quota_sample_deterministic_and_bounded(spark):
+    rows = [(i, "x", "s", f"l{i % 4}") for i in range(100)]
+    a = quota_sample(_docs(spark, rows), "lang", 5, "doc_id").collect()
+    b = quota_sample(_docs(spark, rows), "lang", 5, "doc_id").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    per_lang = {}
+    for r in a:
+        per_lang.setdefault(r.lang, []).append(r.sample_rank)
+    assert all(sorted(v) == list(range(1, 6)) for v in per_lang.values())
+
+
+def test_scrub_stats_token_accounting(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "the quick fox and the dog", "s1", "en"),
+            (2, "a a a", "s1", "en"),
+            (3, "no stop words here", "s2", "en"),
+        ],
+    )
+    out = {r.source: r for r in scrub_stats(docs, ["the", "a", "of", "and", "to"]).collect()}
+    s1 = out["s1"]
+    assert (s1.n_docs, s1.total_tokens, s1.kept_tokens, s1.removed_tokens) == (2, 9, 3, 6)
+    assert s1.kept_chars == len("quickfoxdog")
+    s2 = out["s2"]
+    assert (s2.kept_tokens, s2.removed_tokens, s2.kept_chars) == (4, 0, len("nostopwordshere"))
