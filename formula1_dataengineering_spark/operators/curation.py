@@ -100,6 +100,71 @@ def pack_sequences(
     )
 
 
+def pack_sequences_global(
+    docs: DataFrame,
+    budget: int = 512,
+    part_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sequence packing over ONE global bin space (total order =
+    ``part_col`` then ``id_col``) without a global window.
+
+    The naive plan — ``Window.orderBy(part, id)`` — moves the whole
+    corpus to a single partition. This is the two-phase scale form of a
+    global cumulative sum: phase 1 computes per-partition running sums
+    with an ordinary partitioned window; phase 2 aggregates one row per
+    partition (token totals), prefix-sums that tiny table on the driver
+    order, and broadcasts the offsets back. The big data is touched by
+    exactly one partitioned window shuffle; the global coordination
+    cost is O(#partitions), not O(rows).
+    """
+    n_tok = F.size(F.split(F.col(text_col), " "))
+    per = docs.select(
+        F.col(id_col), F.col(part_col), n_tok.cast("int").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = per.withColumn(
+        "__local_prev", F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    )
+    # One tiny row per partition value; the cross-partition prefix is a
+    # window over that aggregate — #partitions rows, broadcast back.
+    offsets = (
+        per.groupBy(part_col)
+        .agg(F.sum("n_tokens").alias("__part_total"))
+        .withColumn(
+            "__part_offset",
+            F.coalesce(
+                F.sum("__part_total").over(
+                    Window.orderBy(part_col).rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .select(part_col, "__part_offset")
+    )
+    cum_prev = F.col("__local_prev") + F.col("__part_offset")
+    return (
+        local.join(F.broadcast(offsets), part_col)
+        .select(
+            id_col,
+            part_col,
+            "n_tokens",
+            (cum_prev / budget).cast("int").alias("bin_id"),
+            (cum_prev % budget).cast("int").alias("bin_offset"),
+            ((cum_prev % budget + F.col("n_tokens")) > budget).alias(
+                "crosses_boundary"
+            ),
+        )
+    )
+
+
 def contamination_overlap(
     docs: DataFrame,
     eval_pred: Column,

@@ -1486,3 +1486,22 @@ SELECT source,
             AS BIGINT) AS kept_chars
 FROM f GROUP BY source
 """
+
+ORACLE_SQL["sequence_packing_global"] = """
+WITH n AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           ORDER BY source, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_prev
+  FROM n
+)
+SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
+       CAST(cum_prev // 512 AS INT) AS bin_id,
+       CAST(cum_prev % 512 AS INT) AS bin_offset,
+       (cum_prev % 512 + n_tokens > 512) AS crosses_boundary
+FROM c
+"""

@@ -2222,3 +2222,17 @@ def stopword_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scrub_stats(
         load(spark, sf_dir, "documents"), STOPWORDS["en"], group_col="source"
     )
+
+
+@query("sequence_packing_global")
+def sequence_packing_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-bin-space sequence packing WITHOUT a global window: the
+    two-phase cumulative sum (partitioned window + per-partition token
+    totals prefix-summed and broadcast back). The oracle states the
+    naive global-window semantics; the plan test asserts the corpus
+    never crosses a single-partition Window."""
+    from ..operators.curation import pack_sequences_global
+
+    return pack_sequences_global(
+        load(spark, sf_dir, "documents"), budget=512, part_col="source"
+    )

@@ -10,6 +10,7 @@ from formula1_dataengineering_spark.operators.curation import (
     chunk_documents,
     contamination_overlap,
     pack_sequences,
+    pack_sequences_global,
     quota_sample,
     scrub_stats,
 )
@@ -110,3 +111,28 @@ def test_scrub_stats_token_accounting(spark):
     assert s1.kept_chars == len("quickfoxdog")
     s2 = out["s2"]
     assert (s2.kept_tokens, s2.removed_tokens, s2.kept_chars) == (4, 0, len("nostopwordshere"))
+
+
+def test_global_packing_matches_naive_global_window(spark):
+    from pyspark.sql import Window
+
+    rows = [(i, " ".join(["t"] * (29 + 17 * (i % 5))), f"s{i % 4}", "en") for i in range(80)]
+    docs = _docs(spark, rows)
+    out = pack_sequences_global(docs, budget=100, part_col="source").toPandas()
+    # Naive single-partition reference implementation.
+    n = docs.select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = Window.orderBy("source", "doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    naive = (
+        n.withColumn("cum_prev", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .select(
+            "doc_id",
+            (F.col("cum_prev") / 100).cast("int").alias("bin_id"),
+            (F.col("cum_prev") % 100).cast("int").alias("bin_offset"),
+        )
+        .toPandas()
+    )
+    merged = out.merge(naive, on="doc_id", suffixes=("", "_naive"))
+    assert (merged["bin_id"] == merged["bin_id_naive"]).all()
+    assert (merged["bin_offset"] == merged["bin_offset_naive"]).all()

@@ -192,3 +192,20 @@ def test_grouping_sets_single_aggregate_pass(spark):
     tree = _tree(plan)
     assert "Expand" in tree
     assert tree.count("Exchange") == 1
+
+
+def test_global_packing_has_no_corpus_wide_window(spark):
+    """The two-phase global cumsum: the only unpartitioned Window runs
+    over the per-source aggregate (one row per source), never the
+    corpus; the offsets come back via broadcast."""
+    plan = formatted_plan(spark, "sequence_packing_global")
+    body = _tree(plan)
+    assert "BroadcastHashJoin" in body
+    # Two Window nodes total: the per-source running sum (partitioned)
+    # and the tiny cross-source prefix (unpartitioned, post-aggregate).
+    assert body.count("Window") == 2
+    # The unpartitioned window consumes an aggregated input: in the
+    # detail section its child chain must contain the HashAggregate of
+    # per-source totals, so no raw-scan rows reach a global sort.
+    detail = plan.split("\n(1)")[1] if "\n(1)" in plan else plan
+    assert "HashAggregate" in detail
