@@ -1,0 +1,105 @@
+"""Fixed-iteration k-means over embedding columns — the training step
+for the IVF coarse quantizer (``operators/similarity.ivf_topk`` probes
+the cells this produces).
+
+Iterative algorithms are usually the "non-SQL-expressible" bucket, but
+a FIXED iteration count unrolls into a deterministic dataflow both
+engines can evaluate, which keeps the operator inside the hash-matched
+correctness gate. The determinism recipe:
+
+- distances are an ORDERED left fold over the dimension array
+  (``F.aggregate`` / DuckDB ``list_reduce``) in double precision —
+  bit-identical across engines, unlike a groupBy-sum over exploded
+  dims whose accumulation order is partition-dependent;
+- assignment ties break on cluster id (total order on (dist, cluster));
+- centroid updates quantize to ``round_decimals`` decimals, so the one
+  unavoidable partition-order-dependent reduction (the per-cluster
+  mean) re-enters the next iteration as an identical literal in both
+  engines.
+
+Scale: per iteration, the k-row centroid table broadcasts into the
+corpus scan (k-fold fan-out, map-side ``min_by`` partial aggregation
+collapses it back to one row per vector before the only shuffle), and
+the update is a (k × dims)-group aggregate. Nothing is ever collected;
+iterations chain lazily. Empty clusters drop out (documented
+semantics; both engines agree because assignments agree).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _sq_dist(vec: str, cent: str):
+    """Ordered-fold squared L2 distance — bit-exact across engines."""
+    return F.aggregate(
+        F.zip_with(vec, cent, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_assignments(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_decimals: int = 4,
+) -> DataFrame:
+    """Cluster assignment after ``iters`` Lloyd iterations seeded with
+    the ``k`` smallest-id vectors. Returns (id, cluster, sq_dist)."""
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = emb.select(F.col(id_col), vec_d.alias("__v"))
+    cents = base.where(F.col(id_col) < k).select(
+        F.col(id_col).cast("int").alias("__cluster"), F.col("__v").alias("__c")
+    )
+    assign = None
+    for i in range(iters):
+        scored = base.crossJoin(F.broadcast(cents)).select(
+            id_col,
+            "__v",
+            "__cluster",
+            _sq_dist("__v", "__c").alias("__dist"),
+        )
+        # min_by over a (dist, cluster) total order: a hash aggregate
+        # with map-side partials — cheaper than a window, which would
+        # shuffle all k candidate rows per vector.
+        m = F.min_by(
+            F.struct("__cluster", "__dist", "__v"),
+            F.struct("__dist", "__cluster"),
+        )
+        assign = (
+            scored.groupBy(id_col)
+            .agg(m.alias("__m"))
+            .select(
+                id_col,
+                F.col("__m.__cluster").alias("__cluster"),
+                F.col("__m.__dist").alias("__dist"),
+                F.col("__m.__v").alias("__v"),
+            )
+        )
+        if i < iters - 1:
+            # Quantized centroid update; array_sort on (dim, value)
+            # structs rebuilds the dimension order deterministically
+            # (collect_list alone has no order guarantee).
+            cents = (
+                assign.select(
+                    "__cluster", F.posexplode("__v").alias("__dim", "__val")
+                )
+                .groupBy("__cluster", "__dim")
+                .agg(F.round(F.avg("__val"), round_decimals).alias("__cv"))
+                .groupBy("__cluster")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("__dim", "__cv"))),
+                        lambda s: s.getField("__cv"),
+                    ).alias("__c")
+                )
+            )
+    return assign.select(
+        id_col,
+        F.col("__cluster").cast("int").alias("cluster"),
+        F.round("__dist", 6).alias("sq_dist"),
+    )

@@ -1505,3 +1505,44 @@ SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
        (cum_prev % 512 + n_tokens > 512) AS crosses_boundary
 FROM c
 """
+
+# --- kmeans_ivf_training: 3 unrolled Lloyd iterations, mirroring
+# operators/clustering.py bit-for-bit (ordered-fold distances via
+# list_reduce, round-4 quantized centroid updates). ---
+
+_KM_DIST = (
+    "list_reduce(list_transform(list_zip({v}, {c}), "
+    "x -> (x[1] - x[2]) * (x[1] - x[2])), (a, b) -> a + b)"
+)
+
+_km = ['''WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), c0 AS (
+  SELECT CAST(vec_id AS INT) AS cluster, v AS c FROM e WHERE vec_id < 8
+)''']
+for i in range(1, 4):
+    dist = _KM_DIST.format(v="e.v", c="c.c")
+    _km.append(f''', s{i} AS (
+  SELECT e.vec_id, e.v, c.cluster, {dist} AS dist
+  FROM e CROSS JOIN c{i - 1} c
+), a{i} AS (
+  SELECT vec_id, v, cluster, dist FROM (
+    SELECT s.*, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+    FROM s{i} s
+  ) WHERE rn = 1
+)''')
+    if i < 3:
+        _km.append(f''', u{i} AS (
+  SELECT cluster, d AS dim, round(avg(val), 4) AS cv FROM (
+    SELECT cluster, unnest(v) AS val, generate_subscripts(v, 1) AS d FROM a{i}
+  ) GROUP BY cluster, d
+), c{i} AS (
+  SELECT cluster, list(cv ORDER BY dim) AS c FROM u{i} GROUP BY cluster
+)''')
+_km.append('''
+SELECT vec_id, CAST(cluster AS INT) AS cluster, round(dist, 6) AS sq_dist
+FROM a3
+''')
+
+ORACLE_SQL["kmeans_ivf_training"] = "".join(_km)

@@ -2236,3 +2236,18 @@ def sequence_packing_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences_global(
         load(spark, sf_dir, "documents"), budget=512, part_col="source"
     )
+
+
+@query("kmeans_ivf_training")
+def kmeans_ivf_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-3-iteration k-means (k=8) over the embeddings — the IVF
+    coarse-quantizer training step, unrolled so the iterative
+    algorithm itself sits inside the hash-matched gate (ordered-fold
+    distances, quantized centroid updates; operators/clustering.py).
+    Per iteration: broadcast k centroids into the scan, map-side
+    min_by collapse, one (k x dims)-group update aggregate."""
+    from ..operators.clustering import kmeans_assignments
+
+    return kmeans_assignments(
+        load(spark, sf_dir, "embeddings"), k=8, iters=3, round_decimals=4
+    )

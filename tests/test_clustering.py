@@ -1,0 +1,62 @@
+"""k-means operator contracts: Lloyd monotonicity, determinism, and
+the broadcast-fan-out plan shape (the oracle harness hash-checks the
+gate query itself)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from formula1_dataengineering_spark.operators.clustering import kmeans_assignments
+from formula1_dataengineering_spark.sources.catalog import load
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_lloyd_objective_non_increasing(spark):
+    emb = load(spark, SF, "embeddings")
+    costs = []
+    for iters in (1, 2, 3):
+        out = kmeans_assignments(emb, k=8, iters=iters)
+        costs.append(out.agg(F.sum("sq_dist")).first()[0])
+    # Each extra Lloyd iteration may only improve (or hold) the
+    # clustering objective; quantized updates keep this monotone in
+    # practice on real data — a regression here means the update or
+    # assignment step broke.
+    assert costs[0] >= costs[1] >= costs[2] - 1e-9, costs
+
+
+def test_kmeans_deterministic_across_runs(spark):
+    emb = load(spark, SF, "embeddings")
+    a = kmeans_assignments(emb, k=8, iters=3).collect()
+    b = kmeans_assignments(emb, k=8, iters=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_duplicate_points_share_cluster_and_empty_clusters_drop(spark):
+    # 2 distinct locations, k=4 seeds: two seeds are duplicates of the
+    # other two, so after one update at most 2 clusters survive — the
+    # documented empty-cluster-drop semantics — and co-located points
+    # always land together.
+    rows = [(i, [float(i % 2), 0.0, 0.0]) for i in range(12)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_assignments(emb, k=4, iters=3).collect()
+    by_loc = {}
+    for r in out:
+        by_loc.setdefault(r.vec_id % 2, set()).add(r.cluster)
+    assert all(len(c) == 1 for c in by_loc.values())
+    assert by_loc[0] != by_loc[1]
+    assert all(r.sq_dist == 0.0 for r in out)
+
+
+def test_kmeans_plan_broadcasts_and_avoids_corpus_window(spark):
+    df = kmeans_assignments(load(spark, SF, "embeddings"), k=8, iters=3)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    body = plan.split("\n(1)")[0]
+    # every centroid table rides a broadcast; assignment is a hash
+    # aggregate (map-side min_by partials), never a row_number window
+    # over the k-fold fan-out
+    assert "BroadcastNestedLoopJoin" in body or "BroadcastHashJoin" in body
+    assert "SortMergeJoin" not in body
+    assert "Window" not in body
