@@ -1546,3 +1546,18 @@ FROM a3
 ''')
 
 ORACLE_SQL["kmeans_ivf_training"] = "".join(_km)
+
+ORACLE_SQL["incremental_corpus_merge"] = f"""
+WITH h AS (
+  SELECT doc_id, source, {_tid('text')} AS hh FROM documents
+), base AS (
+  SELECT * FROM h WHERE doc_id % 11 <> 0
+), batch AS (
+  SELECT * FROM h WHERE doc_id % 11 = 0
+)
+SELECT doc_id, source, 'base' AS origin FROM base
+UNION ALL
+SELECT b.doc_id, b.source, 'new' AS origin
+FROM batch b
+WHERE b.hh NOT IN (SELECT hh FROM base)
+"""

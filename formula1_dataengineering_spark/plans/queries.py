@@ -2251,3 +2251,31 @@ def kmeans_ivf_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assignments(
         load(spark, sf_dir, "embeddings"), k=8, iters=3, round_decimals=4
     )
+
+
+@query("incremental_corpus_merge")
+def incremental_corpus_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus ingest: merge a new batch (doc_id % 11 == 0)
+    into the base corpus, dropping batch docs whose CONTENT (portable
+    48-bit text hash) already exists in the base — the
+    dedup-against-history step of a continuously-updated training
+    corpus. Anti-join on the content hash: the probe side is only the
+    incoming batch, so at 100 TB the big base table is the build/
+    shuffle side exactly once and the merge cost tracks batch size,
+    not corpus size."""
+    from ..operators.dedup import portable_term_id
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", portable_term_id(F.col("text")).alias("__h")
+    )
+    batch = d.where(F.col("doc_id") % 11 == 0)
+    base = d.where(F.col("doc_id") % 11 != 0)
+    fresh = batch.join(
+        base.select("__h").distinct(), "__h", "left_anti"
+    )
+    return (
+        base.select("doc_id", "source", F.lit("base").alias("origin"))
+        .unionByName(
+            fresh.select("doc_id", "source", F.lit("new").alias("origin"))
+        )
+    )

@@ -202,6 +202,7 @@ def run_to_completion(
     query_name: str,
     output_mode: str = "append",
     state_partitions: int | None = 4,
+    start_conf: dict[str, str] | None = None,
 ) -> DataFrame:
     """Drive a (bounded-source) streaming plan to completion via the
     memory sink; returns the result as a batch DataFrame. Test/dev
@@ -228,6 +229,13 @@ def run_to_completion(
             "spark.sql.shuffle.partitions",
             str(min(int(saved), state_partitions)),
         )
+    # Extra confs pinned at stream start (e.g. the RocksDB state-store
+    # provider transformWithState requires); restored like the
+    # partition count — the stream keeps the value it started with.
+    saved_extra = {}
+    for k, v in (start_conf or {}).items():
+        saved_extra[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
     try:
         q = (
             stream_df.writeStream.outputMode(output_mode)
@@ -238,8 +246,74 @@ def run_to_completion(
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
+        for k, v in saved_extra.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
     try:
         q.processAllAvailable()
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def transform_with_state_available() -> bool:
+    """True when the TWS Python runner's dependencies are importable
+    (``google.protobuf``); building the plan never needs them, running
+    it does."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def user_running_totals_tws(events: DataFrame) -> DataFrame:
+    """The same per-user running totals via ``transformWithStateInPandas``
+    — the successor arbitrary-state API (typed state variables on a
+    processor handle, RocksDB-backed state store). Semantically
+    identical to :func:`user_running_totals`; at scale the RocksDB
+    provider adds changelog checkpointing and state-size decoupling
+    from executor memory.
+
+    EXECUTION requires the ``protobuf`` package (the TWS runner's
+    driver-side worker imports it), which this environment lacks —
+    the plan still builds and schema-checks without it, so the
+    operator is tested to the analysis boundary and gated with
+    :func:`transform_with_state_available` for the run step.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n bigint, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._totals.get() if self._totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].fillna(0.0).sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )

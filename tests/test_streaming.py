@@ -121,3 +121,37 @@ def test_stream_stream_join_matches_batch(spark):
     g = sorted((r["view_id"], r["purchase_id"]) for r in got.collect())
     w = sorted((r["view_id"], r["purchase_id"]) for r in want.collect())
     assert g == w
+
+
+def test_transform_with_state_plan_builds_and_runs_where_available(spark):
+    """transformWithStateInPandas (successor arbitrary-state API):
+    the plan must always build with the right schema; execution needs
+    the protobuf dependency its Python runner imports, so the run
+    step gates on availability instead of failing the suite."""
+    import pytest
+
+    from formula1_dataengineering_spark.streaming.events import (
+        read_events_stream,
+        run_to_completion,
+        transform_with_state_available,
+        user_running_totals_tws,
+    )
+
+    totals = user_running_totals_tws(read_events_stream(spark, SF))
+    assert [f.name for f in totals.schema.fields] == [
+        "user_id", "n_events", "total_value",
+    ]
+    if not transform_with_state_available():
+        pytest.skip("google.protobuf absent: TWS runner cannot start here")
+    res = run_to_completion(
+        totals,
+        "tws_totals_test",
+        output_mode="update",
+        start_conf={
+            "spark.sql.streaming.stateStore.providerClass": (
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider"
+            )
+        },
+    )
+    assert res.count() > 0
