@@ -106,52 +106,60 @@ def pack_sequences_global(
     part_col: str = "source",
     id_col: str = "doc_id",
     text_col: str = "text",
+    shard_width: int = 1_000_000,
 ) -> DataFrame:
     """Sequence packing over ONE global bin space (total order =
     ``part_col`` then ``id_col``) without a global window.
 
     The naive plan — ``Window.orderBy(part, id)`` — moves the whole
     corpus to a single partition. This is the two-phase scale form of a
-    global cumulative sum: phase 1 computes per-partition running sums
-    with an ordinary partitioned window; phase 2 aggregates one row per
-    partition (token totals), prefix-sums that tiny table on the driver
+    global cumulative sum: phase 1 computes running sums inside
+    (partition, id-range shard) windows — sharding by contiguous
+    ``id_col`` ranges keeps phase-1 tasks bounded even when one
+    ``part_col`` value holds billions of rows, the skew a plain
+    per-partition window would serialize. Phase 2 aggregates one row
+    per shard (token totals), prefix-sums that tiny table in shard
     order, and broadcasts the offsets back. The big data is touched by
     exactly one partitioned window shuffle; the global coordination
-    cost is O(#partitions), not O(rows).
+    cost is O(#shards), not O(rows).
     """
     n_tok = F.size(F.split(F.col(text_col), " "))
+    shard = (F.col(id_col) / shard_width).cast("long")
     per = docs.select(
-        F.col(id_col), F.col(part_col), n_tok.cast("int").alias("n_tokens")
+        F.col(id_col),
+        F.col(part_col),
+        n_tok.cast("int").alias("n_tokens"),
+        shard.alias("__shard"),
     )
     w = (
-        Window.partitionBy(part_col)
+        Window.partitionBy(part_col, "__shard")
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     local = per.withColumn(
         "__local_prev", F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
     )
-    # One tiny row per partition value; the cross-partition prefix is a
-    # window over that aggregate — #partitions rows, broadcast back.
+    # One tiny row per (partition, shard); the cross-shard prefix is a
+    # window over that aggregate in (part, shard) order, broadcast back.
     offsets = (
-        per.groupBy(part_col)
-        .agg(F.sum("n_tokens").alias("__part_total"))
+        per.groupBy(part_col, "__shard")
+        .agg(F.sum("n_tokens").alias("__shard_total"))
         .withColumn(
-            "__part_offset",
+            "__shard_offset",
             F.coalesce(
-                F.sum("__part_total").over(
-                    Window.orderBy(part_col).rowsBetween(
+                F.sum("__shard_total").over(
+                    Window.orderBy(part_col, "__shard").rowsBetween(
                         Window.unboundedPreceding, -1
                     )
                 ),
                 F.lit(0).cast("long"),
             ),
         )
-        .select(part_col, "__part_offset")
+        .select(part_col, "__shard", "__shard_offset")
     )
-    cum_prev = F.col("__local_prev") + F.col("__part_offset")
+    cum_prev = F.col("__local_prev") + F.col("__shard_offset")
     return (
-        local.join(F.broadcast(offsets), part_col)
+        local.join(F.broadcast(offsets), [part_col, "__shard"])
         .select(
             id_col,
             part_col,

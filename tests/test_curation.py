@@ -118,7 +118,11 @@ def test_global_packing_matches_naive_global_window(spark):
 
     rows = [(i, " ".join(["t"] * (29 + 17 * (i % 5))), f"s{i % 4}", "en") for i in range(80)]
     docs = _docs(spark, rows)
-    out = pack_sequences_global(docs, budget=100, part_col="source").toPandas()
+    # shard_width=7 forces many id-range shards per source, so the
+    # cross-shard offset phase is genuinely exercised
+    out = pack_sequences_global(
+        docs, budget=100, part_col="source", shard_width=7
+    ).toPandas()
     # Naive single-partition reference implementation.
     n = docs.select(
         "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
