@@ -62,6 +62,7 @@ def pack_sequences(
     part_col: str = "source",
     id_col: str = "doc_id",
     text_col: str = "text",
+    shard_width: int = 1_000_000,
 ) -> DataFrame:
     """Assign each document a position in fixed-token-budget training
     sequences: concatenate docs in deterministic ``id_col`` order
@@ -70,23 +71,47 @@ def pack_sequences(
     ``crosses_boundary`` flag marks where an attention reset lands
     mid-document).
 
-    Scale: one window shuffle keyed by ``part_col``; the running sum is
-    a single pass. Packing is embarrassingly parallel across
-    partitions, which is exactly why the bin space is scoped per
-    partition rather than global (a global order would serialize).
+    Scale: one window shuffle, keyed by (partition, contiguous
+    ``id_col`` range) so a billion-row partition never serializes onto
+    one sort task; the within-partition prefix across shards is a
+    one-row-per-shard aggregate broadcast back (same two-phase cumsum
+    as :func:`pack_sequences_global`, scoped per partition). Bins stay
+    partition-scoped, which is why packing parallelizes at all.
     """
     n_tok = F.size(F.split(F.col(text_col), " "))
+    shard = (F.col(id_col) / shard_width).cast("long")
+    per = docs.select(
+        F.col(id_col),
+        F.col(part_col),
+        n_tok.cast("int").alias("n_tokens"),
+        shard.alias("__shard"),
+    )
     w = (
-        Window.partitionBy(part_col)
+        Window.partitionBy(part_col, "__shard")
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    cum_prev = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
-    return (
-        docs.select(
-            F.col(id_col), F.col(part_col), n_tok.cast("int").alias("n_tokens")
+    local_prev = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    offsets = (
+        per.groupBy(part_col, "__shard")
+        .agg(F.sum("n_tokens").alias("__shard_total"))
+        .withColumn(
+            "__shard_offset",
+            F.coalesce(
+                F.sum("__shard_total").over(
+                    Window.partitionBy(part_col)
+                    .orderBy("__shard")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("long"),
+            ),
         )
-        .withColumn("__cum_prev", cum_prev)
+        .select(part_col, "__shard", "__shard_offset")
+    )
+    return (
+        per.withColumn("__local_prev", local_prev)
+        .join(F.broadcast(offsets), [part_col, "__shard"])
+        .withColumn("__cum_prev", F.col("__local_prev") + F.col("__shard_offset"))
         .select(
             id_col,
             part_col,

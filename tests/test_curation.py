@@ -49,7 +49,8 @@ def test_chunking_short_and_single_token_docs(spark):
 
 def test_packing_offsets_bounded_and_bins_monotone(spark):
     rows = [(i, " ".join(["t"] * (37 + 13 * (i % 7))), f"s{i % 3}", "en") for i in range(60)]
-    out = pack_sequences(_docs(spark, rows), budget=100, part_col="source")
+    # shard_width=5 forces the two-phase within-partition prefix path
+    out = pack_sequences(_docs(spark, rows), budget=100, part_col="source", shard_width=5)
     pdf = out.orderBy("source", "doc_id").toPandas()
     assert (pdf["bin_offset"] < 100).all() and (pdf["bin_offset"] >= 0).all()
     for _, grp in pdf.groupby("source"):
