@@ -256,16 +256,29 @@ def quota_sample(
     of their id (a stable pseudo-random order both engines compute
     identically) and keep ``quota`` per ``part_col`` value.
 
-    Scale: one window shuffle keyed by ``part_col``. For heavily
-    skewed partition sizes the ranking is still a single pass — the
-    window only materializes rank, and rows beyond the quota are
-    dropped before any downstream exchange.
+    Scale: distributed top-k. Phase 1 ranks within (partition, hash
+    shard) and prunes to ``quota`` rows per shard — any row in the
+    global top-``quota`` is necessarily in its shard's top-``quota``,
+    so the prune is lossless. Phase 2 re-ranks the ≤ quota×shards
+    survivors per partition — a bounded window, regardless of how many
+    billion rows one partition value holds. A single per-partition
+    window would sort the whole partition on one task.
     """
-    w = Window.partitionBy(part_col).orderBy(
-        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    hashed = df.select(
+        F.col(id_col),
+        F.col(part_col),
+        F.md5(F.col(id_col).cast("string")).alias("__hk"),
     )
+    n_shards = 64
+    w1 = Window.partitionBy(
+        part_col, F.pmod(F.crc32(F.col("__hk")), F.lit(n_shards))
+    ).orderBy("__hk", id_col)
+    pruned = hashed.withColumn("__r1", F.row_number().over(w1)).where(
+        F.col("__r1") <= quota
+    )
+    w2 = Window.partitionBy(part_col).orderBy("__hk", id_col)
     return (
-        df.withColumn(rank_col, F.row_number().over(w))
+        pruned.withColumn(rank_col, F.row_number().over(w2))
         .where(F.col(rank_col) <= quota)
         .select(id_col, part_col, F.col(rank_col).cast("int").alias(rank_col))
     )
