@@ -1554,10 +1554,13 @@ WITH h AS (
   SELECT * FROM h WHERE doc_id % 11 <> 0
 ), batch AS (
   SELECT * FROM h WHERE doc_id % 11 = 0
+), batch_canon AS (
+  SELECT min(doc_id) AS doc_id, arg_min(source, doc_id) AS source, hh
+  FROM batch GROUP BY hh
 )
 SELECT doc_id, source, 'base' AS origin FROM base
 UNION ALL
 SELECT b.doc_id, b.source, 'new' AS origin
-FROM batch b
+FROM batch_canon b
 WHERE b.hh NOT IN (SELECT hh FROM base)
 """

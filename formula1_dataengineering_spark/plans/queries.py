@@ -2259,10 +2259,12 @@ def incremental_corpus_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     into the base corpus, dropping batch docs whose CONTENT (portable
     48-bit text hash) already exists in the base — the
     dedup-against-history step of a continuously-updated training
-    corpus. Anti-join on the content hash: the probe side is only the
-    incoming batch, so at 100 TB the big base table is the build/
-    shuffle side exactly once and the merge cost tracks batch size,
-    not corpus size."""
+    corpus. Within-batch duplicates also collapse (min doc_id wins) —
+    a batch is not yet history but must not seed duplicates either.
+    Anti-join on the content hash: the probe side is only the incoming
+    batch, so at 100 TB the big base table is the build/shuffle side
+    exactly once and the merge cost tracks batch size, not corpus
+    size."""
     from ..operators.dedup import portable_term_id
 
     d = load(spark, sf_dir, "documents").select(
@@ -2270,7 +2272,12 @@ def incremental_corpus_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     batch = d.where(F.col("doc_id") % 11 == 0)
     base = d.where(F.col("doc_id") % 11 != 0)
-    fresh = batch.join(
+    batch_canon = (
+        batch.groupBy("__h")
+        .agg(F.min_by(F.struct("doc_id", "source"), F.col("doc_id")).alias("__m"))
+        .select(F.col("__m.doc_id").alias("doc_id"), F.col("__m.source").alias("source"), "__h")
+    )
+    fresh = batch_canon.join(
         base.select("__h").distinct(), "__h", "left_anti"
     )
     return (

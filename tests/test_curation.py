@@ -141,3 +141,34 @@ def test_global_packing_matches_naive_global_window(spark):
     merged = out.merge(naive, on="doc_id", suffixes=("", "_naive"))
     assert (merged["bin_id"] == merged["bin_id_naive"]).all()
     assert (merged["bin_offset"] == merged["bin_offset_naive"]).all()
+
+
+def test_incremental_merge_collapses_batch_duplicates(spark):
+    """Within-batch content duplicates collapse to the min doc_id, and
+    batch content already in the base never re-enters (the catalog
+    query pins the same semantics against its oracle; this pins them
+    on an explicit fixture where the synthetic corpus may not)."""
+    from formula1_dataengineering_spark.operators.dedup import portable_term_id
+
+    docs = _docs(
+        spark,
+        [
+            (1, "seen before", "s", "en"),     # base
+            (2, "unique base", "s", "en"),     # base
+            (0, "seen before", "s", "en"),     # batch: dup of base → drop
+            (11, "brand new", "s", "en"),      # batch: novel → keep
+            (22, "brand new", "s", "en"),      # batch: dup of 11 → drop
+            (33, "also new", "s", "en"),       # batch: novel → keep
+        ],
+    )
+    d = docs.select("doc_id", "source", portable_term_id(F.col("text")).alias("__h"))
+    batch = d.where(F.col("doc_id") % 11 == 0)
+    base = d.where(F.col("doc_id") % 11 != 0)
+    canon = (
+        batch.groupBy("__h")
+        .agg(F.min_by(F.struct("doc_id", "source"), F.col("doc_id")).alias("__m"))
+        .select(F.col("__m.doc_id").alias("doc_id"), "__h")
+    )
+    fresh = canon.join(base.select("__h").distinct(), "__h", "left_anti")
+    kept = sorted(r.doc_id for r in fresh.collect())
+    assert kept == [11, 33]
