@@ -209,3 +209,25 @@ def test_global_packing_has_no_corpus_wide_window(spark):
     # per-source totals, so no raw-scan rows reach a global sort.
     detail = plan.split("\n(1)")[1] if "\n(1)" in plan else plan
     assert "HashAggregate" in detail
+
+
+@pytest.mark.parametrize(
+    "name,expect",
+    [
+        ("doc_chunking", "struct<doc_id:bigint,text:string>"),
+        ("language_quota_sample", "struct<doc_id:bigint,lang:string>"),
+        ("stopword_scrub_stats", "struct<text:string,source:string>"),
+        ("kmeans_ivf_training", "struct<vec_id:bigint,embedding:array<float>>"),
+    ],
+)
+def test_curation_scans_prune_to_needed_columns(spark, name, expect):
+    """Column pruning reaches the parquet scan for the curation /
+    clustering queries: a documents scan that drags `text` into a
+    query that only needs counts (or vice versa) is wrong at 100 TB."""
+    plan = formatted_plan(spark, name)
+    schemas = {
+        l.strip().removeprefix("ReadSchema:").strip()
+        for l in plan.splitlines()
+        if "ReadSchema" in l
+    }
+    assert expect in schemas and len(schemas) == 1, schemas
