@@ -49,11 +49,21 @@ def kmeans_assignments(
     round_decimals: int = 4,
 ) -> DataFrame:
     """Cluster assignment after ``iters`` Lloyd iterations seeded with
-    the ``k`` smallest-id vectors. Returns (id, cluster, sq_dist)."""
+    the ``k`` smallest-id vectors (TakeOrderedAndProject — k rows to
+    the driver side of the broadcast, valid for ANY id space, not just
+    dense 0-based ids). Cluster labels are the seed ids. Returns
+    (id, cluster, sq_dist)."""
+    if k < 1 or iters < 1:
+        raise ValueError(f"k and iters must be >= 1, got k={k} iters={iters}")
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = emb.select(F.col(id_col), vec_d.alias("__v"))
-    cents = base.where(F.col(id_col) < k).select(
-        F.col(id_col).cast("int").alias("__cluster"), F.col("__v").alias("__c")
+    cents = (
+        base.orderBy(id_col)
+        .limit(k)
+        .select(
+            F.col(id_col).cast("long").alias("__cluster"),
+            F.col("__v").alias("__c"),
+        )
     )
     assign = None
     for i in range(iters):
@@ -81,11 +91,17 @@ def kmeans_assignments(
         )
         # min_by over a (dist, cluster) total order: a hash aggregate
         # with map-side partials — cheaper than a window, which would
-        # shuffle all k candidate rows per vector.
-        m = F.min_by(
-            F.struct("__cluster", "__dist", "__v"),
-            F.struct("__dist", "__cluster"),
+        # shuffle all k candidate rows per vector. The final iteration
+        # has no centroid update after it, so its payload drops the
+        # embedding — the d-dim array would ride the largest shuffle
+        # only to be discarded by the closing select.
+        last = i == iters - 1
+        payload = (
+            F.struct("__cluster", "__dist")
+            if last
+            else F.struct("__cluster", "__dist", "__v")
         )
+        m = F.min_by(payload, F.struct("__dist", "__cluster"))
         assign = (
             scored.groupBy(id_col)
             .agg(m.alias("__m"))
@@ -93,7 +109,7 @@ def kmeans_assignments(
                 id_col,
                 F.col("__m.__cluster").alias("__cluster"),
                 F.col("__m.__dist").alias("__dist"),
-                F.col("__m.__v").alias("__v"),
+                *([] if last else [F.col("__m.__v").alias("__v")]),
             )
         )
         if i < iters - 1:
@@ -116,6 +132,7 @@ def kmeans_assignments(
             )
     return assign.select(
         id_col,
-        F.col("__cluster").cast("int").alias("cluster"),
+        # labels are seed IDS (long): ids above 2^31 must not wrap
+        F.col("__cluster").alias("cluster"),
         F.round("__dist", 6).alias("sq_dist"),
     )

@@ -10,14 +10,34 @@ the existing Arrow-batched shingler — no row-at-a-time Python.
 Tokenization here is single-space ``split`` (the dedup operators'
 convention, mirrored 1:1 by ``string_split`` in the DuckDB oracles);
 the regex-tokenizing quality stack lives in ``functions/text.py``.
+
+Input contracts (checked or normalized, not assumed): documents with
+NULL ``text`` are dropped up front by every text-consuming operator
+(``size(split(NULL))`` is -1 in Spark and would silently corrupt token
+accounting); packing requires a numeric non-null ``id_col`` because its
+shard key is ``id div shard_width`` (validated, clear error instead of
+NULL-key row loss).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .dedup import portable_term_id, word_shingles_pandas
+
+
+def _require_numeric_id(df: DataFrame, id_col: str, op: str) -> None:
+    dt = df.schema[id_col].dataType
+    if not isinstance(
+        dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise TypeError(
+            f"{op} shards by contiguous {id_col!r} ranges and needs an "
+            f"integral id column; got {dt.simpleString()}. Map string ids "
+            "to dense integers first (e.g. xxhash64 or a dimension table)."
+        )
 
 
 def chunk_documents(
@@ -31,6 +51,12 @@ def chunk_documents(
     pretraining): one output row per (doc, chunk), with a portable
     fingerprint of the chunk text for downstream chunk-level dedup.
 
+    Tail chunks fully contained in their predecessor are suppressed —
+    a short final window that a previous chunk already covers would be
+    pure duplicated training text (and its fingerprint differs, so
+    chunk-level dedup cannot catch it downstream). NULL-text docs are
+    dropped (contract above).
+
     Scale: a pure narrow transform — no shuffle, no UDF; chunk count
     per doc is ceil(n_tokens / stride), so output size is linear in
     corpus token count. ``slice`` clamps the tail chunk.
@@ -41,10 +67,17 @@ def chunk_documents(
     )
     chunk = F.slice(F.col("__toks"), F.col("__start") + 1, chunk_size)
     return (
-        docs.select(
+        docs.where(F.col(text_col).isNotNull())
+        .select(
             F.col(id_col),
             toks.alias("__toks"),
             F.posexplode(starts).alias("chunk_idx", "__start"),
+        )
+        # keep a start s iff s == 0 or it contributes tokens beyond the
+        # previous chunk's coverage [s-stride, s-stride+chunk_size)
+        .where(
+            (F.col("__start") == 0)
+            | (F.size("__toks") > F.col("__start") - stride + chunk_size)
         )
         .select(
             F.col(id_col),
@@ -52,6 +85,72 @@ def chunk_documents(
             F.col("__start").cast("int").alias("start_token"),
             F.size(chunk).cast("int").alias("n_tokens"),
             portable_term_id(F.concat_ws(" ", chunk)).alias("chunk_fp"),
+        )
+    )
+
+
+def _packed_bins(
+    docs: DataFrame,
+    budget: int,
+    part_col: str,
+    id_col: str,
+    text_col: str,
+    shard_width: int,
+    offsets_window: Window,
+    op: str,
+) -> DataFrame:
+    """Shared two-phase packing core: phase-1 running sums inside
+    (partition, contiguous id-range shard) windows; phase-2 prefix over
+    the one-row-per-shard totals table via ``offsets_window`` (scoped
+    per partition or globally — the only difference between the two
+    public variants), broadcast back. NULL-text docs are dropped; the
+    id column must be integral (shard key = id div width)."""
+    _require_numeric_id(docs, id_col, op)
+    n_tok = F.size(F.split(F.col(text_col), " "))
+    shard = (F.col(id_col) / shard_width).cast("long")
+    per = docs.where(
+        F.col(text_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(
+        F.col(id_col),
+        F.col(part_col),
+        n_tok.cast("int").alias("n_tokens"),
+        shard.alias("__shard"),
+    )
+    w = (
+        Window.partitionBy(part_col, "__shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local_prev = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    offsets = (
+        per.groupBy(part_col, "__shard")
+        .agg(F.sum("n_tokens").alias("__shard_total"))
+        .withColumn(
+            "__shard_offset",
+            F.coalesce(
+                F.sum("__shard_total").over(
+                    offsets_window.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .select(part_col, "__shard", "__shard_offset")
+    )
+    cum_prev = F.col("__local_prev") + F.col("__shard_offset")
+    return (
+        per.withColumn("__local_prev", local_prev)
+        .join(F.broadcast(offsets), [part_col, "__shard"])
+        .select(
+            id_col,
+            part_col,
+            "n_tokens",
+            # bin_id is a LONG: a >2^31-bin corpus (~1.1e12 tokens at
+            # budget 512) is exactly the scale this engine targets.
+            (cum_prev / budget).cast("long").alias("bin_id"),
+            (cum_prev % budget).cast("int").alias("bin_offset"),
+            ((cum_prev % budget + F.col("n_tokens")) > budget).alias(
+                "crosses_boundary"
+            ),
         )
     )
 
@@ -74,54 +173,18 @@ def pack_sequences(
     Scale: one window shuffle, keyed by (partition, contiguous
     ``id_col`` range) so a billion-row partition never serializes onto
     one sort task; the within-partition prefix across shards is a
-    one-row-per-shard aggregate broadcast back (same two-phase cumsum
-    as :func:`pack_sequences_global`, scoped per partition). Bins stay
+    one-row-per-shard aggregate broadcast back. Bins stay
     partition-scoped, which is why packing parallelizes at all.
     """
-    n_tok = F.size(F.split(F.col(text_col), " "))
-    shard = (F.col(id_col) / shard_width).cast("long")
-    per = docs.select(
-        F.col(id_col),
-        F.col(part_col),
-        n_tok.cast("int").alias("n_tokens"),
-        shard.alias("__shard"),
-    )
-    w = (
-        Window.partitionBy(part_col, "__shard")
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    local_prev = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
-    offsets = (
-        per.groupBy(part_col, "__shard")
-        .agg(F.sum("n_tokens").alias("__shard_total"))
-        .withColumn(
-            "__shard_offset",
-            F.coalesce(
-                F.sum("__shard_total").over(
-                    Window.partitionBy(part_col)
-                    .orderBy("__shard")
-                    .rowsBetween(Window.unboundedPreceding, -1)
-                ),
-                F.lit(0).cast("long"),
-            ),
-        )
-        .select(part_col, "__shard", "__shard_offset")
-    )
-    return (
-        per.withColumn("__local_prev", local_prev)
-        .join(F.broadcast(offsets), [part_col, "__shard"])
-        .withColumn("__cum_prev", F.col("__local_prev") + F.col("__shard_offset"))
-        .select(
-            id_col,
-            part_col,
-            "n_tokens",
-            (F.col("__cum_prev") / budget).cast("int").alias("bin_id"),
-            (F.col("__cum_prev") % budget).cast("int").alias("bin_offset"),
-            (
-                (F.col("__cum_prev") % budget + F.col("n_tokens")) > budget
-            ).alias("crosses_boundary"),
-        )
+    return _packed_bins(
+        docs,
+        budget,
+        part_col,
+        id_col,
+        text_col,
+        shard_width,
+        Window.partitionBy(part_col).orderBy("__shard"),
+        "pack_sequences",
     )
 
 
@@ -141,60 +204,20 @@ def pack_sequences_global(
     global cumulative sum: phase 1 computes running sums inside
     (partition, id-range shard) windows — sharding by contiguous
     ``id_col`` ranges keeps phase-1 tasks bounded even when one
-    ``part_col`` value holds billions of rows, the skew a plain
-    per-partition window would serialize. Phase 2 aggregates one row
-    per shard (token totals), prefix-sums that tiny table in shard
-    order, and broadcasts the offsets back. The big data is touched by
-    exactly one partitioned window shuffle; the global coordination
-    cost is O(#shards), not O(rows).
+    ``part_col`` value holds billions of rows. Phase 2 prefix-sums the
+    one-row-per-shard totals table in (partition, shard) order and
+    broadcasts the offsets back: global coordination costs O(#shards),
+    not O(rows).
     """
-    n_tok = F.size(F.split(F.col(text_col), " "))
-    shard = (F.col(id_col) / shard_width).cast("long")
-    per = docs.select(
-        F.col(id_col),
-        F.col(part_col),
-        n_tok.cast("int").alias("n_tokens"),
-        shard.alias("__shard"),
-    )
-    w = (
-        Window.partitionBy(part_col, "__shard")
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    local = per.withColumn(
-        "__local_prev", F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
-    )
-    # One tiny row per (partition, shard); the cross-shard prefix is a
-    # window over that aggregate in (part, shard) order, broadcast back.
-    offsets = (
-        per.groupBy(part_col, "__shard")
-        .agg(F.sum("n_tokens").alias("__shard_total"))
-        .withColumn(
-            "__shard_offset",
-            F.coalesce(
-                F.sum("__shard_total").over(
-                    Window.orderBy(part_col, "__shard").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0).cast("long"),
-            ),
-        )
-        .select(part_col, "__shard", "__shard_offset")
-    )
-    cum_prev = F.col("__local_prev") + F.col("__shard_offset")
-    return (
-        local.join(F.broadcast(offsets), [part_col, "__shard"])
-        .select(
-            id_col,
-            part_col,
-            "n_tokens",
-            (cum_prev / budget).cast("int").alias("bin_id"),
-            (cum_prev % budget).cast("int").alias("bin_offset"),
-            ((cum_prev % budget + F.col("n_tokens")) > budget).alias(
-                "crosses_boundary"
-            ),
-        )
+    return _packed_bins(
+        docs,
+        budget,
+        part_col,
+        id_col,
+        text_col,
+        shard_width,
+        Window.orderBy(part_col, "__shard"),
+        "pack_sequences_global",
     )
 
 
@@ -207,7 +230,10 @@ def contamination_overlap(
 ) -> DataFrame:
     """Benchmark decontamination: for every non-eval document, how many
     distinct token ``k``-grams it shares with the eval set
-    (``eval_pred`` selects eval rows), and a contamination flag.
+    (``eval_pred`` selects eval rows), and a contamination flag. A NULL
+    ``eval_pred`` counts as non-eval (the row is CHECKED, not silently
+    skipped — dropping it from both sides would let it flow downstream
+    unvetted).
 
     Scale: the eval gram table is tiny relative to the corpus (eval
     sets are thousands of rows; corpora are billions) — it broadcasts
@@ -217,24 +243,26 @@ def contamination_overlap(
     Grams are hashed to 64-bit portable ids before the join: joining
     8-gram strings would move ~8x the bytes.
     """
+    is_eval = F.coalesce(eval_pred, F.lit(False))
+
     def grams_of(side: DataFrame) -> DataFrame:
         # Filter BEFORE shingling: the split keeps the (Arrow-batched,
         # corpus-dominating) shingle stage single-pass per side instead
         # of running the full-corpus pipeline once per consumer.
-        return side.select(
+        return side.where(F.col(text_col).isNotNull()).select(
             F.col(id_col),
             F.explode(word_shingles_pandas(k)(F.col(text_col))).alias("__g"),
         ).select(id_col, portable_term_id(F.col("__g")).alias("gid"))
 
-    eval_grams = grams_of(docs.where(eval_pred)).select("gid").distinct()
+    eval_grams = grams_of(docs.where(is_eval)).select("gid").distinct()
     hits = (
-        grams_of(docs.where(~eval_pred))
+        grams_of(docs.where(~is_eval))
         .join(F.broadcast(eval_grams), "gid")
         .groupBy(id_col)
         .agg(F.count_distinct("gid").alias("__n_shared"))
     )
     return (
-        docs.where(~eval_pred)
+        docs.where(~is_eval)
         .select(id_col)
         .join(hits, id_col, "left")
         .select(
@@ -293,6 +321,8 @@ def scrub_stats(
     """Per-group token/char accounting of a stopword scrub pass —
     the bookkeeping a filtering stage emits so curation decisions are
     auditable. All outputs are integers (hash-exact across engines).
+    NULL-text docs are dropped (contract above — a -1 from
+    ``size(split(NULL))`` would silently corrupt every total).
 
     Scale: the filter/measure work happens in the scan stage via
     higher-order functions (JVM, no shuffle); the only exchange is the
@@ -305,7 +335,7 @@ def scrub_stats(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    per_doc = docs.select(
+    per_doc = docs.where(F.col(text_col).isNotNull()).select(
         F.col(group_col),
         F.size(toks).alias("__n_tok"),
         F.size(kept).alias("__n_kept"),

@@ -1414,6 +1414,7 @@ SELECT doc_id,
        CAST(len(t[s + 1:s + 64]) AS INT) AS n_tokens,
        {_tid("array_to_string(t[s + 1:s + 64], ' ')")} AS chunk_fp
 FROM st
+WHERE s = 0 OR len(t) > s - 48 + 64
 """
 
 ORACLE_SQL["sequence_packing"] = """
@@ -1429,7 +1430,7 @@ WITH n AS (
   FROM n
 )
 SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
-       CAST(cum_prev // 512 AS INT) AS bin_id,
+       CAST(cum_prev // 512 AS BIGINT) AS bin_id,
        CAST(cum_prev % 512 AS INT) AS bin_offset,
        (cum_prev % 512 + n_tokens > 512) AS crosses_boundary
 FROM c
@@ -1500,7 +1501,7 @@ WITH n AS (
   FROM n
 )
 SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
-       CAST(cum_prev // 512 AS INT) AS bin_id,
+       CAST(cum_prev // 512 AS BIGINT) AS bin_id,
        CAST(cum_prev % 512 AS INT) AS bin_offset,
        (cum_prev % 512 + n_tokens > 512) AS crosses_boundary
 FROM c
@@ -1519,7 +1520,8 @@ _km = ['''WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ), c0 AS (
-  SELECT CAST(vec_id AS INT) AS cluster, v AS c FROM e WHERE vec_id < 8
+  SELECT CAST(vec_id AS BIGINT) AS cluster, v AS c
+  FROM e ORDER BY vec_id LIMIT 8
 )''']
 for i in range(1, 4):
     dist = _KM_DIST.format(v="e.v", c="c.c")
@@ -1541,7 +1543,7 @@ for i in range(1, 4):
   SELECT cluster, list(cv ORDER BY dim) AS c FROM u{i} GROUP BY cluster
 )''')
 _km.append('''
-SELECT vec_id, CAST(cluster AS INT) AS cluster, round(dist, 6) AS sq_dist
+SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, round(dist, 6) AS sq_dist
 FROM a3
 ''')
 

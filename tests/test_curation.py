@@ -25,9 +25,11 @@ def test_chunks_cover_every_token_and_overlap(spark):
     out = chunk_documents(
         _docs(spark, [(1, text, "s", "en")]), chunk_size=64, stride=48
     ).orderBy("chunk_idx").collect()
-    # ceil over stride: starts at 0, 48, 96, 144
-    assert [r.start_token for r in out] == [0, 48, 96, 144]
-    assert [r.n_tokens for r in out] == [64, 64, 54, 6]
+    # stride starts 0/48/96; the 144 tail ([144,150)) is fully inside
+    # the 96 chunk's coverage ([96,150)) and is suppressed as pure
+    # duplicated text
+    assert [r.start_token for r in out] == [0, 48, 96]
+    assert [r.n_tokens for r in out] == [64, 64, 54]
     # full coverage: last chunk reaches the final token
     assert out[-1].start_token + out[-1].n_tokens == 150
     # consecutive chunks overlap by chunk_size - stride (except the tail)
