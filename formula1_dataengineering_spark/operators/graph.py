@@ -88,8 +88,12 @@ def connected_components(
     # which would execute the upstream pipeline twice. No distinct —
     # duplicate edges don't change a min-aggregate, and (id_a < id_b)
     # pair inputs can't collide after direction-explosion anyway.
+    # Null endpoints carry no connectivity and would diverge between
+    # the two strategies (pandas NaN-floats vs join-dropped rows):
+    # define them OUT of the graph up front, identically for both.
     sym = (
-        edges.select(
+        edges.where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .select(
             F.explode(
                 F.array(
                     F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
@@ -100,56 +104,81 @@ def connected_components(
         .select("e.a", "e.b")
         .cache()
     )
-    # One scan of the upstream edge plan fills the cache and yields the
-    # exact edge count the strategy choice needs (sym = 2 rows/edge).
-    n_sym = sym.count()
-    if n_sym <= 2 * small_graph_edges:
-        import pandas as pd
+    try:
+        # One scan of the upstream edge plan fills the cache and yields
+        # the exact edge count the strategy choice needs (2 rows/edge).
+        n_sym = sym.count()
+        if n_sym <= 2 * small_graph_edges:
+            return _unionfind_driver(sym, edges.schema[src].dataType)
+        # Size the per-round shuffles to the graph, not the session:
+        # the label table is one row per node and every round's
+        # exchanges move at most degree-bounded aggregates of it. At
+        # ~500k rows per partition the tasks stay cache-resident; a
+        # tiny graph on a wide session otherwise pays (partitions x
+        # rounds) near-empty tasks of pure scheduling latency. The cap
+        # never raises the session setting, and symbolic conf values
+        # ('auto' on some platforms) skip the clamp entirely.
+        from ..session import int_conf, scoped_conf
 
-        node_type = edges.schema[src].dataType
-        # Collect ONE direction (a <= b keeps self-loop nodes visible)
-        # as an Arrow batch — columnar int64 transfer, not 2n_edges
-        # Python Row objects; union-find symmetrizes implicitly.
-        pdf = sym.where(F.col("a") <= F.col("b")).toPandas()
-        mapping = _unionfind_local(
-            zip(pdf["a"].to_numpy().tolist(), pdf["b"].to_numpy().tolist())
+        spark = edges.sparkSession
+        current = int_conf(spark, "spark.sql.shuffle.partitions")
+        sized = (
+            min(current, max(8, n_sym // 500_000))
+            if current is not None
+            else None
         )
-        if not mapping:  # empty graph: typed empty result, no inference
-            from pyspark.sql import types as T
+        if sized is None:
+            return _propagate(sym, max_iter)
+        with scoped_conf(
+            spark, {"spark.sql.shuffle.partitions": str(sized)}
+        ):
+            return _propagate(sym, max_iter)
+    except BaseException:
+        # Success paths release the cache themselves (the distributed
+        # path does so only after its final labels materialize); on
+        # failure nothing downstream will, so do it here.
+        sym.unpersist()
+        raise
 
-            schema = T.StructType(
-                [
-                    T.StructField("node", node_type, False),
-                    T.StructField("component", node_type, False),
-                ]
-            )
-            sym.unpersist()
-            return edges.sparkSession.createDataFrame([], schema)
-        out_pdf = pd.DataFrame(mapping, columns=["node", "component"])
-        out = (
-            edges.sparkSession.createDataFrame(out_pdf.astype("int64"))
-            .select(
-                F.col("node").cast(node_type).alias("node"),
-                F.col("component").cast(node_type).alias("component"),
-            )
+
+def _unionfind_driver(sym: DataFrame, node_type) -> DataFrame:
+    """Small-graph strategy: collect one edge direction as an Arrow
+    batch and union-find on the driver; type-faithful for any node
+    type (ints stay int64; other types round-trip as objects)."""
+    import pandas as pd
+
+    # Collect ONE direction (a <= b keeps self-loop nodes visible) —
+    # columnar transfer, not 2n_edges Python Row objects; union-find
+    # symmetrizes implicitly.
+    pdf = sym.where(F.col("a") <= F.col("b")).toPandas()
+    mapping = _unionfind_local(
+        zip(pdf["a"].to_numpy().tolist(), pdf["b"].to_numpy().tolist())
+    )
+    spark = sym.sparkSession
+    if not mapping:  # empty graph: typed empty result, no inference
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("node", node_type, False),
+                T.StructField("component", node_type, False),
+            ]
         )
         sym.unpersist()
-        return out
-    # Size the per-round shuffles to the graph, not the session: the
-    # label table is one row per node and every round's exchanges move
-    # at most degree-bounded aggregates of it. At ~500k rows per
-    # partition the tasks stay cache-resident; a tiny graph on a wide
-    # session otherwise pays (partitions × rounds) near-empty tasks of
-    # pure scheduling latency. A 100-TB edge set keeps the session
-    # setting (the clamp only ever lowers toward 8, never raises).
-    spark = edges.sparkSession
-    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    sized = max(8, min(int(saved_parts), n_sym // 500_000))
-    spark.conf.set("spark.sql.shuffle.partitions", str(sized))
-    try:
-        return _propagate(sym, max_iter)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
+        return spark.createDataFrame([], schema)
+    out_pdf = pd.DataFrame(mapping, columns=["node", "component"])
+    from pyspark.sql import types as T
+
+    if isinstance(
+        node_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        out_pdf = out_pdf.astype("int64")
+    out = spark.createDataFrame(out_pdf).select(
+        F.col("node").cast(node_type).alias("node"),
+        F.col("component").cast(node_type).alias("component"),
+    )
+    sym.unpersist()
+    return out
 
 
 def _propagate(sym: DataFrame, max_iter: int) -> DataFrame:

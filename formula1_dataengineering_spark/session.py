@@ -18,6 +18,7 @@ Scale notes (100 TB target):
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -65,3 +66,34 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+@contextmanager
+def scoped_conf(spark: SparkSession, confs: dict[str, str]):
+    """Set session SQL confs for the duration of a block, restoring the
+    prior values (or unsetting keys that had none) on exit — including
+    exception exits. The shared primitive for operators that pin a conf
+    while a plan is BUILT or a stream STARTS (the consumer keeps the
+    value it captured; the session gets its setting back)."""
+    saved: dict[str, str | None] = {}
+    for k, v in confs.items():
+        saved[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def int_conf(spark: SparkSession, key: str) -> int | None:
+    """The conf as an int, or None when unset or non-numeric (some
+    platforms use symbolic values like 'auto' — callers must treat
+    that as 'do not reason about the number')."""
+    try:
+        return int(spark.conf.get(key))
+    except (ValueError, TypeError):
+        return None

@@ -52,18 +52,26 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
         from pyspark.sql import functions as F
 
+        # Probe first WITHOUT touching session conf: modern readers
+        # surface parquet TIMESTAMP(NANOS) as micro-truncated
+        # TIMESTAMP_NTZ directly. Only readers that reject nanos get
+        # the legacy nanosAsLong conf — and only then does the session
+        # keep it (on such engines every nanos consumer, including the
+        # stream source, needs the same setting; flipping it per read
+        # would leave lazy plans racing the conf).
+        try:
+            df = spark.read.parquet(path)
+        except Exception:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(path)
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
-            # Spark honored nanosAsLong: truncate raw nanos to micros.
+            # Legacy reader honored nanosAsLong: truncate to micros.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif ts_type == "timestamp_ntz":
-            # Newer readers surface parquet TIMESTAMP(NANOS) directly as
-            # micro-truncated TIMESTAMP_NTZ; session tz is pinned UTC, so
-            # the cast to TimestampType is value-preserving.
+            # Session tz is pinned UTC: the cast is value-preserving.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)

@@ -18,27 +18,21 @@ the source becomes Kafka with the same downstream plan.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: The events table's physical schema: ts is INT64 nanos in parquet.
-#: The reader surfaces TIMESTAMP(NANOS) as micro-truncated
-#: TIMESTAMP_NTZ; session tz is pinned UTC so the cast to TimestampType
-#: is value-preserving (the batch catalog does the same,
-#: sources/catalog.py).
-_EVENTS_RAW = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.TimestampNTZType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_stream_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -46,15 +40,35 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Static parquet stands in for the real unbounded source (Kafka) —
     the transformations downstream are source-agnostic.
+
+    The table stores INT64-nanos timestamps, which different readers
+    surface differently (micro-truncated TIMESTAMP_NTZ on modern ones,
+    raw bigint under the legacy nanosAsLong conf). Rather than pinning
+    one shape, probe how THIS session's batch reader resolves the
+    column — ``catalog.load`` owns that logic — and declare the stream
+    schema to match, normalizing to TimestampType either way (session
+    tz is pinned UTC, so both conversions are value-preserving).
     """
+    from ..sources.catalog import load
+
+    # catalog.load owns the probe: it only sets the legacy nanosAsLong
+    # conf when this session's reader rejects nanos outright. After it
+    # returns, the conf tells us which raw shape the stream scan will
+    # see: bigint nanos under the legacy conf, TIMESTAMP_NTZ otherwise.
+    load(spark, sf_dir, "events")
+    legacy = (
+        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+        == "true"
+    )
     # The file-stream source monitors a DIRECTORY; select the single
     # table file with a glob filter.
-    raw = (
-        spark.readStream.schema(_EVENTS_RAW)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
+    reader = spark.readStream.format("parquet").option(
+        "pathGlobFilter", "events.parquet"
     )
+    if legacy:
+        raw = reader.schema(_events_stream_schema(T.LongType())).load(sf_dir)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw = reader.schema(_events_stream_schema(T.TimestampNTZType())).load(sf_dir)
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
@@ -222,21 +236,21 @@ def run_to_completion(
     deployment sizes this to its key cardinality instead (pass None to
     leave the session conf alone).
     """
+    from ..session import int_conf, scoped_conf
+
     spark = stream_df.sparkSession
-    saved = spark.conf.get("spark.sql.shuffle.partitions")
-    if state_partitions is not None:
-        spark.conf.set(
-            "spark.sql.shuffle.partitions",
-            str(min(int(saved), state_partitions)),
+    # Extra confs (e.g. the RocksDB state-store provider
+    # transformWithState requires) pin at stream start alongside the
+    # partition cap; the stream keeps the values it started with.
+    confs = dict(start_conf or {})
+    current = int_conf(spark, "spark.sql.shuffle.partitions")
+    if state_partitions is not None and current is not None:
+        # Only ever LOWER the session setting (and skip entirely on
+        # platforms with symbolic values like 'auto').
+        confs["spark.sql.shuffle.partitions"] = str(
+            min(current, state_partitions)
         )
-    # Extra confs pinned at stream start (e.g. the RocksDB state-store
-    # provider transformWithState requires); restored like the
-    # partition count — the stream keeps the value it started with.
-    saved_extra = {}
-    for k, v in (start_conf or {}).items():
-        saved_extra[k] = spark.conf.get(k, None)
-        spark.conf.set(k, v)
-    try:
+    with scoped_conf(spark, confs):
         q = (
             stream_df.writeStream.outputMode(output_mode)
             .format("memory")
@@ -244,13 +258,6 @@ def run_to_completion(
             .trigger(availableNow=True)
             .start()
         )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", saved)
-        for k, v in saved_extra.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
     try:
         q.processAllAvailable()
     finally:

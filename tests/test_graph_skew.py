@@ -127,3 +127,33 @@ def test_connected_components_empty_edges(spark):
         ),
     )
     assert connected_components(empty).count() == 0
+
+
+def test_small_path_type_faithful_for_string_ids(spark):
+    """The driver union-find path must honor any node type, not just
+    dense ints — same contract as the distributed path."""
+    from formula1_dataengineering_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "src string, dst string"
+    )
+    out = {r.node: r.component for r in connected_components(edges).collect()}
+    assert out == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_null_edge_endpoints_dropped_identically(spark):
+    """Null endpoints are defined out of the graph before strategy
+    dispatch, so both paths agree on them."""
+    from formula1_dataengineering_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (None, 3), (4, None), (5, 6)], "src long, dst long"
+    )
+    for small in (10**6, 0):  # driver path, then distributed path
+        out = {
+            r.node: r.component
+            for r in connected_components(
+                edges, small_graph_edges=small
+            ).collect()
+        }
+        assert out == {1: 1, 2: 1, 5: 5, 6: 5}, (small, out)
