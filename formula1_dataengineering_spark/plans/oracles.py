@@ -1566,3 +1566,16 @@ SELECT b.doc_id, b.source, 'new' AS origin
 FROM batch_canon b
 WHERE b.hh NOT IN (SELECT hh FROM base)
 """
+
+ORACLE_SQL["media_png_decode_stats"] = """
+WITH m AS (
+  SELECT n_chars % 40 + 1 AS width, doc_id % 30 + 1 AS height
+  FROM documents
+)
+SELECT 'image' AS kind, count(*) AS n_media,
+       CAST(sum(width) AS BIGINT) AS sum_width,
+       CAST(sum(height) AS BIGINT) AS sum_height,
+       CAST(max(width) AS INT) AS max_width,
+       CAST(max(height) AS INT) AS max_height
+FROM m
+"""

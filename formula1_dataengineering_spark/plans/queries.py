@@ -2286,3 +2286,25 @@ def incremental_corpus_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             fresh.select("doc_id", "source", F.lit("new").alias("origin"))
         )
     )
+
+
+@query("media_png_decode_stats")
+def media_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode end-to-end: build genuine CRC-correct
+    zlib-compressed PNGs from (doc_id, n_chars), then read the
+    dimensions back with the pure-Python IHDR parser
+    (``decode_media(fake=False)``). The oracle recomputes dimensions
+    from the same formulas — byte sizes are excluded because zlib
+    output length is not SQL-expressible. Payloads never shuffle; only
+    (width, height) reach the aggregate."""
+    from ..sources.multimodal import decode_media, demo_png_media_from_documents
+
+    d = load(spark, sf_dir, "documents")
+    decoded = decode_media(demo_png_media_from_documents(d), fake=False)
+    return decoded.groupBy("kind").agg(
+        F.count("*").alias("n_media"),
+        F.sum("width").alias("sum_width"),
+        F.sum("height").alias("sum_height"),
+        F.max("width").cast("int").alias("max_width"),
+        F.max("height").cast("int").alias("max_height"),
+    )

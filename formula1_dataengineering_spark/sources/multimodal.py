@@ -93,14 +93,21 @@ def _make_media_header_parser():
           little-endian int32 (height may be negative = top-down rows).
         - PPM/PGM binary (``P6``/``P5``): ASCII header with #-comments.
         - WAV (``RIFF....WAVE``): walks RIFF chunks to ``fmt ``/``data``.
+        - PNG (8-byte signature + IHDR): width/height at offsets 16/20,
+          big-endian uint32 — the header needs no codec; only PIXEL
+          data needs zlib (stdlib, see the PNG builder).
 
-        Compressed formats (PNG/JPEG/MP3/MP4...) genuinely need codec
+        Other compressed formats (JPEG/MP3/MP4...) genuinely need codec
         libraries this environment doesn't ship — for those the caller
         falls back or raises. Keeping the parser separate from the Spark
         stage makes it unit-testable without a session.
         """
         if not b or len(b) < 14:
             return None
+        if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24 and b[12:16] == b"IHDR":
+            w = int.from_bytes(b[16:20], "big")
+            h = int.from_bytes(b[20:24], "big")
+            return (w, h)
         if b[:2] == b"BM" and len(b) >= 26:
             w = int.from_bytes(b[18:22], "little", signed=True)
             h = int.from_bytes(b[22:26], "little", signed=True)
@@ -187,8 +194,8 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
                         magic = bytes(b[:4]).hex() if b else ""
                         raise ValueError(
                             "unsupported media container (magic "
-                            f"0x{magic}): only uncompressed BMP/PPM/PGM/"
-                            "WAV decode without codec libraries"
+                            f"0x{magic}): only BMP/PPM/PGM/WAV/PNG "
+                            "containers decode without codec libraries"
                         )
                     dims.append(d)
                 pdf["width"] = pd.Series(
@@ -405,3 +412,56 @@ def demo_binary_media_from_documents(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id", "n_chars").mapInPandas(build, schema=MEDIA_SCHEMA)
+
+
+def demo_png_media_from_documents(docs: DataFrame) -> DataFrame:
+    """REAL PNG payloads (signature + IHDR/IDAT/IEND, CRC-correct,
+    zlib-compressed 8-bit grayscale pixels — stdlib only) built per row
+    from (doc_id, n_chars). Any PNG viewer opens these. Dimensions are
+    simple (doc_id, n_chars) functions an oracle can recompute; the
+    BYTE SIZE is not oracle-expressible (zlib output length), which is
+    why the PNG gate aggregates dimensions only.
+    """
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
+        def chunk(tag: bytes, body: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(body))
+                + tag
+                + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+            )
+
+        def png(w: int, h: int, shade: int) -> bytes:
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+            raw = b"".join(
+                b"\x00" + bytes([shade]) * w for _ in range(h)
+            )  # filter 0 per row
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw, 6))
+                + chunk(b"IEND", b"")
+            )
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for did, nch in zip(pdf["doc_id"], pdf["n_chars"]):
+                did, nch = int(did), int(nch)
+                ids.append(did)
+                payloads.append(png(nch % 40 + 1, did % 30 + 1, did % 256))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "kind": pd.Series(["image"] * len(ids)),
+                    "payload": pd.Series(payloads, dtype=object),
+                    "meta": pd.Series([{}] * len(ids), dtype=object),
+                }
+            )
+
+    return docs.select("doc_id", "n_chars").mapInPandas(
+        build, "media_id long, kind string, payload binary, meta map<string,string>"
+    )

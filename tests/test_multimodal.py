@@ -222,3 +222,42 @@ def test_container_roundtrip_property():
             assert parse_media_header(wav(rate, b)) == (rate, b)
 
     check()
+
+
+def test_png_builder_emits_valid_decodable_pngs(spark):
+    """The PNG payloads are REAL: signature, CRC-correct chunks, and
+    zlib-decompressible pixel data matching the declared dimensions —
+    not just parser-compatible headers."""
+    import struct
+    import zlib
+
+    from formula1_dataengineering_spark.sources.multimodal import (
+        demo_png_media_from_documents,
+        parse_media_header,
+    )
+
+    docs = spark.createDataFrame(
+        [(5, 123), (29, 40), (0, 1)], "doc_id long, n_chars long"
+    )
+    rows = demo_png_media_from_documents(docs).collect()
+    assert len(rows) == 3
+    for r in rows:
+        b = bytes(r.payload)
+        assert b[:8] == b"\x89PNG\r\n\x1a\n"
+        w_exp = (dict((d, n) for d, n in [(5, 123), (29, 40), (0, 1)])[r.media_id] % 40) + 1
+        h_exp = r.media_id % 30 + 1
+        assert parse_media_header(b) == (w_exp, h_exp)
+        # walk chunks, verify CRCs, decompress IDAT
+        i, idat = 8, b""
+        while i < len(b):
+            ln = struct.unpack(">I", b[i : i + 4])[0]
+            tag = b[i + 4 : i + 8]
+            body = b[i + 8 : i + 8 + ln]
+            crc = struct.unpack(">I", b[i + 8 + ln : i + 12 + ln])[0]
+            assert crc == (zlib.crc32(tag + body) & 0xFFFFFFFF), tag
+            if tag == b"IDAT":
+                idat += body
+            i += 12 + ln
+        raw = zlib.decompress(idat)
+        assert len(raw) == (w_exp + 1) * h_exp  # filter byte + pixels per row
+        assert all(raw[j * (w_exp + 1)] == 0 for j in range(h_exp))  # filter 0
