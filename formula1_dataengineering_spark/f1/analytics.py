@@ -15,7 +15,7 @@ from ..operators.grid import ordered_group_position
 from ..operators.ranking import rank1_per_group
 
 
-def with_actual_lap_time(laps: DataFrame) -> Column | DataFrame:
+def with_actual_lap_time(laps: DataFrame) -> DataFrame:
     """Derived ``actual_lap_time`` = round(s1+s2+s3, 3) (P1 —
     reference: src/data_processing.py:88, src/session_object.py:144).
     Null when any sector is null (out-laps), matching pandas NaN
@@ -142,16 +142,21 @@ def qualifying_classification(
     laps: DataFrame,
     sessions: DataFrame,
     q3_size: int = 10,
-    q2_elim: int = 5,
-    q1_elim: int = 5,
 ) -> DataFrame:
     """Full qualifying grid (§3.2 lifecycle): bucket → filter pit-out
     laps (P8) → best lap per driver per Q (W1) → grid = Q3 order ⊕
     Q2-eliminated ⊕ Q1-eliminated with explicit positions (O4 redesign
     — reference: src/data_processing.py:269-291).
 
-    Eliminated drivers are those ranked beyond the cutoff in their Q
-    segment, ordered by their segment-best time.
+    A driver is eliminated in the LAST segment they set a time in:
+    Q2-eliminated = ranked in Q2 with no Q3 time, Q1-eliminated =
+    ranked in Q1 with no Q2 time. On a clean full field this is
+    exactly the reference's iloc[10:15]/iloc[15:20] slicing; unlike a
+    rank cutoff it cannot double-place a driver or shift when someone
+    sets no valid segment time (each driver classifies once, by their
+    final segment). The output carries ``session_red_flag`` so
+    over-long (red-flagged) sessions are signalled, not silently
+    mis-bucketed.
     """
     bucketed = bucket_qualifying_laps(laps, sessions)
     with_time = with_actual_lap_time(bucketed)
@@ -169,33 +174,42 @@ def qualifying_classification(
         F.col("actual_lap_time").asc(), F.col("date_start").asc(), F.col("driver_number").asc()
     )
     ranked = best.withColumn("segment_rank", F.row_number().over(seg_rank))
-    # Grid contributions: Q3 ranks 1..q3_size; Q2's bottom q2_elim in
-    # their Q2 order; Q1's bottom q1_elim in their Q1 order. One
-    # disjunctive filter over a single branch — a 3-way union of
-    # filters on the same ranked pipeline would re-run the lap scan
-    # and both window shuffles per branch.
-    n_w = Window.partitionBy("session_key", "qualifying")
-    with_counts = ranked.withColumn("segment_n", F.count("*").over(n_w))
-    assembled = with_counts.where(
-        ((F.col("qualifying") == "Q3") & (F.col("segment_rank") <= q3_size))
-        | (
-            (F.col("qualifying") == "Q2")
-            & (F.col("segment_rank") > F.col("segment_n") - q2_elim)
+    # Segment-presence flags via ONE extra window keyed (session,
+    # driver) — a semi/anti-join formulation would branch the ranked
+    # pipeline and re-run the lap scan per branch. Then a single
+    # disjunctive filter assembles the grid.
+    w_drv = Window.partitionBy("session_key", "driver_number")
+    in_q3 = F.max((F.col("qualifying") == "Q3").cast("int")).over(w_drv) == 1
+    in_q2 = F.max((F.col("qualifying") == "Q2").cast("int")).over(w_drv) == 1
+    assembled = (
+        ranked.withColumn("__in_q3", in_q3)
+        .withColumn("__in_q2", in_q2)
+        .where(
+            ((F.col("qualifying") == "Q3") & (F.col("segment_rank") <= q3_size))
+            | ((F.col("qualifying") == "Q2") & ~F.col("__in_q3"))
+            | ((F.col("qualifying") == "Q1") & ~F.col("__in_q2"))
         )
-        | (
-            (F.col("qualifying") == "Q1")
-            & (F.col("segment_rank") > F.col("segment_n") - q1_elim)
+        .select(
+            "session_key", "driver_number", "qualifying", "actual_lap_time", "segment_rank"
         )
-    ).select(
-        "session_key", "driver_number", "qualifying", "actual_lap_time", "segment_rank"
     )
-    return ordered_group_position(
+    # Session-level red-flag signal (reference raises mid-pipeline,
+    # dp:218-220; the engine carries the flag so callers can assert or
+    # route) — OR over every bucketed lap, broadcast onto the grid.
+    flags = bucketed.groupBy("session_key").agg(
+        F.max(F.coalesce("red_flag_suspect", F.lit(False))).alias(
+            "session_red_flag"
+        )
+    )
+    grid = ordered_group_position(
         assembled,
         "qualifying",
         ["Q3", "Q2", "Q1"],
         [F.col("segment_rank").asc()],
         position_col="grid_position",
+        partition_cols=["session_key"],
     )
+    return grid.join(F.broadcast(flags), "session_key", "left")
 
 
 def avg_lap_time_by_driver_compound(
@@ -226,26 +240,40 @@ def race_positions_by_lap(laps_with_time: DataFrame) -> DataFrame:
     For every (session, driver, lap): cumulative race time, provisional
     position (rank of cumulative time within the lap, driver_number
     tie-break for determinism), and position_change vs the previous lap
-    (positive = places gained). Laps with null ``actual_lap_time``
-    (out-laps with missing sectors) are excluded — a cumulative sum
-    over them would silently skip time.
+    (positive = places gained).
+
+    A lap with null ``actual_lap_time`` (out-lap with missing sectors)
+    makes the driver's cumulative time UNKNOWN from that lap onward:
+    race_time and position go null rather than silently omitting the
+    missing lap's time, which would rank the driver ahead of cars
+    genuinely in front for the rest of the race. Defined rows rank
+    1..k within each lap; unknown rows carry null position.
 
     Scale: two window shuffles — one partitioned by (session, driver)
-    for the running sum and lag, one by (session, lap) for the rank.
+    for the running sum / known-flag / lag, one by (session, lap) for
+    the rank.
     """
-    valid = laps_with_time.where(F.col("actual_lap_time").isNotNull())
     w_cum = (
         Window.partitionBy("session_key", "driver_number")
         .orderBy("lap_number")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = valid.withColumn(
-        "race_time", F.round(F.sum("actual_lap_time").over(w_cum), 3)
+    known = F.min(F.col("actual_lap_time").isNotNull()).over(w_cum)
+    cum = laps_with_time.withColumn(
+        "race_time",
+        F.when(
+            known, F.round(F.sum("actual_lap_time").over(w_cum), 3)
+        ),
     )
     w_rank = Window.partitionBy("session_key", "lap_number").orderBy(
-        F.col("race_time").asc(), F.col("driver_number").asc()
+        F.col("race_time").asc_nulls_last(), F.col("driver_number").asc()
     )
-    pos = cum.withColumn("position", F.row_number().over(w_rank))
+    pos = cum.withColumn(
+        "position",
+        F.when(
+            F.col("race_time").isNotNull(), F.row_number().over(w_rank)
+        ),
+    )
     w_prev = Window.partitionBy("session_key", "driver_number").orderBy("lap_number")
     return pos.select(
         "session_key",

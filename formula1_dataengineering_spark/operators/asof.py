@@ -81,6 +81,8 @@ def asof_join(
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
+    if strategy not in ("union", "broadcast"):
+        raise ValueError(f"strategy must be union|broadcast, got {strategy!r}")
     by = _as_list(by)
     value_cols = list(right_cols) if right_cols is not None else [
         c for c in right.columns if c != on and c not in by
@@ -109,7 +111,18 @@ def _asof_union(
     out_names: dict[str, str],
     on_out: str,
 ) -> DataFrame:
-    """Sort-based as-of: union + ordered window, single shuffle."""
+    """Sort-based as-of: union + ordered window, single shuffle.
+
+    Null-key semantics match the broadcast strategy (and pandas
+    merge_asof): a null ``on`` or ``by`` on the right can never be a
+    match source; a null ``on``/``by`` on the left never receives a
+    match. Without this, the (on, side) sort would hand nulls-first/
+    nulls-last rows a neighbor's payload.
+    """
+    null_key = F.lit(False)
+    for c in [on, *by]:
+        null_key = null_key | F.col(c).isNull()
+    right = right.where(~null_key)
     # Pack the right payload (including its `on`) into one struct so the
     # window carries a single column.
     payload = F.struct(F.col(on).alias(on_out), *[F.col(c) for c in value_cols])
@@ -153,8 +166,15 @@ def _asof_union(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    left_null_key = F.lit(False)
+    for c in [_ON, *by]:
+        left_null_key = left_null_key | F.col(c).isNull()
     matched = (
         unioned.withColumn(_PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(w))
+        .withColumn(
+            _PAYLOAD,
+            F.when(~left_null_key, F.col(_PAYLOAD)),
+        )
         .where(F.col(_SIDE) == 1)
     )
     if tolerance is not None:

@@ -23,16 +23,23 @@ def ordered_group_position(
     order_by: Sequence[Column | str],
     position_col: str = "position",
     group_sizes: Sequence[int] | None = None,
+    partition_cols: Sequence[str] = (),
 ) -> DataFrame:
-    """Emit a deterministic global ``position`` across ordered groups.
+    """Emit a deterministic ``position`` across ordered groups.
 
     ``group_order`` lists group values from best to worst; rows rank
     within their group by ``order_by`` and groups stack in order. When
     ``group_sizes`` is given, offsets are the fixed cumulative sizes
     (e.g. qualifying's 10/5/5 split); otherwise offsets are the actual
     group counts (computed with one tiny aggregate, broadcast back).
+
+    ``partition_cols`` scopes the whole position space (ranks AND
+    offsets) per partition — e.g. per session_key — so multi-session
+    input yields one independent grid per session instead of mixing
+    sessions into one nondeterministic ordering.
     """
-    rank_w = Window.partitionBy(group_col).orderBy(*order_by)
+    parts = list(partition_cols)
+    rank_w = Window.partitionBy(*parts, group_col).orderBy(*order_by)
     ranked = df.withColumn("__grp_rank", F.row_number().over(rank_w))
 
     if group_sizes is not None:
@@ -44,9 +51,12 @@ def ordered_group_position(
         offset_col = F.lit(None).cast("int")
         for g, off in offsets.items():
             offset_col = F.when(F.col(group_col) == g, F.lit(off)).otherwise(offset_col)
+        out = ranked.withColumn(
+            position_col, (offset_col + F.col("__grp_rank")).cast("int")
+        ).drop("__grp_rank")
     else:
-        counts = (
-            df.groupBy(group_col).count().withColumnRenamed("count", "__grp_n")
+        counts = df.groupBy(*parts, group_col).count().withColumnRenamed(
+            "count", "__grp_n"
         )
         order_map = {g: i for i, g in enumerate(group_order)}
         rank_expr = F.lit(None).cast("int")
@@ -58,19 +68,19 @@ def ordered_group_position(
                 "__grp_off",
                 F.coalesce(
                     F.sum("__grp_n").over(
-                        Window.orderBy("__grp_ord").rowsBetween(
-                            Window.unboundedPreceding, -1
-                        )
+                        Window.partitionBy(*parts)
+                        .orderBy("__grp_ord")
+                        .rowsBetween(Window.unboundedPreceding, -1)
                     ),
                     F.lit(0),
                 ),
             )
-            .select(group_col, "__grp_off")
+            .select(*parts, group_col, "__grp_off")
         )
-        ranked = ranked.join(F.broadcast(offsets_df), group_col, "left")
-        offset_col = F.col("__grp_off")
-
-    out = ranked.withColumn(
-        position_col, (offset_col + F.col("__grp_rank")).cast("int")
-    ).drop("__grp_rank", "__grp_off")
-    return out.orderBy(position_col)
+        ranked = ranked.join(
+            F.broadcast(offsets_df), [*parts, group_col], "left"
+        )
+        out = ranked.withColumn(
+            position_col, (F.col("__grp_off") + F.col("__grp_rank")).cast("int")
+        ).drop("__grp_rank", "__grp_off")
+    return out.orderBy(*parts, position_col)

@@ -1152,12 +1152,18 @@ WITH ev AS (
                ORDER BY actual_lap_time, lap_us, driver_number) AS INT) AS segment_rank,
          count(*) OVER (PARTITION BY qualifying) AS segment_n
   FROM best
+), flagged AS (
+  SELECT *, max(CASE WHEN qualifying = 'Q3' THEN 1 ELSE 0 END)
+              OVER (PARTITION BY session_key, driver_number) AS in_q3,
+            max(CASE WHEN qualifying = 'Q2' THEN 1 ELSE 0 END)
+              OVER (PARTITION BY session_key, driver_number) AS in_q2
+  FROM ranked
 ), assembled AS (
   SELECT session_key, driver_number, qualifying, actual_lap_time, segment_rank
-  FROM ranked
+  FROM flagged
   WHERE (qualifying = 'Q3' AND segment_rank <= 10)
-     OR (qualifying = 'Q2' AND segment_rank > segment_n - 5)
-     OR (qualifying = 'Q1' AND segment_rank > segment_n - 5)
+     OR (qualifying = 'Q2' AND in_q3 = 0)
+     OR (qualifying = 'Q1' AND in_q2 = 0)
 ), counts AS (
   SELECT qualifying, count(*) AS n FROM assembled GROUP BY 1
 ), offs AS (
@@ -1184,13 +1190,15 @@ WITH laps AS (
          value AS actual_lap_time
   FROM events
 ), cum AS (
-  SELECT *, round(sum(actual_lap_time) OVER (
-              PARTITION BY session_key, driver_number ORDER BY lap_number
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 3) AS race_time
-  FROM laps WHERE actual_lap_time IS NOT NULL
+  SELECT *, CASE WHEN bool_and(actual_lap_time IS NOT NULL) OVER w
+              THEN round(sum(actual_lap_time) OVER w, 3) END AS race_time
+  FROM laps
+  WINDOW w AS (PARTITION BY session_key, driver_number ORDER BY lap_number
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ), pos AS (
-  SELECT *, CAST(row_number() OVER (PARTITION BY session_key, lap_number
-               ORDER BY race_time, driver_number) AS INT) AS position
+  SELECT *, CASE WHEN race_time IS NOT NULL THEN
+         CAST(row_number() OVER (PARTITION BY session_key, lap_number
+               ORDER BY race_time ASC NULLS LAST, driver_number) AS INT) END AS position
   FROM cum
 )
 SELECT session_key, driver_number, lap_number, race_time, position,

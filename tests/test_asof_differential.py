@@ -136,3 +136,36 @@ def test_asof_join_tolerance_matches_pandas(spark, direction):
             assert g is None
         else:
             assert g == w
+
+
+def test_null_keys_agree_across_strategies(spark):
+    """Null `on`/`by` keys: no match given, no match received — both
+    strategies, all directions (pandas merge_asof drops NaN keys; the
+    broadcast range predicate propagates null to no-match; the union
+    sort must not hand a null-key row a neighbor's payload)."""
+    from formula1_dataengineering_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, None, 200), (3, 30, None), (4, 40, 400)],
+        "lid int, t int, g int",
+    )
+    right = spark.createDataFrame(
+        [(5, 8, 100), (6, None, 100), (7, 35, None), (8, 39, 400)],
+        "rid int, t int, g int",
+    )
+    for direction in ("backward", "forward", "nearest"):
+        results = {}
+        for strategy in ("union", "broadcast"):
+            rows = asof_join(
+                left, right, on="t", by="g",
+                direction=direction, strategy=strategy,
+            ).collect()
+            results[strategy] = sorted(
+                (r.lid, r.rid, r.t_right) for r in rows
+            )
+        assert results["union"] == results["broadcast"], (
+            direction, results,
+        )
+        # null-key left rows never matched
+        by_lid = {r[0]: r for r in results["union"]}
+        assert by_lid[2][1] is None and by_lid[3][1] is None

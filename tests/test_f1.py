@@ -179,18 +179,30 @@ def test_race_positions_by_lap(spark):
     )
     out = race_positions_by_lap(laps).toPandas()
 
-    # positions are a permutation 1..k within every lap
+    # defined positions are a permutation 1..k within every lap;
+    # unknown rows (null-time lap or any prior null lap) carry null
+    # race_time AND null position rather than a rank built on an
+    # undercounted cumulative time
     for lap, grp in out.groupby("lap_number"):
-        assert sorted(grp["position"]) == list(range(1, len(grp) + 1))
+        defined = grp[grp["position"].notna()]
+        assert sorted(defined["position"]) == list(range(1, len(defined) + 1))
+        assert grp[grp["race_time"].isna()]["position"].isna().all()
+    for d, grp in out.groupby("driver_number"):
+        grp = grp.sort_values("lap_number")
+        seen_null = grp["race_time"].isna().cummax()
+        assert grp.loc[seen_null.values, "race_time"].isna().all()
     # fixture race pace is strictly ordered by driver number -> driver 0
     # holds P1 on every lap it completes
     d0 = out[out["driver_number"] == 0]
     assert (d0["position"] == 1).all()
     # first lap has no previous position
     assert out[out["lap_number"] == out["lap_number"].min()]["position_change"].isna().all()
-    # net position change telescopes: first position - last position
+    # net position change telescopes over the defined prefix
     for d, grp in out.groupby("driver_number"):
         grp = grp.sort_values("lap_number")
+        grp = grp[grp["position"].notna()]
+        if len(grp) < 2:
+            continue
         net = grp["position_change"].dropna().sum()
         assert net == grp["position"].iloc[0] - grp["position"].iloc[-1]
 
@@ -243,3 +255,111 @@ def test_fastest_laps_chart_data(spark):
         m, rest = r["lap_time_label"].split(":")
         s, ms = rest.split(".")
         assert abs(int(m) * 60 + int(s) + int(ms) / 1000 - r["actual_lap_time"]) < 0.0015
+
+
+def test_qualifying_grid_multi_session_independence(spark):
+    """Two sessions in one input produce two INDEPENDENT grids —
+    ranks, offsets, and positions never mix across session_key."""
+    import datetime as dt
+
+    from formula1_dataengineering_spark.f1.analytics import qualifying_classification
+
+    def mk(session, t0):
+        laps, sessions = [], []
+        sessions.append((session, t0, t0 + dt.timedelta(minutes=60)))
+        for d in range(6):
+            for q_off, nq in ((0, 1), (26 * 60, 1), (49 * 60, 1)):
+                start = t0 + dt.timedelta(seconds=q_off + 60 + d)
+                laps.append(
+                    (session, d, start, d * 3 + 1, 30.0 + d, 30.0, 30.0, False)
+                )
+        return laps, sessions
+
+    t0 = dt.datetime(2024, 1, 1)
+    l1, s1 = mk("sessA", t0)
+    l2, s2 = mk("sessB", t0 + dt.timedelta(hours=3))
+    laps = spark.createDataFrame(
+        l1 + l2,
+        "session_key string, driver_number int, date_start timestamp, "
+        "lap_number int, duration_sector_1 double, duration_sector_2 double, "
+        "duration_sector_3 double, is_pit_out_lap boolean",
+    )
+    sessions = spark.createDataFrame(
+        s1 + s2, "session_key string, date_start timestamp, date_end timestamp"
+    )
+    grid = qualifying_classification(laps, sessions).toPandas()
+    assert set(grid["session_key"]) == {"sessA", "sessB"}
+    for sk, g in grid.groupby("session_key"):
+        # per-session positions start at 1 and are consecutive
+        assert sorted(g["grid_position"]) == list(range(1, len(g) + 1))
+    # the two grids are identical shapes (same synthetic field)
+    a = grid[grid["session_key"] == "sessA"].sort_values("grid_position")
+    b = grid[grid["session_key"] == "sessB"].sort_values("grid_position")
+    assert list(a["driver_number"]) == list(b["driver_number"])
+
+
+def test_qualifying_elimination_windows_stable_under_missing_driver(spark):
+    """Eliminated = ranked in a segment and absent from the next: a
+    driver with no valid Q2 time classifies by their last segment (Q1)
+    instead of shifting a cutoff onto an advancing driver, and no
+    driver ever appears twice."""
+    import datetime as dt
+
+    from formula1_dataengineering_spark.f1.analytics import qualifying_classification
+
+    t0 = dt.datetime(2024, 3, 1)
+    laps = []
+    n = 16
+    for d in range(n):
+        for seg, q_off in (("Q1", 0), ("Q2", 26 * 60), ("Q3", 49 * 60)):
+            if seg == "Q2" and d in (11, 15):
+                continue  # 11: no valid Q2 time; 15: eliminated in Q1
+            if seg == "Q3" and d >= 10:
+                continue  # only the top 10 run Q3
+            start = t0 + dt.timedelta(seconds=q_off + 60 + d)
+            laps.append(("s", d, start, d * 3 + 1, 30.0 + d, 30.0, 30.0, False))
+    laps_df = spark.createDataFrame(
+        laps,
+        "session_key string, driver_number int, date_start timestamp, "
+        "lap_number int, duration_sector_1 double, duration_sector_2 double, "
+        "duration_sector_3 double, is_pit_out_lap boolean",
+    )
+    sessions = spark.createDataFrame(
+        [("s", t0, t0 + dt.timedelta(minutes=60))],
+        "session_key string, date_start timestamp, date_end timestamp",
+    )
+    grid = qualifying_classification(laps_df, sessions).toPandas()
+    # no driver twice; every participant classifies exactly once
+    assert grid["driver_number"].is_unique
+    # Q2-eliminated = ran Q2, absent from Q3: {10, 12, 13, 14}
+    # (11 set no Q2 time -> classifies by Q1; 15 never ran Q2)
+    q2 = set(grid[grid["qualifying"] == "Q2"]["driver_number"])
+    assert q2 == {10, 12, 13, 14}
+    # Q1-eliminated = ran Q1, absent from Q2: {11, 15}
+    q1 = set(grid[grid["qualifying"] == "Q1"]["driver_number"])
+    assert q1 == {11, 15}
+    assert set(grid[grid["qualifying"] == "Q3"]["driver_number"]) == set(range(10))
+    assert len(grid) == 16
+
+
+def test_red_flag_signal_propagates_to_grid(spark):
+    """An over-long session (reference raises, dp:218-220) surfaces as
+    session_red_flag=True on every grid row instead of vanishing."""
+    import datetime as dt
+
+    from formula1_dataengineering_spark.f1.analytics import qualifying_classification
+
+    t0 = dt.datetime(2024, 5, 1)
+    laps = spark.createDataFrame(
+        [("s", 1, t0 + dt.timedelta(seconds=90), 1, 30.0, 30.0, 30.0, False)],
+        "session_key string, driver_number int, date_start timestamp, "
+        "lap_number int, duration_sector_1 double, duration_sector_2 double, "
+        "duration_sector_3 double, is_pit_out_lap boolean",
+    )
+    for minutes, expect in ((60, False), (80, True)):
+        sessions = spark.createDataFrame(
+            [("s", t0, t0 + dt.timedelta(minutes=minutes))],
+            "session_key string, date_start timestamp, date_end timestamp",
+        )
+        rows = qualifying_classification(laps, sessions).collect()
+        assert rows and all(r.session_red_flag == expect for r in rows), minutes
