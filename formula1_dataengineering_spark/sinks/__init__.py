@@ -1,0 +1,16 @@
+"""Presentation sinks (SURVEY §2.1 K1/K2): SVG chart renderers and the
+static HTML dashboard, all stdlib-only, all at the ``.toPandas()`` edge
+over already-aggregated chart-data DataFrames."""
+
+from .charts import COMPOUND_COLORS, fastest_laps_svg, telemetry_svg
+from .dashboard import dashboard_html, session_report_html
+from .svg import fmt_lap_time
+
+__all__ = [
+    "COMPOUND_COLORS",
+    "fastest_laps_svg",
+    "telemetry_svg",
+    "dashboard_html",
+    "session_report_html",
+    "fmt_lap_time",
+]

@@ -1,0 +1,266 @@
+"""Chart sinks (K1): SVG renderers for the reference's figures.
+
+Re-expresses ``compare_fastest_lap_characteristics`` and
+``visualize_lap_telemetry`` (reference: src/data_visualization.py:3-60)
+as stdlib-only SVG emitters over the *chart-data* DataFrames the engine
+already produces (session_facade.fastest_laps_chart_data,
+SessionFacade.lap_telemetry). The heavy lifting — ranking, formatting,
+window ordering — stays in Spark; rendering happens at the
+``.toPandas()`` edge on an already-small result, exactly where the
+reference calls matplotlib.
+
+Design notes (validated against the palette checker):
+- Tyre-compound colors are DOMAIN-SEMANTIC (the F1 broadcast
+  convention: soft=red, medium=yellow, hard=white/grey, inter=green,
+  wet=blue) — entity-anchored like status colors, never used for free
+  series identity. Every bar therefore carries the compound NAME as a
+  direct text label (the reference does the same, dv:23), so color is
+  never the only encoding; the red/green pair sits in the CVD 6-8
+  band that is legal only with such labels.
+- Telemetry lines use validated categorical slots (blue/green/red pass
+  lightness, chroma, contrast; worst CVD pair 7.2 with direct labels).
+- One y-axis per panel — throttle and brake share a % scale; speed
+  gets its own panel (never a dual-axis chart).
+- Native ``<title>`` tooltips on every mark; the dashboard sink adds a
+  table view per figure.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from .svg import SERIES, Scale, esc, fmt_lap_time, nice_ticks, svg_doc
+
+#: F1 broadcast compound colors, validated-palette steps. HARD is grey
+#: by convention (fails the categorical chroma floor deliberately —
+#: see module docstring; normal-vision ΔE vs every other slot ≥ 17).
+COMPOUND_COLORS = {
+    "SOFT": "#e34948",
+    "MEDIUM": "#eda100",
+    "HARD": "#8a8984",
+    "INTERMEDIATE": "#008300",
+    "WET": "#2a78d6",
+}
+_UNKNOWN_COMPOUND = "#52514e"
+
+
+def fastest_laps_svg(
+    pdf: pd.DataFrame,
+    title: str = "Fastest lap times",
+    width: int = 960,
+    height: int = 360,
+) -> str:
+    """Per-driver fastest-lap bar chart (reference dv:3-49).
+
+    Expects the columns of ``fastest_laps_chart_data`` (``position``,
+    ``name_acronym`` or ``driver_number``, ``actual_lap_time``,
+    optional ``lap_time_label``); optional ``compound`` colors bars by
+    tyre and labels each bar with the compound name; optional
+    ``qualifying`` (values Q3/Q2/Q1) draws the segment separators and
+    headers the reference overlays for qualifying sessions (dv:27-39).
+    """
+    pdf = pdf[pdf["actual_lap_time"].notna()].reset_index(drop=True)
+    n = len(pdf)
+    pad_l, pad_r, pad_t, pad_b = 64, 16, 44, 56
+    plot_w, plot_h = width - pad_l - pad_r, height - pad_t - pad_b
+    if n == 0:
+        return svg_doc(
+            width,
+            height,
+            f'<text x="{width / 2}" y="{height / 2}" text-anchor="middle" '
+            f'class="muted" font-size="13">no laps to plot</text>',
+        )
+    names = (
+        pdf["name_acronym"]
+        if "name_acronym" in pdf
+        else pdf["driver_number"].astype(str)
+    )
+    times = pdf["actual_lap_time"].astype(float)
+    labels = (
+        pdf["lap_time_label"]
+        if "lap_time_label" in pdf
+        else times.map(fmt_lap_time)
+    )
+    # Reference y-window: best*0.95 .. worst*1.05 (dv:45)
+    y0, y1 = float(times.min()) * 0.95, float(times.max()) * 1.05
+    y = Scale(y0, y1, pad_t + plot_h, pad_t)
+    ticks = nice_ticks(y0, y1, 5)
+
+    slot = plot_w / n
+    bar_w = max(min(slot - 2, 40), 3)  # 2px surface gap between bars
+    parts: list[str] = []
+    for t in ticks:
+        ty = y(t)
+        parts.append(
+            f'<line class="grid" x1="{pad_l}" y1="{ty}" '
+            f'x2="{width - pad_r}" y2="{ty}"/>'
+            f'<text x="{pad_l - 6}" y="{ty + 4}" text-anchor="end" '
+            f'class="muted" font-size="10">{esc(fmt_lap_time(t))}</text>'
+        )
+    base = y(y0)
+    has_compound = "compound" in pdf.columns
+    for i in range(n):
+        cx = pad_l + slot * i + slot / 2
+        bx = cx - bar_w / 2
+        by = y(float(times.iloc[i]))
+        h = max(base - by, 0.5)
+        comp = str(pdf["compound"].iloc[i]).upper() if has_compound else None
+        fill = (
+            COMPOUND_COLORS.get(comp, _UNKNOWN_COMPOUND)
+            if has_compound
+            else SERIES["blue"]
+        )
+        r = min(4.0, bar_w / 2, h)  # rounded data-end, square baseline
+        parts.append(
+            f'<path d="M{bx:.1f} {base:.1f} V{by + r:.1f} '
+            f"Q{bx:.1f} {by:.1f} {bx + r:.1f} {by:.1f} "
+            f"H{bx + bar_w - r:.1f} "
+            f"Q{bx + bar_w:.1f} {by:.1f} {bx + bar_w:.1f} {by + r:.1f} "
+            f'V{base:.1f} Z" fill="{fill}">'
+            f"<title>{esc(names.iloc[i])} — {esc(labels.iloc[i])}"
+            f'{" · " + esc(comp.capitalize()) if comp else ""}</title></path>'
+        )
+        if slot < 56:
+            # narrow slots: rotate the time label 90° like the
+            # reference annotation (dv:22) to avoid collisions
+            ly = max(by - 5, 52.0)  # keep the ~46px label on-canvas
+            parts.append(
+                f'<text x="{cx + 3:.1f}" y="{ly:.1f}" font-size="9" '
+                f'transform="rotate(-90 {cx + 3:.1f} {ly:.1f})" '
+                f'text-anchor="start">{esc(labels.iloc[i])}</text>'
+            )
+        else:
+            parts.append(
+                f'<text x="{cx:.1f}" y="{by - 4:.1f}" text-anchor="middle" '
+                f'font-size="9">{esc(labels.iloc[i])}</text>'
+            )
+        if comp:
+            parts.append(
+                f'<text x="{cx:.1f}" y="{base + 24:.1f}" text-anchor="middle" '
+                f'class="muted" font-size="8">{esc(comp.capitalize())}</text>'
+            )
+        parts.append(
+            f'<text x="{cx:.1f}" y="{base + 13:.1f}" text-anchor="middle" '
+            f'font-size="10">{esc(names.iloc[i])}</text>'
+        )
+    # Qualifying segment separators + headers (dv:27-39)
+    if "qualifying" in pdf.columns:
+        segs = pdf["qualifying"].tolist()
+        for i in range(1, n):
+            if segs[i] != segs[i - 1]:
+                sx = pad_l + slot * i
+                parts.append(
+                    f'<line class="sep" x1="{sx:.1f}" y1="{pad_t}" '
+                    f'x2="{sx:.1f}" y2="{base:.1f}"/>'
+                )
+        seen: dict[str, list[int]] = {}
+        for i, s in enumerate(segs):
+            seen.setdefault(s, []).append(i)
+        for s, idx in seen.items():
+            cx = pad_l + slot * (idx[0] + idx[-1] + 1) / 2
+            parts.append(
+                f'<text x="{cx:.1f}" y="{pad_t - 6}" text-anchor="middle" '
+                f'class="muted" font-size="11">{esc(s)}</text>'
+            )
+    parts.append(
+        f'<line class="axis" x1="{pad_l}" y1="{base:.1f}" '
+        f'x2="{width - pad_r}" y2="{base:.1f}"/>'
+        f'<text x="{pad_l}" y="20" font-size="13">{esc(title)}</text>'
+    )
+    return svg_doc(width, height, "".join(parts))
+
+
+def _line_path(xs: list[float], ys: list[float]) -> str:
+    pts = [
+        f"{x:.1f} {yy:.1f}"
+        for x, yy in zip(xs, ys)
+        if not (isinstance(yy, float) and math.isnan(yy))
+    ]
+    if not pts:
+        return ""
+    return "M" + " L".join(pts)
+
+
+def telemetry_svg(
+    pdf: pd.DataFrame,
+    title: str = "Lap telemetry",
+    width: int = 960,
+    height: int = 380,
+) -> str:
+    """Two stacked shared-x panels (reference dv:52-60): vehicle speed,
+    then throttle + brake on one % axis. Expects columns
+    ``seconds_from_lap_start``, ``speed``, ``throttle``, ``brake``.
+    """
+    pdf = pdf.sort_values("seconds_from_lap_start").reset_index(drop=True)
+    pad_l, pad_r, pad_t, pad_b, gap = 56, 70, 40, 40, 24
+    panel_h = (height - pad_t - pad_b - gap) / 2
+    xs_d = pdf["seconds_from_lap_start"].astype(float)
+    if len(pdf) == 0:
+        return svg_doc(
+            width,
+            height,
+            f'<text x="{width / 2}" y="{height / 2}" text-anchor="middle" '
+            f'class="muted" font-size="13">no telemetry</text>',
+        )
+    x = Scale(float(xs_d.min()), float(xs_d.max()), pad_l, width - pad_r)
+    xpix = [x(v) for v in xs_d]
+    parts: list[str] = [f'<text x="{pad_l}" y="20" font-size="13">{esc(title)}</text>']
+
+    def panel(top: float, series: list[tuple[str, str, pd.Series]], unit: str):
+        lo = min(float(s.min()) for _, _, s in series if s.notna().any())
+        hi = max(float(s.max()) for _, _, s in series if s.notna().any())
+        if hi <= lo:
+            hi = lo + 1.0
+        yscale = Scale(lo, hi, top + panel_h, top)
+        for t in nice_ticks(lo, hi, 4):
+            ty = yscale(t)
+            parts.append(
+                f'<line class="grid" x1="{pad_l}" y1="{ty}" '
+                f'x2="{width - pad_r}" y2="{ty}"/>'
+                f'<text x="{pad_l - 6}" y="{ty + 3}" text-anchor="end" '
+                f'class="muted" font-size="9">{t:g}</text>'
+            )
+        for name, color, s in series:
+            path = _line_path(xpix, [yscale(v) for v in s.astype(float)])
+            if path:
+                parts.append(
+                    f'<path d="{path}" fill="none" stroke="{color}" '
+                    f'stroke-width="2" stroke-linejoin="round">'
+                    f"<title>{esc(name)}</title></path>"
+                )
+                # direct label at the line end (identity never color-alone)
+                last = s.dropna()
+                if len(last):
+                    parts.append(
+                        f'<text x="{width - pad_r + 5}" '
+                        f'y="{yscale(float(last.iloc[-1])) + 3:.1f}" '
+                        f'font-size="10">{esc(name)}</text>'
+                    )
+        parts.append(
+            f'<text x="{pad_l - 44}" y="{top + panel_h / 2:.1f}" '
+            f'class="muted" font-size="9" transform="rotate(-90 '
+            f'{pad_l - 44} {top + panel_h / 2:.1f})" '
+            f'text-anchor="middle">{esc(unit)}</text>'
+        )
+
+    panel(pad_t, [("speed", SERIES["blue"], pdf["speed"])], "Speed km/h")
+    panel(
+        pad_t + panel_h + gap,
+        [
+            ("throttle", SERIES["green"], pdf["throttle"]),
+            ("brake", SERIES["red"], pdf["brake"]),
+        ],
+        "Throttle / Brake %",
+    )
+    base = pad_t + 2 * panel_h + gap
+    for t in nice_ticks(float(xs_d.min()), float(xs_d.max()), 6):
+        tx = x(t)
+        parts.append(
+            f'<line class="axis" x1="{tx}" y1="{base:.1f}" '
+            f'x2="{tx}" y2="{base + 4:.1f}"/>'
+            f'<text x="{tx}" y="{base + 16:.1f}" text-anchor="middle" '
+            f'class="muted" font-size="9">{esc(fmt_lap_time(t))}</text>'
+        )
+    return svg_doc(width, height, "".join(parts))

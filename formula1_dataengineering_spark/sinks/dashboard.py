@@ -1,0 +1,128 @@
+"""Dashboard sink (K2): a static HTML session report.
+
+The reference's Streamlit dashboard (reference: dashboard.py:1-117) is
+an interactive picker around two figures; its engine-relevant surface
+is *which* DataFrames feed *which* figures. This sink renders that
+surface as a dependency-free static HTML page: selection happens in
+Spark (the facade queries), each figure embeds its SVG inline, and
+every figure ships a collapsible table view of the exact chart data
+(the accessibility fallback the skill mandates — identity and values
+never live in color alone).
+
+At 100 TB the dashboard is still driver-side-tiny: every input is an
+already-aggregated chart-data DataFrame (≤ a few hundred rows); the
+sink never touches a distributed collection itself.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pandas as pd
+
+from .svg import esc
+
+_PAGE_CSS = """
+  :root { color-scheme: light dark; }
+  body { margin: 0; padding: 24px; background: #fcfcfb; color: #0b0b0b;
+         font-family: system-ui, sans-serif; }
+  @media (prefers-color-scheme: dark) {
+    body { background: #1a1a19; color: #ffffff; }
+    table, th, td { border-color: #383835 !important; }
+  }
+  h1 { font-size: 20px; margin: 0 0 4px; }
+  .sub { color: #8a8984; font-size: 13px; margin-bottom: 20px; }
+  section { margin-bottom: 32px; }
+  h2 { font-size: 15px; margin: 0 0 8px; }
+  details { margin-top: 8px; font-size: 12px; }
+  summary { cursor: pointer; color: #8a8984; }
+  table { border-collapse: collapse; margin-top: 8px; }
+  th, td { border: 1px solid #e8e7e3; padding: 3px 8px;
+           text-align: right; font-variant-numeric: tabular-nums; }
+  th { text-align: center; }
+"""
+
+
+def _table_html(pdf: pd.DataFrame, max_rows: int = 200) -> str:
+    head = "".join(f"<th>{esc(c)}</th>" for c in pdf.columns)
+    body = "".join(
+        "<tr>" + "".join(f"<td>{esc('' if v is None else v)}</td>" for v in row) + "</tr>"
+        for row in pdf.head(max_rows).itertuples(index=False, name=None)
+    )
+    more = (
+        f"<p>… {len(pdf) - max_rows} more rows</p>" if len(pdf) > max_rows else ""
+    )
+    return (
+        f"<table><thead><tr>{head}</tr></thead><tbody>{body}</tbody></table>{more}"
+    )
+
+
+def dashboard_html(
+    title: str,
+    sections: Sequence[tuple[str, str, pd.DataFrame | None]],
+    subtitle: str = "",
+) -> str:
+    """Assemble ``(heading, svg, chart_data)`` sections into one page.
+
+    ``svg`` may be empty for a table-only section; ``chart_data`` may be
+    None for an SVG-only one. Dark mode comes from the page *and* each
+    embedded SVG carrying the same prefers-color-scheme tokens.
+    """
+    out = [
+        "<!doctype html><html><head><meta charset='utf-8'>",
+        f"<title>{esc(title)}</title><style>{_PAGE_CSS}</style></head><body>",
+        f"<h1>{esc(title)}</h1>",
+        f"<div class='sub'>{esc(subtitle)}</div>" if subtitle else "",
+    ]
+    for heading, svg, pdf in sections:
+        out.append(f"<section><h2>{esc(heading)}</h2>{svg}")
+        if pdf is not None and len(pdf.columns):
+            out.append(
+                f"<details><summary>table view ({len(pdf)} rows)</summary>"
+                f"{_table_html(pdf)}</details>"
+            )
+        out.append("</section>")
+    out.append("</body></html>")
+    return "".join(out)
+
+
+def session_report_html(facade, driver_number: int | None = None) -> str:
+    """One-call K2 parity surface: fastest-laps figure (+ optional lap
+    telemetry for one driver's fastest lap) for a SessionFacade, as the
+    reference dashboard composes them (dashboard.py:88-117)."""
+    from .charts import fastest_laps_svg, telemetry_svg
+
+    info = facade.session_info()
+    chart = facade.fastest_laps_chart_data().toPandas()
+    sections = [
+        (
+            "Fastest lap comparison",
+            fastest_laps_svg(
+                chart,
+                title=f"{info.get('circuit_short_name', '')} — "
+                f"{info.get('session_name', '')} fastest laps",
+            ),
+            chart,
+        )
+    ]
+    if driver_number is not None:
+        best = chart[chart["driver_number"] == driver_number]
+        if len(best):
+            laps = facade.fastest_laps().toPandas()
+            lap_no = int(
+                laps[laps["driver_number"] == driver_number]["lap_number"].iloc[0]
+            )
+            tel = facade.lap_telemetry(driver_number, lap_no).toPandas()
+            sections.append(
+                (
+                    f"Lap telemetry — driver {driver_number}, lap {lap_no}",
+                    telemetry_svg(tel),
+                    None,
+                )
+            )
+    return dashboard_html(
+        f"Session {facade.session_key}",
+        sections,
+        subtitle=f"{info.get('session_type', '')} · "
+        f"{info.get('circuit_short_name', '')}",
+    )
