@@ -348,3 +348,61 @@ def scrub_stats(
         F.sum(F.col("__n_tok") - F.col("__n_kept")).alias("removed_tokens"),
         F.sum("__kept_chars").alias("kept_chars"),
     )
+
+
+#: Redaction patterns, deliberately written in the common subset of
+#: Java regex (Spark) and RE2 (DuckDB oracle): no backrefs, no
+#: lookaround. Counts and span lengths are always measured on the
+#: original text, so the kinds never interact.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d{9,15}\b",
+}
+
+
+def pii_scrub(
+    docs: DataFrame,
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """Redact PII spans in ``text_col`` in place and account for them.
+
+    Each pattern kind is replaced by its ``<KIND>`` token and counted
+    BEFORE any replacement runs (counts are independent of pattern
+    order; replacement is sequential). Adds ``n_<kind>`` per kind plus
+    ``chars_redacted`` = total characters inside matched spans. NULL
+    text passes through (null counts), matching the engine-wide null
+    contract.
+
+    Scale: pure ``regexp_count``/``regexp_replace`` column expressions
+    — whole-stage codegen in the scan stage, zero shuffles, zero
+    Python. At 100 TB this is the cheapest shape a scrub pass can
+    take: one pass over the bytes per pattern, no materialized
+    intermediate corpus.
+    """
+    pats = patterns or PII_PATTERNS
+    counts = {
+        kind: F.regexp_count(F.col(text_col), F.lit(pat))
+        for kind, pat in pats.items()
+    }
+    # True redacted-span chars per kind: len(text) - len(text with the
+    # kind's matches deleted), measured on the ORIGINAL text so kinds
+    # don't interact (patterns target disjoint span shapes).
+    span_chars = [
+        F.length(text_col)
+        - F.length(F.regexp_replace(F.col(text_col), pat, ""))
+        for pat in pats.values()
+    ]
+    chars = span_chars[0]
+    for c in span_chars[1:]:
+        chars = chars + c
+    redacted = F.col(text_col)
+    for kind, pat in pats.items():
+        redacted = F.regexp_replace(redacted, pat, f"<{kind.upper()}>")
+    out = docs
+    for kind in pats:
+        out = out.withColumn(f"n_{kind}", counts[kind])
+    return out.withColumn("chars_redacted", chars).withColumn(
+        text_col, redacted
+    )

@@ -1587,3 +1587,40 @@ SELECT 'image' AS kind, count(*) AS n_media,
        CAST(max(height) AS INT) AS max_height
 FROM m
 """
+
+ORACLE_SQL["pii_scrub_stats"] = """
+WITH seeded AS (
+  SELECT source,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com at 10.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+              || ' or +49171' || lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0')
+           AS text
+  FROM documents
+), pats AS (
+  SELECT '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}' AS p_email,
+         '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b' AS p_ipv4,
+         '\\+\\d{9,15}\\b' AS p_phone
+), m AS (
+  SELECT source,
+         len(regexp_extract_all(text, p_email)) AS n_email,
+         len(regexp_extract_all(text, p_ipv4)) AS n_ipv4,
+         len(regexp_extract_all(text, p_phone)) AS n_phone,
+         (len(text) - len(regexp_replace(text, p_email, '', 'g')))
+       + (len(text) - len(regexp_replace(text, p_ipv4, '', 'g')))
+       + (len(text) - len(regexp_replace(text, p_phone, '', 'g')))
+           AS chars_redacted,
+         len(regexp_replace(regexp_replace(regexp_replace(
+               text, p_email, '<EMAIL>', 'g'), p_ipv4, '<IPV4>', 'g'),
+               p_phone, '<PHONE>', 'g')) AS scrubbed_len
+  FROM seeded, pats
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_email) AS BIGINT) AS emails,
+       CAST(sum(n_ipv4) AS BIGINT) AS ipv4s,
+       CAST(sum(n_phone) AS BIGINT) AS phones,
+       CAST(sum(chars_redacted) AS BIGINT) AS chars_redacted,
+       CAST(sum(scrubbed_len) AS BIGINT) AS scrubbed_chars
+FROM m GROUP BY source
+"""

@@ -2308,3 +2308,40 @@ def media_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("width").cast("int").alias("max_width"),
         F.max("height").cast("int").alias("max_height"),
     )
+
+
+@query("pii_scrub_stats")
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction audit over documents with DETERMINISTIC injected
+    PII (the synthetic corpus is digit-free, so the gate first appends
+    a doc_id-derived email/IPv4/phone to every doc, then proves the
+    scrub finds and removes exactly those spans). Per source: doc
+    count, per-kind match totals, redacted-span chars, and the scrubbed
+    corpus length. Pure regexp column expressions in the scan stage —
+    zero shuffles before the final small aggregate."""
+    from ..operators.curation import pii_scrub
+
+    d = load(spark, sf_dir, "documents")
+    seeded = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com at 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0."),
+            (F.col("doc_id") % 100).cast("string"),
+            F.lit(" or +49171"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 4, "0"),
+        ),
+    )
+    scrubbed = pii_scrub(seeded)
+    return scrubbed.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_email").cast("bigint").alias("emails"),
+        F.sum("n_ipv4").cast("bigint").alias("ipv4s"),
+        F.sum("n_phone").cast("bigint").alias("phones"),
+        F.sum("chars_redacted").cast("bigint").alias("chars_redacted"),
+        F.sum(F.length("text")).cast("bigint").alias("scrubbed_chars"),
+    )

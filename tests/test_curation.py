@@ -174,3 +174,48 @@ def test_incremental_merge_collapses_batch_duplicates(spark):
     fresh = canon.join(base.select("__h").distinct(), "__h", "left_anti")
     kept = sorted(r.doc_id for r in fresh.collect())
     assert kept == [11, 33]
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from formula1_dataengineering_spark.operators.curation import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b-c%d@ex-ample.co.uk here"),
+            (2, "ip 192.168.0.1 and 10.0.0.255 twice"),
+            (3, "call +491711234567 now"),
+            (4, "clean text only"),
+            (5, None),
+            (6, "x@y.io plus 1.2.3.4 plus +123456789"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r for r in pii_scrub(df).collect()}
+    assert rows[1].text == "mail <EMAIL> here"
+    assert (rows[1].n_email, rows[1].n_ipv4, rows[1].n_phone) == (1, 0, 0)
+    assert rows[1].chars_redacted == len("a.b-c%d@ex-ample.co.uk")
+    assert rows[2].text == "ip <IPV4> and <IPV4> twice"
+    assert rows[2].n_ipv4 == 2
+    assert rows[3].text == "call <PHONE> now"
+    assert rows[3].n_phone == 1
+    assert rows[4].text == "clean text only" and rows[4].chars_redacted == 0
+    assert rows[5].text is None and rows[5].n_email is None
+    assert (rows[6].n_email, rows[6].n_ipv4, rows[6].n_phone) == (1, 1, 1)
+
+
+def test_pii_scrub_boundaries(spark):
+    """Span-shape guards, pinned: short +digits and 1-letter TLDs
+    never match; a version string like 1.2.3.4.5 over-matches its
+    first four octets (\\b holds between digit and dot — documented,
+    RE2-portable behavior; over-redaction is the safe direction for
+    PII, and lookbehind would break the DuckDB oracle dialect)."""
+    from formula1_dataengineering_spark.operators.curation import pii_scrub
+
+    df = spark.createDataFrame(
+        [(1, "ver 1.2.3.4.5 end"), (2, "+12345678 short"), (3, "a@b.c tld-too-short")],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r for r in pii_scrub(df).collect()}
+    assert rows[1].n_ipv4 == 1 and rows[1].text == "ver <IPV4>.5 end"
+    assert rows[2].n_phone == 0  # 8 digits < 9 minimum
+    assert rows[3].n_email == 0  # single-letter TLD rejected
