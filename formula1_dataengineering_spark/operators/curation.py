@@ -406,3 +406,74 @@ def pii_scrub(
     return out.withColumn("chars_redacted", chars).withColumn(
         text_col, redacted
     )
+
+
+def span_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 32,
+) -> DataFrame:
+    """Corpus-wide exact SPAN dedup (the C4/Dolma move): cut every doc
+    into non-overlapping ``span_tokens``-token spans, keep each
+    distinct span's FIRST occurrence (ordered by (doc, span index) —
+    a total, deterministic order), and rebuild documents from their
+    surviving spans.
+
+    Unlike document-level exact dedup, this removes boilerplate
+    repeated INSIDE otherwise-distinct documents. Output: one row per
+    input doc — ``text`` rebuilt from kept spans (NULL when every span
+    was a duplicate), ``n_spans``/``kept_spans`` accounting.
+
+    Scale: two shuffles, both on high-cardinality keys — a window
+    over span fingerprint (first-occurrence rank; dup groups are tiny,
+    no skew) and the per-doc rebuild aggregate. The rebuild carries
+    kept span text only; fingerprints are md5 (portable, oracle-
+    recomputable, 128-bit — collision-safe at corpus scale).
+    """
+    toks = F.split(F.col(text_col), " ")
+    spans = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            toks.alias("__toks"),
+            F.posexplode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.size(toks) - 1, F.lit(0)),
+                    F.lit(span_tokens),
+                )
+            ).alias("span_idx", "__start"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("span_idx"),
+            F.concat_ws(
+                " ", F.slice(F.col("__toks"), F.col("__start") + 1, span_tokens)
+            ).alias("__span"),
+        )
+    )
+    w = Window.partitionBy(F.md5(F.col("__span"))).orderBy(id_col, "span_idx")
+    kept = spans.withColumn("__rk", F.row_number().over(w)).where(
+        F.col("__rk") == 1
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("span_idx", "__span"))),
+                lambda s: s["__span"],
+            ),
+            " ",
+        ).alias("__kept_text"),
+        F.count("*").cast("int").alias("kept_spans"),
+    )
+    counts = spans.groupBy(id_col).agg(
+        F.count("*").cast("int").alias("n_spans")
+    )
+    return (
+        docs.join(counts, id_col, "left")
+        .join(rebuilt, id_col, "left")
+        .withColumn("kept_spans", F.coalesce("kept_spans", F.lit(0)))
+        .withColumn(text_col, F.col("__kept_text"))
+        .drop("__kept_text")
+    )

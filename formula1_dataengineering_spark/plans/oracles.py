@@ -1624,3 +1624,36 @@ SELECT source,
        CAST(sum(scrubbed_len) AS BIGINT) AS scrubbed_chars
 FROM m GROUP BY source
 """
+
+ORACLE_SQL["span_dedup_stats"] = """
+WITH t AS (
+  SELECT doc_id, source, string_split(text, ' ') AS toks
+  FROM documents WHERE text IS NOT NULL
+), s AS (
+  SELECT doc_id, source,
+         CAST(g.i / 16 AS INT) AS span_idx,
+         array_to_string(list_slice(toks, g.i + 1, g.i + 16), ' ') AS span
+  FROM t, LATERAL unnest(generate_series(0, greatest(len(toks) - 1, 0), 16))
+         AS g(i)
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY md5(span)
+              ORDER BY doc_id, span_idx) AS rk
+  FROM s
+), rebuilt AS (
+  SELECT doc_id, source,
+         string_agg(span, ' ' ORDER BY span_idx)
+           FILTER (WHERE rk = 1) AS text,
+         count(*) AS n_spans,
+         count(*) FILTER (WHERE rk = 1) AS kept_spans
+  FROM r GROUP BY doc_id, source
+)
+-- engine keeps NULL-text docs (kept_spans 0); mirror via left join
+SELECT d.source,
+       count(*) AS n_docs,
+       count(rb.text) AS docs_with_text,
+       CAST(sum(rb.n_spans) AS BIGINT) AS total_spans,
+       CAST(sum(COALESCE(rb.kept_spans, 0)) AS BIGINT) AS kept_spans,
+       CAST(sum(len(rb.text)) AS BIGINT) AS rebuilt_chars
+FROM documents d LEFT JOIN rebuilt rb USING (doc_id)
+GROUP BY d.source
+"""

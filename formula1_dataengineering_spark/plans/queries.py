@@ -2345,3 +2345,24 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("chars_redacted").cast("bigint").alias("chars_redacted"),
         F.sum(F.length("text")).cast("bigint").alias("scrubbed_chars"),
     )
+
+
+@query("span_dedup_stats")
+def span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact span dedup (C4/Dolma-style): 16-token spans,
+    first occurrence wins, docs rebuilt from surviving spans. Per
+    source: docs in/rebuilt, span totals, and the rebuilt corpus size
+    in chars — the before/after a curation run reports. Two
+    high-cardinality shuffles (span-fingerprint window, per-doc
+    rebuild); duplicate groups are tiny so the window never skews."""
+    from ..operators.curation import span_dedup
+
+    d = load(spark, sf_dir, "documents")
+    out = span_dedup(d, span_tokens=16)
+    return out.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count("text").cast("bigint").alias("docs_with_text"),
+        F.sum("n_spans").cast("bigint").alias("total_spans"),
+        F.sum("kept_spans").cast("bigint").alias("kept_spans"),
+        F.sum(F.length("text")).cast("bigint").alias("rebuilt_chars"),
+    )

@@ -219,3 +219,44 @@ def test_pii_scrub_boundaries(spark):
     assert rows[1].n_ipv4 == 1 and rows[1].text == "ver <IPV4>.5 end"
     assert rows[2].n_phone == 0  # 8 digits < 9 minimum
     assert rows[3].n_email == 0  # single-letter TLD rejected
+
+
+def test_span_dedup_first_occurrence_wins_and_rebuild(spark):
+    from formula1_dataengineering_spark.operators.curation import span_dedup
+
+    # spans of 2 tokens; doc 1 = [a b][c d]; doc 2 repeats [a b] then
+    # unique [e f]; doc 3 is entirely doc 1's content (fully dropped);
+    # doc 4 has a tail span shorter than span_tokens; doc 5 NULL text
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),
+            (2, "a b e f"),
+            (3, "c d a b"),
+            (4, "g h i"),
+            (5, None),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r for r in span_dedup(df, span_tokens=2).collect()}
+    assert rows[1].text == "a b c d" and rows[1].kept_spans == 2
+    # doc 2: "a b" already seen at (1,0) -> only "e f" survives
+    assert rows[2].text == "e f" and (rows[2].n_spans, rows[2].kept_spans) == (2, 1)
+    # doc 3: both spans duplicated -> no text
+    assert rows[3].text is None and rows[3].kept_spans == 0
+    # doc 4: short tail span kept verbatim
+    assert rows[4].text == "g h i" and rows[4].n_spans == 2
+    assert rows[5].text is None and rows[5].n_spans is None and rows[5].kept_spans == 0
+
+
+def test_span_dedup_span_identity_is_content_not_position(spark):
+    """The same 2-token content at different offsets is the same span;
+    differently-grouped content is not (span cut points matter)."""
+    from formula1_dataengineering_spark.operators.curation import span_dedup
+
+    df = spark.createDataFrame(
+        [(1, "x y z w"), (2, "q x y z")],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r for r in span_dedup(df, span_tokens=2).collect()}
+    # doc2's spans are [q x][y z] — "x y" of doc1 is NOT the same span
+    assert rows[1].kept_spans == 2 and rows[2].kept_spans == 2
