@@ -231,3 +231,56 @@ def test_curation_scans_prune_to_needed_columns(spark, name, expect):
         if "ReadSchema" in l
     }
     assert expect in schemas and len(schemas) == 1, schemas
+
+
+def test_pii_scrub_stats_no_shuffle_before_aggregate(spark):
+    """The scrub is pure scan-stage codegen: exactly one exchange (the
+    final per-source aggregate) and a pruned documents scan."""
+    plan = formatted_plan(spark, "pii_scrub_stats")
+    body = _tree(plan)
+    assert body.count("Exchange") == 1
+    assert "Window" not in body and "SortMergeJoin" not in body
+    schemas = {
+        l.strip().removeprefix("ReadSchema:").strip()
+        for l in plan.splitlines()
+        if "ReadSchema" in l
+    }
+    assert schemas == {"struct<doc_id:bigint,text:string,source:string>"}
+    # map-side partial aggregation around the exchange
+    assert body.count("HashAggregate") >= 2
+
+
+def test_span_dedup_stats_keyed_shuffles_rank_pushdown(spark):
+    """Span dedup shuffles only on high-cardinality keys and never
+    resorts to a corpus-wide sort or an unbounded join. The rk=1
+    first-occurrence filter must compile to WindowGroupLimit (rank
+    pushdown drops losers BEFORE the full window materializes — the
+    difference between shuffling dup-group winners and shuffling every
+    span at 100 TB)."""
+    plan = formatted_plan(spark, "span_dedup_stats")
+    body = _tree(plan)
+    assert "WindowGroupLimit" in body
+    assert "CartesianProduct" not in body
+    assert "BroadcastNestedLoopJoin" not in body
+    # the only Sorts are the window's own partition-local sorts — each
+    # sits directly under a WindowGroupLimit or above an Exchange, so
+    # no operator ever orders the whole corpus on one task
+    lines = body.splitlines()
+    for i, l in enumerate(lines):
+        if "Sort" in l and "SortMergeJoin" not in l:
+            window_ctx = any(
+                "Window" in other or "Exchange" in other
+                for other in lines[max(0, i - 2) : i + 3]
+            )
+            assert window_ctx, f"stray global sort:\n{body}"
+    schemas = {
+        l.strip().removeprefix("ReadSchema:").strip()
+        for l in plan.splitlines()
+        if "ReadSchema" in l
+    }
+    # every scan pruned to exactly what its branch needs: the span
+    # pipeline (id+text), and the outer doc spine (id+source)
+    assert schemas == {
+        "struct<doc_id:bigint,text:string>",
+        "struct<doc_id:bigint,source:string>",
+    }
