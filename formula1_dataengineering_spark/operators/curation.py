@@ -21,6 +21,7 @@ NULL-key row loss).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -476,4 +477,93 @@ def span_dedup(
         .withColumn("kept_spans", F.coalesce("kept_spans", F.lit(0)))
         .withColumn(text_col, F.col("__kept_text"))
         .drop("__kept_text")
+    )
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    eval_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 4,
+) -> DataFrame:
+    """Bloom-filter decontamination — the NO-CORPUS-SHUFFLE scale path
+    beside :func:`contamination_overlap`'s exact broadcast join.
+
+    The eval set's token ``k``-grams are folded into a Bloom bitset
+    (``num_hashes`` portable md5-seeded bit positions each, built with
+    one small aggregation and collected to the driver — the bitset is
+    ``num_bits/8`` bytes, independent of corpus size). The corpus is
+    then scanned ONCE: each gram's bit positions are computed JVM-side
+    and tested against the closure-broadcast bitset in an Arrow-batched
+    pandas UDF (pure numpy bit indexing). The only corpus shuffle is
+    the final per-doc aggregate.
+
+    Bloom semantics are one-sided and, with this portable hash family,
+    fully DETERMINISTIC: every truly-shared gram is flagged, plus a
+    reproducible false-positive set (rate ≈ fill_ratio**num_hashes) —
+    the DuckDB oracle replays bit membership exactly, false positives
+    included. Output per non-eval doc: ``n_grams`` (distinct),
+    ``n_flagged`` (distinct bloom-positive), ``contaminated``.
+    """
+    import numpy as np
+
+    from .dedup import portable_hash48
+
+    is_eval = F.coalesce(eval_pred, F.lit(False))
+
+    def gram_bits(side: DataFrame) -> DataFrame:
+        grams = side.where(F.col(text_col).isNotNull()).select(
+            F.col(id_col),
+            F.explode(word_shingles_pandas(k)(F.col(text_col))).alias("__g"),
+        )
+        for s in range(num_hashes):
+            grams = grams.withColumn(
+                f"__b{s}",
+                portable_hash48(F.concat(F.lit(f"{s}:"), F.col("__g")))
+                % F.lit(num_bits),
+            )
+        # the shingler emits per-doc-DISTINCT grams, so downstream
+        # counts are distinct-gram counts with no extra dedup pass
+        return grams.select(id_col, *[f"__b{s}" for s in range(num_hashes)])
+
+    bit_cols = [f"__b{s}" for s in range(num_hashes)]
+    eval_bits = (
+        gram_bits(docs.where(is_eval))
+        .select(F.explode(F.array(*bit_cols)).alias("bit"))
+        .distinct()
+    )
+    # Driver materialization is bounded by num_bits, NOT by eval size:
+    # at the default 2^20 bits the bitset is 128 KiB.
+    bitset = np.zeros((num_bits + 7) // 8, dtype=np.uint8)
+    for row in eval_bits.toPandas().itertuples():
+        bitset[row.bit >> 3] |= 1 << (row.bit & 7)
+
+    @F.pandas_udf("boolean")
+    def bit_set(c: pd.Series) -> pd.Series:
+        b = c.to_numpy(dtype=np.int64)
+        return pd.Series(
+            (bitset[b >> 3] & (1 << (b & 7)).astype(np.uint8)) != 0
+        )
+
+    hit = F.lit(True)
+    for bc in bit_cols:
+        hit = hit & bit_set(F.col(bc))
+    corpus = gram_bits(docs.where(~is_eval)).withColumn("__hit", hit)
+    per_doc = corpus.groupBy(id_col).agg(
+        F.count("*").cast("int").alias("n_grams"),
+        F.sum(F.col("__hit").cast("int")).cast("int").alias("n_flagged"),
+    )
+    return (
+        docs.where(~is_eval)
+        .select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_flagged", F.lit(0)).alias("n_flagged"),
+            (F.coalesce("n_flagged", F.lit(0)) > 0).alias("contaminated"),
+        )
     )

@@ -106,9 +106,9 @@ def _shingle_col(text: Column, k: int) -> Column:
     return word_shingles(text, k) if k == 1 else word_shingles_pandas(k)(text)
 
 
-def portable_term_id(term: Column) -> Column:
-    """Oracle-portable per-row term id in [0, P): low 48 bits of the
-    little-endian MD5 digest, mod P.
+def portable_hash48(term: Column) -> Column:
+    """Oracle-portable 48-bit hash: low 48 bits of the little-endian
+    MD5 digest, as a non-negative long.
 
     ``md5`` hex is the big-endian digest; concatenating its first six
     byte pairs in reverse order and parsing base-16 yields
@@ -119,9 +119,13 @@ def portable_term_id(term: Column) -> Column:
     """
     h = F.md5(term)
     le48 = F.concat(*[F.substring(h, i, 2) for i in (11, 9, 7, 5, 3, 1)])
-    return (F.conv(le48, 16, 10).cast("long") % F.lit(MERSENNE_P)).alias(
-        "term_id"
-    )
+    return F.conv(le48, 16, 10).cast("long")
+
+
+def portable_term_id(term: Column) -> Column:
+    """Oracle-portable per-row term id in [0, P):
+    :func:`portable_hash48` mod the Mersenne prime."""
+    return (portable_hash48(term) % F.lit(MERSENNE_P)).alias("term_id")
 
 
 def fast_term_id(term: Column) -> Column:

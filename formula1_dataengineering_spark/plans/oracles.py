@@ -1657,3 +1657,39 @@ SELECT d.source,
 FROM documents d LEFT JOIN rebuilt rb USING (doc_id)
 GROUP BY d.source
 """
+
+ORACLE_SQL["bloom_decontamination_stats"] = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, len(t) - 6), i -> array_to_string(t[i:i + 7], ' ')
+         ))) AS g
+  FROM toks
+), seeded AS (
+  SELECT doc_id, g, s,
+         CAST((((md5_number(CAST(s AS VARCHAR) || ':' || g) % 281474976710656) + 281474976710656) % 281474976710656) % 65536 AS BIGINT) AS bit
+  FROM sh, UNNEST([0, 1, 2, 3]) AS u(s)
+), ev_bits AS (
+  SELECT DISTINCT bit FROM seeded WHERE doc_id % 97 = 0
+), corpus AS (
+  SELECT doc_id, g,
+         bool_and(bit IN (SELECT bit FROM ev_bits)) AS hit
+  FROM seeded WHERE doc_id % 97 <> 0
+  GROUP BY doc_id, g
+), per_doc AS (
+  SELECT doc_id,
+         count(*) AS n_grams,
+         count(*) FILTER (WHERE hit) AS n_flagged
+  FROM corpus GROUP BY doc_id
+)
+SELECT d.source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN COALESCE(p.n_flagged, 0) > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS contaminated_docs,
+       CAST(sum(COALESCE(p.n_grams, 0)) AS BIGINT) AS grams_checked,
+       CAST(sum(COALESCE(p.n_flagged, 0)) AS BIGINT) AS grams_flagged
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+WHERE d.doc_id % 97 <> 0
+GROUP BY d.source
+"""

@@ -2366,3 +2366,31 @@ def span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("kept_spans").cast("bigint").alias("kept_spans"),
         F.sum(F.length("text")).cast("bigint").alias("rebuilt_chars"),
     )
+
+
+@query("bloom_decontamination_stats")
+def bloom_decontamination_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination audit (the no-corpus-shuffle scale
+    path beside decontamination_overlap's exact join): eval = every
+    97th doc, 8-gram shingles, 2^16-bit filter with 4 portable hashes.
+    The bloom is deterministic, so the oracle replays bit membership
+    exactly — false positives included. Per source: docs checked,
+    bloom-contaminated docs, distinct grams checked/flagged."""
+    from ..operators.curation import bloom_decontaminate
+
+    d = load(spark, sf_dir, "documents")
+    out = bloom_decontaminate(
+        d, F.col("doc_id") % 97 == 0, k=8, num_bits=1 << 16, num_hashes=4
+    )
+    return (
+        out.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("contaminated").cast("int"))
+            .cast("bigint")
+            .alias("contaminated_docs"),
+            F.sum("n_grams").cast("bigint").alias("grams_checked"),
+            F.sum("n_flagged").cast("bigint").alias("grams_flagged"),
+        )
+    )

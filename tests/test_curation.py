@@ -260,3 +260,63 @@ def test_span_dedup_span_identity_is_content_not_position(spark):
     rows = {r.doc_id: r for r in span_dedup(df, span_tokens=2).collect()}
     # doc2's spans are [q x][y z] — "x y" of doc1 is NOT the same span
     assert rows[1].kept_spans == 2 and rows[2].kept_spans == 2
+
+
+def test_bloom_decontaminate_matches_exact_join_at_low_fill(spark):
+    """With a roomy filter (fill ≈ 0) the bloom path must agree with
+    the exact-join path on every contamination flag, and never miss a
+    true overlap (one-sided guarantee)."""
+    from formula1_dataengineering_spark.operators.curation import (
+        bloom_decontaminate,
+        contamination_overlap,
+    )
+
+    eval_text = " ".join(f"e{i}" for i in range(20))
+    docs = _docs(
+        spark,
+        [
+            (0, eval_text, "s", "en"),                 # eval member
+            (1, eval_text, "s", "en"),                 # copy → contaminated
+            (2, " ".join(f"c{i}" for i in range(20)), "s", "en"),  # clean
+            (3, eval_text + " tail", "s", "en"),       # superset → contaminated
+            (4, None, "s", "en"),                      # null text → checked, clean
+        ],
+    )
+    pred = F.col("doc_id") % 97 == 0
+    bloom = {
+        r.doc_id: r
+        for r in bloom_decontaminate(
+            docs, pred, k=8, num_bits=1 << 20, num_hashes=4
+        ).collect()
+    }
+    exact = {
+        r.doc_id: r for r in contamination_overlap(docs, pred, k=8).collect()
+    }
+    assert set(bloom) == set(exact) == {1, 2, 3, 4}
+    for d in exact:
+        assert bloom[d].contaminated == exact[d].contaminated, d
+        # one-sided: bloom flags at least the true overlaps
+        assert bloom[d].n_flagged >= exact[d].n_shared_grams
+    assert bloom[1].n_grams == 13 and bloom[1].n_flagged == 13
+    assert bloom[4].n_grams == 0 and not bloom[4].contaminated
+
+
+def test_bloom_decontaminate_saturated_filter_flags_everything(spark):
+    """Degenerate regime pinned: a 2-bit filter saturates and every
+    gram goes bloom-positive — deterministic false positives, never an
+    error or a missed true positive (also covers the sub-byte bitset
+    allocation)."""
+    from formula1_dataengineering_spark.operators.curation import bloom_decontaminate
+
+    docs = _docs(
+        spark,
+        [(0, " ".join(f"e{i}" for i in range(12)), "s", "en"),
+         (1, " ".join(f"x{i}" for i in range(12)), "s", "en")],
+    )
+    out = {
+        r.doc_id: r
+        for r in bloom_decontaminate(
+            docs, F.col("doc_id") == 0, k=8, num_bits=2, num_hashes=2
+        ).collect()
+    }
+    assert out[1].contaminated and out[1].n_flagged == out[1].n_grams == 5
