@@ -1,0 +1,114 @@
+"""Write-path layout (sources/layout.py): Z-order key correctness and
+the read-side payoff of clustered writes — partition pruning in the
+plan, and fewer files touched by selective predicates."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from formula1_dataengineering_spark.sources.layout import (
+    write_clustered,
+    zorder_key,
+)
+
+
+def _py_zkey(vals, bits):
+    key = 0
+    cap = (1 << bits) - 1
+    vals = [min(max(v, 0), cap) for v in vals]
+    d = len(vals)
+    for b in range(bits):
+        for i, v in enumerate(vals):
+            key |= ((v >> b) & 1) << (b * d + i)
+    return key
+
+
+def test_zorder_key_matches_reference_interleave(spark):
+    rows = [(0, 0), (1, 0), (0, 1), (3, 5), (255, 1), (65535, 65535), (70000, -3)]
+    df = spark.createDataFrame(rows, "x int, y int").withColumn(
+        "z", zorder_key(["x", "y"], bits=16)
+    )
+    for r in df.collect():
+        assert r.z == _py_zkey([r.x, r.y], 16), (r.x, r.y)
+    # locality: an aligned 2^k x 2^k block is one contiguous z range
+    assert _py_zkey([15, 15], 16) == 255  # the 16x16 origin block is z<256
+
+
+def test_zorder_key_validation(spark):
+    with pytest.raises(ValueError, match="at least one"):
+        zorder_key([])
+    with pytest.raises(ValueError, match="<= 63"):
+        zorder_key(["a", "b", "c", "d"], bits=16)
+
+
+def test_write_clustered_roundtrip_and_partition_pruning(spark):
+    from formula1_dataengineering_spark.sources.catalog import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "event_type", "value"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/events_clustered"
+        write_clustered(
+            ev, path, partition_by=["event_type"], cluster_by=["value"],
+            max_records_per_file=500,
+        )
+        back = spark.read.parquet(path)
+        # lossless roundtrip
+        assert back.count() == ev.count()
+        assert back.agg(F.sum("value")).first()[0] == pytest.approx(
+            ev.agg(F.sum("value")).first()[0]
+        )
+        # a type predicate prunes DIRECTORIES (visible as PartitionFilters)
+        q = back.where(F.col("event_type") == "click")
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan and "event_type" in plan.split(
+            "PartitionFilters:"
+        )[1].split("]")[0]
+        # range clustering: a narrow value slice lives in few files
+        total_files = back.select(
+            F.input_file_name()
+        ).distinct().count()
+        lo = back.agg(F.expr("percentile(value, 0.5)")).first()[0]
+        touched = (
+            back.where(F.col("value").between(lo, lo * 1.001))
+            .select(F.input_file_name())
+            .distinct()
+            .count()
+        )
+        assert touched < total_files / 2, (touched, total_files)
+
+
+def test_zorder_layout_beats_linear_on_box_queries(spark):
+    """64x64 grid, 256 rows/file: Z-order puts each 16x16 block in ONE
+    file, so the origin box touches 1 file; an x-sorted layout smears
+    the same box over 4 files."""
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).cast("int").alias("x"),
+        (F.col("id") / 64).cast("int").alias("y"),
+    )
+
+    def files_touched(path):
+        back = spark.read.parquet(path)
+        box = back.where((F.col("x") < 16) & (F.col("y") < 16))
+        assert box.count() == 256
+        return box.select(F.input_file_name()).distinct().count()
+
+    with tempfile.TemporaryDirectory() as d:
+        zpath, lpath = f"{d}/z", f"{d}/linear"
+        write_clustered(
+            grid.coalesce(1), zpath, zorder_by=["x", "y"], zorder_bits=6,
+            max_records_per_file=256,
+        )
+        write_clustered(
+            grid.coalesce(1), lpath, cluster_by=["x"], max_records_per_file=256,
+        )
+        zback = spark.read.parquet(zpath)
+        assert set(zback.columns) == {"x", "y"}  # layout key not persisted
+        assert zback.count() == 4096
+        z_touched, l_touched = files_touched(zpath), files_touched(lpath)
+        assert z_touched == 1, z_touched
+        assert l_touched == 4, l_touched
