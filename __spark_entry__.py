@@ -44,10 +44,24 @@ _DRIVER_GREEN = {
 }
 
 
+#: Round-2 additions, registered ahead of the rest of the unverified
+#: block so the novel operators earn hard-signal rows first.
+_PRIORITY = [
+    "pii_scrub_stats",
+    "span_dedup_stats",
+    "bloom_decontamination_stats",
+]
+
+
 def _ordered(mapping):
-    front = {k: v for k, v in mapping.items() if k not in _DRIVER_GREEN}
+    prio = {k: mapping[k] for k in _PRIORITY if k in mapping}
+    front = {
+        k: v
+        for k, v in mapping.items()
+        if k not in _DRIVER_GREEN and k not in prio
+    }
     back = {k: v for k, v in mapping.items() if k in _DRIVER_GREEN}
-    return {**front, **back}
+    return {**prio, **front, **back}
 
 
 def entry(spark: SparkSession) -> DataFrame:
