@@ -141,22 +141,22 @@ def bucket_qualifying_laps(
 def qualifying_classification(
     laps: DataFrame,
     sessions: DataFrame,
-    q3_size: int = 10,
 ) -> DataFrame:
     """Full qualifying grid (§3.2 lifecycle): bucket → filter pit-out
     laps (P8) → best lap per driver per Q (W1) → grid = Q3 order ⊕
     Q2-eliminated ⊕ Q1-eliminated with explicit positions (O4 redesign
     — reference: src/data_processing.py:269-291).
 
-    A driver is eliminated in the LAST segment they set a time in:
-    Q2-eliminated = ranked in Q2 with no Q3 time, Q1-eliminated =
-    ranked in Q1 with no Q2 time. On a clean full field this is
-    exactly the reference's iloc[10:15]/iloc[15:20] slicing; unlike a
-    rank cutoff it cannot double-place a driver or shift when someone
-    sets no valid segment time (each driver classifies once, by their
-    final segment). The output carries ``session_red_flag`` so
-    over-long (red-flagged) sessions are signalled, not silently
-    mis-bucketed.
+    A driver classifies ONCE, in the last segment they set a time in:
+    every Q3 participant ranks in the Q3 block (no rank cutoff — a
+    degenerate 11-car Q3 yields 11 Q3 positions rather than silently
+    dropping a driver), Q2-eliminated = ranked in Q2 with no Q3 time,
+    Q1-eliminated = ranked in Q1 with no Q2 time. On a clean full
+    field this is exactly the reference's iloc[:10]/iloc[10:15]/
+    iloc[15:20] slicing; unlike a rank cutoff it cannot double-place
+    or lose a driver when the field is irregular. The output carries
+    ``session_red_flag`` so over-long (red-flagged) sessions are
+    signalled, not silently mis-bucketed.
     """
     bucketed = bucket_qualifying_laps(laps, sessions)
     with_time = with_actual_lap_time(bucketed)
@@ -185,7 +185,7 @@ def qualifying_classification(
         ranked.withColumn("__in_q3", in_q3)
         .withColumn("__in_q2", in_q2)
         .where(
-            ((F.col("qualifying") == "Q3") & (F.col("segment_rank") <= q3_size))
+            (F.col("qualifying") == "Q3")
             | ((F.col("qualifying") == "Q2") & ~F.col("__in_q3"))
             | ((F.col("qualifying") == "Q1") & ~F.col("__in_q2"))
         )

@@ -369,12 +369,15 @@ def pii_scrub(
 ) -> DataFrame:
     """Redact PII spans in ``text_col`` in place and account for them.
 
-    Each pattern kind is replaced by its ``<KIND>`` token and counted
-    BEFORE any replacement runs (counts are independent of pattern
-    order; replacement is sequential). Adds ``n_<kind>`` per kind plus
-    ``chars_redacted`` = total characters inside matched spans. NULL
-    text passes through (null counts), matching the engine-wide null
-    contract.
+    Kinds apply SEQUENTIALLY in ``patterns`` order, and each kind is
+    counted on the text as it stands when that kind runs — so the
+    audit columns describe exactly what was emitted: when an email
+    span swallows an embedded phone-shaped run, ``n_phone`` is 0
+    because no ``<PHONE>`` token exists in the output. Adds
+    ``n_<kind>`` per kind plus ``chars_redacted`` = total characters
+    inside the spans each kind actually replaced (never exceeds the
+    input length). NULL text passes through (null counts), matching
+    the engine-wide null contract.
 
     Scale: pure ``regexp_count``/``regexp_replace`` column expressions
     — whole-stage codegen in the scan stage, zero shuffles, zero
@@ -382,30 +385,30 @@ def pii_scrub(
     take: one pass over the bytes per pattern, no materialized
     intermediate corpus.
     """
-    pats = patterns or PII_PATTERNS
-    counts = {
-        kind: F.regexp_count(F.col(text_col), F.lit(pat))
-        for kind, pat in pats.items()
-    }
-    # True redacted-span chars per kind: len(text) - len(text with the
-    # kind's matches deleted), measured on the ORIGINAL text so kinds
-    # don't interact (patterns target disjoint span shapes).
-    span_chars = [
-        F.length(text_col)
-        - F.length(F.regexp_replace(F.col(text_col), pat, ""))
-        for pat in pats.values()
-    ]
-    chars = span_chars[0]
-    for c in span_chars[1:]:
-        chars = chars + c
-    redacted = F.col(text_col)
-    for kind, pat in pats.items():
-        redacted = F.regexp_replace(redacted, pat, f"<{kind.upper()}>")
+    if patterns is None:
+        patterns = PII_PATTERNS
+    if not patterns:
+        raise ValueError("pii_scrub needs at least one pattern")
+    # Materialize each intermediate redaction as a real column so the
+    # per-kind count/span-length expressions share it instead of
+    # re-nesting the whole replace chain per consumer.
     out = docs
-    for kind in pats:
-        out = out.withColumn(f"n_{kind}", counts[kind])
-    return out.withColumn("chars_redacted", chars).withColumn(
-        text_col, redacted
+    cur = text_col
+    chars = F.lit(0)
+    for i, (kind, pat) in enumerate(patterns.items()):
+        out = out.withColumn(f"n_{kind}", F.regexp_count(F.col(cur), F.lit(pat)))
+        chars = chars + (
+            F.length(cur) - F.length(F.regexp_replace(F.col(cur), pat, ""))
+        )
+        nxt = f"__pii_{i}"
+        out = out.withColumn(
+            nxt, F.regexp_replace(F.col(cur), pat, f"<{kind.upper()}>")
+        )
+        cur = nxt
+    return (
+        out.withColumn("chars_redacted", chars)
+        .withColumn(text_col, F.col(cur))
+        .drop(*[f"__pii_{i}" for i in range(len(patterns))])
     )
 
 
@@ -455,27 +458,33 @@ def span_dedup(
         )
     )
     w = Window.partitionBy(F.md5(F.col("__span"))).orderBy(id_col, "span_idx")
-    kept = spans.withColumn("__rk", F.row_number().over(w)).where(
-        F.col("__rk") == 1
-    )
-    rebuilt = kept.groupBy(id_col).agg(
+    ranked = spans.withColumn("__first", F.row_number().over(w) == 1)
+    # ONE pass: total/kept counts and the rebuilt text come from the
+    # same aggregate (collect_list skips the nulls of losing spans, so
+    # only surviving span text ships in the rebuild shuffle's partial
+    # aggregates — the losers reduce to counts map-side).
+    per_doc = ranked.groupBy(id_col).agg(
+        F.count("*").cast("int").alias("n_spans"),
+        F.sum(F.col("__first").cast("int")).cast("int").alias("kept_spans"),
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("span_idx", "__span"))),
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("__first"), F.struct("span_idx", "__span"))
+                    )
+                ),
                 lambda s: s["__span"],
             ),
             " ",
         ).alias("__kept_text"),
-        F.count("*").cast("int").alias("kept_spans"),
-    )
-    counts = spans.groupBy(id_col).agg(
-        F.count("*").cast("int").alias("n_spans")
     )
     return (
-        docs.join(counts, id_col, "left")
-        .join(rebuilt, id_col, "left")
+        docs.join(per_doc, id_col, "left")
         .withColumn("kept_spans", F.coalesce("kept_spans", F.lit(0)))
-        .withColumn(text_col, F.col("__kept_text"))
+        .withColumn(
+            text_col,
+            F.when(F.col("kept_spans") > 0, F.col("__kept_text")),
+        )
         .drop("__kept_text")
     )
 

@@ -1161,7 +1161,7 @@ WITH ev AS (
 ), assembled AS (
   SELECT session_key, driver_number, qualifying, actual_lap_time, segment_rank
   FROM flagged
-  WHERE (qualifying = 'Q3' AND segment_rank <= 10)
+  WHERE (qualifying = 'Q3')
      OR (qualifying = 'Q2' AND in_q3 = 0)
      OR (qualifying = 'Q1' AND in_q2 = 0)
 ), counts AS (
@@ -1601,19 +1601,25 @@ WITH seeded AS (
   SELECT '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}' AS p_email,
          '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b' AS p_ipv4,
          '\\+\\d{9,15}\\b' AS p_phone
+), staged AS (
+  -- sequential semantics: each kind counts on the text as it stands
+  SELECT source, text AS t0,
+         regexp_replace(text, p_email, '<EMAIL>', 'g') AS t1,
+         p_email, p_ipv4, p_phone
+  FROM seeded, pats
+), staged2 AS (
+  SELECT *, regexp_replace(t1, p_ipv4, '<IPV4>', 'g') AS t2 FROM staged
 ), m AS (
   SELECT source,
-         len(regexp_extract_all(text, p_email)) AS n_email,
-         len(regexp_extract_all(text, p_ipv4)) AS n_ipv4,
-         len(regexp_extract_all(text, p_phone)) AS n_phone,
-         (len(text) - len(regexp_replace(text, p_email, '', 'g')))
-       + (len(text) - len(regexp_replace(text, p_ipv4, '', 'g')))
-       + (len(text) - len(regexp_replace(text, p_phone, '', 'g')))
+         len(regexp_extract_all(t0, p_email)) AS n_email,
+         len(regexp_extract_all(t1, p_ipv4)) AS n_ipv4,
+         len(regexp_extract_all(t2, p_phone)) AS n_phone,
+         (len(t0) - len(regexp_replace(t0, p_email, '', 'g')))
+       + (len(t1) - len(regexp_replace(t1, p_ipv4, '', 'g')))
+       + (len(t2) - len(regexp_replace(t2, p_phone, '', 'g')))
            AS chars_redacted,
-         len(regexp_replace(regexp_replace(regexp_replace(
-               text, p_email, '<EMAIL>', 'g'), p_ipv4, '<IPV4>', 'g'),
-               p_phone, '<PHONE>', 'g')) AS scrubbed_len
-  FROM seeded, pats
+         len(regexp_replace(t2, p_phone, '<PHONE>', 'g')) AS scrubbed_len
+  FROM staged2
 )
 SELECT source,
        count(*) AS n_docs,

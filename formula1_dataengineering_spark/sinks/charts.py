@@ -106,7 +106,10 @@ def fastest_laps_svg(
         bx = cx - bar_w / 2
         by = y(float(times.iloc[i]))
         h = max(base - by, 0.5)
-        comp = str(pdf["compound"].iloc[i]).upper() if has_compound else None
+        raw_comp = pdf["compound"].iloc[i] if has_compound else None
+        comp = (
+            str(raw_comp).upper() if isinstance(raw_comp, str) and raw_comp else None
+        )
         fill = (
             COMPOUND_COLORS.get(comp, _UNKNOWN_COMPOUND)
             if has_compound
@@ -209,8 +212,19 @@ def telemetry_svg(
     parts: list[str] = [f'<text x="{pad_l}" y="20" font-size="13">{esc(title)}</text>']
 
     def panel(top: float, series: list[tuple[str, str, pd.Series]], unit: str):
-        lo = min(float(s.min()) for _, _, s in series if s.notna().any())
-        hi = max(float(s.max()) for _, _, s in series if s.notna().any())
+        bounds = [
+            (float(s.min()), float(s.max()))
+            for _, _, s in series
+            if s.notna().any()
+        ]
+        if not bounds:  # every series all-null: render an empty panel
+            parts.append(
+                f'<text x="{width / 2}" y="{top + panel_h / 2:.1f}" '
+                f'text-anchor="middle" class="muted" font-size="11">'
+                f"no {esc(unit)} data</text>"
+            )
+            return
+        lo, hi = min(b[0] for b in bounds), max(b[1] for b in bounds)
         if hi <= lo:
             hi = lo + 1.0
         yscale = Scale(lo, hi, top + panel_h, top)

@@ -99,8 +99,7 @@ def session_report_html(facade, driver_number: int | None = None) -> str:
             "Fastest lap comparison",
             fastest_laps_svg(
                 chart,
-                title=f"{info.get('circuit_short_name', '')} — "
-                f"{info.get('session_name', '')} fastest laps",
+                title=f"{info['circuit']} — {info['name']} fastest laps",
             ),
             chart,
         )
@@ -123,6 +122,5 @@ def session_report_html(facade, driver_number: int | None = None) -> str:
     return dashboard_html(
         f"Session {facade.session_key}",
         sections,
-        subtitle=f"{info.get('session_type', '')} · "
-        f"{info.get('circuit_short_name', '')}",
+        subtitle=f"{info['session_type']} · {info['circuit']}",
     )

@@ -320,3 +320,27 @@ def test_bloom_decontaminate_saturated_filter_flags_everything(spark):
         ).collect()
     }
     assert out[1].contaminated and out[1].n_flagged == out[1].n_grams == 5
+
+
+def test_pii_scrub_sequential_overlap_accounting(spark):
+    """An email span that swallows an embedded phone-shaped run is
+    counted as ONE email and ZERO phones: each kind is measured on the
+    text as it stands when that kind runs, so the audit matches the
+    emitted tokens and chars_redacted never exceeds the input."""
+    from formula1_dataengineering_spark.operators.curation import pii_scrub
+
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, "+123456789@example.com"), (2, "a@b.co and +123456789")],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r for r in pii_scrub(df).collect()}
+    assert rows[1].text == "<EMAIL>"
+    assert (rows[1].n_email, rows[1].n_phone) == (1, 0)
+    assert rows[1].chars_redacted == len("+123456789@example.com")
+    # disjoint spans still both fire
+    assert (rows[2].n_email, rows[2].n_phone) == (1, 1)
+    assert rows[2].text == "<EMAIL> and <PHONE>"
+    with _pytest.raises(ValueError, match="at least one pattern"):
+        pii_scrub(df, patterns={})

@@ -363,3 +363,37 @@ def test_red_flag_signal_propagates_to_grid(spark):
         )
         rows = qualifying_classification(laps, sessions).collect()
         assert rows and all(r.session_red_flag == expect for r in rows), minutes
+
+
+def test_qualifying_oversized_q3_keeps_every_participant(spark):
+    """A degenerate 11-car Q3 (e.g. a P10 tie advanced 11 cars) yields
+    11 Q3 positions — no driver silently vanishes from the grid."""
+    import datetime as dt
+
+    from formula1_dataengineering_spark.f1.analytics import qualifying_classification
+
+    t0 = dt.datetime(2024, 6, 1)
+    laps = []
+    for d in range(16):
+        for seg, q_off in (("Q1", 0), ("Q2", 26 * 60), ("Q3", 49 * 60)):
+            if seg == "Q2" and d >= 15:
+                continue
+            if seg == "Q3" and d >= 11:  # ELEVEN drivers run Q3
+                continue
+            start = t0 + dt.timedelta(seconds=q_off + 60 + d)
+            laps.append(("s", d, start, d * 3 + 1, 30.0 + d, 30.0, 30.0, False))
+    laps_df = spark.createDataFrame(
+        laps,
+        "session_key string, driver_number int, date_start timestamp, "
+        "lap_number int, duration_sector_1 double, duration_sector_2 double, "
+        "duration_sector_3 double, is_pit_out_lap boolean",
+    )
+    sessions = spark.createDataFrame(
+        [("s", t0, t0 + dt.timedelta(minutes=60))],
+        "session_key string, date_start timestamp, date_end timestamp",
+    )
+    grid = qualifying_classification(laps_df, sessions).toPandas()
+    assert len(grid) == 16 and grid["driver_number"].is_unique
+    q3 = grid[grid["qualifying"] == "Q3"]
+    assert set(q3["driver_number"]) == set(range(11))
+    assert sorted(grid["grid_position"]) == list(range(1, 17))

@@ -250,16 +250,16 @@ def test_pii_scrub_stats_no_shuffle_before_aggregate(spark):
     assert body.count("HashAggregate") >= 2
 
 
-def test_span_dedup_stats_keyed_shuffles_rank_pushdown(spark):
-    """Span dedup shuffles only on high-cardinality keys and never
-    resorts to a corpus-wide sort or an unbounded join. The rk=1
-    first-occurrence filter must compile to WindowGroupLimit (rank
-    pushdown drops losers BEFORE the full window materializes — the
-    difference between shuffling dup-group winners and shuffling every
-    span at 100 TB)."""
+def test_span_dedup_stats_single_span_pipeline_keyed_shuffles(spark):
+    """Span dedup runs the expensive span pipeline ONCE (counts, kept
+    flags and rebuilt text come from one aggregate over the ranked
+    spans — exactly one Generate/explode in the plan), shuffles only
+    on high-cardinality keys, and never resorts to a corpus-wide sort
+    or an unbounded join."""
     plan = formatted_plan(spark, "span_dedup_stats")
     body = _tree(plan)
-    assert "WindowGroupLimit" in body
+    assert body.count("Generate") == 1
+    assert body.count("Window") == 1
     assert "CartesianProduct" not in body
     assert "BroadcastNestedLoopJoin" not in body
     # the only Sorts are the window's own partition-local sorts — each

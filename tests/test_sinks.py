@@ -170,3 +170,35 @@ def test_session_report_end_to_end(spark, tables):
     quali = F1Session(spark, QUALI_KEY, tables)
     html_q = session_report_html(quali)
     assert html_q.count("<svg") == 1
+
+
+def test_telemetry_all_null_series_renders_empty_panel():
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "seconds_from_lap_start": [0.0, 1.0, 2.0],
+            "speed": [float("nan")] * 3,
+            "throttle": [0.0, 50.0, 100.0],
+            "brake": [float("nan")] * 3,
+        }
+    )
+    svg = telemetry_svg(pdf)
+    root = _parse(svg)
+    ns = "{http://www.w3.org/2000/svg}"
+    lines = [p for p in root.iter(f"{ns}path") if p.get("stroke")]
+    assert len(lines) == 1  # only throttle drew
+    texts = [t.text for t in root.iter(f"{ns}text") if t.text]
+    assert any("no Speed km/h data" in t for t in texts)
+
+
+def test_fastest_laps_null_compound_has_no_label():
+    pdf = _chart_pdf(3)
+    pdf.loc[1, "compound"] = None
+    svg = fastest_laps_svg(pdf)
+    assert "None" not in svg and "NAN" not in svg
+    root = _parse(svg)
+    ns = "{http://www.w3.org/2000/svg}"
+    bars = [p for p in root.iter(f"{ns}path") if p.get("fill")]
+    # null compound falls back to the unknown-compound neutral
+    assert bars[1].get("fill") == "#52514e"
