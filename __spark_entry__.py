@@ -50,6 +50,7 @@ _PRIORITY = [
     "pii_scrub_stats",
     "span_dedup_stats",
     "bloom_decontamination_stats",
+    "token_budget_sample_docs",
 ]
 
 

@@ -576,3 +576,71 @@ def bloom_decontaminate(
             (F.coalesce("n_flagged", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    part_col: str = "lang",
+    token_budget: int = 100_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic per-group TOKEN-budget sample — the "mix sources
+    to proportions" step of a pretraining data recipe: walk each
+    group's docs in stable pseudo-random order (MD5 of id, the same
+    order both engines compute) and keep docs until the group's token
+    budget is spent. The doc that crosses the budget boundary is kept
+    (cumulative tokens may overshoot by < 1 doc), so a group with any
+    data always yields at least one doc.
+
+    Scale: the same two-phase shape as packing/quota sampling, on the
+    hash axis — ``part_col`` is LOW-cardinality (languages, sources),
+    so a single per-group window would sort billions of rows on one
+    task. Phase 1 runs the token prefix-sum inside (group, hash-prefix
+    shard) windows — shards are CONTIGUOUS ranges of the md5 order, so
+    per-shard totals prefix-summed per group (a #groups × 256-row
+    window) give exact global offsets, broadcast back.
+
+    Output: sampled rows only — id, group, ``n_tokens``, and
+    ``cum_prev_tokens`` (tokens admitted before this doc).
+    """
+    n_tok = F.size(F.split(F.col(text_col), " "))
+    per = docs.where(
+        F.col(text_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(
+        F.col(id_col),
+        F.col(part_col),
+        n_tok.cast("int").alias("n_tokens"),
+        F.md5(F.col(id_col).cast("string")).alias("__hk"),
+    ).withColumn("__shard", F.substring("__hk", 1, 2))
+    w1 = (
+        Window.partitionBy(part_col, "__shard")
+        .orderBy("__hk", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local_prev = F.coalesce(
+        F.sum("n_tokens").over(w1), F.lit(0).cast("long")
+    )
+    offsets = (
+        per.groupBy(part_col, "__shard")
+        .agg(F.sum("n_tokens").alias("__t"))
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__t").over(
+                    Window.partitionBy(part_col)
+                    .orderBy("__shard")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .select(part_col, "__shard", "__off")
+    )
+    return (
+        per.withColumn("__local_prev", local_prev)
+        .join(F.broadcast(offsets), [part_col, "__shard"])
+        .withColumn("cum_prev_tokens", F.col("__local_prev") + F.col("__off"))
+        .where(F.col("cum_prev_tokens") < token_budget)
+        .select(id_col, part_col, "n_tokens", "cum_prev_tokens")
+    )

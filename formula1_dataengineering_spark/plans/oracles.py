@@ -1699,3 +1699,21 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
 WHERE d.doc_id % 97 <> 0
 GROUP BY d.source
 """
+
+ORACLE_SQL["token_budget_sample_docs"] = """
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS hk
+  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+), c AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY lang ORDER BY hk, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_prev_tokens
+  FROM t
+)
+SELECT doc_id, lang, n_tokens, cum_prev_tokens
+FROM c WHERE cum_prev_tokens < 3000
+"""

@@ -2394,3 +2394,14 @@ def bloom_decontamination_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_flagged").cast("bigint").alias("grams_flagged"),
         )
     )
+
+
+@query("token_budget_sample_docs")
+def token_budget_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-budget sampling (3000 tokens/lang): the
+    deterministic source-mixing step of a pretraining recipe. Two-phase
+    hash-sharded prefix sum — no per-language global sort."""
+    from ..operators.curation import token_budget_sample
+
+    d = load(spark, sf_dir, "documents")
+    return token_budget_sample(d, part_col="lang", token_budget=3000)

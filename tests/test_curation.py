@@ -344,3 +344,37 @@ def test_pii_scrub_sequential_overlap_accounting(spark):
     assert rows[2].text == "<EMAIL> and <PHONE>"
     with _pytest.raises(ValueError, match="at least one pattern"):
         pii_scrub(df, patterns={})
+
+
+def test_token_budget_sample_matches_naive_and_overshoots_by_less_than_one_doc(spark):
+    from pyspark.sql import Window
+
+    from formula1_dataengineering_spark.operators.curation import token_budget_sample
+
+    rows = [
+        (i, " ".join(["t"] * (11 + 7 * (i % 5))), "s", f"l{i % 3}")
+        for i in range(90)
+    ]
+    docs = _docs(spark, rows)
+    out = token_budget_sample(docs, part_col="lang", token_budget=120).toPandas()
+    # naive single-window reference
+    n = docs.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("hk"),
+    )
+    w = Window.partitionBy("lang").orderBy("hk", "doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    naive = (
+        n.withColumn("cum", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .where(F.col("cum") < 120)
+        .toPandas()
+    )
+    assert sorted(out["doc_id"]) == sorted(naive["doc_id"])
+    for _, grp in out.groupby("lang"):
+        total = (grp["n_tokens"]).sum()
+        # budget respected up to the straddling doc: admitted-before
+        # tokens < budget for every kept doc, and the total overshoots
+        # by less than the last doc
+        assert (grp["cum_prev_tokens"] < 120).all()
+        assert total - grp["n_tokens"].max() < 120 <= total + grp["n_tokens"].max()
