@@ -284,3 +284,16 @@ def test_span_dedup_stats_single_span_pipeline_keyed_shuffles(spark):
         "struct<doc_id:bigint,text:string>",
         "struct<doc_id:bigint,source:string>",
     }
+
+
+def test_token_budget_sample_two_phase_no_global_sort(spark):
+    """Token-budget sampling never sorts a whole language on one task:
+    phase-1 window keyed (lang, md5-prefix shard), phase-2 prefix over
+    the bounded shard-totals table, offsets broadcast back."""
+    plan = formatted_plan(spark, "token_budget_sample_docs")
+    body = _tree(plan)
+    assert body.count("Window") == 2
+    assert "BroadcastHashJoin" in body
+    detail = plan.split("\n(1)")[1] if "\n(1)" in plan else plan
+    # phase-1 partitions by the shard column, not bare lang
+    assert "__shard" in detail
