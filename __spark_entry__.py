@@ -51,6 +51,7 @@ _PRIORITY = [
     "span_dedup_stats",
     "bloom_decontamination_stats",
     "token_budget_sample_docs",
+    "source_similarity_matrix",
 ]
 
 

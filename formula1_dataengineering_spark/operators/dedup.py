@@ -489,3 +489,69 @@ def ngram_jaccard_pairs(
     return base.groupBy(bucket).applyInPandas(
         score_block, schema="id_a long, id_b long, jaccard double"
     )
+
+
+def group_minhash_similarity(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    shingle_k: int = 1,
+    mode: str = "portable",
+) -> DataFrame:
+    """Group-level similarity matrix: one MinHash signature PER GROUP
+    (component i = min over every shingle the group's docs contain —
+    the signature of the union set), then pairwise estimated Jaccard
+    between groups from component agreement.
+
+    Pair formation is an EQUI-join on (component index, component
+    value): two groups meet only where a component agrees, so the plan
+    is hash-join-able end to end — no cartesian G×G stage, and pairs
+    with zero agreement (est 0) are simply absent from the output.
+
+    Scale: the corpus collapses to G×H longs in one aggregate (map-side
+    partial min); everything after is bounded by #groups². Use it to
+    answer "which sources overlap?" before running doc-level dedup
+    between them.
+    """
+    ids = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(group_col),
+        F.explode(_shingle_col(F.col(text_col), shingle_k)).alias("shingle"),
+    ).select(group_col, _term_id(F.col("shingle"), mode))
+    sigs = ids.groupBy(group_col).agg(
+        *[
+            F.min(
+                (F.lit(_hash_a(i)) * F.col("term_id") + F.lit(_hash_b(i)))
+                % MERSENNE_P
+            )
+            .cast("long")
+            .alias(f"sig_{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    melted = sigs.select(
+        F.col(group_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"), F.col(f"sig_{i}").alias("v")
+                    )
+                    for i in range(num_hashes)
+                ]
+            )
+        ).alias("c"),
+    ).select(group_col, F.col("c.i").alias("i"), F.col("c.v").alias("v"))
+    a = melted.select(
+        F.col(group_col).alias("group_a"), "i", "v"
+    )
+    b = melted.select(
+        F.col(group_col).alias("group_b"), "i", "v"
+    )
+    agree = a.join(b, ["i", "v"]).where(F.col("group_a") < F.col("group_b"))
+    return agree.groupBy("group_a", "group_b").agg(
+        F.count("*").cast("int").alias("n_agree"),
+        F.round(F.count("*") / F.lit(float(num_hashes)), 4).alias(
+            "est_jaccard"
+        ),
+    )

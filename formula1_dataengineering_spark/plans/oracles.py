@@ -1717,3 +1717,46 @@ WITH t AS (
 SELECT doc_id, lang, n_tokens, cum_prev_tokens
 FROM c WHERE cum_prev_tokens < 3000
 """
+
+ORACLE_SQL["source_similarity_matrix"] = """
+WITH toks AS (
+  SELECT source, string_split(text, ' ') AS t FROM documents
+  WHERE text IS NOT NULL
+), sh AS (
+  SELECT source, unnest(list_distinct(t)) AS shingle FROM toks
+), ids AS (
+  SELECT source, CAST((((md5_number(shingle) % 281474976710656) + 281474976710656) % 281474976710656) % 2147483647 AS BIGINT) AS sid FROM sh
+), sig AS (
+  SELECT source, CAST(min((1 * sid + 7) % 2147483647) AS BIGINT) AS sig_0, CAST(min((3 * sid + 10) % 2147483647) AS BIGINT) AS sig_1, CAST(min((5 * sid + 13) % 2147483647) AS BIGINT) AS sig_2, CAST(min((7 * sid + 16) % 2147483647) AS BIGINT) AS sig_3, CAST(min((9 * sid + 19) % 2147483647) AS BIGINT) AS sig_4, CAST(min((11 * sid + 22) % 2147483647) AS BIGINT) AS sig_5, CAST(min((13 * sid + 25) % 2147483647) AS BIGINT) AS sig_6, CAST(min((15 * sid + 28) % 2147483647) AS BIGINT) AS sig_7, CAST(min((17 * sid + 31) % 2147483647) AS BIGINT) AS sig_8, CAST(min((19 * sid + 34) % 2147483647) AS BIGINT) AS sig_9, CAST(min((21 * sid + 37) % 2147483647) AS BIGINT) AS sig_10, CAST(min((23 * sid + 40) % 2147483647) AS BIGINT) AS sig_11
+  FROM ids GROUP BY source
+), melted AS (
+SELECT source, 0 AS i, sig_0 AS v FROM sig
+UNION ALL
+SELECT source, 1 AS i, sig_1 AS v FROM sig
+UNION ALL
+SELECT source, 2 AS i, sig_2 AS v FROM sig
+UNION ALL
+SELECT source, 3 AS i, sig_3 AS v FROM sig
+UNION ALL
+SELECT source, 4 AS i, sig_4 AS v FROM sig
+UNION ALL
+SELECT source, 5 AS i, sig_5 AS v FROM sig
+UNION ALL
+SELECT source, 6 AS i, sig_6 AS v FROM sig
+UNION ALL
+SELECT source, 7 AS i, sig_7 AS v FROM sig
+UNION ALL
+SELECT source, 8 AS i, sig_8 AS v FROM sig
+UNION ALL
+SELECT source, 9 AS i, sig_9 AS v FROM sig
+UNION ALL
+SELECT source, 10 AS i, sig_10 AS v FROM sig
+UNION ALL
+SELECT source, 11 AS i, sig_11 AS v FROM sig
+)
+SELECT a.source AS group_a, b.source AS group_b,
+       CAST(count(*) AS INT) AS n_agree,
+       round(count(*) / 12.0, 4) AS est_jaccard
+FROM melted a JOIN melted b ON a.i = b.i AND a.v = b.v AND a.source < b.source
+GROUP BY 1, 2
+"""

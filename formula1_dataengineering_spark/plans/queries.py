@@ -2405,3 +2405,18 @@ def token_budget_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return token_budget_sample(d, part_col="lang", token_budget=3000)
+
+
+@query("source_similarity_matrix")
+def source_similarity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair MinHash similarity matrix: one signature per source
+    (component min over the union of its docs' unigram shingles), pairs
+    formed by EQUI-joining on agreeing (component, value) — hash joins
+    only, no G×G cartesian; zero-agreement pairs are absent. The whole
+    corpus collapses to sources×12 longs in one aggregate."""
+    from ..operators.dedup import group_minhash_similarity
+
+    d = load(spark, sf_dir, "documents")
+    return group_minhash_similarity(
+        d, group_col="source", num_hashes=12, shingle_k=1
+    )

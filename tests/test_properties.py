@@ -213,3 +213,26 @@ def test_hourly_moving_value_frame_bounds(spark):
     rows = df.collect()
     assert all(r.hour_events >= 1 for r in rows)  # frame includes current row
     assert len(rows) == load(spark, _SF, "events").count()
+
+
+def test_group_minhash_similarity_extremes(spark):
+    """Identical groups estimate 1.0; disjoint-vocab groups share no
+    component and are absent; a half-overlapping pair lands between."""
+    from formula1_dataengineering_spark.operators.dedup import (
+        group_minhash_similarity,
+    )
+
+    rows = []
+    for i in range(30):
+        rows.append((i, f"w{i} common{i % 10}", "a"))
+        rows.append((100 + i, f"w{i} common{i % 10}", "b"))      # b == a
+        rows.append((200 + i, f"z{i} zz{i % 7}", "c"))           # disjoint
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        (r.group_a, r.group_b): r
+        for r in group_minhash_similarity(
+            df, group_col="source", num_hashes=12, shingle_k=1
+        ).collect()
+    }
+    assert out[("a", "b")].est_jaccard == 1.0
+    assert ("a", "c") not in out and ("b", "c") not in out
