@@ -1,15 +1,20 @@
 from .asof import asof_join  # noqa: F401
 from .clustering import kmeans_assignments  # noqa: F401
 from .curation import (  # noqa: F401
+    bloom_decontaminate,
     chunk_documents,
     contamination_overlap,
     pack_sequences,
     pack_sequences_global,
+    pii_scrub,
     quota_sample,
     scrub_stats,
+    span_dedup,
+    token_budget_sample,
 )
 from .dedup import (  # noqa: F401
     exact_dedup,
+    group_minhash_similarity,
     minhash_lsh_clusters,
     minhash_lsh_pairs,
     minhash_signatures,

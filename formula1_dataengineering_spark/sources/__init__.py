@@ -1,1 +1,2 @@
 from .catalog import TABLES, load, register_views  # noqa: F401
+from .layout import write_clustered, zorder_key  # noqa: F401
