@@ -39,19 +39,41 @@ _DRIVER_GREEN = {
     "label_centroids", "value_percentiles_by_type", "events_sliding_10m_5m",
     "salted_user_event_totals", "cube_flag_status", "ntile_price_quartiles",
     "parts_above_brand_avg", "props_json_stats",
-    # rows-only by design (no SQL-expressible oracle); keep in the back.
-    "sketch_profile_by_type",
+    # round-2 green rows (CORRECTNESS_r02.json, 50/50 hash-match).
+    "pii_scrub_stats", "span_dedup_stats", "bloom_decontamination_stats",
+    "token_budget_sample_docs", "source_similarity_matrix",
+    "media_feature_stats", "normalized_embeddings", "sql_top_revenue_nations",
+    "regex_token_stats", "quantized_embeddings", "shipping_priority_top10",
+    "nation_market_share", "grouping_sets_revenue",
+    "nation_activity_full_outer", "supplier_balance_distribution",
+    "hourly_moving_value", "user_event_type_profile", "monthly_revenue_trend",
+    "decile_value_spread", "media_decode_stats", "video_frame_sample",
+    "part_segment_set_ops", "supplier_rank_tiers", "order_value_histogram",
+    "corpus_selection", "asof_forward_error", "supplier_ship_span",
+    "price_stats_by_flag", "promo_revenue_share", "segment_top_customer",
+    "qualifying_grid_events", "race_positions_events",
+    "events_tumbling_5min_streamed", "minhash_lsh_fast_dup_recall",
+    "media_real_decode_stats", "media_thumbnail_stats",
+    "tire_assignment_events", "asof_tolerance_purchase",
+    "stratified_event_sample", "order_percentile_rank",
+    "neardup_clusters_distributed", "doc_repetition_stats", "doc_rarity_score",
+    "events_stream_dedup", "events_stream_attribution",
+    "events_stateful_running_totals", "events_sessionized_streamed",
+    "doc_chunking", "sequence_packing", "decontamination_overlap",
 }
 
 
-#: Round-2 additions, registered ahead of the rest of the unverified
-#: block so the novel operators earn hard-signal rows first.
+#: Never-driver-verified queries (VERDICT r2 item 1) registered first so
+#: they earn green CORRECTNESS rows this round; sketch_profile_by_type
+#: joins them now that it carries a hashable exact-twin oracle.
 _PRIORITY = [
-    "pii_scrub_stats",
-    "span_dedup_stats",
-    "bloom_decontamination_stats",
-    "token_budget_sample_docs",
-    "source_similarity_matrix",
+    "language_quota_sample",
+    "stopword_scrub_stats",
+    "sequence_packing_global",
+    "kmeans_ivf_training",
+    "incremental_corpus_merge",
+    "media_png_decode_stats",
+    "sketch_profile_by_type",
 ]
 
 

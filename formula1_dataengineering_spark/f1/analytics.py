@@ -187,7 +187,14 @@ def qualifying_classification(
         .where(
             (F.col("qualifying") == "Q3")
             | ((F.col("qualifying") == "Q2") & ~F.col("__in_q3"))
-            | ((F.col("qualifying") == "Q1") & ~F.col("__in_q2"))
+            # Q1 must exclude BOTH later segments: a driver with Q3 and
+            # Q1 times but no Q2 time (irregular field) would otherwise
+            # double-place in the Q3 and Q1 blocks (round-2 ADVICE).
+            | (
+                (F.col("qualifying") == "Q1")
+                & ~F.col("__in_q2")
+                & ~F.col("__in_q3")
+            )
         )
         .select(
             "session_key", "driver_number", "qualifying", "actual_lap_time", "segment_rank"

@@ -108,7 +108,10 @@ def _packed_bins(
     id column must be integral (shard key = id div width)."""
     _require_numeric_id(docs, id_col, op)
     n_tok = F.size(F.split(F.col(text_col), " "))
-    shard = (F.col(id_col) / shard_width).cast("long")
+    # Exact integer division: float `/` + cast loses precision for
+    # |id| > 2^53 (e.g. xxhash64-derived ids), which would break the
+    # contiguous-id-range invariant the phase-2 prefix sum relies on.
+    shard = F.expr(f"`{id_col}` div {shard_width}L")
     per = docs.where(
         F.col(text_col).isNotNull() & F.col(id_col).isNotNull()
     ).select(
@@ -137,19 +140,20 @@ def _packed_bins(
         )
         .select(part_col, "__shard", "__shard_offset")
     )
-    cum_prev = F.col("__local_prev") + F.col("__shard_offset")
     return (
         per.withColumn("__local_prev", local_prev)
         .join(F.broadcast(offsets), [part_col, "__shard"])
+        .withColumn("__cum_prev", F.col("__local_prev") + F.col("__shard_offset"))
         .select(
             id_col,
             part_col,
             "n_tokens",
             # bin_id is a LONG: a >2^31-bin corpus (~1.1e12 tokens at
             # budget 512) is exactly the scale this engine targets.
-            (cum_prev / budget).cast("long").alias("bin_id"),
-            (cum_prev % budget).cast("int").alias("bin_offset"),
-            ((cum_prev % budget + F.col("n_tokens")) > budget).alias(
+            # Integer `div` (not float /): cum_prev can exceed 2^53.
+            F.expr(f"__cum_prev div {budget}L").alias("bin_id"),
+            (F.col("__cum_prev") % budget).cast("int").alias("bin_offset"),
+            ((F.col("__cum_prev") % budget + F.col("n_tokens")) > budget).alias(
                 "crosses_boundary"
             ),
         )

@@ -67,3 +67,82 @@ def sketch_profile(
         F.approx_count_distinct(id_col, rsd).alias("approx_ids"),
         F.percentile_approx(value_col, [0.5, 0.95], 10000).alias("approx_p50_p95"),
     )
+
+
+#: 2^48 — range of :func:`~..operators.dedup.portable_hash48`.
+_M48 = 281474976710656
+
+
+def kmv_sketch_profile(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    row_id_col: str,
+    k: int = 64,
+    sample_mod: int = 4,
+) -> DataFrame:
+    """Per-group ORACLE-PORTABLE sketch profile: KMV (k-minimum-values)
+    approximate distinct ids + hash-sampled p50/p95 + exact count.
+
+    Unlike :func:`sketch_profile` (HLL++/t-digest — engine-internal
+    state, only rows-only-checkable), every number here is a pure
+    function of the data under a fixed seed, so any SQL engine replays
+    it exactly:
+
+    - **KMV distinct**: hash ids with the portable 48-bit MD5 hash,
+      keep each group's ``k`` smallest DISTINCT hash values; estimate
+      ``(k-1) / (h_k / 2^48)`` (Bar-Yossef et al. 2002), exact when a
+      group has fewer than ``k`` distinct ids. Top-k is the lossless
+      two-phase shard prune (any global top-k row is in its shard's
+      top-k), so no group ever sorts its full distinct-id set on one
+      task — the same scale shape as ``quota_sample``.
+    - **Sampled quantiles**: linear-interpolation percentile over the
+      deterministic ``hash(row_id) % sample_mod == 0`` row sample —
+      sampling happens in the scan stage; only the sample shuffles.
+    - **Exact count**: map-side-combined ``count(*)``.
+
+    Three #groups-row aggregates, left-joined (a group may be empty on
+    the sample side). Reference parity: the profile numbers the
+    dashboard summarises (dashboard.py headline stats), re-expressed as
+    engine-checkable sketches.
+    """
+    from .dedup import portable_hash48
+
+    g = group_col
+    h_id = portable_hash48(F.col(id_col).cast("string"))
+    h_row = portable_hash48(F.col(row_id_col).cast("string"))
+
+    counts = df.groupBy(g).agg(F.count("*").alias("n_rows"))
+
+    dist = df.select(F.col(g), h_id.alias("__h")).distinct()
+    w1 = Window.partitionBy(g, F.pmod(F.col("__h"), F.lit(64))).orderBy("__h")
+    pruned = dist.withColumn("__r1", F.row_number().over(w1)).where(
+        F.col("__r1") <= k
+    )
+    w2 = Window.partitionBy(g).orderBy("__h")
+    topk = pruned.withColumn("__r2", F.row_number().over(w2)).where(
+        F.col("__r2") <= k
+    )
+    kmv = topk.groupBy(g).agg(
+        F.count("*").alias("__d"), F.max("__h").alias("__hk")
+    )
+    # (k-1)·2^48 is exact in a double for any sane k; __hk < 2^48 is
+    # exact too — both engines perform the identical IEEE division.
+    est = F.when(
+        F.col("__d") < k, F.col("__d").cast("double")
+    ).otherwise(F.lit(float((k - 1) * _M48)) / F.col("__hk"))
+    kmv = kmv.select(g, F.round(est, 4).alias("kmv_distinct_ids"))
+
+    pct = F.percentile(value_col, F.lit([0.5, 0.95]))
+    q = (
+        df.where(F.pmod(h_row, F.lit(sample_mod)) == 0)
+        .groupBy(g)
+        .agg(pct.alias("__p"))
+        .select(
+            g,
+            F.round(F.element_at("__p", 1), 4).alias("sample_p50"),
+            F.round(F.element_at("__p", 2), 4).alias("sample_p95"),
+        )
+    )
+    return counts.join(kmv, g, "left").join(q, g, "left")

@@ -687,6 +687,41 @@ FROM events
 GROUP BY 1
 """
 
+# KMV sketch profile: k=64 minimum portable MD5-48 hashes of user_id
+# per type → (k-1)·2^48 / h_k estimate (exact count when < k distinct);
+# quantiles over the deterministic hash(event_id) % 4 = 0 row sample.
+ORACLE_SQL["sketch_profile_by_type"] = f"""
+WITH dist AS (
+  SELECT DISTINCT event_type,
+         ((md5_number(CAST(user_id AS VARCHAR)) % {_M48} + {_M48}) % {_M48}) AS hh
+  FROM events
+), r AS (
+  SELECT event_type, hh,
+         row_number() OVER (PARTITION BY event_type ORDER BY hh) AS rn
+  FROM dist
+), kmv AS (
+  SELECT event_type, count(*) AS d, max(hh) AS hk
+  FROM r WHERE rn <= 64 GROUP BY event_type
+), counts AS (
+  SELECT event_type, count(*) AS n_rows FROM events GROUP BY event_type
+), q AS (
+  SELECT event_type,
+         round(quantile_cont(value, 0.5), 4) AS sample_p50,
+         round(quantile_cont(value, 0.95), 4) AS sample_p95
+  FROM events
+  WHERE ((md5_number(CAST(event_id AS VARCHAR)) % {_M48} + {_M48}) % {_M48}) % 4 = 0
+  GROUP BY event_type
+)
+SELECT c.event_type, c.n_rows,
+       round(CASE WHEN k.d < 64 THEN CAST(k.d AS DOUBLE)
+                  ELSE (CAST(63 AS DOUBLE) * {_M48}) / k.hk END, 4)
+         AS kmv_distinct_ids,
+       q.sample_p50, q.sample_p95
+FROM counts c
+LEFT JOIN kmv k USING (event_type)
+LEFT JOIN q USING (event_type)
+"""
+
 # Every event belongs to exactly two 10-min/5-min-slide windows:
 # the one starting at its 5-min bucket and the one 5 min earlier.
 ORACLE_SQL["events_sliding_10m_5m"] = """
@@ -1163,7 +1198,7 @@ WITH ev AS (
   FROM flagged
   WHERE (qualifying = 'Q3')
      OR (qualifying = 'Q2' AND in_q3 = 0)
-     OR (qualifying = 'Q1' AND in_q2 = 0)
+     OR (qualifying = 'Q1' AND in_q2 = 0 AND in_q3 = 0)
 ), counts AS (
   SELECT qualifying, count(*) AS n FROM assembled GROUP BY 1
 ), offs AS (
@@ -1559,7 +1594,10 @@ ORACLE_SQL["kmeans_ivf_training"] = "".join(_km)
 
 ORACLE_SQL["incremental_corpus_merge"] = f"""
 WITH h AS (
+  -- text IS NOT NULL on BOTH sides: a NULL hash under NOT IN's
+  -- three-valued logic would drop every 'new' row (round-2 ADVICE).
   SELECT doc_id, source, {_tid('text')} AS hh FROM documents
+  WHERE text IS NOT NULL
 ), base AS (
   SELECT * FROM h WHERE doc_id % 11 <> 0
 ), batch AS (

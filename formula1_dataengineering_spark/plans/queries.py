@@ -641,26 +641,21 @@ def deterministic_event_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_type", "event_id", "user_id", F.round("value", 4).alias("value"))
 
 
-NO_ORACLE.add("sketch_profile_by_type")
-
-
 @query("sketch_profile_by_type")
 def sketch_profile_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-type sketch profile: HLL++ approximate distinct users +
-    approximate p50/p95 + exact count in one aggregation pass — the
-    dashboard-number path that never shuffles raw values. No SQL
-    oracle: sketch internals are engine-specific (driver records
-    rows-only; accuracy bounds are unit-tested instead)."""
-    from ..operators.sampling import sketch_profile
+    """Per-type sketch profile, fully hash-verifiable (round-2 VERDICT
+    item 2): KMV approximate distinct users (k=64 minimum portable
+    MD5-48 hashes — any engine replays the estimate bit-for-bit) +
+    p50/p95 over a deterministic 1-in-4 hash sample of rows + exact
+    count. The HLL++/t-digest fast path stays available as
+    ``sampling.sketch_profile`` (unit-tested accuracy bounds); this
+    gate proves the sketch MATH, not engine internals."""
+    from ..operators.sampling import kmv_sketch_profile
 
     e = load(spark, sf_dir, "events")
-    p = sketch_profile(e, "event_type", "value", "user_id")
-    return p.select(
-        "event_type",
-        "n_rows",
-        "approx_ids",
-        F.round(F.col("approx_p50_p95")[0], 4).alias("approx_p50"),
-        F.round(F.col("approx_p50_p95")[1], 4).alias("approx_p95"),
+    return kmv_sketch_profile(
+        e, "event_type", "value", id_col="user_id", row_id_col="event_id",
+        k=64, sample_mod=4,
     )
 
 
@@ -2267,8 +2262,15 @@ def incremental_corpus_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     size."""
     from ..operators.dedup import portable_term_id
 
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", "source", portable_term_id(F.col("text")).alias("__h")
+    # NULL-text docs are excluded up front (mirrored in the oracle):
+    # left_anti keeps null keys while SQL NOT IN drops everything on a
+    # null — filtering both sides makes the semantics unambiguous.
+    d = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(
+            "doc_id", "source", portable_term_id(F.col("text")).alias("__h")
+        )
     )
     batch = d.where(F.col("doc_id") % 11 == 0)
     base = d.where(F.col("doc_id") % 11 != 0)

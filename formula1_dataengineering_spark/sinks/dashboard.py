@@ -108,17 +108,20 @@ def session_report_html(facade, driver_number: int | None = None) -> str:
         best = chart[chart["driver_number"] == driver_number]
         if len(best):
             laps = facade.fastest_laps().toPandas()
-            lap_no = int(
-                laps[laps["driver_number"] == driver_number]["lap_number"].iloc[0]
-            )
-            tel = facade.lap_telemetry(driver_number, lap_no).toPandas()
-            sections.append(
-                (
-                    f"Lap telemetry — driver {driver_number}, lap {lap_no}",
-                    telemetry_svg(tel),
-                    None,
+            rows = laps[laps["driver_number"] == driver_number]
+            # Guard: driver can appear in chart data yet be absent from
+            # fastest_laps() (round-2 ADVICE) — omit the telemetry
+            # section rather than IndexError.
+            if len(rows):
+                lap_no = int(rows["lap_number"].iloc[0])
+                tel = facade.lap_telemetry(driver_number, lap_no).toPandas()
+                sections.append(
+                    (
+                        f"Lap telemetry — driver {driver_number}, lap {lap_no}",
+                        telemetry_svg(tel),
+                        None,
+                    )
                 )
-            )
     return dashboard_html(
         f"Session {facade.session_key}",
         sections,

@@ -63,7 +63,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # would leave lazy plans racing the conf).
         try:
             df = spark.read.parquet(path)
-        except Exception:
+        except Exception as exc:  # noqa: BLE001 — narrowed by message below
+            # Only a nanos-rejection earns the legacy conf; any other
+            # failure (missing file, corrupt footer) re-raises as-is so
+            # the real error isn't masked by a misleading retry
+            # (round-2 ADVICE).
+            msg = str(exc).lower()
+            if "nano" not in msg:
+                raise
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             df = spark.read.parquet(path)
         ts_type = dict(df.dtypes).get("ts")
