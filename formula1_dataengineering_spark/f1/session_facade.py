@@ -131,6 +131,19 @@ class F1Session:
     def avg_lap_by_compound(self) -> DataFrame:
         return avg_lap_time_by_driver_compound(self.laps())
 
+    def avg_lap_by_compound_chart_data(self) -> DataFrame:
+        """Chart-ready driver × compound averages: the data layer of the
+        reference's ``LapTimePlotByTireAndSession`` figure (K1 —
+        classes.py:49-140), with the driver acronym broadcast-joined
+        back on for axis labels (the reference resolves abbreviations
+        per driver in its fill loop, cl:73-77)."""
+        drivers = self._t("drivers").select(
+            "session_key", "driver_number", "name_acronym"
+        )
+        return self.avg_lap_by_compound().join(
+            F.broadcast(drivers), ["session_key", "driver_number"], "left"
+        )
+
     # -- pit stops (so:220-226) ------------------------------------------
     def pit_stops(self, driver_number: int) -> DataFrame:
         return (

@@ -2,12 +2,18 @@
 static HTML dashboard, all stdlib-only, all at the ``.toPandas()`` edge
 over already-aggregated chart-data DataFrames."""
 
-from .charts import COMPOUND_COLORS, fastest_laps_svg, telemetry_svg
+from .charts import (
+    COMPOUND_COLORS,
+    avg_lap_by_compound_svg,
+    fastest_laps_svg,
+    telemetry_svg,
+)
 from .dashboard import dashboard_html, session_report_html
 from .svg import fmt_lap_time
 
 __all__ = [
     "COMPOUND_COLORS",
+    "avg_lap_by_compound_svg",
     "fastest_laps_svg",
     "telemetry_svg",
     "dashboard_html",

@@ -175,6 +175,135 @@ def fastest_laps_svg(
     return svg_doc(width, height, "".join(parts))
 
 
+#: Reference compound iteration order (classes.py:19-25 dict order) —
+#: absent compounds are skipped, present ones keep this bar order.
+_COMPOUND_ORDER = ("SOFT", "MEDIUM", "HARD", "INTERMEDIATE", "WET")
+
+
+def avg_lap_by_compound_svg(
+    pdf: pd.DataFrame,
+    title: str = "Average lap times by driver and tire compound",
+    width: int = 960,
+    height: int = 420,
+) -> str:
+    """Driver × compound grouped-bar chart (reference
+    classes.py:101-140, ``LapTimePlotByTireAndSession``) over the long
+    form ``avg_lap_by_compound`` already emits — no pivot→melt
+    round-trip (SURVEY §2.7 U3).
+
+    Reference parity: drivers sort by their MEDIUM-compound average
+    (drivers with no medium time go last), ties by driver label
+    (cl:93-95 SortKey); compounds render in the fixed broadcast-color
+    order, skipping absent ones (cl:104-107); each bar carries its
+    formatted time rotated 90° (cl:115); the y-window is
+    [min − 2·pad, max + pad] with pad = 0.2·range (cl:135-139); a
+    compound legend sits above the plot (color never the only encoding
+    — the legend plus per-bar tooltips name the compound).
+
+    Expects columns ``compound``, ``avg_lap_time``, and a driver label
+    (``name_acronym`` if present, else ``driver_number``).
+    """
+    pdf = pdf[pdf["avg_lap_time"].notna()].copy()
+    if len(pdf) == 0:
+        return svg_doc(
+            width,
+            height,
+            f'<text x="{width / 2}" y="{height / 2}" text-anchor="middle" '
+            f'class="muted" font-size="13">no laps to plot</text>',
+        )
+    label_col = "name_acronym" if "name_acronym" in pdf.columns else "driver_number"
+    pdf["__driver"] = pdf[label_col].astype(str)
+    pdf["__comp"] = pdf["compound"].astype(str).str.upper()
+    times = pdf["avg_lap_time"].astype(float)
+
+    # Driver order: min MEDIUM average, absent-medium last, tie on label.
+    medium = (
+        pdf[pdf["__comp"] == "MEDIUM"].groupby("__driver")["avg_lap_time"].min()
+    )
+    drivers = sorted(
+        pdf["__driver"].unique(),
+        key=lambda d: (d not in medium.index, float(medium.get(d, 0.0)), d),
+    )
+    compounds = [c for c in _COMPOUND_ORDER if c in set(pdf["__comp"])]
+    cell = {
+        (r["__driver"], r["__comp"]): float(r["avg_lap_time"])
+        for _, r in pdf.iterrows()
+    }
+
+    pad_l, pad_r, pad_t, pad_b = 64, 16, 64, 56
+    plot_w, plot_h = width - pad_l - pad_r, height - pad_t - pad_b
+    lo, hi = float(times.min()), float(times.max())
+    rng_pad = (hi - lo) * 0.2 or 1.0
+    y0, y1 = lo - rng_pad * 2, hi + rng_pad
+    y = Scale(y0, y1, pad_t + plot_h, pad_t)
+    base = y(y0)
+
+    parts: list[str] = []
+    for t in nice_ticks(y0, y1, 5):
+        ty = y(t)
+        parts.append(
+            f'<line class="grid" x1="{pad_l}" y1="{ty}" '
+            f'x2="{width - pad_r}" y2="{ty}"/>'
+            f'<text x="{pad_l - 6}" y="{ty + 4}" text-anchor="end" '
+            f'class="muted" font-size="10">{esc(fmt_lap_time(t))}</text>'
+        )
+
+    slot = plot_w / max(len(drivers), 1)
+    bar_w = max(min(slot / (len(compounds) + 1), 28), 2)
+    group_w = bar_w * len(compounds)
+    for di, d in enumerate(drivers):
+        gx = pad_l + slot * di + (slot - group_w) / 2
+        for ci, comp in enumerate(compounds):
+            v = cell.get((d, comp))
+            if v is None:
+                continue
+            bx = gx + bar_w * ci
+            by = y(v)
+            h = max(base - by, 0.5)
+            fill = COMPOUND_COLORS.get(comp, _UNKNOWN_COMPOUND)
+            r = min(3.0, bar_w / 2, h)
+            label = fmt_lap_time(v)
+            parts.append(
+                f'<path d="M{bx:.1f} {base:.1f} V{by + r:.1f} '
+                f"Q{bx:.1f} {by:.1f} {bx + r:.1f} {by:.1f} "
+                f"H{bx + bar_w - r:.1f} "
+                f"Q{bx + bar_w:.1f} {by:.1f} {bx + bar_w:.1f} {by + r:.1f} "
+                f'V{base:.1f} Z" fill="{fill}">'
+                f"<title>{esc(d)} · {esc(comp.capitalize())} — "
+                f"{esc(label)}</title></path>"
+            )
+            # rotated per-bar time label (reference cl:115)
+            lx = bx + bar_w / 2 + 3
+            ly = max(by - 4, 70.0)
+            parts.append(
+                f'<text x="{lx:.1f}" y="{ly:.1f}" font-size="8" '
+                f'transform="rotate(-90 {lx:.1f} {ly:.1f})" '
+                f'text-anchor="start">{esc(label)}</text>'
+            )
+        parts.append(
+            f'<text x="{pad_l + slot * di + slot / 2:.1f}" '
+            f'y="{base + 14:.1f}" text-anchor="middle" font-size="10">'
+            f"{esc(d)}</text>"
+        )
+    # Compound legend (reference cl:122): swatch + name per compound.
+    lx = pad_l
+    for comp in compounds:
+        fill = COMPOUND_COLORS.get(comp, _UNKNOWN_COMPOUND)
+        parts.append(
+            f'<rect x="{lx}" y="30" width="10" height="10" rx="2" '
+            f'fill="{fill}"/>'
+            f'<text x="{lx + 14}" y="39" font-size="10" class="muted">'
+            f"{esc(comp.capitalize())}</text>"
+        )
+        lx += 24 + 7 * len(comp)
+    parts.append(
+        f'<line class="axis" x1="{pad_l}" y1="{base:.1f}" '
+        f'x2="{width - pad_r}" y2="{base:.1f}"/>'
+        f'<text x="{pad_l}" y="20" font-size="13">{esc(title)}</text>'
+    )
+    return svg_doc(width, height, "".join(parts))
+
+
 def _line_path(xs: list[float], ys: list[float]) -> str:
     pts = [
         f"{x:.1f} {yy:.1f}"

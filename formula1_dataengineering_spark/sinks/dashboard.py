@@ -90,7 +90,7 @@ def session_report_html(facade, driver_number: int | None = None) -> str:
     """One-call K2 parity surface: fastest-laps figure (+ optional lap
     telemetry for one driver's fastest lap) for a SessionFacade, as the
     reference dashboard composes them (dashboard.py:88-117)."""
-    from .charts import fastest_laps_svg, telemetry_svg
+    from .charts import avg_lap_by_compound_svg, fastest_laps_svg, telemetry_svg
 
     info = facade.session_info()
     chart = facade.fastest_laps_chart_data().toPandas()
@@ -104,6 +104,21 @@ def session_report_html(facade, driver_number: int | None = None) -> str:
             chart,
         )
     ]
+    # Third reference figure (classes.py LapTimePlotByTireAndSession):
+    # driver × compound grouped bars, omitted when no compound data.
+    comp = facade.avg_lap_by_compound_chart_data().toPandas()
+    if len(comp):
+        sections.append(
+            (
+                "Average lap times by compound",
+                avg_lap_by_compound_svg(
+                    comp,
+                    title=f"{info['circuit']} — average lap times by "
+                    "driver and tire compound",
+                ),
+                comp,
+            )
+        )
     if driver_number is not None:
         best = chart[chart["driver_number"] == driver_number]
         if len(best):

@@ -17,6 +17,7 @@ import pytest
 
 from formula1_dataengineering_spark.sinks import (
     COMPOUND_COLORS,
+    avg_lap_by_compound_svg,
     dashboard_html,
     fastest_laps_svg,
     fmt_lap_time,
@@ -164,12 +165,13 @@ def test_session_report_end_to_end(spark, tables):
     html = session_report_html(f, driver_number=1)
     assert "Fastest lap comparison" in html
     assert "Lap telemetry" in html
-    assert html.count("<svg") == 2
+    assert "Average lap times by compound" in html
+    assert html.count("<svg") == 3
     ET.fromstring(html[html.index("<svg") : html.index("</svg>") + 6])
 
     quali = F1Session(spark, QUALI_KEY, tables)
     html_q = session_report_html(quali)
-    assert html_q.count("<svg") == 1
+    assert html_q.count("<svg") == 2
 
 
 def test_telemetry_all_null_series_renders_empty_panel():
@@ -190,6 +192,70 @@ def test_telemetry_all_null_series_renders_empty_panel():
     assert len(lines) == 1  # only throttle drew
     texts = [t.text for t in root.iter(f"{ns}text") if t.text]
     assert any("no Speed km/h data" in t for t in texts)
+
+
+def _compound_pdf():
+    """Long-form driver × compound averages; driver B is fastest on
+    MEDIUM, driver C has no MEDIUM time (must sort last, cl:93-95)."""
+    return pd.DataFrame(
+        [
+            {"name_acronym": "AAA", "compound": "MEDIUM", "avg_lap_time": 81.5},
+            {"name_acronym": "AAA", "compound": "SOFT", "avg_lap_time": 80.2},
+            {"name_acronym": "BBB", "compound": "MEDIUM", "avg_lap_time": 80.9},
+            {"name_acronym": "BBB", "compound": "HARD", "avg_lap_time": 82.4},
+            {"name_acronym": "CCC", "compound": "SOFT", "avg_lap_time": 79.8},
+            {"name_acronym": "CCC", "compound": "WET", "avg_lap_time": 95.1},
+        ]
+    )
+
+
+def test_avg_lap_by_compound_svg_grouped_marks():
+    """Reference LapTimePlotByTireAndSession parity (classes.py:101-140):
+    one bar per (driver, compound) cell, compound colors + legend,
+    per-bar formatted time labels."""
+    pdf = _compound_pdf()
+    svg = avg_lap_by_compound_svg(pdf)
+    root = _parse(svg)
+    ns = "{http://www.w3.org/2000/svg}"
+    bars = [p for p in root.iter(f"{ns}path") if p.get("fill")]
+    assert len(bars) == len(pdf)
+    fills = {p.get("fill") for p in bars}
+    assert COMPOUND_COLORS["MEDIUM"] in fills
+    assert COMPOUND_COLORS["WET"] in fills
+    texts = [t.text for t in root.iter(f"{ns}text") if t.text]
+    # legend entries (color never the only encoding)
+    for comp in ("Soft", "Medium", "Hard", "Wet"):
+        assert comp in texts
+    # every cell's formatted time is a visible label
+    for v in pdf["avg_lap_time"]:
+        assert fmt_lap_time(v) in texts
+    # every bar tooltip names driver · compound — time
+    for p in bars:
+        t = p.find(f"{ns}title")
+        assert t is not None and "·" in t.text and "—" in t.text
+
+
+def test_avg_lap_by_compound_driver_order_medium_sortkey():
+    """Drivers sort by MEDIUM average (BBB < AAA); no-medium driver
+    (CCC) goes last — the reference's SortKey NaN-last semantics."""
+    svg = avg_lap_by_compound_svg(_compound_pdf())
+    root = _parse(svg)
+    ns = "{http://www.w3.org/2000/svg}"
+    axis = [
+        (float(t.get("x")), t.text)
+        for t in root.iter(f"{ns}text")
+        if t.text in {"AAA", "BBB", "CCC"}
+    ]
+    order = [name for _, name in sorted(axis)]
+    assert order == ["BBB", "AAA", "CCC"]
+
+
+def test_avg_lap_by_compound_empty():
+    empty = avg_lap_by_compound_svg(_compound_pdf().iloc[0:0])
+    assert "no laps" in empty
+    nulls = _compound_pdf()
+    nulls["avg_lap_time"] = math.nan
+    assert "no laps" in avg_lap_by_compound_svg(nulls)
 
 
 def test_fastest_laps_null_compound_has_no_label():
