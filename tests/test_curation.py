@@ -378,3 +378,43 @@ def test_token_budget_sample_matches_naive_and_overshoots_by_less_than_one_doc(s
         # by less than the last doc
         assert (grp["cum_prev_tokens"] < 120).all()
         assert total - grp["n_tokens"].max() < 120 <= total + grp["n_tokens"].max()
+
+
+def test_packing_shard_key_exact_for_huge_ids(spark):
+    """Round-2 ADVICE: ids beyond 2^53 (the xxhash64-id regime the
+    operator itself recommends) must shard by EXACT integer division —
+    float division rounds boundary ids into the neighboring shard,
+    breaking the contiguous-id-range invariant the two-phase prefix
+    sum depends on. Oracle: single-partition global cumsum in pandas."""
+    import pandas as pd
+
+    from formula1_dataengineering_spark.operators.curation import (
+        pack_sequences_global,
+    )
+
+    base = (1 << 60) + (1 << 53)
+    # ids straddle a 2^40-wide shard boundary with ±1 offsets that a
+    # double cannot represent distinctly at this magnitude
+    ids = [base - 1, base, base + 1, base + (1 << 40) - 1, base + (1 << 40)]
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": ids,
+                "source": ["a"] * len(ids),
+                "text": [" ".join(["w"] * (i + 1)) for i in range(len(ids))],
+            }
+        )
+    )
+    out = (
+        pack_sequences_global(docs, budget=4, part_col="source")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    # oracle: exact global prefix sum over ids ascending
+    toks = [i + 1 for i in range(len(ids))]
+    prev = 0
+    for row, n in zip(out.itertuples(), toks):
+        assert row.n_tokens == n
+        assert row.bin_id == prev // 4
+        assert row.bin_offset == prev % 4
+        prev += n

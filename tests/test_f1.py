@@ -397,3 +397,36 @@ def test_qualifying_oversized_q3_keeps_every_participant(spark):
     q3 = grid[grid["qualifying"] == "Q3"]
     assert set(q3["driver_number"]) == set(range(11))
     assert sorted(grid["grid_position"]) == list(range(1, 17))
+
+
+def test_qualifying_q3_driver_without_q2_time_places_once(spark):
+    """Round-2 ADVICE: a driver with Q3 and Q1 bests but NO Q2 time
+    (irregular field) must classify exactly once, in the Q3 block —
+    the Q1 block gates on absence from BOTH later segments."""
+    import datetime as dt
+
+    from formula1_dataengineering_spark.f1.analytics import qualifying_classification
+
+    t0 = dt.datetime(2024, 6, 1)
+    laps = []
+    for d in (0, 1, 2):
+        for seg, q_off in (("Q1", 0), ("Q2", 26 * 60), ("Q3", 49 * 60)):
+            if seg == "Q2" and d == 0:
+                continue  # the irregular driver: Q1 + Q3, no Q2
+            start = t0 + dt.timedelta(seconds=q_off + 60 + d)
+            laps.append(("s", d, start, d + 1, 30.0 + d, 30.0, 30.0, False))
+    laps_df = spark.createDataFrame(
+        laps,
+        "session_key string, driver_number int, date_start timestamp, "
+        "lap_number int, duration_sector_1 double, duration_sector_2 double, "
+        "duration_sector_3 double, is_pit_out_lap boolean",
+    )
+    sessions = spark.createDataFrame(
+        [("s", t0, t0 + dt.timedelta(minutes=60))],
+        "session_key string, date_start timestamp, date_end timestamp",
+    )
+    grid = qualifying_classification(laps_df, sessions).toPandas()
+    assert grid["driver_number"].is_unique
+    assert len(grid) == 3
+    d0 = grid[grid["driver_number"] == 0]
+    assert list(d0["qualifying"]) == ["Q3"]
