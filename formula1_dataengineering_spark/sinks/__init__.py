@@ -8,7 +8,7 @@ from .charts import (
     fastest_laps_svg,
     telemetry_svg,
 )
-from .dashboard import dashboard_html, session_report_html
+from .dashboard import dashboard_html, emit_drilldown_site, session_report_html
 from .svg import fmt_lap_time
 
 __all__ = [
@@ -17,6 +17,7 @@ __all__ = [
     "fastest_laps_svg",
     "telemetry_svg",
     "dashboard_html",
+    "emit_drilldown_site",
     "session_report_html",
     "fmt_lap_time",
 ]

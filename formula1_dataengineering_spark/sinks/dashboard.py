@@ -86,6 +86,101 @@ def dashboard_html(
     return "".join(out)
 
 
+def _nav_page(title: str, crumbs: str, items: list[tuple[str, str]]) -> str:
+    """A selection page: breadcrumb line + one link per choice (the
+    static counterpart of the reference's pickers, dashboard.py:34-99)."""
+    links = "".join(
+        f"<li><a href='{esc(href)}'>{esc(label)}</a></li>"
+        for label, href in items
+    ) or "<li>nothing found</li>"
+    return (
+        "<!doctype html><html><head><meta charset='utf-8'>"
+        f"<title>{esc(title)}</title><style>{_PAGE_CSS}</style></head><body>"
+        f"<h1>{esc(title)}</h1><div class='sub'>{crumbs}</div>"
+        f"<ul>{links}</ul></body></html>"
+    )
+
+
+def emit_drilldown_site(
+    spark,
+    tables: dict,
+    out_dir: str,
+    driver_number: int | None = None,
+) -> dict[str, str]:
+    """Static drill-down parity for the reference's interactive
+    dashboard (dashboard.py:34-99's year → weekend → session state
+    machine): emit ``index.html`` (years) → ``year_<y>.html``
+    (weekends via the S8 catalog) → ``weekend_<mk>.html`` (sessions
+    via S9) → ``session_<sk>.html`` (the full session report). Every
+    selection the Streamlit app makes interactively exists as a page;
+    navigation is plain links. Returns {page name: path}.
+
+    Catalog collections are driver-side-tiny (#meetings rows); report
+    inputs are already-aggregated chart data — the sink itself never
+    touches a distributed collection.
+    """
+    import os
+
+    from ..f1.session_facade import F1Session, f1_weekends, sessions_in_weekend
+
+    os.makedirs(out_dir, exist_ok=True)
+    pages: dict[str, str] = {}
+
+    def emit(name: str, html: str) -> None:
+        path = os.path.join(out_dir, name)
+        with open(path, "w", encoding="utf-8") as f:
+            f.write(html)
+        pages[name] = path
+
+    years = sorted(
+        r["year"]
+        for r in tables["meetings"].select("year").distinct().collect()
+        if r["year"] is not None
+    )
+    emit(
+        "index.html",
+        _nav_page(
+            "Formula 1 data dashboard",
+            "select a calendar year",
+            [(str(y), f"year_{y}.html") for y in years],
+        ),
+    )
+    for y in years:
+        weekends = sorted(
+            (r["meeting_official_name"], r["meeting_key"])
+            for r in f1_weekends(tables["meetings"], y).collect()
+        )
+        emit(
+            f"year_{y}.html",
+            _nav_page(
+                f"{y} Formula 1 weekends",
+                f"<a href='index.html'>years</a> › {y}",
+                [(name, f"weekend_{mk}.html") for name, mk in weekends],
+            ),
+        )
+        for wk_name, mk in weekends:
+            sess = sorted(
+                (r["session_name"], r["session_key"])
+                for r in sessions_in_weekend(tables["sessions"], mk).collect()
+            )
+            emit(
+                f"weekend_{mk}.html",
+                _nav_page(
+                    wk_name,
+                    f"<a href='index.html'>years</a> › "
+                    f"<a href='year_{y}.html'>{y}</a> › {esc(wk_name)}",
+                    [(name, f"session_{sk}.html") for name, sk in sess],
+                ),
+            )
+            for _, sk in sess:
+                facade = F1Session(spark, sk, tables)
+                emit(
+                    f"session_{sk}.html",
+                    session_report_html(facade, driver_number=driver_number),
+                )
+    return pages
+
+
 def session_report_html(facade, driver_number: int | None = None) -> str:
     """One-call K2 parity surface: fastest-laps figure (+ optional lap
     telemetry for one driver's fastest lap) for a SessionFacade, as the

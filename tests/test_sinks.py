@@ -268,3 +268,34 @@ def test_fastest_laps_null_compound_has_no_label():
     bars = [p for p in root.iter(f"{ns}path") if p.get("fill")]
     # null compound falls back to the unknown-compound neutral
     assert bars[1].get("fill") == "#52514e"
+
+
+def test_drilldown_site_navigates_year_weekend_session(spark, tables, tmp_path):
+    """K2 drill-down parity (reference dashboard.py:34-99): the static
+    site contains every selection state as a page, and every link on
+    every page resolves to an emitted file."""
+    import re
+
+    from formula1_dataengineering_spark.sinks import emit_drilldown_site
+
+    pages = emit_drilldown_site(spark, tables, str(tmp_path), driver_number=1)
+    assert "index.html" in pages
+    # index → the fixture's one year
+    index = (tmp_path / "index.html").read_text()
+    assert "year_2024.html" in index
+    # year → weekend (S8 catalog)
+    year = (tmp_path / "year_2024.html").read_text()
+    assert "weekend_501.html" in year and "Test Grand Prix 2024" in year
+    # weekend → both sessions (S9 catalog), breadcrumb back up
+    wk = (tmp_path / "weekend_501.html").read_text()
+    assert "index.html" in wk and "year_2024.html" in wk
+    session_links = set(re.findall(r"session_\d+\.html", wk))
+    assert len(session_links) == 2
+    # every linked session page exists and is a full report
+    for name in session_links:
+        html = (tmp_path / name).read_text()
+        assert "Fastest lap comparison" in html
+    # every emitted link across the site resolves
+    for name in pages:
+        for href in re.findall(r"href='([^']+)'", (tmp_path / name).read_text()):
+            assert (tmp_path / href).exists(), (name, href)
