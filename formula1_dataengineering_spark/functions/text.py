@@ -11,7 +11,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: Tiny deterministic stopword lists for n-gram-free heuristic lang-ID.
@@ -163,3 +163,109 @@ def dup_token_ratio(text: Column) -> Column:
     n = F.size(toks)
     n_distinct = F.size(F.array_distinct(toks))
     return F.when(n > 0, (n - n_distinct) / n).cast("double")
+
+
+def heavy_hitter_terms(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 10,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Exact top-``k`` most frequent terms per group — the vocabulary
+    audit a corpus recipe runs per source (and the batch twin of a
+    streaming heavy-hitters sketch).
+
+    Scale: explode → one (group, term) count aggregate (map-side
+    combined; term frequency skew collapses in the partials), then the
+    LOSSLESS two-phase top-k: rank within (group, hash-shard of term)
+    and prune to k — any global top-k row is necessarily in its
+    shard's top-k — then re-rank the ≤ k·shards survivors per group.
+    No group ever sorts its full vocabulary on one task. Ties break on
+    term ascending, making the result a pure function of the data.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select(F.col(group_col), F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy(group_col, "term")
+        .agg(F.count("*").alias("term_count"))
+    )
+    order = [F.col("term_count").desc(), F.col("term").asc()]
+    w1 = Window.partitionBy(
+        group_col, F.pmod(F.crc32(F.col("term")), F.lit(n_shards))
+    ).orderBy(*order)
+    pruned = counts.withColumn("__r1", F.row_number().over(w1)).where(
+        F.col("__r1") <= k
+    )
+    w2 = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        pruned.withColumn("rk", F.row_number().over(w2))
+        .where(F.col("rk") <= k)
+        .select(group_col, "term", "term_count", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def source_term_drift(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Total-variation distance between each group's term distribution
+    and the whole-corpus distribution — the distribution-shift monitor
+    a multi-source training pipeline runs per ingest (0 = identical
+    mix, 1 = disjoint vocabulary).
+
+    TVD = ½ Σ_t |p_g(t) − p(t)| over ALL corpus terms; terms absent
+    from a group contribute their full corpus mass, folded in as
+    ½(1 − Σ_present p(t)) so only (group, term) PRESENT pairs are ever
+    materialized. All arithmetic is exact-rational-then-divide (counts
+    and one division per term) — no libm, so both engines agree
+    bit-for-bit before the final rounding.
+
+    Scale: two count aggregates (per (group,term), per term) sharing
+    one explode, an equi-join on term (high-cardinality, no skew), and
+    a #groups-row reduce. Nothing is ever per-pair-of-groups.
+    """
+    gt = (
+        docs.select(F.col(group_col), F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy(group_col, "term")
+        .agg(F.count("*").alias("gc"))
+    )
+    from pyspark.sql import Window
+
+    term_tot = gt.groupBy("term").agg(F.sum("gc").alias("tc"))
+    # Corpus total rides on the #groups-row table via an unpartitioned
+    # window — the input is already the aggregated group-totals table
+    # (the sequence_packing_global pattern), so the single partition
+    # holds #groups rows, and no nested-loop/cartesian join appears.
+    group_tot = (
+        gt.groupBy(group_col)
+        .agg(F.sum("gc").alias("gn"))
+        .withColumn(
+            "cn",
+            F.sum("gn").over(
+                Window.partitionBy().rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+    )
+    joined = gt.join(term_tot, "term").join(F.broadcast(group_tot), group_col)
+    p_g = F.col("gc") / F.col("gn")
+    p_c = F.col("tc") / F.col("cn")
+    return (
+        joined.groupBy(group_col)
+        .agg(
+            F.sum(F.abs(p_g - p_c)).alias("__present"),
+            F.sum(p_c).alias("__mass"),
+            F.count("*").alias("n_terms"),
+        )
+        .select(
+            group_col,
+            "n_terms",
+            F.round(
+                (F.col("__present") + (F.lit(1.0) - F.col("__mass"))) / 2, 6
+            ).alias("tvd"),
+        )
+    )

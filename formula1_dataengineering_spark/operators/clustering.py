@@ -136,3 +136,55 @@ def kmeans_assignments(
         F.col("__cluster").alias("cluster"),
         F.round("__dist", 6).alias("sq_dist"),
     )
+
+
+def label_distance_outliers(
+    embeddings: DataFrame,
+    quantile: float = 0.95,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Embedding-QA outlier flags: squared distance of every vector to
+    its label's centroid, flagged when above the label's ``quantile``
+    distance — the mislabeled/degenerate-embedding detector run before
+    training on labeled corpora.
+
+    Determinism: centroids are rounded to ``round_decimals`` BEFORE
+    the distance (so both engines measure against identical centroids),
+    distances rounded likewise, and the flag compares rounded distance
+    to the rounded per-label quantile — every comparison happens on
+    identically-rounded values.
+
+    Scale: posexplode → (label, dim) centroid aggregate (tiny:
+    #labels × dims rows, broadcast back) → per-vector distance
+    aggregate keyed by vec_id (high-cardinality) → #labels-row
+    quantile table broadcast for the flag. The corpus shuffles once,
+    on vec_id.
+    """
+    dims = embeddings.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim_idx", "v")
+    )
+    cents = dims.groupBy("label", "dim_idx").agg(
+        F.round(F.avg("v"), round_decimals).alias("c")
+    )
+    sq = (
+        dims.join(F.broadcast(cents), ["label", "dim_idx"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.round(
+                F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))),
+                round_decimals,
+            ).alias("sq_dist")
+        )
+    )
+    thr = sq.groupBy("label").agg(
+        F.round(F.percentile("sq_dist", F.lit(quantile)), round_decimals).alias(
+            "label_p95"
+        )
+    )
+    return sq.join(F.broadcast(thr), "label").select(
+        "vec_id",
+        "label",
+        "sq_dist",
+        "label_p95",
+        (F.col("sq_dist") > F.col("label_p95")).alias("is_outlier"),
+    )

@@ -657,3 +657,37 @@ def token_budget_sample(
         .where(F.col("cum_prev_tokens") < token_budget)
         .select(id_col, part_col, "n_tokens", "cum_prev_tokens")
     )
+
+
+def quality_quantile_filter(
+    docs: DataFrame,
+    score: Column,
+    part_col: str = "source",
+    quantile: float = 0.25,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group quantile quality gate — the "drop the worst X% of
+    each source" step of a data recipe (FineWeb/Gopher-style filters
+    applied per source so one clean source doesn't set the bar for a
+    noisy one). Keeps rows with ``score`` >= the group's
+    linear-interpolation ``quantile``; emits the threshold alongside
+    for auditability.
+
+    Scale: one #groups-row percentile aggregate broadcast back onto
+    the scan — the corpus itself never shuffles; the filter runs in
+    the scan stage against the broadcast threshold.
+    """
+    scored = docs.select(F.col(id_col), F.col(part_col), score.alias("__score"))
+    thresholds = scored.groupBy(part_col).agg(
+        F.percentile("__score", F.lit(quantile)).alias("__thr")
+    )
+    return (
+        scored.join(F.broadcast(thresholds), part_col)
+        .where(F.col("__score") >= F.col("__thr"))
+        .select(
+            id_col,
+            part_col,
+            F.col("__score").alias("score"),
+            F.round("__thr", 6).alias("threshold"),
+        )
+    )

@@ -1798,3 +1798,94 @@ SELECT a.source AS group_a, b.source AS group_b,
 FROM melted a JOIN melted b ON a.i = b.i AND a.v = b.v AND a.source < b.source
 GROUP BY 1, 2
 """
+
+
+# --------------------------------------------------------------------------
+# Round 3: recipe filtering, vocabulary audit, drift, leakage, embedding QA
+# --------------------------------------------------------------------------
+
+ORACLE_SQL["quality_quantile_filter_docs"] = """
+WITH thr AS (
+  SELECT source, quantile_cont(n_chars, 0.25) AS t
+  FROM documents GROUP BY source
+)
+SELECT d.doc_id, d.source, d.n_chars AS score, round(t.t, 6) AS threshold
+FROM documents d JOIN thr t USING (source)
+WHERE d.n_chars >= t.t
+"""
+
+ORACLE_SQL["heavy_hitter_terms_by_source"] = r"""
+WITH toks AS (
+  SELECT source, unnest(list_filter(string_split_regex(text, '\s+'),
+                                    x -> x != '')) AS term
+  FROM documents
+), counts AS (
+  SELECT source, term, count(*) AS term_count FROM toks GROUP BY 1, 2
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (
+               PARTITION BY source ORDER BY term_count DESC, term) AS INT) AS rk
+  FROM counts
+)
+SELECT source, term, term_count, rk FROM ranked WHERE rk <= 10
+"""
+
+ORACLE_SQL["source_term_drift"] = r"""
+WITH toks AS (
+  SELECT source, unnest(list_filter(string_split_regex(text, '\s+'),
+                                    x -> x != '')) AS term
+  FROM documents
+), gt AS (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS gc FROM toks GROUP BY 1, 2
+), tt AS (
+  SELECT term, CAST(sum(gc) AS BIGINT) AS tc FROM gt GROUP BY 1
+), gn AS (
+  SELECT source, CAST(sum(gc) AS BIGINT) AS gn FROM gt GROUP BY 1
+), cn AS (
+  SELECT CAST(sum(gc) AS BIGINT) AS cn FROM gt
+)
+SELECT g.source, count(*) AS n_terms,
+       round((sum(abs(CAST(g.gc AS DOUBLE) / n.gn - CAST(t.tc AS DOUBLE) / c.cn))
+              + (1 - sum(CAST(t.tc AS DOUBLE) / c.cn))) / 2, 6) AS tvd
+FROM gt g JOIN tt t USING (term) JOIN gn n USING (source) CROSS JOIN cn c
+GROUP BY g.source
+"""
+
+# Seeded leakage: every 7th doc mirrored into a 'mirror' source under a
+# shifted id; detection = content hash held by >= 2 distinct sources.
+ORACLE_SQL["cross_source_leakage"] = f"""
+WITH seeded AS (
+  SELECT doc_id, source, text FROM documents WHERE text IS NOT NULL
+  UNION ALL
+  SELECT doc_id + 1000000000, 'mirror', text FROM documents
+  WHERE text IS NOT NULL AND doc_id % 7 = 0
+), h AS (
+  SELECT ((md5_number(text) % {_M48} + {_M48}) % {_M48}) AS content_hash,
+         source, doc_id
+  FROM seeded
+)
+SELECT content_hash, count(DISTINCT source) AS n_sources,
+       count(*) AS n_docs, min(doc_id) AS first_doc_id
+FROM h
+GROUP BY content_hash
+HAVING count(DISTINCT source) >= 2
+"""
+
+ORACLE_SQL["embedding_label_outliers"] = """
+WITH dims AS (
+  SELECT vec_id, label, g.i - 1 AS dim_idx, CAST(embedding[g.i] AS DOUBLE) AS v
+  FROM embeddings CROSS JOIN generate_series(1, 64) AS g(i)
+  WHERE g.i <= len(embedding)
+), cents AS (
+  SELECT label, dim_idx, round(avg(v), 6) AS c FROM dims GROUP BY 1, 2
+), sq AS (
+  SELECT d.vec_id, d.label, round(sum((d.v - c.c) * (d.v - c.c)), 6) AS sq_dist
+  FROM dims d JOIN cents c USING (label, dim_idx)
+  GROUP BY 1, 2
+), thr AS (
+  SELECT label, round(quantile_cont(sq_dist, 0.95), 6) AS label_p95
+  FROM sq GROUP BY 1
+)
+SELECT s.vec_id, s.label, s.sq_dist, t.label_p95,
+       s.sq_dist > t.label_p95 AS is_outlier
+FROM sq s JOIN thr t USING (label)
+"""

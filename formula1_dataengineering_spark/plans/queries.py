@@ -2422,3 +2422,94 @@ def source_similarity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_minhash_similarity(
         d, group_col="source", num_hashes=12, shingle_k=1
     )
+
+
+# --------------------------------------------------------------------------
+# Round 3: recipe filtering, vocabulary audit, drift, leakage, embedding QA
+# --------------------------------------------------------------------------
+
+
+@query("quality_quantile_filter_docs")
+def quality_quantile_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quantile quality gate: drop each source's shortest
+    quartile (score = n_chars) — the "filter the worst X% per source"
+    step of a data recipe, thresholds computed per source so a clean
+    source never sets the bar for a noisy one. The #sources-row
+    threshold table broadcasts back onto the scan; the corpus itself
+    never shuffles. (The exact per-group percentile is the
+    oracle-portable gate; swap percentile_approx in at petabyte group
+    sizes.)"""
+    from ..operators.curation import quality_quantile_filter
+
+    return quality_quantile_filter(
+        load(spark, sf_dir, "documents"),
+        score=F.col("n_chars"),
+        part_col="source",
+        quantile=0.25,
+    )
+
+
+@query("heavy_hitter_terms_by_source")
+def heavy_hitter_terms_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 most frequent terms per source (vocabulary audit).
+    Lossless two-phase top-k over the term-count aggregate: rank inside
+    (source, term-hash shard), prune to k, re-rank survivors — no
+    source ever sorts its full vocabulary on one task."""
+    from ..functions.text import heavy_hitter_terms
+
+    return heavy_hitter_terms(load(spark, sf_dir, "documents"), k=10)
+
+
+@query("source_term_drift")
+def source_term_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-variation distance of each source's term distribution from
+    the corpus mix — the per-ingest distribution-shift monitor. Exact
+    rational arithmetic (counts + one division per term; no libm), so
+    both engines agree before rounding. Absent terms fold in via
+    ½(1 − Σ p_corpus over present terms): only PRESENT (source, term)
+    pairs materialize."""
+    from ..functions.text import source_term_drift
+
+    return source_term_drift(load(spark, sf_dir, "documents"))
+
+
+@query("cross_source_leakage")
+def cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content leakage across sources: content hashes held by ≥2
+    distinct sources — the provenance audit that catches one feed
+    re-publishing another (which silently defeats per-source quotas and
+    dedup-by-source assumptions). The synthetic corpus has no natural
+    cross-source dups, so the gate SEEDS deterministic leakage (every
+    7th doc mirrored into a 'mirror' source under a shifted id) and
+    must recover exactly those groups. One groupBy on the 48-bit
+    content hash; per-group state is two counters and a min."""
+    from ..operators.dedup import portable_hash48
+
+    d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    mirrored = d.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_id"),
+        F.lit("mirror").alias("source"),
+        "text",
+    )
+    seeded = d.select("doc_id", "source", "text").unionByName(mirrored)
+    return (
+        seeded.groupBy(portable_hash48(F.col("text")).alias("content_hash"))
+        .agg(
+            F.countDistinct("source").alias("n_sources"),
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .where(F.col("n_sources") >= 2)
+    )
+
+
+@query("embedding_label_outliers")
+def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding QA: squared distance of every vector to its label
+    centroid, flagged above the label's p95 — the mislabeled-vector
+    detector run before training on labeled corpora. Corpus shuffles
+    once (on vec_id); centroid and threshold tables are #labels-sized
+    broadcasts."""
+    from ..operators.clustering import label_distance_outliers
+
+    return label_distance_outliers(load(spark, sf_dir, "embeddings"))
