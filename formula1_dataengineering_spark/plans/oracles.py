@@ -1889,3 +1889,37 @@ SELECT s.vec_id, s.label, s.sq_dist, t.label_p95,
        s.sq_dist > t.label_p95 AS is_outlier
 FROM sq s JOIN thr t USING (label)
 """
+
+ORACLE_SQL["events_stream_static_enrich"] = """
+SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS segment,
+       count(*) AS n_events, round(sum(e.value), 2) AS total_value
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1
+"""
+
+ORACLE_SQL["disjunctive_part_revenue"] = """
+SELECT p.p_brand, count(*) AS n_lines,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 5 AND 20
+       AND l.l_quantity BETWEEN 10 AND 30)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 10 AND 40
+       AND l.l_quantity BETWEEN 20 AND 50)
+GROUP BY 1
+"""
+
+ORACLE_SQL["idle_rich_customers"] = """
+WITH thr AS (
+  SELECT avg(c_acctbal) AS t FROM customer WHERE c_acctbal > 0
+)
+SELECT c.c_nationkey, count(*) AS n_custs,
+       round(sum(c.c_acctbal), 2) AS total_balance
+FROM customer c CROSS JOIN thr
+WHERE c.c_acctbal > thr.t
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY 1
+"""

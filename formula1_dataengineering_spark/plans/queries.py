@@ -2513,3 +2513,98 @@ def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.clustering import label_distance_outliers
 
     return label_distance_outliers(load(spark, sf_dir, "embeddings"))
+
+
+@query("events_stream_static_enrich")
+def events_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast join gate: readStream events enriched
+    with the static customer dimension, running per-segment totals,
+    driven to completion on the memory sink (complete mode — the
+    non-windowed agg emits final rows when the bounded source drains).
+    Completes the streaming join surface: batch joins, stream-stream
+    (events_stream_attribution), and now stream-static."""
+    from ..streaming.events import (
+        read_events_stream,
+        run_to_completion,
+        stream_static_segment_totals,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    joined = stream_static_segment_totals(
+        stream, load(spark, sf_dir, "customer")
+    )
+    return run_to_completion(
+        joined, "t_stream_static", output_mode="complete"
+    )
+
+
+@query("disjunctive_part_revenue")
+def disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19-shaped OR-of-ANDs predicate join: revenue from three
+    disjoint (brand, size-range, quantity-range) channels in one pass.
+    Exercises Catalyst's disjunctive pushdown: the common l_quantity
+    bound and the p_size bound are extracted below the OR and reach
+    both scans; the join stays a broadcast on the part dim."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    ch = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size").between(1, 10))
+            & (F.col("l_quantity").between(1, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size").between(5, 20))
+            & (F.col("l_quantity").between(10, 30))
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size").between(10, 40))
+            & (F.col("l_quantity").between(20, 50))
+        )
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        j.where(ch)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.sum(rev), 2).alias("revenue"),
+        )
+    )
+
+
+@query("idle_rich_customers")
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-shaped: above-average-balance customers (scalar
+    subquery over positive balances) with no URGENT orders (anti-join
+    on a filtered fact subset — every customer has *some* order in the
+    driver data, so the filter keeps the gate's output non-trivial),
+    grouped by nation. The threshold is evaluated once driver-side and
+    embedded as a literal — exactly what Spark's own scalar-subquery
+    planning does, and the only shape that avoids a 1-row
+    nested-loop-join against the customer scan (doc_rarity precedent).
+    The anti-join's build side is the pruned urgent-orders key set."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    avg_bal = (
+        cust.where(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("t"))
+        .first()[0]
+    )
+    urgent = (
+        orders.where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    return (
+        cust.where(F.col("c_acctbal") > avg_bal)
+        .join(urgent, "c_custkey", "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+        )
+    )

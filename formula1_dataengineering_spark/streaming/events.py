@@ -324,3 +324,30 @@ def user_running_totals_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def stream_static_segment_totals(
+    events: DataFrame, customers: DataFrame
+) -> DataFrame:
+    """Stream-STATIC join (the third join mode next to the catalog's
+    stream-stream join and batch joins): enrich the event stream with
+    the customer dimension and keep running per-segment totals.
+
+    The static side re-resolves per micro-batch and broadcasts — no
+    state is kept for it (unlike stream-stream, nothing must expire),
+    so the pattern scales with the DIM size, not the stream. Unmatched
+    users fold into 'UNKNOWN' (left join semantics survive the agg).
+    """
+    dim = customers.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return (
+        events.join(F.broadcast(dim), "user_id", "left")
+        .withColumn("segment", F.coalesce("segment", F.lit("UNKNOWN")))
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

@@ -331,3 +331,16 @@ def test_kmv_sketch_two_phase_topk_sharded(spark):
     assert "Exchange SinglePartition" not in body
     detail = plan.split("\n(1)")[1] if "\n(1)" in plan else plan
     assert "pmod" in detail  # shard key reaches the phase-1 partitioning
+
+
+def test_disjunctive_predicates_push_to_both_scans(spark):
+    """Q19-shaped OR-of-ANDs: the part-only OR branch and the
+    lineitem-only quantity OR branch must each reach their parquet scan
+    as pushed filters — evaluating the disjunction post-join would drag
+    every lineitem row through the join at 100 TB."""
+    plan = formatted_plan(spark, "disjunctive_part_revenue")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert len(pushed) == 2
+    li_push = next(l for l in pushed if "l_quantity" in l)
+    part_push = next(l for l in pushed if "p_brand" in l)
+    assert "Or(" in li_push and "Or(" in part_push
