@@ -1923,3 +1923,64 @@ WHERE c.c_acctbal > thr.t
                     AND o.o_orderpriority = '1-URGENT')
 GROUP BY 1
 """
+
+ORACLE_SQL["event_funnel_conversion"] = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+), s AS (
+  SELECT user_id, min(us) AS t_signup FROM e
+  WHERE event_type = 'signup' GROUP BY 1
+), v AS (
+  SELECT e.user_id, min(e.us) AS t_view, min(s.t_signup) AS t_signup
+  FROM e JOIN s USING (user_id)
+  WHERE e.event_type = 'view' AND e.us > s.t_signup
+  GROUP BY 1
+), p AS (
+  SELECT e.user_id, min(e.us) AS t_purchase, min(v.t_view) AS t_view
+  FROM e JOIN v USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.us > v.t_view
+  GROUP BY 1
+), stage AS (
+  SELECT '1_signup' AS stage, user_id, CAST(NULL AS BIGINT) AS lat_us FROM s
+  UNION ALL
+  SELECT '2_view', user_id, t_view - t_signup FROM v
+  UNION ALL
+  SELECT '3_purchase', user_id, t_purchase - t_view FROM p
+)
+SELECT stage, count(*) AS n_users,
+       round(quantile_cont(lat_us, 0.5) / 1000000, 2) AS median_latency_s
+FROM stage GROUP BY stage
+"""
+
+ORACLE_SQL["user_cohort_retention"] = """
+WITH e AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), fd AS (
+  SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1
+)
+SELECT CAST(fd.cohort_day - DATE '1970-01-01' AS INT) AS cohort_epoch_day,
+       CAST(e.day - fd.cohort_day AS INT) AS day_offset,
+       count(DISTINCT e.user_id) AS n_users
+FROM e JOIN fd USING (user_id)
+GROUP BY 1, 2
+"""
+
+ORACLE_SQL["fuzzy_neardup_pairs"] = (
+    _MINHASH_BASE_K3.format(sig_exprs=_SIG_EXPRS)
+    + f""", bands AS (
+{_BAND_SELECTS}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+), pref AS (
+  SELECT doc_id, substring(text, 1, 64) AS p FROM documents
+  WHERE text IS NOT NULL
+)
+SELECT p1.doc_id AS id_a, p2.doc_id AS id_b,
+       CAST(levenshtein(p1.p, p2.p) AS INT) AS edit_distance
+FROM pairs
+JOIN pref p1 ON pairs.id_a = p1.doc_id
+JOIN pref p2 ON pairs.id_b = p2.doc_id
+WHERE levenshtein(p1.p, p2.p) <= 24"""
+)

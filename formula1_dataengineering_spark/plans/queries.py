@@ -2608,3 +2608,110 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
         )
     )
+
+
+@query("event_funnel_conversion")
+def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (signup → first view AFTER signup →
+    first purchase AFTER that view): per-stage user counts and the
+    median stage-to-stage latency — the product-analytics query every
+    event pipeline serves. Each stage is a filtered min-aggregate
+    joined forward on user_id (high-cardinality key, dims never
+    materialize); timestamps compare as epoch micros."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    signup = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_signup"))
+    )
+    view = (
+        e.where(F.col("event_type") == "view")
+        .join(signup, "user_id")
+        .where(F.col("us") > F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_view"), F.first("t_signup").alias("t_signup"))
+    )
+    purchase = (
+        e.where(F.col("event_type") == "purchase")
+        .join(view, "user_id")
+        .where(F.col("us") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_purchase"), F.first("t_view").alias("t_view"))
+    )
+    stage = (
+        signup.select(F.lit("1_signup").alias("stage"), "user_id", F.lit(None).cast("long").alias("lat_us"))
+        .unionByName(
+            view.select(
+                F.lit("2_view").alias("stage"),
+                "user_id",
+                (F.col("t_view") - F.col("t_signup")).alias("lat_us"),
+            )
+        )
+        .unionByName(
+            purchase.select(
+                F.lit("3_purchase").alias("stage"),
+                "user_id",
+                (F.col("t_purchase") - F.col("t_view")).alias("lat_us"),
+            )
+        )
+    )
+    return stage.groupBy("stage").agg(
+        F.count("*").alias("n_users"),
+        F.round(F.percentile("lat_us", F.lit(0.5)) / 1_000_000, 2).alias(
+            "median_latency_s"
+        ),
+    )
+
+
+@query("user_cohort_retention")
+def user_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-cohort retention triangle: users grouped by first-activity
+    day; for each (cohort_day, day_offset) the count of cohort members
+    active that day — the engagement table every product pipeline
+    materializes. Two aggregates on high-cardinality keys (user, then
+    (cohort, offset)); the per-user first-day table rides the activity
+    shuffle, nothing is per-pair."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    first_day = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    active = e.distinct()
+    return (
+        active.join(first_day, "user_id")
+        .groupBy(
+            "cohort_day", F.datediff("day", "cohort_day").alias("day_offset")
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .select(
+            F.unix_date("cohort_day").alias("cohort_epoch_day"),
+            "day_offset",
+            "n_users",
+        )
+    )
+
+
+@query("fuzzy_neardup_pairs")
+def fuzzy_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup verification over LSH candidates: the
+    blocking(LSH)→verify(levenshtein) fuzzy-match pattern, with the
+    expensive O(len²) distance computed ONLY for candidate pairs and
+    only on 64-char prefixes. The quadratic primitive never touches
+    the full corpus — candidates are the LSH-bounded set the dedup
+    pipeline already proved linear-shaped."""
+    from ..operators.dedup import minhash_lsh_pairs
+
+    d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    pairs = minhash_lsh_pairs(d, num_hashes=12, bands=4, shingle_k=3)
+    pref = d.select("doc_id", F.substring("text", 1, 64).alias("__p"))
+    return (
+        pairs.join(pref.select(F.col("doc_id").alias("id_a"), F.col("__p").alias("__pa")), "id_a")
+        .join(pref.select(F.col("doc_id").alias("id_b"), F.col("__p").alias("__pb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("__pa", "__pb").alias("edit_distance"),
+        )
+        .where(F.col("edit_distance") <= 24)
+    )
