@@ -236,3 +236,85 @@ def test_group_minhash_similarity_extremes(spark):
     }
     assert out[("a", "b")].est_jaccard == 1.0
     assert ("a", "c") not in out and ("b", "c") not in out
+
+
+@_SETTINGS
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.lists(st.sampled_from(["x", "y", "z", "w"]), min_size=1, max_size=6),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_heavy_hitters_match_naive_counts(spark, docs):
+    """Two-phase sharded top-k == naive pandas top-k (count desc, term
+    asc) on every random corpus — the lossless-prune claim."""
+    from collections import Counter
+
+    from formula1_dataengineering_spark.functions.text import heavy_hitter_terms
+
+    rows = [(i, src, " ".join(toks)) for i, (src, toks) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        (r["source"], r["rk"]): (r["term"], r["term_count"])
+        for r in heavy_hitter_terms(df, k=2).collect()
+    }
+    for src in {s for s, _ in docs}:
+        c = Counter(t for s, toks in docs if s == src for t in toks)
+        want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+        for rk, (term, cnt) in enumerate(want, start=1):
+            assert got[(src, rk)] == (term, cnt)
+
+
+@_SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.lists(st.sampled_from(["x", "y", "z"]), min_size=1, max_size=4),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_source_term_drift_is_bounded_and_zero_on_self(spark, rows):
+    """TVD ∈ [0, 1] always; a single-source corpus has drift exactly 0
+    (its distribution IS the corpus distribution)."""
+    from formula1_dataengineering_spark.functions.text import source_term_drift
+
+    df = spark.createDataFrame(
+        [(i, s, " ".join(t)) for i, (s, t) in enumerate(rows)],
+        "doc_id long, source string, text string",
+    )
+    out = source_term_drift(df).collect()
+    for r in out:
+        assert -1e-9 <= r["tvd"] <= 1 + 1e-9
+    if len({s for s, _ in rows}) == 1:
+        assert out[0]["tvd"] == 0.0
+
+
+@_SETTINGS
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=30), min_size=1, max_size=40
+    )
+)
+def test_kmv_exact_below_k(spark, ids):
+    """With fewer than k distinct ids the KMV estimate IS the exact
+    distinct count, for any multiset of ids."""
+    from formula1_dataengineering_spark.operators.sampling import (
+        kmv_sketch_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "g", v, float(v)) for i, v in enumerate(ids)],
+        "row_id long, g string, uid long, value double",
+    )
+    row = kmv_sketch_profile(
+        df, "g", "value", id_col="uid", row_id_col="row_id", k=64
+    ).collect()[0]
+    assert row["kmv_distinct_ids"] == float(len(set(ids)))
+    assert row["n_rows"] == len(ids)
