@@ -188,3 +188,92 @@ def label_distance_outliers(
         "label_p95",
         (F.col("sq_dist") > F.col("label_p95")).alias("is_outlier"),
     )
+
+
+def power_iteration_pc(
+    emb: DataFrame,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_decimals: int = 6,
+    sum_decimals: int = 4,
+) -> DataFrame:
+    """Top principal direction of the (uncentered) embedding matrix by
+    ``iters`` unrolled power iterations on XᵀX — the
+    dimensionality-reduction / whitening primitive, expressed with the
+    same determinism recipe as :func:`kmeans_assignments` so the whole
+    iterative algorithm sits inside a hash-matched gate:
+
+    - per-vector dot products are ORDERED folds (bit-exact across
+      engines);
+    - the one partition-order-dependent reduction per iteration (the
+      per-dimension sum Σ sᵢ·xᵢⱼ) quantizes to ``sum_decimals`` before
+      re-entering the dataflow;
+    - normalization divides by an ordered-fold L2 norm of the
+      quantized vector (sqrt is IEEE-correctly-rounded — identical in
+      both engines).
+
+    Scale: per iteration one corpus scan (the current direction
+    broadcasts via a single-valued column-derived key, the bounded
+    equi-join shape the catalog's hygiene test allows) and one
+    dims-group aggregate with map-side partials; the direction vector
+    itself is dims-sized, never corpus-sized. Nothing collects;
+    iterations chain lazily. Output: (dim_idx, pc1, eigenvalue) where
+    eigenvalue is the final iterate's Rayleigh-style norm.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = emb.select(F.col(id_col), vec_d.alias("__v"))
+    n_dims = F.size("__v")
+    # v0 = all-ones (deterministic seed; normalization is per-iteration
+    # anyway). Key derived from a DATA column so Catalyst can't
+    # constant-fold the broadcast back into a nested-loop join.
+    v_df = base.limit(1).select(
+        F.pmod(F.col(id_col), F.lit(1)).cast("int").alias("__k"),
+        F.transform(F.sequence(F.lit(1), n_dims), lambda _: F.lit(1.0)).alias(
+            "__w"
+        ),
+    )
+    dot = F.aggregate(
+        F.zip_with("__v", "__w", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm_of = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    keyed = base.withColumn("__k", F.pmod(F.col(id_col), F.lit(1)).cast("int"))
+    for i in range(iters):
+        scored = keyed.join(F.broadcast(v_df), "__k").select(
+            dot.alias("__s"), F.posexplode("__v").alias("__dim", "__x")
+        )
+        per_dim = scored.groupBy("__dim").agg(
+            F.round(F.sum(F.col("__s") * F.col("__x")), sum_decimals).alias(
+                "__wj"
+            )
+        )
+        wrow = per_dim.agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__dim", "__wj"))),
+                lambda s: s.getField("__wj"),
+            ).alias("__wraw")
+        )
+        last = i == iters - 1
+        if not last:
+            v_df = wrow.select(
+                F.pmod(F.size("__wraw"), F.lit(1)).cast("int").alias("__k"),
+                F.transform(
+                    "__wraw",
+                    lambda x: F.round(x / norm_of(F.col("__wraw")), round_decimals),
+                ).alias("__w"),
+            )
+    return wrow.select(
+        F.round(norm_of(F.col("__wraw")), sum_decimals).alias("eigenvalue"),
+        F.posexplode(
+            F.transform(
+                "__wraw",
+                lambda x: F.round(x / norm_of(F.col("__wraw")), round_decimals),
+            )
+        ).alias("dim_idx", "pc1"),
+    ).select("dim_idx", "pc1", "eigenvalue")

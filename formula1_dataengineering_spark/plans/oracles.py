@@ -1984,3 +1984,70 @@ JOIN pref p1 ON pairs.id_a = p1.doc_id
 JOIN pref p2 ON pairs.id_b = p2.doc_id
 WHERE levenshtein(p1.p, p2.p) <= 24"""
 )
+
+
+# embedding_top_pc: 3 unrolled power iterations mirroring
+# operators/clustering.power_iteration_pc (ordered-fold dots,
+# round-4 quantized per-dim sums, round-6 normalized direction).
+ORACLE_SQL["embedding_top_pc"] = """
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), w0 AS (
+  SELECT list_transform(range(64), i -> 1.0) AS w
+), s0 AS (
+  SELECT b.v,
+         list_reduce(list_transform(list_zip(b.v, w0.w),
+                                    x -> x[1] * x[2]), (a, c) -> a + c) AS s
+  FROM base b CROSS JOIN w0
+), d0 AS (
+  SELECT CAST(u.i - 1 AS INT) AS dim, round(sum(s0.s * s0.v[u.i]), 4) AS wj
+  FROM s0 CROSS JOIN generate_series(1, 64) u(i)
+  WHERE u.i <= len(s0.v)
+  GROUP BY 1
+), wr0 AS (
+  SELECT list(wj ORDER BY dim) AS wraw FROM d0
+), w1 AS (
+  SELECT list_transform(wraw, x -> round(x / sqrt(
+           list_reduce(list_transform(wraw, y -> y * y), (a, c) -> a + c)), 6))
+         AS w
+  FROM wr0
+), s1 AS (
+  SELECT b.v,
+         list_reduce(list_transform(list_zip(b.v, w1.w),
+                                    x -> x[1] * x[2]), (a, c) -> a + c) AS s
+  FROM base b CROSS JOIN w1
+), d1 AS (
+  SELECT CAST(u.i - 1 AS INT) AS dim, round(sum(s1.s * s1.v[u.i]), 4) AS wj
+  FROM s1 CROSS JOIN generate_series(1, 64) u(i)
+  WHERE u.i <= len(s1.v)
+  GROUP BY 1
+), wr1 AS (
+  SELECT list(wj ORDER BY dim) AS wraw FROM d1
+), w2 AS (
+  SELECT list_transform(wraw, x -> round(x / sqrt(
+           list_reduce(list_transform(wraw, y -> y * y), (a, c) -> a + c)), 6))
+         AS w
+  FROM wr1
+), s2 AS (
+  SELECT b.v,
+         list_reduce(list_transform(list_zip(b.v, w2.w),
+                                    x -> x[1] * x[2]), (a, c) -> a + c) AS s
+  FROM base b CROSS JOIN w2
+), d2 AS (
+  SELECT CAST(u.i - 1 AS INT) AS dim, round(sum(s2.s * s2.v[u.i]), 4) AS wj
+  FROM s2 CROSS JOIN generate_series(1, 64) u(i)
+  WHERE u.i <= len(s2.v)
+  GROUP BY 1
+), wr2 AS (
+  SELECT list(wj ORDER BY dim) AS wraw FROM d2
+)
+SELECT CAST(u.i - 1 AS INT) AS dim_idx,
+       round(wraw[u.i] / sqrt(
+         list_reduce(list_transform(wraw, y -> y * y), (a, c) -> a + c)), 6)
+         AS pc1,
+       round(sqrt(list_reduce(list_transform(wraw, y -> y * y),
+                              (a, c) -> a + c)), 4) AS eigenvalue
+FROM wr2 CROSS JOIN generate_series(1, 64) u(i)
+WHERE u.i <= len(wraw)
+"""

@@ -2715,3 +2715,17 @@ def fuzzy_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("edit_distance") <= 24)
     )
+
+
+@query("embedding_top_pc")
+def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding matrix via 3 unrolled
+    power iterations on XᵀX (operators/clustering.py) — the
+    dimensionality-reduction primitive, fully inside the hash gate
+    like kmeans_ivf_training: ordered-fold dot products, quantized
+    per-dim sums, IEEE sqrt normalization. Per iteration: one corpus
+    scan + one dims-group aggregate; the direction vector broadcasts,
+    the corpus never re-shuffles."""
+    from ..operators.clustering import power_iteration_pc
+
+    return power_iteration_pc(load(spark, sf_dir, "embeddings"), iters=3)

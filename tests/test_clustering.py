@@ -60,3 +60,28 @@ def test_kmeans_plan_broadcasts_and_avoids_corpus_window(spark):
     assert "BroadcastNestedLoopJoin" in body or "BroadcastHashJoin" in body
     assert "SortMergeJoin" not in body
     assert "Window" not in body
+
+
+def test_power_iteration_recovers_dominant_axis(spark):
+    """On a rank-1-dominated synthetic matrix (big variance on dim 2,
+    noise elsewhere) three power iterations recover the axis: |pc1[2]|
+    ~ 1, other components ~ 0, unit norm overall."""
+    import math
+
+    from formula1_dataengineering_spark.operators.clustering import (
+        power_iteration_pc,
+    )
+
+    rows = []
+    for i in range(200):
+        v = [0.01 * ((i * 7 + d) % 5 - 2) for d in range(8)]
+        v[2] = 10.0 if i % 2 == 0 else -10.0
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["dim_idx"]: r for r in power_iteration_pc(emb, iters=3).collect()}
+    assert len(out) == 8
+    comps = [out[d]["pc1"] for d in range(8)]
+    assert abs(abs(comps[2]) - 1.0) < 1e-3
+    assert all(abs(c) < 0.05 for d, c in enumerate(comps) if d != 2)
+    assert abs(math.fsum(c * c for c in comps) - 1.0) < 1e-3
+    assert out[0]["eigenvalue"] > 0
