@@ -2051,3 +2051,32 @@ SELECT CAST(u.i - 1 AS INT) AS dim_idx,
 FROM wr2 CROSS JOIN generate_series(1, 64) u(i)
 WHERE u.i <= len(wraw)
 """
+
+ORACLE_SQL["normalized_dedup_docs"] = f"""
+WITH n AS (
+  SELECT doc_id, source,
+         ((md5_number(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))
+           % {_M48} + {_M48}) % {_M48}) AS norm_key
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT norm_key, count(*) AS n_docs, min(doc_id) AS canonical_doc_id,
+       count(DISTINCT source) AS n_sources
+FROM n GROUP BY norm_key
+"""
+
+ORACLE_SQL["clipped_value_stats"] = """
+WITH b AS (
+  SELECT event_type, quantile_cont(value, 0.01) AS lo,
+         quantile_cont(value, 0.99) AS hi
+  FROM events GROUP BY 1
+)
+SELECT e.event_type, count(*) AS n_rows,
+       round(avg(greatest(least(e.value, b.hi), b.lo)), 4) AS clipped_mean,
+       CAST(sum(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_low,
+       CAST(sum(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_high
+FROM events e JOIN b USING (event_type)
+GROUP BY e.event_type
+"""

@@ -2729,3 +2729,60 @@ def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.clustering import power_iteration_pc
 
     return power_iteration_pc(load(spark, sf_dir, "embeddings"), iters=3)
+
+
+@query("normalized_dedup_docs")
+def normalized_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-aware exact dedup: case-fold, strip punctuation,
+    collapse whitespace, THEN group by content hash — catches the
+    case/punctuation variants plain exact dedup misses (the usual
+    first rung of a dedup ladder, before MinHash). Per normalized key:
+    doc count, canonical (min) doc id, distinct-source count. Pure
+    codegen normalization in the scan stage; one groupBy shuffle."""
+    from ..operators.dedup import portable_hash48
+
+    d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return (
+        d.select("doc_id", "source", portable_hash48(norm).alias("norm_key"))
+        .groupBy("norm_key")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
+
+
+@query("clipped_value_stats")
+def clipped_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-type value statistics: clip at the type's
+    p01/p99 (linear interpolation), report clipped mean and how many
+    rows hit each bound — outlier-robust metric cleaning. The
+    #types-row bounds table broadcasts back onto the scan; the fact
+    table shuffles once for the final aggregate."""
+    e = load(spark, sf_dir, "events")
+    pct = F.percentile("value", F.lit([0.01, 0.99]))
+    bounds = e.groupBy("event_type").agg(
+        F.element_at(pct, 1).alias("__lo"), F.element_at(pct, 2).alias("__hi")
+    )
+    clipped = e.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        F.greatest(F.least(F.col("value"), F.col("__hi")), F.col("__lo")).alias(
+            "__cv"
+        ),
+        (F.col("value") < F.col("__lo")).cast("int").alias("__below"),
+        (F.col("value") > F.col("__hi")).cast("int").alias("__above"),
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.avg("__cv"), 4).alias("clipped_mean"),
+        F.sum("__below").cast("bigint").alias("n_clipped_low"),
+        F.sum("__above").cast("bigint").alias("n_clipped_high"),
+    )

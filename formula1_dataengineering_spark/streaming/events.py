@@ -351,3 +351,43 @@ def stream_static_segment_totals(
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+def incremental_upsert_sink(
+    stream_df: DataFrame,
+    out_dir: str,
+    key_col: str = "event_id",
+    checkpoint_dir: str | None = None,
+):
+    """``foreachBatch`` idempotent key-level upsert into parquet: every
+    micro-batch dedups itself, then anti-joins the already-persisted
+    key set before appending — the sink stays exactly-once per key even
+    when the source re-delivers overlapping data (at-least-once
+    delivery, crash replays). Returns the configured writeStream; the
+    caller starts it.
+
+    Scale: the anti-join's build side is the persisted KEY column only
+    (column-pruned scan); at real scale the key set becomes a compacted
+    key index or the sink becomes a MERGE-capable table format — the
+    batch-side plan is identical.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        spark = batch_df.sparkSession
+        new = batch_df.dropDuplicates([key_col])
+        if os.path.isdir(out_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(out_dir)
+        ):
+            existing = spark.read.parquet(out_dir).select(key_col)
+            new = new.join(existing, key_col, "left_anti")
+        new.write.mode("append").parquet(out_dir)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer

@@ -155,3 +155,43 @@ def test_transform_with_state_plan_builds_and_runs_where_available(spark):
         },
     )
     assert res.count() > 0
+
+
+def test_foreach_batch_upsert_is_idempotent_per_key(spark, tmp_path):
+    """foreachBatch incremental upsert: overlapping micro-batches (the
+    same event delivered in two source files) land exactly once in the
+    parquet sink, keyed by event_id."""
+    from formula1_dataengineering_spark.sources.catalog import load
+    from formula1_dataengineering_spark.streaming.events import (
+        incremental_upsert_sink,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    base = (
+        load(spark, SF, "events")
+        .where(F.col("event_id") % 101 == 0)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    n_distinct = base.count()
+    # two OVERLAPPING source files: [all rows], [every other row again]
+    base.coalesce(1).write.mode("overwrite").parquet(src + "/f1")
+    base.where(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src + "/f2")
+    stream = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = incremental_upsert_sink(
+        stream, out, key_col="event_id",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.read.parquet(out)
+    assert got.count() == n_distinct
+    assert got.select("event_id").distinct().count() == n_distinct
