@@ -48,8 +48,24 @@ def build_10x(spark: SparkSession, out_dir: str) -> None:
     for rep in replicas[1:]:
         big = big.unionByName(rep)
     big.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+    # embeddings: disjoint vec_id ranges, values unchanged (the
+    # distribution — and therefore centroid/percentile work — scales
+    # with row count, which is what the probe measures).
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    emax = emb.agg(F.max("vec_id")).first()[0] + 1
+    ereps = [
+        emb.select(
+            (F.col("vec_id") + r * emax).alias("vec_id"),
+            *[c for c in emb.columns if c != "vec_id"],
+        )
+        for r in range(10)
+    ]
+    ebig = ereps[0]
+    for rep in ereps[1:]:
+        ebig = ebig.unionByName(rep)
+    ebig.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
     for t in TABLES:
-        if t != "documents":
+        if t not in ("documents", "embeddings"):
             os.symlink(f"{SF_DIR}/{t}.parquet", f"{out_dir}/{t}.parquet")
 
 
