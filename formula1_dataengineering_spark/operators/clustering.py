@@ -277,3 +277,101 @@ def power_iteration_pc(
             )
         ).alias("dim_idx", "pc1"),
     ).select("dim_idx", "pc1", "eigenvalue")
+
+
+def pq_encode(
+    emb: DataFrame,
+    m: int = 8,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_decimals: int = 4,
+) -> DataFrame:
+    """Product-quantization encoding: split each vector into ``m``
+    subspaces, train a ``k``-entry codebook per subspace with ``iters``
+    unrolled Lloyd iterations (the :func:`kmeans_assignments`
+    determinism recipe, keyed by subspace), and emit each vector's code
+    per subspace — the storage/ADC-scan step of an IVF-PQ index, 8→1
+    bytes per subspace at (m=8, k≤256).
+
+    Seeding: the ``k`` smallest-id vectors' subvectors (codebook entry
+    label = seed id — unique per subspace by construction). All m
+    codebooks train in ONE dataflow: every aggregate/join carries
+    ``sub_id``, so adding subspaces widens keys, never adds jobs.
+
+    Scale: per iteration one pass over the (corpus × m) subvector rows
+    — a narrow explode of the scan, no extra shuffle — joined to the
+    broadcast (m·k)-row codebook, collapsed by map-side min_by, then a
+    (m·k·d_sub)-group quantized update. Output: (vec_id, sub_id, code,
+    sq_dist).
+    """
+    if iters < 1 or k < 1 or m < 1:
+        raise ValueError(f"m, k, iters must be >= 1, got {m}, {k}, {iters}")
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = emb.select(F.col(id_col), vec_d.alias("__v"))
+    d_sub = (F.size("__v") / m).cast("int")
+    sub_of = lambda df: df.select(  # noqa: E731
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub_id"),
+        F.col("__v"),
+    ).select(
+        id_col,
+        "sub_id",
+        F.slice("__v", F.col("sub_id") * d_sub + 1, d_sub).alias("__sv"),
+    )
+    subs = sub_of(base)
+    cents = sub_of(base.orderBy(id_col).limit(k)).select(
+        "sub_id",
+        F.col(id_col).cast("long").alias("__cluster"),
+        F.col("__sv").alias("__c"),
+    )
+    assign = None
+    for i in range(iters):
+        scored = subs.join(F.broadcast(cents), "sub_id").select(
+            id_col,
+            "sub_id",
+            "__sv",
+            "__cluster",
+            _sq_dist("__sv", "__c").alias("__dist"),
+        )
+        last = i == iters - 1
+        payload = (
+            F.struct("__cluster", "__dist")
+            if last
+            else F.struct("__cluster", "__dist", "__sv")
+        )
+        assign = (
+            scored.groupBy(id_col, "sub_id")
+            .agg(F.min_by(payload, F.struct("__dist", "__cluster")).alias("__m"))
+            .select(
+                id_col,
+                "sub_id",
+                F.col("__m.__cluster").alias("__cluster"),
+                F.col("__m.__dist").alias("__dist"),
+                *([] if last else [F.col("__m.__sv").alias("__sv")]),
+            )
+        )
+        if not last:
+            cents = (
+                assign.select(
+                    "sub_id",
+                    "__cluster",
+                    F.posexplode("__sv").alias("__dim", "__val"),
+                )
+                .groupBy("sub_id", "__cluster", "__dim")
+                .agg(F.round(F.avg("__val"), round_decimals).alias("__cv"))
+                .groupBy("sub_id", "__cluster")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("__dim", "__cv"))),
+                        lambda s: s.getField("__cv"),
+                    ).alias("__c")
+                )
+            )
+    return assign.select(
+        id_col,
+        F.col("sub_id").cast("int").alias("sub_id"),
+        F.col("__cluster").alias("code"),
+        F.round("__dist", 6).alias("sq_dist"),
+    )

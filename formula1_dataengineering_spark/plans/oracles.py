@@ -2080,3 +2080,49 @@ SELECT e.event_type, count(*) AS n_rows,
 FROM events e JOIN b USING (event_type)
 GROUP BY e.event_type
 """
+
+
+# pq_encode_embeddings: per-subspace (keyed) k-means, 2 unrolled
+# iterations, mirroring operators/clustering.pq_encode.
+ORACLE_SQL["pq_encode_embeddings"] = """WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), sub AS (
+  SELECT vec_id, CAST(s.i AS INT) AS sub_id,
+         v[(s.i * 8 + 1):(s.i * 8 + 8)] AS sv
+  FROM e CROSS JOIN generate_series(0, 7) s(i)
+), c0 AS (
+  SELECT sub_id, CAST(vec_id AS BIGINT) AS cluster, sv AS c FROM sub
+  WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 4)
+), sc1 AS (
+  SELECT s.vec_id, s.sub_id, s.sv, c.cluster, list_reduce(list_transform(list_zip(s.sv, c.c), x -> (x[1] - x[2]) * (x[1] - x[2])), (a, b) -> a + b) AS dist
+  FROM sub s JOIN c0 c USING (sub_id)
+), a1 AS (
+  SELECT vec_id, sub_id, sv, cluster, dist FROM (
+    SELECT x.*, row_number() OVER (
+      PARTITION BY vec_id, sub_id ORDER BY dist, cluster) AS rn
+    FROM sc1 x
+  ) WHERE rn = 1
+), u1 AS (
+  SELECT sub_id, cluster, d AS dim, round(avg(val), 4) AS cv FROM (
+    SELECT sub_id, cluster, unnest(sv) AS val,
+           generate_subscripts(sv, 1) AS d
+    FROM a1
+  ) GROUP BY 1, 2, 3
+), c1 AS (
+  SELECT sub_id, cluster, list(cv ORDER BY dim) AS c FROM u1
+  GROUP BY 1, 2
+), sc2 AS (
+  SELECT s.vec_id, s.sub_id, s.sv, c.cluster, list_reduce(list_transform(list_zip(s.sv, c.c), x -> (x[1] - x[2]) * (x[1] - x[2])), (a, b) -> a + b) AS dist
+  FROM sub s JOIN c1 c USING (sub_id)
+), a2 AS (
+  SELECT vec_id, sub_id, sv, cluster, dist FROM (
+    SELECT x.*, row_number() OVER (
+      PARTITION BY vec_id, sub_id ORDER BY dist, cluster) AS rn
+    FROM sc2 x
+  ) WHERE rn = 1
+)
+SELECT vec_id, sub_id, CAST(cluster AS BIGINT) AS code,
+       round(dist, 6) AS sq_dist
+FROM a2
+"""

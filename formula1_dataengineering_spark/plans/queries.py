@@ -2786,3 +2786,15 @@ def clipped_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("__below").cast("bigint").alias("n_clipped_low"),
         F.sum("__above").cast("bigint").alias("n_clipped_high"),
     )
+
+
+@query("pq_encode_embeddings")
+def pq_encode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes (m=8 subspaces, k=4 entries, 2 Lloyd
+    iterations per subspace codebook — operators/clustering.pq_encode):
+    the storage/ADC step of an IVF-PQ vector index, trained and encoded
+    in one hash-verified dataflow. Completes the similarity-search
+    ladder: brute force → IVF → SRP-LSH → multiprobe → PQ."""
+    from ..operators.clustering import pq_encode
+
+    return pq_encode(load(spark, sf_dir, "embeddings"), m=8, k=4, iters=2)

@@ -85,3 +85,25 @@ def test_power_iteration_recovers_dominant_axis(spark):
     assert all(abs(c) < 0.05 for d, c in enumerate(comps) if d != 2)
     assert abs(math.fsum(c * c for c in comps) - 1.0) < 1e-3
     assert out[0]["eigenvalue"] > 0
+
+
+def test_pq_encode_invariants(spark):
+    """Every vector gets exactly m codes from the k-entry codebook; a
+    second Lloyd iteration never increases total quantization error."""
+    from formula1_dataengineering_spark.operators.clustering import pq_encode
+
+    rows = [
+        (i, [float((i * 13 + d * 7) % 11 - 5) for d in range(16)])
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = pq_encode(emb, m=4, k=3, iters=2).toPandas()
+    assert len(out) == 60 * 4
+    assert set(out["sub_id"]) == {0, 1, 2, 3}
+    assert (out.groupby("vec_id").size() == 4).all()
+    # codebook labels are the 3 smallest seed ids
+    assert set(out["code"]) <= {0, 1, 2}
+    assert (out["sq_dist"] >= 0).all()
+    e2 = out["sq_dist"].sum()
+    e1 = pq_encode(emb, m=4, k=3, iters=1).toPandas()["sq_dist"].sum()
+    assert e2 <= e1 + 1e-6
