@@ -287,7 +287,8 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_decimals: int = 4,
-) -> DataFrame:
+    _with_codebook: bool = False,
+):
     """Product-quantization encoding: split each vector into ``m``
     subspaces, train a ``k``-entry codebook per subspace with ``iters``
     unrolled Lloyd iterations (the :func:`kmeans_assignments`
@@ -369,9 +370,79 @@ def pq_encode(
                     ).alias("__c")
                 )
             )
-    return assign.select(
+    out = assign.select(
         id_col,
         F.col("sub_id").cast("int").alias("sub_id"),
         F.col("__cluster").alias("code"),
         F.round("__dist", 6).alias("sq_dist"),
+    )
+    if _with_codebook:
+        return out, cents
+    return out
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    m: int = 8,
+    k: int = 4,
+    iters: int = 2,
+    topk: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes — the query-time half of
+    an IVF-PQ index: per query, precompute the (m × k) lookup table of
+    exact subvector→codebook-entry distances (ordered folds, bit-exact),
+    then score every database vector as the SUM of its m table entries
+    and rank. The database side touches only its CODES (m small ints
+    per vector), never raw vectors — that's the PQ memory/bandwidth
+    win.
+
+    Determinism: LUT distances are ordered folds; the per-vector sum of
+    m doubles rounds to 6 before ranking; ranks break ties on the id.
+
+    Scale: the LUT is (#queries · m · k) rows — broadcast; the scoring
+    join fans the code table out by #queries and collapses by map-side
+    partial aggregation keyed (query, vector). Queries are bounded
+    (the same contract as ``cosine_topk``); the corpus never shuffles
+    raw vectors.
+    """
+    from pyspark.sql import Window
+
+    codes, cents = pq_encode(
+        emb, m=m, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+        _with_codebook=True,
+    )
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    d_sub = (F.size("__v") / m).cast("int")
+    qsubs = (
+        queries.select(F.col(id_col).alias("q_id"), vec_d.alias("__v"))
+        .select(
+            "q_id",
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub_id"),
+            F.col("__v"),
+        )
+        .select(
+            "q_id",
+            "sub_id",
+            F.slice("__v", F.col("sub_id") * d_sub + 1, d_sub).alias("__qv"),
+        )
+    )
+    lut = qsubs.join(cents, "sub_id").select(
+        "q_id",
+        "sub_id",
+        F.col("__cluster").alias("code"),
+        _sq_dist("__qv", "__c").alias("__ld"),
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["sub_id", "code"])
+        .groupBy("q_id", id_col)
+        .agg(F.round(F.sum("__ld"), 6).alias("adc_dist"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= topk)
+        .select("q_id", id_col, "adc_dist", F.col("rk").cast("int").alias("rk"))
     )

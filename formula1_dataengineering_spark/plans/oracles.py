@@ -2126,3 +2126,58 @@ SELECT vec_id, sub_id, CAST(cluster AS BIGINT) AS code,
        round(dist, 6) AS sq_dist
 FROM a2
 """
+
+
+# pq_adc_topk: PQ training replay + per-query LUT + ADC scoring.
+ORACLE_SQL["pq_adc_topk"] = """WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), sub AS (
+  SELECT vec_id, CAST(s.i AS INT) AS sub_id,
+         v[(s.i * 8 + 1):(s.i * 8 + 8)] AS sv
+  FROM e CROSS JOIN generate_series(0, 7) s(i)
+), c0 AS (
+  SELECT sub_id, CAST(vec_id AS BIGINT) AS cluster, sv AS c FROM sub
+  WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 4)
+), sc1 AS (
+  SELECT s.vec_id, s.sub_id, s.sv, c.cluster, list_reduce(list_transform(list_zip(s.sv, c.c), x -> (x[1] - x[2]) * (x[1] - x[2])), (a, b) -> a + b) AS dist
+  FROM sub s JOIN c0 c USING (sub_id)
+), a1 AS (
+  SELECT vec_id, sub_id, sv, cluster, dist FROM (
+    SELECT x.*, row_number() OVER (
+      PARTITION BY vec_id, sub_id ORDER BY dist, cluster) AS rn
+    FROM sc1 x
+  ) WHERE rn = 1
+), u1 AS (
+  SELECT sub_id, cluster, d AS dim, round(avg(val), 4) AS cv FROM (
+    SELECT sub_id, cluster, unnest(sv) AS val,
+           generate_subscripts(sv, 1) AS d
+    FROM a1
+  ) GROUP BY 1, 2, 3
+), c1 AS (
+  SELECT sub_id, cluster, list(cv ORDER BY dim) AS c FROM u1
+  GROUP BY 1, 2
+), sc2 AS (
+  SELECT s.vec_id, s.sub_id, s.sv, c.cluster, list_reduce(list_transform(list_zip(s.sv, c.c), x -> (x[1] - x[2]) * (x[1] - x[2])), (a, b) -> a + b) AS dist
+  FROM sub s JOIN c1 c USING (sub_id)
+), a2 AS (
+  SELECT vec_id, sub_id, sv, cluster, dist FROM (
+    SELECT x.*, row_number() OVER (
+      PARTITION BY vec_id, sub_id ORDER BY dist, cluster) AS rn
+    FROM sc2 x
+  ) WHERE rn = 1
+), lut AS (
+  SELECT q.vec_id AS q_id, q.sub_id, c.cluster AS code, list_reduce(list_transform(list_zip(q.sv, c.c), x -> (x[1] - x[2]) * (x[1] - x[2])), (a, b) -> a + b) AS ld
+  FROM sub q JOIN c1 c USING (sub_id)
+  WHERE q.vec_id < 10
+), scored AS (
+  SELECT l.q_id, a.vec_id, round(sum(l.ld), 6) AS adc_dist
+  FROM a2 a JOIN lut l ON a.sub_id = l.sub_id AND a.cluster = l.code
+  GROUP BY 1, 2
+)
+SELECT q_id, vec_id, adc_dist, CAST(rk AS INT) AS rk FROM (
+  SELECT s.*, row_number() OVER (
+    PARTITION BY q_id ORDER BY adc_dist, vec_id) AS rk
+  FROM scored s
+) WHERE rk <= 5
+"""

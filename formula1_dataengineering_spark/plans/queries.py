@@ -2798,3 +2798,15 @@ def pq_encode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.clustering import pq_encode
 
     return pq_encode(load(spark, sf_dir, "embeddings"), m=8, k=4, iters=2)
+
+
+@query("pq_adc_topk")
+def pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-5 over PQ codes for query vectors (vec_id < 10): the
+    query-time half of IVF-PQ — per-query (m × k) distance lookup
+    table, database vectors scored from their CODES alone (raw vectors
+    never re-read), ranked with rounded-distance + id tie-break."""
+    from ..operators.clustering import pq_adc_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    return pq_adc_topk(e, e.where(F.col("vec_id") < 10), m=8, k=4, iters=2, topk=5)

