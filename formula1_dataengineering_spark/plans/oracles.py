@@ -2181,3 +2181,41 @@ SELECT q_id, vec_id, adc_dist, CAST(rk AS INT) AS rk FROM (
   FROM scored s
 ) WHERE rk <= 5
 """
+
+ORACLE_SQL["hourly_gap_filled_activity"] = """
+WITH e AS (
+  SELECT user_id, epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr, value
+  FROM events WHERE user_id % 29 = 0
+), counts AS (
+  SELECT user_id, hr, count(*) AS n_events,
+         round(sum(value), 2) AS total_value
+  FROM e GROUP BY 1, 2
+), spans AS (
+  SELECT user_id, min(hr) AS h0, max(hr) AS h1 FROM e GROUP BY 1
+), grid AS (
+  -- list-form generate_series + unnest: the table-function form cannot
+  -- take lateral column bounds in DuckDB
+  SELECT user_id, CAST(unnest(generate_series(h0, h1)) AS BIGINT) AS hr
+  FROM spans
+)
+SELECT g.user_id, g.hr,
+       coalesce(c.n_events, 0) AS n_events,
+       coalesce(c.total_value, 0.0) AS total_value
+FROM grid g LEFT JOIN counts c USING (user_id, hr)
+"""
+
+ORACLE_SQL["hourly_anomaly_flags"] = """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(epoch_us(date_trunc('hour', ts)) // 3600000000 AS BIGINT) AS hr,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type, avg(n_events) AS mu, stddev_samp(n_events) AS sd
+  FROM hourly GROUP BY 1
+)
+SELECT h.event_type, h.hr, h.n_events,
+       round((h.n_events - s.mu) / s.sd, 4) AS z_score,
+       abs((h.n_events - s.mu) / s.sd) > 2 AS is_anomaly
+FROM hourly h JOIN stats s USING (event_type)
+"""

@@ -2810,3 +2810,68 @@ def pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "embeddings")
     return pq_adc_topk(e, e.where(F.col("vec_id") < 10), m=8, k=4, iters=2, topk=5)
+
+
+@query("hourly_gap_filled_activity")
+def hourly_gap_filled_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled per-user hourly activity (user_id % 29 == 0 cohort):
+    generate every hour between each user's first and last event and
+    left-join real counts, zero-filling silent hours — the resample
+    step dashboards and feature pipelines need but plain GROUP BY
+    can't produce (missing hours simply don't exist as groups).
+    Scale: the explode is bounded by each user's own active span, the
+    join is per (user, hour) — high-cardinality keys, no skew."""
+    e = (
+        load(spark, sf_dir, "events")
+        .where(F.col("user_id") % 29 == 0)
+        .select(
+            "user_id",
+            F.expr("unix_micros(date_trunc('HOUR', ts)) div 3600000000").alias("hr"),
+            "value",
+        )
+    )
+    counts = e.groupBy("user_id", "hr").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    spans = e.groupBy("user_id").agg(
+        F.min("hr").alias("__h0"), F.max("hr").alias("__h1")
+    )
+    grid = spans.select(
+        "user_id", F.explode(F.sequence("__h0", "__h1")).alias("hr")
+    )
+    return grid.join(counts, ["user_id", "hr"], "left").select(
+        "user_id",
+        "hr",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+    )
+
+
+@query("hourly_anomaly_flags")
+def hourly_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: hourly event counts per type, z-scored
+    against the type's own mean/stddev, |z| > 2 flagged — the
+    monitoring query every ingestion pipeline runs. Two small
+    aggregates; the #types-row stats table broadcasts back onto the
+    hourly counts."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(date_trunc('HOUR', ts)) div 3600000000").alias("hr"),
+    )
+    hourly = e.groupBy("event_type", "hr").agg(F.count("*").alias("n_events"))
+    stats = hourly.groupBy("event_type").agg(
+        F.avg("n_events").alias("__mu"),
+        F.stddev_samp("n_events").alias("__sd"),
+    )
+    z = (F.col("n_events") - F.col("__mu")) / F.col("__sd")
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "hr",
+            "n_events",
+            F.round(z, 4).alias("z_score"),
+            (F.abs(z) > 2).alias("is_anomaly"),
+        )
+    )
