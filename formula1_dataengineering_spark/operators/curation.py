@@ -691,3 +691,70 @@ def quality_quantile_filter(
             F.round("__thr", 6).alias("threshold"),
         )
     )
+
+
+def mixing_order(
+    docs: DataFrame,
+    weights: dict[str, float],
+    part_col: str = "source",
+    id_col: str = "doc_id",
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Deterministic weighted source interleave — the "mix sources at
+    ratios" ordering of a pretraining recipe: each doc's global
+    position key is (its stable within-source rank) / weight, so
+    ascending ``mix_key`` yields a weight-proportional round-robin
+    (weight 2.0 sources contribute ~2 docs for every 1 from weight
+    1.0) that is a pure function of the data — reshuffling partitions
+    or re-running never changes the curriculum.
+
+    Scale: the within-source rank is the two-phase sharded form (rank
+    inside (source, md5-prefix shard), plus prefix-summed shard counts
+    broadcast back) — the same shape as ``token_budget_sample``, so no
+    source ever sorts on one task. The writer materializes the order
+    with a range-partitioned sort on ``mix_key``; this operator only
+    ASSIGNS keys, which is the shuffle-free part.
+    """
+    per = docs.select(
+        F.col(id_col),
+        F.col(part_col),
+        F.md5(F.col(id_col).cast("string")).alias("__hk"),
+    ).withColumn("__shard", F.substring("__hk", 1, 2))
+    w1 = Window.partitionBy(part_col, "__shard").orderBy("__hk", id_col)
+    local = per.withColumn("__rn", F.row_number().over(w1))
+    offsets = (
+        per.groupBy(part_col, "__shard")
+        .agg(F.count("*").alias("__n"))
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum("__n").over(
+                    Window.partitionBy(part_col)
+                    .orderBy("__shard")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .select(part_col, "__shard", "__offset")
+    )
+    weight = F.coalesce(
+        F.element_at(
+            F.create_map(
+                *[F.lit(x) for kv in weights.items() for x in kv]
+            ),
+            F.col(part_col),
+        ),
+        F.lit(float(default_weight)),
+    )
+    return (
+        local.join(F.broadcast(offsets), [part_col, "__shard"])
+        .select(
+            id_col,
+            part_col,
+            (F.col("__offset") + F.col("__rn")).alias("src_rank"),
+            F.round((F.col("__offset") + F.col("__rn")) / weight, 6).alias(
+                "mix_key"
+            ),
+        )
+    )

@@ -2219,3 +2219,17 @@ SELECT h.event_type, h.hr, h.n_events,
        abs((h.n_events - s.mu) / s.sd) > 2 AS is_anomaly
 FROM hourly h JOIN stats s USING (event_type)
 """
+
+ORACLE_SQL["source_mixing_order"] = """
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS src_rank
+  FROM documents
+)
+SELECT doc_id, source, CAST(src_rank AS BIGINT) AS src_rank,
+       round(src_rank / (CASE source WHEN 'src0' THEN 2.0 WHEN 'src1' THEN 2.0
+                         WHEN 'src2' THEN 1.5 ELSE 1.0 END), 6) AS mix_key
+FROM r
+"""

@@ -2875,3 +2875,18 @@ def hourly_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(z) > 2).alias("is_anomaly"),
         )
     )
+
+
+@query("source_mixing_order")
+def source_mixing_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted source-interleave curriculum (src0/src1 upweighted 2x,
+    src2 at 1.5x, everything else 1x): deterministic global mix keys
+    whose ascending order round-robins sources proportionally to
+    weight — the recipe-mixing step between curation and the training
+    writer. Two-phase sharded ranking; no source sorts on one task."""
+    from ..operators.curation import mixing_order
+
+    return mixing_order(
+        load(spark, sf_dir, "documents"),
+        weights={"src0": 2.0, "src1": 2.0, "src2": 1.5},
+    )

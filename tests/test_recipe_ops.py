@@ -107,3 +107,27 @@ def test_kmv_distinct_estimate_accuracy_and_exactness(spark):
     est = out["big"]["kmv_distinct_ids"]
     assert 375 <= est <= 625
     assert out["big"]["n_rows"] == 2000
+
+
+def test_mixing_order_weight_proportional_interleave(spark):
+    """In the ascending mix_key order, a weight-2 source appears ~2x as
+    often as a weight-1 source in every prefix (within rounding), and
+    src_rank is a dense per-source permutation."""
+    from formula1_dataengineering_spark.operators.curation import mixing_order
+
+    docs = spark.createDataFrame(
+        [(i, "heavy" if i % 3 != 2 else "light", None) for i in range(90)],
+        "doc_id long, source string, text string",
+    )
+    out = (
+        mixing_order(docs, weights={"heavy": 2.0})
+        .orderBy("mix_key", "source")
+        .toPandas()
+    )
+    for src, n in (("heavy", 60), ("light", 30)):
+        ranks = sorted(out[out["source"] == src]["src_rank"])
+        assert ranks == list(range(1, n + 1))
+    # prefix proportionality: first 30 mixed docs ≈ 20 heavy / 10 light
+    head = out.head(30)
+    n_heavy = (head["source"] == "heavy").sum()
+    assert 18 <= n_heavy <= 22
