@@ -269,3 +269,101 @@ def source_term_drift(
             ).alias("tvd"),
         )
     )
+
+
+#: Symbol separator for BPE sequence strings — control char, never in text.
+_BPE_SEP = "\x01"
+
+
+def bpe_merge_symbol_stats(
+    docs: DataFrame,
+    n_merges: int = 3,
+    text_col: str = "text",
+    top_k: int = 20,
+) -> DataFrame:
+    """Byte-pair-encoding merge training, ``n_merges`` fixed rounds,
+    returning the corpus symbol table after training (top ``top_k``
+    symbols by weighted frequency) — the tokenizer-training primitive
+    the brief's "BPE-ish" token counting builds toward.
+
+    Algorithm (both engines replay it exactly): words → (word, freq)
+    vocabulary; each word becomes a sentinel-delimited character
+    string ``␁c1␁c2␁…␁``. Per round: count adjacent symbol pairs
+    (weighted by word freq, overlapping occurrences counted), pick the
+    max-count pair with (count desc, left, right) tie-break, and merge
+    it everywhere via left-to-right non-overlapping string ``replace``
+    of ``␁a␁b␁`` → ``␁ab␁``, applied TWICE: a match consumes the
+    boundary sentinel the next occurrence needs, so one pass skips
+    alternating adjacencies (…a b a b… merges #1 and #3 but not #2);
+    the second pass merges the skipped ones, reaching the fixpoint —
+    for a ≠ b occurrences never overlap, so "merge all occurrences"
+    is well-defined and order-free. (For a == b runs like "aaa" the
+    pair choice is inherently positional; this variant's choice is
+    deterministic and replayed identically by the oracle, which is
+    the contract — no fold/lookahead state machine needed.)
+
+    Scale: the corpus is touched ONCE (the word-frequency aggregate);
+    every merge round runs on the vocabulary table — pair counting is
+    an explode+sum with map-side partials, and the argmax is a 1-row
+    TakeOrdered. The chosen pair is driver-collected per round (two
+    strings — the scalar-subquery pattern), keeping each round's merge
+    a pure column expression.
+    """
+    sep = _BPE_SEP
+    wf = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            F.concat(
+                F.lit(sep),
+                F.array_join(F.regexp_extract_all("w", F.lit("."), 0), sep),
+                F.lit(sep),
+            ).alias("s"),
+            "freq",
+        )
+    )
+    wf = wf.cache()  # each round re-reads the (vocab-sized) table
+    symbols = F.filter(F.split(F.col("s"), sep), lambda x: x != "")
+    for _ in range(n_merges):
+        # sequence(1, 0) DESCENDS in Spark — guard single-symbol words
+        # (no pairs) with an explicit empty array.
+        idx = F.when(
+            F.size(symbols) >= 2, F.sequence(F.lit(1), F.size(symbols) - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        pairs = wf.select(
+            "freq",
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        F.element_at(symbols, i).alias("a"),
+                        F.element_at(symbols, (i + 1).cast("int")).alias("b"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+            .first()
+        )
+        if best is None:
+            break
+        a, b = best["a"], best["b"]
+        pat = F.lit(f"{sep}{a}{sep}{b}{sep}")
+        rep = F.lit(f"{sep}{a}{b}{sep}")
+        wf = wf.select(
+            F.replace(F.replace(F.col("s"), pat, rep), pat, rep).alias("s"),
+            "freq",
+        )
+    return (
+        wf.select("freq", F.explode(symbols).alias("symbol"))
+        .groupBy("symbol")
+        .agg(F.sum("freq").alias("total_count"))
+        .orderBy(F.col("total_count").desc(), "symbol")
+        .limit(top_k)
+    )

@@ -2233,3 +2233,8 @@ SELECT doc_id, source, CAST(src_rank AS BIGINT) AS src_rank,
                          WHEN 'src2' THEN 1.5 ELSE 1.0 END), 6) AS mix_key
 FROM r
 """
+
+
+# bpe_merge_symbol_stats: 3 unrolled BPE merge rounds — pair
+# counts, (cnt desc, a, b) argmax, sentinel-string replace merge.
+ORACLE_SQL["bpe_merge_symbol_stats"] = "WITH w AS (\n  SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS w\n  FROM documents WHERE text IS NOT NULL\n), wf0 AS (\n  SELECT chr(1) || array_to_string(regexp_extract_all(w, '.'), chr(1)) || chr(1) AS s,\n         CAST(count(*) AS BIGINT) AS freq\n  FROM w GROUP BY 1\n), sym0 AS (\n  SELECT s, freq, list_filter(string_split(s, chr(1)), x -> x != '') AS q\n  FROM wf0\n), pc0 AS (\n  SELECT q[i] AS a, q[i + 1] AS b, CAST(sum(freq) AS BIGINT) AS cnt\n  FROM (SELECT freq, q, unnest(range(1, len(q))) AS i FROM sym0)\n  GROUP BY 1, 2\n), best0 AS (\n  SELECT a, b FROM pc0 ORDER BY cnt DESC, a, b LIMIT 1\n), wf1 AS (\n  SELECT replace(replace(s, chr(1) || a || chr(1) || b || chr(1),\n                    chr(1) || a || b || chr(1)),\n                 chr(1) || a || chr(1) || b || chr(1),\n                    chr(1) || a || b || chr(1)) AS s, freq\n  FROM sym0 CROSS JOIN best0\n), sym1 AS (\n  SELECT s, freq, list_filter(string_split(s, chr(1)), x -> x != '') AS q\n  FROM wf1\n), pc1 AS (\n  SELECT q[i] AS a, q[i + 1] AS b, CAST(sum(freq) AS BIGINT) AS cnt\n  FROM (SELECT freq, q, unnest(range(1, len(q))) AS i FROM sym1)\n  GROUP BY 1, 2\n), best1 AS (\n  SELECT a, b FROM pc1 ORDER BY cnt DESC, a, b LIMIT 1\n), wf2 AS (\n  SELECT replace(replace(s, chr(1) || a || chr(1) || b || chr(1),\n                    chr(1) || a || b || chr(1)),\n                 chr(1) || a || chr(1) || b || chr(1),\n                    chr(1) || a || b || chr(1)) AS s, freq\n  FROM sym1 CROSS JOIN best1\n), sym2 AS (\n  SELECT s, freq, list_filter(string_split(s, chr(1)), x -> x != '') AS q\n  FROM wf2\n), pc2 AS (\n  SELECT q[i] AS a, q[i + 1] AS b, CAST(sum(freq) AS BIGINT) AS cnt\n  FROM (SELECT freq, q, unnest(range(1, len(q))) AS i FROM sym2)\n  GROUP BY 1, 2\n), best2 AS (\n  SELECT a, b FROM pc2 ORDER BY cnt DESC, a, b LIMIT 1\n), wf3 AS (\n  SELECT replace(replace(s, chr(1) || a || chr(1) || b || chr(1),\n                    chr(1) || a || b || chr(1)),\n                 chr(1) || a || chr(1) || b || chr(1),\n                    chr(1) || a || b || chr(1)) AS s, freq\n  FROM sym2 CROSS JOIN best2\n)\nSELECT symbol, CAST(sum(freq) AS BIGINT) AS total_count FROM (\n  SELECT freq, unnest(list_filter(string_split(s, chr(1)), x -> x != ''))\n         AS symbol\n  FROM wf3\n) GROUP BY 1 ORDER BY total_count DESC, symbol LIMIT 20\n"

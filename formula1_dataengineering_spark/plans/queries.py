@@ -2890,3 +2890,17 @@ def source_mixing_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents"),
         weights={"src0": 2.0, "src1": 2.0, "src2": 1.5},
     )
+
+
+@query("bpe_merge_symbol_stats")
+def bpe_merge_symbol_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, 3 merge rounds, over the corpus word
+    vocabulary (functions/text.bpe_merge_symbol_stats): adjacent-pair
+    counting, deterministic argmax merges via left-to-right sentinel
+    string replace, final top-20 symbol table. The corpus is scanned
+    once; every round runs on the vocabulary."""
+    from ..functions.text import bpe_merge_symbol_stats
+
+    return bpe_merge_symbol_stats(
+        load(spark, sf_dir, "documents"), n_merges=3, top_k=20
+    )

@@ -131,3 +131,23 @@ def test_mixing_order_weight_proportional_interleave(spark):
     head = out.head(30)
     n_heavy = (head["source"] == "heavy").sum()
     assert 18 <= n_heavy <= 22
+
+
+def test_bpe_merges_follow_greedy_pair_counts(spark):
+    """Hand-checked 3-round BPE on {banana x3, bandana x1}: merges are
+    (a,n) -> (an,a) -> (b,an), leaving symbols ana:4, ban:4, d:1 —
+    exercises weighted overlapping pair counts, lexicographic
+    tie-breaks, and left-to-right non-overlapping merge order."""
+    from formula1_dataengineering_spark.functions.text import (
+        bpe_merge_symbol_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "banana banana"), (2, "banana bandana")],
+        "doc_id long, text string",
+    )
+    out = [
+        (r["symbol"], r["total_count"])
+        for r in bpe_merge_symbol_stats(docs, n_merges=3, top_k=10).collect()
+    ]
+    assert out == [("ana", 4), ("ban", 4), ("d", 1)]
