@@ -1,0 +1,61 @@
+"""Distributed-determinism guard: results must be a pure function of
+the DATA, not of the partition layout. Each sensitive query runs under
+two different shuffle-partition settings and must produce identical
+canonical results — this catches partition-order-dependent float
+reductions, unquantized iterative state, and rank ties without total
+orders (the #1 distributed-correctness trap this engine designs
+against: every such site quantizes or adds a tie-break key)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from formula1_dataengineering_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+#: Queries whose plans contain the partition-sensitive shapes: unrolled
+#: iterative state (kmeans/PC/PQ/BPE), quantized float sums, two-phase
+#: prefix arithmetic, sketch top-k, and rank windows.
+SENSITIVE = [
+    "kmeans_ivf_training",
+    "embedding_top_pc",
+    "pq_encode_embeddings",
+    "bpe_merge_symbol_stats",
+    "sketch_profile_by_type",
+    "sequence_packing_global",
+    "source_mixing_order",
+    "token_budget_sample_docs",
+    "supplier_ship_span",
+    "source_term_drift",
+]
+
+
+def _canon(df):
+    cols = sorted(df.columns)
+    rows = []
+    for r in df.collect():
+        vals = []
+        for c in cols:
+            v = r[c]
+            if isinstance(v, float):
+                v = None if math.isnan(v) else round(v, 9)
+            vals.append(v)
+        rows.append(tuple(vals))
+    rows.sort(key=lambda t: tuple((x is None, str(type(x)), x) for x in t))
+    return cols, rows
+
+
+@pytest.mark.parametrize("name", SENSITIVE)
+def test_result_invariant_under_shuffle_partitioning(spark, name):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = _canon(QUERIES[name](spark, SF))
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = _canon(QUERIES[name](spark, SF))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b
