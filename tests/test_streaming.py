@@ -195,3 +195,47 @@ def test_foreach_batch_upsert_is_idempotent_per_key(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == n_distinct
     assert got.select("event_id").distinct().count() == n_distinct
+
+
+def test_checkpoint_resume_ingests_only_new_files(spark, tmp_path):
+    """Checkpointed file-stream resume: stop after the first batch of
+    files, add more, restart with the SAME checkpoint — the restarted
+    query must process only the new files (offsets resumed), leaving
+    every row exactly once in a plain append sink."""
+    from formula1_dataengineering_spark.sources.catalog import load
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    base = (
+        load(spark, SF, "events")
+        .where(F.col("event_id") % 97 == 0)
+        .select("event_id", "event_type", "value")
+    )
+    first = base.where(F.col("event_id") % 2 == 0)
+    second = base.where(F.col("event_id") % 2 != 0)
+    first.coalesce(1).write.mode("overwrite").parquet(src + "/f1")
+
+    def run_once():
+        q = (
+            spark.readStream.schema(base.schema)
+            .parquet(src + "/*")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == first.count()
+    second.coalesce(1).write.mode("overwrite").parquet(src + "/f2")
+    run_once()
+    got = spark.read.parquet(out)
+    assert got.count() == base.count()  # nothing reprocessed, nothing lost
+    assert got.select("event_id").distinct().count() == base.count()
