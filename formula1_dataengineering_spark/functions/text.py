@@ -184,25 +184,23 @@ def heavy_hitter_terms(
     No group ever sorts its full vocabulary on one task. Ties break on
     term ascending, making the result a pure function of the data.
     """
-    from pyspark.sql import Window
+    from ..operators.ranking import sharded_topk_per_group
 
     counts = (
         docs.select(F.col(group_col), F.explode(tokens(F.col(text_col))).alias("term"))
         .groupBy(group_col, "term")
         .agg(F.count("*").alias("term_count"))
     )
-    order = [F.col("term_count").desc(), F.col("term").asc()]
-    w1 = Window.partitionBy(
-        group_col, F.pmod(F.crc32(F.col("term")), F.lit(n_shards))
-    ).orderBy(*order)
-    pruned = counts.withColumn("__r1", F.row_number().over(w1)).where(
-        F.col("__r1") <= k
-    )
-    w2 = Window.partitionBy(group_col).orderBy(*order)
-    return (
-        pruned.withColumn("rk", F.row_number().over(w2))
-        .where(F.col("rk") <= k)
-        .select(group_col, "term", "term_count", F.col("rk").cast("int").alias("rk"))
+    return sharded_topk_per_group(
+        counts,
+        group_col,
+        [F.col("term_count").desc(), F.col("term").asc()],
+        k,
+        shard_by=F.crc32(F.col("term")),
+        n_shards=n_shards,
+        keep_rank="rk",
+    ).select(
+        group_col, "term", "term_count", F.col("rk").cast("int").alias("rk")
     )
 
 
@@ -324,7 +322,7 @@ def bpe_merge_symbol_stats(
             "freq",
         )
     )
-    wf = wf.cache()  # each round re-reads the (vocab-sized) table
+    wf = wf0 = wf.cache()  # each merge round re-reads the vocab table
     symbols = F.filter(F.split(F.col("s"), sep), lambda x: x != "")
     for _ in range(n_merges):
         # sequence(1, 0) DESCENDS in Spark — guard single-symbol words
@@ -360,6 +358,11 @@ def bpe_merge_symbol_stats(
             F.replace(F.replace(F.col("s"), pat, rep), pat, rep).alias("s"),
             "freq",
         )
+    # Release the cached vocabulary now that the merge loop's repeated
+    # reads are done (code-review finding: a long-lived session would
+    # accumulate dead cache entries); the returned plan recomputes the
+    # one vocab aggregate at collection.
+    wf0.unpersist()
     return (
         wf.select("freq", F.explode(symbols).alias("symbol"))
         .groupBy("symbol")

@@ -243,6 +243,10 @@ def power_iteration_pc(
     norm_of = lambda col: F.sqrt(  # noqa: E731
         F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x * x)
     )
+    # Zero-norm guard (code-review finding): a vector whose quantized
+    # per-dim sums all rounded to 0 would hit ANSI double/0; skip the
+    # normalization instead (zeros stay zeros), mirrored in the oracle.
+    safe_div = lambda x, n: F.when(n != 0, x / n).otherwise(x)  # noqa: E731
     keyed = base.withColumn("__k", F.pmod(F.col(id_col), F.lit(1)).cast("int"))
     for i in range(iters):
         scored = keyed.join(F.broadcast(v_df), "__k").select(
@@ -265,7 +269,7 @@ def power_iteration_pc(
                 F.pmod(F.size("__wraw"), F.lit(1)).cast("int").alias("__k"),
                 F.transform(
                     "__wraw",
-                    lambda x: F.round(x / norm_of(F.col("__wraw")), round_decimals),
+                    lambda x: F.round(safe_div(x, norm_of(F.col("__wraw"))), round_decimals),
                 ).alias("__w"),
             )
     return wrow.select(
@@ -273,7 +277,7 @@ def power_iteration_pc(
         F.posexplode(
             F.transform(
                 "__wraw",
-                lambda x: F.round(x / norm_of(F.col("__wraw")), round_decimals),
+                lambda x: F.round(safe_div(x, norm_of(F.col("__wraw"))), round_decimals),
             )
         ).alias("dim_idx", "pc1"),
     ).select("dim_idx", "pc1", "eigenvalue")
@@ -311,7 +315,17 @@ def pq_encode(
         raise ValueError(f"m, k, iters must be >= 1, got {m}, {k}, {iters}")
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = emb.select(F.col(id_col), vec_d.alias("__v"))
-    d_sub = (F.size("__v") / m).cast("int")
+    # Fail fast when dims % m != 0: float-free slicing would silently
+    # drop the remainder dimensions (code-review finding). assert_true
+    # is NULL when the check passes, so coalesce falls through to the
+    # real width; a violating row raises at execution.
+    d_sub = F.coalesce(
+        F.assert_true(
+            F.size("__v") % m == 0,
+            F.lit(f"pq: embedding length must be divisible by m={m}"),
+        ).cast("int"),
+        (F.size("__v") / m).cast("int"),
+    )
     sub_of = lambda df: df.select(  # noqa: E731
         F.col(id_col),
         F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub_id"),
@@ -415,7 +429,13 @@ def pq_adc_topk(
         _with_codebook=True,
     )
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    d_sub = (F.size("__v") / m).cast("int")
+    d_sub = F.coalesce(
+        F.assert_true(
+            F.size("__v") % m == 0,
+            F.lit(f"pq: query length must be divisible by m={m}"),
+        ).cast("int"),
+        (F.size("__v") / m).cast("int"),
+    )
     qsubs = (
         queries.select(F.col(id_col).alias("q_id"), vec_d.alias("__v"))
         .select(

@@ -297,24 +297,21 @@ def quota_sample(
     billion rows one partition value holds. A single per-partition
     window would sort the whole partition on one task.
     """
+    from .ranking import sharded_topk_per_group
+
     hashed = df.select(
         F.col(id_col),
         F.col(part_col),
         F.md5(F.col(id_col).cast("string")).alias("__hk"),
     )
-    n_shards = 64
-    w1 = Window.partitionBy(
-        part_col, F.pmod(F.crc32(F.col("__hk")), F.lit(n_shards))
-    ).orderBy("__hk", id_col)
-    pruned = hashed.withColumn("__r1", F.row_number().over(w1)).where(
-        F.col("__r1") <= quota
-    )
-    w2 = Window.partitionBy(part_col).orderBy("__hk", id_col)
-    return (
-        pruned.withColumn(rank_col, F.row_number().over(w2))
-        .where(F.col(rank_col) <= quota)
-        .select(id_col, part_col, F.col(rank_col).cast("int").alias(rank_col))
-    )
+    return sharded_topk_per_group(
+        hashed,
+        part_col,
+        [F.col("__hk"), F.col(id_col)],
+        quota,
+        shard_by=F.crc32(F.col("__hk")),
+        keep_rank=rank_col,
+    ).select(id_col, part_col, F.col(rank_col).cast("int").alias(rank_col))
 
 
 def scrub_stats(

@@ -115,14 +115,11 @@ def kmv_sketch_profile(
 
     counts = df.groupBy(g).agg(F.count("*").alias("n_rows"))
 
+    from .ranking import sharded_topk_per_group
+
     dist = df.select(F.col(g), h_id.alias("__h")).distinct()
-    w1 = Window.partitionBy(g, F.pmod(F.col("__h"), F.lit(64))).orderBy("__h")
-    pruned = dist.withColumn("__r1", F.row_number().over(w1)).where(
-        F.col("__r1") <= k
-    )
-    w2 = Window.partitionBy(g).orderBy("__h")
-    topk = pruned.withColumn("__r2", F.row_number().over(w2)).where(
-        F.col("__r2") <= k
+    topk = sharded_topk_per_group(
+        dist, g, [F.col("__h")], k, shard_by=F.col("__h")
     )
     kmv = topk.groupBy(g).agg(
         F.count("*").alias("__d"), F.max("__h").alias("__hk")

@@ -2008,8 +2008,12 @@ WITH base AS (
 ), wr0 AS (
   SELECT list(wj ORDER BY dim) AS wraw FROM d0
 ), w1 AS (
-  SELECT list_transform(wraw, x -> round(x / sqrt(
-           list_reduce(list_transform(wraw, y -> y * y), (a, c) -> a + c)), 6))
+  SELECT list_transform(wraw, x -> round(
+           CASE WHEN sqrt(list_reduce(list_transform(wraw, y -> y * y),
+                                      (a, c) -> a + c)) <> 0
+                THEN x / sqrt(list_reduce(list_transform(wraw, y -> y * y),
+                                          (a, c) -> a + c))
+                ELSE x END, 6))
          AS w
   FROM wr0
 ), s1 AS (
@@ -2025,8 +2029,12 @@ WITH base AS (
 ), wr1 AS (
   SELECT list(wj ORDER BY dim) AS wraw FROM d1
 ), w2 AS (
-  SELECT list_transform(wraw, x -> round(x / sqrt(
-           list_reduce(list_transform(wraw, y -> y * y), (a, c) -> a + c)), 6))
+  SELECT list_transform(wraw, x -> round(
+           CASE WHEN sqrt(list_reduce(list_transform(wraw, y -> y * y),
+                                      (a, c) -> a + c)) <> 0
+                THEN x / sqrt(list_reduce(list_transform(wraw, y -> y * y),
+                                          (a, c) -> a + c))
+                ELSE x END, 6))
          AS w
   FROM wr1
 ), s2 AS (
@@ -2043,9 +2051,11 @@ WITH base AS (
   SELECT list(wj ORDER BY dim) AS wraw FROM d2
 )
 SELECT CAST(u.i - 1 AS INT) AS dim_idx,
-       round(wraw[u.i] / sqrt(
-         list_reduce(list_transform(wraw, y -> y * y), (a, c) -> a + c)), 6)
-         AS pc1,
+       round(CASE WHEN sqrt(list_reduce(list_transform(wraw, y -> y * y),
+                                         (a, c) -> a + c)) <> 0
+                  THEN wraw[u.i] / sqrt(list_reduce(
+                         list_transform(wraw, y -> y * y), (a, c) -> a + c))
+                  ELSE wraw[u.i] END, 6) AS pc1,
        round(sqrt(list_reduce(list_transform(wraw, y -> y * y),
                               (a, c) -> a + c)), 4) AS eigenvalue
 FROM wr2 CROSS JOIN generate_series(1, 64) u(i)
@@ -2082,9 +2092,11 @@ GROUP BY e.event_type
 """
 
 
-# pq_encode_embeddings: per-subspace (keyed) k-means, 2 unrolled
-# iterations, mirroring operators/clustering.pq_encode.
-ORACLE_SQL["pq_encode_embeddings"] = """WITH e AS (
+# Shared PQ training replay (per-subspace keyed k-means, 2 unrolled
+# iterations) — ONE definition for both PQ gates, so a future fix to
+# seeding/tie-break/rounding cannot diverge between them
+# (code-review finding).
+_PQ_TRAIN_SQL = """WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ), sub AS (
@@ -2121,52 +2133,17 @@ ORACLE_SQL["pq_encode_embeddings"] = """WITH e AS (
       PARTITION BY vec_id, sub_id ORDER BY dist, cluster) AS rn
     FROM sc2 x
   ) WHERE rn = 1
-)
+)"""
+
+# pq_encode_embeddings: codes + quantization error per subspace.
+ORACLE_SQL["pq_encode_embeddings"] = _PQ_TRAIN_SQL + """
 SELECT vec_id, sub_id, CAST(cluster AS BIGINT) AS code,
        round(dist, 6) AS sq_dist
 FROM a2
 """
 
-
-# pq_adc_topk: PQ training replay + per-query LUT + ADC scoring.
-ORACLE_SQL["pq_adc_topk"] = """WITH e AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-  FROM embeddings
-), sub AS (
-  SELECT vec_id, CAST(s.i AS INT) AS sub_id,
-         v[(s.i * 8 + 1):(s.i * 8 + 8)] AS sv
-  FROM e CROSS JOIN generate_series(0, 7) s(i)
-), c0 AS (
-  SELECT sub_id, CAST(vec_id AS BIGINT) AS cluster, sv AS c FROM sub
-  WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 4)
-), sc1 AS (
-  SELECT s.vec_id, s.sub_id, s.sv, c.cluster, list_reduce(list_transform(list_zip(s.sv, c.c), x -> (x[1] - x[2]) * (x[1] - x[2])), (a, b) -> a + b) AS dist
-  FROM sub s JOIN c0 c USING (sub_id)
-), a1 AS (
-  SELECT vec_id, sub_id, sv, cluster, dist FROM (
-    SELECT x.*, row_number() OVER (
-      PARTITION BY vec_id, sub_id ORDER BY dist, cluster) AS rn
-    FROM sc1 x
-  ) WHERE rn = 1
-), u1 AS (
-  SELECT sub_id, cluster, d AS dim, round(avg(val), 4) AS cv FROM (
-    SELECT sub_id, cluster, unnest(sv) AS val,
-           generate_subscripts(sv, 1) AS d
-    FROM a1
-  ) GROUP BY 1, 2, 3
-), c1 AS (
-  SELECT sub_id, cluster, list(cv ORDER BY dim) AS c FROM u1
-  GROUP BY 1, 2
-), sc2 AS (
-  SELECT s.vec_id, s.sub_id, s.sv, c.cluster, list_reduce(list_transform(list_zip(s.sv, c.c), x -> (x[1] - x[2]) * (x[1] - x[2])), (a, b) -> a + b) AS dist
-  FROM sub s JOIN c1 c USING (sub_id)
-), a2 AS (
-  SELECT vec_id, sub_id, sv, cluster, dist FROM (
-    SELECT x.*, row_number() OVER (
-      PARTITION BY vec_id, sub_id ORDER BY dist, cluster) AS rn
-    FROM sc2 x
-  ) WHERE rn = 1
-), lut AS (
+# pq_adc_topk: training replay + per-query LUT + ADC scoring.
+ORACLE_SQL["pq_adc_topk"] = _PQ_TRAIN_SQL + """, lut AS (
   SELECT q.vec_id AS q_id, q.sub_id, c.cluster AS code, list_reduce(list_transform(list_zip(q.sv, c.c), x -> (x[1] - x[2]) * (x[1] - x[2])), (a, b) -> a + b) AS ld
   FROM sub q JOIN c1 c USING (sub_id)
   WHERE q.vec_id < 10
@@ -2181,6 +2158,7 @@ SELECT q_id, vec_id, adc_dist, CAST(rk AS INT) AS rk FROM (
   FROM scored s
 ) WHERE rk <= 5
 """
+
 
 ORACLE_SQL["hourly_gap_filled_activity"] = """
 WITH e AS (
@@ -2215,8 +2193,10 @@ WITH hourly AS (
   FROM hourly GROUP BY 1
 )
 SELECT h.event_type, h.hr, h.n_events,
-       round((h.n_events - s.mu) / s.sd, 4) AS z_score,
-       abs((h.n_events - s.mu) / s.sd) > 2 AS is_anomaly
+       CASE WHEN s.sd <> 0
+            THEN round((h.n_events - s.mu) / s.sd, 4) END AS z_score,
+       CASE WHEN s.sd <> 0
+            THEN abs((h.n_events - s.mu) / s.sd) > 2 END AS is_anomaly
 FROM hourly h JOIN stats s USING (event_type)
 """
 
@@ -2237,4 +2217,4 @@ FROM r
 
 # bpe_merge_symbol_stats: 3 unrolled BPE merge rounds — pair
 # counts, (cnt desc, a, b) argmax, sentinel-string replace merge.
-ORACLE_SQL["bpe_merge_symbol_stats"] = "WITH w AS (\n  SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS w\n  FROM documents WHERE text IS NOT NULL\n), wf0 AS (\n  SELECT chr(1) || array_to_string(regexp_extract_all(w, '.'), chr(1)) || chr(1) AS s,\n         CAST(count(*) AS BIGINT) AS freq\n  FROM w GROUP BY 1\n), sym0 AS (\n  SELECT s, freq, list_filter(string_split(s, chr(1)), x -> x != '') AS q\n  FROM wf0\n), pc0 AS (\n  SELECT q[i] AS a, q[i + 1] AS b, CAST(sum(freq) AS BIGINT) AS cnt\n  FROM (SELECT freq, q, unnest(range(1, len(q))) AS i FROM sym0)\n  GROUP BY 1, 2\n), best0 AS (\n  SELECT a, b FROM pc0 ORDER BY cnt DESC, a, b LIMIT 1\n), wf1 AS (\n  SELECT replace(replace(s, chr(1) || a || chr(1) || b || chr(1),\n                    chr(1) || a || b || chr(1)),\n                 chr(1) || a || chr(1) || b || chr(1),\n                    chr(1) || a || b || chr(1)) AS s, freq\n  FROM sym0 CROSS JOIN best0\n), sym1 AS (\n  SELECT s, freq, list_filter(string_split(s, chr(1)), x -> x != '') AS q\n  FROM wf1\n), pc1 AS (\n  SELECT q[i] AS a, q[i + 1] AS b, CAST(sum(freq) AS BIGINT) AS cnt\n  FROM (SELECT freq, q, unnest(range(1, len(q))) AS i FROM sym1)\n  GROUP BY 1, 2\n), best1 AS (\n  SELECT a, b FROM pc1 ORDER BY cnt DESC, a, b LIMIT 1\n), wf2 AS (\n  SELECT replace(replace(s, chr(1) || a || chr(1) || b || chr(1),\n                    chr(1) || a || b || chr(1)),\n                 chr(1) || a || chr(1) || b || chr(1),\n                    chr(1) || a || b || chr(1)) AS s, freq\n  FROM sym1 CROSS JOIN best1\n), sym2 AS (\n  SELECT s, freq, list_filter(string_split(s, chr(1)), x -> x != '') AS q\n  FROM wf2\n), pc2 AS (\n  SELECT q[i] AS a, q[i + 1] AS b, CAST(sum(freq) AS BIGINT) AS cnt\n  FROM (SELECT freq, q, unnest(range(1, len(q))) AS i FROM sym2)\n  GROUP BY 1, 2\n), best2 AS (\n  SELECT a, b FROM pc2 ORDER BY cnt DESC, a, b LIMIT 1\n), wf3 AS (\n  SELECT replace(replace(s, chr(1) || a || chr(1) || b || chr(1),\n                    chr(1) || a || b || chr(1)),\n                 chr(1) || a || chr(1) || b || chr(1),\n                    chr(1) || a || b || chr(1)) AS s, freq\n  FROM sym2 CROSS JOIN best2\n)\nSELECT symbol, CAST(sum(freq) AS BIGINT) AS total_count FROM (\n  SELECT freq, unnest(list_filter(string_split(s, chr(1)), x -> x != ''))\n         AS symbol\n  FROM wf3\n) GROUP BY 1 ORDER BY total_count DESC, symbol LIMIT 20\n"
+ORACLE_SQL["bpe_merge_symbol_stats"] = "WITH w AS (\n  SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS w\n  FROM documents WHERE text IS NOT NULL\n), wf0 AS (\n  SELECT chr(1) || array_to_string(regexp_extract_all(w, '.'), chr(1)) || chr(1) AS s,\n         CAST(count(*) AS BIGINT) AS freq\n  FROM w GROUP BY 1\n), sym0 AS (\n  SELECT s, freq, list_filter(string_split(s, chr(1)), x -> x != '') AS q\n  FROM wf0\n), pc0 AS (\n  SELECT q[i] AS a, q[i + 1] AS b, CAST(sum(freq) AS BIGINT) AS cnt\n  FROM (SELECT freq, q, unnest(range(1, len(q))) AS i FROM sym0)\n  GROUP BY 1, 2\n), best0 AS (\n  SELECT a, b FROM pc0 ORDER BY cnt DESC, a, b LIMIT 1\n), wf1 AS (\n  SELECT replace(replace(s,\n           coalesce(chr(1) || a || chr(1) || b || chr(1), chr(2)),\n           coalesce(chr(1) || a || b || chr(1), chr(2))),\n         coalesce(chr(1) || a || chr(1) || b || chr(1), chr(2)),\n         coalesce(chr(1) || a || b || chr(1), chr(2))) AS s, freq\n  FROM sym0 LEFT JOIN best0 ON true  -- empty best (no pairs) must keep s, not annihilate it\n), sym1 AS (\n  SELECT s, freq, list_filter(string_split(s, chr(1)), x -> x != '') AS q\n  FROM wf1\n), pc1 AS (\n  SELECT q[i] AS a, q[i + 1] AS b, CAST(sum(freq) AS BIGINT) AS cnt\n  FROM (SELECT freq, q, unnest(range(1, len(q))) AS i FROM sym1)\n  GROUP BY 1, 2\n), best1 AS (\n  SELECT a, b FROM pc1 ORDER BY cnt DESC, a, b LIMIT 1\n), wf2 AS (\n  SELECT replace(replace(s,\n           coalesce(chr(1) || a || chr(1) || b || chr(1), chr(2)),\n           coalesce(chr(1) || a || b || chr(1), chr(2))),\n         coalesce(chr(1) || a || chr(1) || b || chr(1), chr(2)),\n         coalesce(chr(1) || a || b || chr(1), chr(2))) AS s, freq\n  FROM sym1 LEFT JOIN best1 ON true  -- empty best (no pairs) must keep s, not annihilate it\n), sym2 AS (\n  SELECT s, freq, list_filter(string_split(s, chr(1)), x -> x != '') AS q\n  FROM wf2\n), pc2 AS (\n  SELECT q[i] AS a, q[i + 1] AS b, CAST(sum(freq) AS BIGINT) AS cnt\n  FROM (SELECT freq, q, unnest(range(1, len(q))) AS i FROM sym2)\n  GROUP BY 1, 2\n), best2 AS (\n  SELECT a, b FROM pc2 ORDER BY cnt DESC, a, b LIMIT 1\n), wf3 AS (\n  SELECT replace(replace(s,\n           coalesce(chr(1) || a || chr(1) || b || chr(1), chr(2)),\n           coalesce(chr(1) || a || b || chr(1), chr(2))),\n         coalesce(chr(1) || a || chr(1) || b || chr(1), chr(2)),\n         coalesce(chr(1) || a || b || chr(1), chr(2))) AS s, freq\n  FROM sym2 LEFT JOIN best2 ON true  -- empty best (no pairs) must keep s, not annihilate it\n)\nSELECT symbol, CAST(sum(freq) AS BIGINT) AS total_count FROM (\n  SELECT freq, unnest(list_filter(string_split(s, chr(1)), x -> x != ''))\n         AS symbol\n  FROM wf3\n) GROUP BY 1 ORDER BY total_count DESC, symbol LIMIT 20\n"

@@ -2864,7 +2864,13 @@ def hourly_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("n_events").alias("__mu"),
         F.stddev_samp("n_events").alias("__sd"),
     )
-    z = (F.col("n_events") - F.col("__mu")) / F.col("__sd")
+    # Guard sd == 0 (perfectly constant volume — exactly what a monitor
+    # must tolerate): ANSI double/0 throws in Spark; emit NULL like the
+    # oracle's CASE instead (code-review finding).
+    z = F.when(
+        F.col("__sd") != 0,
+        (F.col("n_events") - F.col("__mu")) / F.col("__sd"),
+    )
     return (
         hourly.join(F.broadcast(stats), "event_type")
         .select(

@@ -146,8 +146,14 @@ def emit_drilldown_site(
         ),
     )
     for y in years:
+        # Sort on the KEY with a name fallback: a NULL official name
+        # (nullable API field) must not TypeError the whole site emit
+        # (code-review finding).
         weekends = sorted(
-            (r["meeting_official_name"], r["meeting_key"])
+            (
+                (r["meeting_official_name"] or f"Meeting {r['meeting_key']}"),
+                r["meeting_key"],
+            )
             for r in f1_weekends(tables["meetings"], y).collect()
         )
         emit(
@@ -160,7 +166,10 @@ def emit_drilldown_site(
         )
         for wk_name, mk in weekends:
             sess = sorted(
-                (r["session_name"], r["session_key"])
+                (
+                    (r["session_name"] or f"Session {r['session_key']}"),
+                    r["session_key"],
+                )
                 for r in sessions_in_weekend(tables["sessions"], mk).collect()
             )
             emit(

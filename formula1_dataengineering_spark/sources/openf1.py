@@ -44,20 +44,25 @@ class TransientError(Exception):
     """Retryable transport condition (the reference's HTTP 429 path)."""
 
 
-def http_fetcher(url: str, params: dict) -> bytes:
+def http_fetcher(url: str, params: dict, timeout_s: float = 30.0) -> bytes:
     """stdlib urllib transport: GET ``url?params``; HTTP 429 becomes
     :class:`TransientError` (the reference's retry trigger, hf:11-12),
-    every other HTTP error propagates."""
+    every other HTTP error propagates. A connect/read ``timeout_s``
+    bounds stalled connections — without it one hung socket defeats
+    the bounded-retry design and hangs the whole ingest pool
+    (code-review finding)."""
     from urllib import error, parse, request
 
     full = url + ("?" + parse.urlencode(params) if params else "")
     try:
-        with request.urlopen(full) as resp:  # noqa: S310 — caller's URL
+        with request.urlopen(full, timeout=timeout_s) as resp:  # noqa: S310
             return resp.read()
     except error.HTTPError as e:
         if e.code == 429:
             raise TransientError("429") from e
         raise
+    except TimeoutError as e:
+        raise TransientError(f"timeout after {timeout_s}s") from e
 
 
 def fetch_with_retry(

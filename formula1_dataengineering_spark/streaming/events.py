@@ -373,15 +373,19 @@ def incremental_upsert_sink(
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        import os
-
         spark = batch_df.sparkSession
         new = batch_df.dropDuplicates([key_col])
-        if os.path.isdir(out_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(out_dir)
-        ):
+        # Probe for existing data through Spark itself, not os.path —
+        # an s3a://-style out_dir would silently skip the dedup under a
+        # local-filesystem check (code-review finding). A missing or
+        # empty sink raises AnalysisException; that's the no-data case.
+        try:
             existing = spark.read.parquet(out_dir).select(key_col)
             new = new.join(existing, key_col, "left_anti")
+        except Exception as exc:  # noqa: BLE001 — narrowed by message
+            msg = str(exc)
+            if "PATH_NOT_FOUND" not in msg and "UNABLE_TO_INFER_SCHEMA" not in msg:
+                raise
         new.write.mode("append").parquet(out_dir)
 
     writer = (
