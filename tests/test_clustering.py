@@ -128,3 +128,37 @@ def test_pq_adc_query_code_vector_is_nearest_to_itself(spark):
         sub = out[out["q_id"] == q].sort_values("rk")
         assert list(sub["rk"]) == [1, 2, 3, 4]
         assert sub["adc_dist"].is_monotonic_increasing
+
+
+def test_power_iteration_zero_matrix_yields_zero_vector(spark):
+    """All-zero embeddings: quantized sums are all 0, the norm guard
+    skips normalization, and the result is a zero vector with
+    eigenvalue 0 — not a divide-by-zero crash (code-review fix)."""
+    from formula1_dataengineering_spark.operators.clustering import (
+        power_iteration_pc,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [0.0] * 8) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    out = power_iteration_pc(emb, iters=2).collect()
+    assert len(out) == 8
+    assert all(r["pc1"] == 0.0 and r["eigenvalue"] == 0.0 for r in out)
+
+
+def test_pq_encode_rejects_indivisible_dims(spark):
+    """dims % m != 0 must fail fast, not silently drop dimensions."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from formula1_dataengineering_spark.operators.clustering import pq_encode
+
+    emb = spark.createDataFrame(
+        [(i, [1.0] * 10) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises((SparkRuntimeException, Py4JJavaError, Exception)) as e:
+        pq_encode(emb, m=4, k=2, iters=1).collect()
+    assert "divisible" in str(e.value)

@@ -151,3 +151,21 @@ def test_bpe_merges_follow_greedy_pair_counts(spark):
         for r in bpe_merge_symbol_stats(docs, n_merges=3, top_k=10).collect()
     ]
     assert out == [("ana", 4), ("ban", 4), ("d", 1)]
+
+
+def test_bpe_dry_round_keeps_symbols(spark):
+    """A corpus of single-character words has no pairs: the merge loop
+    runs dry and the symbol table is the unmerged character counts —
+    not empty (code-review fix; the oracle's LEFT JOIN mirrors this)."""
+    from formula1_dataengineering_spark.functions.text import (
+        bpe_merge_symbol_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a"), (2, "b a")], "doc_id long, text string"
+    )
+    out = {
+        r["symbol"]: r["total_count"]
+        for r in bpe_merge_symbol_stats(docs, n_merges=3, top_k=10).collect()
+    }
+    assert out == {"a": 3, "b": 2, "c": 1}
