@@ -466,3 +466,83 @@ def pq_adc_topk(
         .where(F.col("rk") <= topk)
         .select("q_id", id_col, "adc_dist", F.col("rk").cast("int").alias("rk"))
     )
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    cell_col: str = "label",
+    m: int = 8,
+    k: int = 4,
+    iters: int = 2,
+    topk: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF + PQ composite search — the full approximate index query
+    path: restrict candidates to the query's coarse cell (``cell_col``,
+    the IVF probe — here the precomputed label, as ``ivf_topk`` uses),
+    then rank them by asymmetric PQ distance. Combines the two
+    sub-linear tricks: the cell probe cuts candidates by the cell
+    count, the codes cut bytes-per-candidate to m small ints.
+
+    Scale: identical to :func:`pq_adc_topk` with ``cell_col`` added to
+    the LUT join key — scoring fan-out is (candidates in probed cells)
+    × m, not corpus × m.
+    """
+    from pyspark.sql import Window
+
+    codes, cents = pq_encode(
+        emb, m=m, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+        _with_codebook=True,
+    )
+    labeled_codes = codes.join(
+        emb.select(F.col(id_col), F.col(cell_col)), id_col
+    )
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    d_sub = F.coalesce(
+        F.assert_true(
+            F.size("__v") % m == 0,
+            F.lit(f"pq: query length must be divisible by m={m}"),
+        ).cast("int"),
+        (F.size("__v") / m).cast("int"),
+    )
+    qsubs = (
+        queries.select(
+            F.col(id_col).alias("q_id"),
+            F.col(cell_col),
+            vec_d.alias("__v"),
+        )
+        .select(
+            "q_id",
+            cell_col,
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub_id"),
+            F.col("__v"),
+        )
+        .select(
+            "q_id",
+            cell_col,
+            "sub_id",
+            F.slice("__v", F.col("sub_id") * d_sub + 1, d_sub).alias("__qv"),
+        )
+    )
+    lut = qsubs.join(cents, "sub_id").select(
+        "q_id",
+        cell_col,
+        "sub_id",
+        F.col("__cluster").alias("code"),
+        _sq_dist("__qv", "__c").alias("__ld"),
+    )
+    scored = (
+        labeled_codes.join(F.broadcast(lut), ["sub_id", "code", cell_col])
+        .groupBy("q_id", id_col)
+        .agg(F.round(F.sum("__ld"), 6).alias("adc_dist"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("adc_dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= topk)
+        .select("q_id", id_col, "adc_dist", F.col("rk").cast("int").alias("rk"))
+    )

@@ -755,3 +755,27 @@ def mixing_order(
             ),
         )
     )
+
+
+def observed_quality_counters(docs: DataFrame, text_col: str = "text"):
+    """Attach free data-quality counters to a corpus scan via
+    ``DataFrame.observe``: row count, NULL-text count, empty-text
+    count, and total characters are accumulated DURING whatever action
+    the caller runs next — no second pass over the data, which at
+    100 TB is the difference between monitoring and an extra job.
+
+    Returns ``(df, observation)``; read ``observation.get`` after the
+    first action on ``df``. The counters are exact (metrics are
+    computed by the same tasks that produce the result).
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("corpus_quality")
+    observed = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col(text_col).isNull().cast("long")).alias("n_null_text"),
+        F.sum((F.col(text_col) == "").cast("long")).alias("n_empty_text"),
+        F.sum(F.length(text_col)).alias("total_chars"),
+    )
+    return observed, obs

@@ -2159,6 +2159,16 @@ SELECT q_id, vec_id, adc_dist, CAST(rk AS INT) AS rk FROM (
 ) WHERE rk <= 5
 """
 
+# ivf_pq_topk: cell-restricted ADC — the label joins into both the
+# LUT and the code table, so scoring only fans out within the
+# query's probed cell. The `e` CTE in _PQ_TRAIN_SQL carries labels
+# implicitly via the embeddings view.
+ORACLE_SQL["ivf_pq_topk"] = _PQ_TRAIN_SQL.replace(
+    "SELECT vec_id, list_transform",
+    "SELECT vec_id, label, list_transform",
+) + ', lc AS (\n  SELECT a.vec_id, a.sub_id, a.cluster, e.label\n  FROM a2 a JOIN e USING (vec_id)\n), lut AS (\n  SELECT q.vec_id AS q_id, e.label, q.sub_id, c.cluster AS code,\n         list_reduce(list_transform(list_zip(q.sv, c.c),\n                     x -> (x[1] - x[2]) * (x[1] - x[2])), (a, b) -> a + b) AS ld\n  FROM sub q JOIN e ON q.vec_id = e.vec_id JOIN c1 c USING (sub_id)\n  WHERE q.vec_id < 10\n), scored AS (\n  SELECT l.q_id, a.vec_id, round(sum(l.ld), 6) AS adc_dist\n  FROM lc a JOIN lut l\n    ON a.sub_id = l.sub_id AND a.cluster = l.code AND a.label = l.label\n  GROUP BY 1, 2\n)\nSELECT q_id, vec_id, adc_dist, CAST(rk AS INT) AS rk FROM (\n  SELECT s.*, row_number() OVER (\n    PARTITION BY q_id ORDER BY adc_dist, vec_id) AS rk\n  FROM scored s\n) WHERE rk <= 5\n'
+
+
 
 ORACLE_SQL["hourly_gap_filled_activity"] = """
 WITH e AS (

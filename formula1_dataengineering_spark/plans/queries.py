@@ -2910,3 +2910,17 @@ def bpe_merge_symbol_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merge_symbol_stats(
         load(spark, sf_dir, "documents"), n_merges=3, top_k=20
     )
+
+
+@query("ivf_pq_topk")
+def ivf_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ composite: query vectors (vec_id < 10) probe their own
+    coarse cell (label) and rank the cell's candidates by asymmetric
+    PQ distance — the complete approximate-index query path, combining
+    the cell probe's candidate cut with the codes' bandwidth cut."""
+    from ..operators.clustering import ivf_pq_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(
+        e, e.where(F.col("vec_id") < 10), m=8, k=4, iters=2, topk=5
+    )

@@ -162,3 +162,24 @@ def test_pq_encode_rejects_indivisible_dims(spark):
     with pytest.raises((SparkRuntimeException, Py4JJavaError, Exception)) as e:
         pq_encode(emb, m=4, k=2, iters=1).collect()
     assert "divisible" in str(e.value)
+
+
+def test_ivf_pq_results_stay_in_query_cell(spark):
+    """Every IVF-PQ hit shares the query's cell — the probe actually
+    restricts candidates."""
+    from formula1_dataengineering_spark.operators.clustering import ivf_pq_topk
+
+    rows = [
+        (i, [float((i * 13 + d * 7) % 11 - 5) for d in range(16)], i % 3)
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = ivf_pq_topk(
+        emb, emb.where("vec_id < 3"), m=4, k=3, iters=2, topk=4
+    ).toPandas()
+    labels = {i: i % 3 for i in range(60)}
+    for _, r in out.iterrows():
+        assert labels[r["vec_id"]] == labels[r["q_id"]]
+    assert (out.groupby("q_id").size() == 4).all()

@@ -418,3 +418,24 @@ def test_packing_shard_key_exact_for_huge_ids(spark):
         assert row.bin_id == prev // 4
         assert row.bin_offset == prev % 4
         prev += n
+
+
+def test_observed_quality_counters_free_with_action(spark):
+    """observe() metrics arrive with the action itself — exact counts,
+    no second scan."""
+    from formula1_dataengineering_spark.operators.curation import (
+        observed_quality_counters,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "ab"), (2, None), (3, ""), (4, "xyz")],
+        "doc_id long, text string",
+    )
+    observed, obs = observed_quality_counters(docs)
+    kept = observed.where("text IS NOT NULL").count()
+    assert kept == 3
+    m = obs.get
+    assert m["n_rows"] == 4
+    assert m["n_null_text"] == 1
+    assert m["n_empty_text"] == 1
+    assert m["total_chars"] == 5

@@ -112,3 +112,20 @@ def test_zorder_layout_beats_linear_on_box_queries(spark):
         z_touched, l_touched = files_touched(zpath), files_touched(lpath)
         assert z_touched == 1, z_touched
         assert l_touched == 4, l_touched
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Schema evolution across parquet batches: a later batch adds a
+    column; mergeSchema reads the union schema with NULLs for the old
+    batch — the append-only ingest evolution path."""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a")], "doc_id long, text string"
+    ).write.mode("append").parquet(p)
+    spark.createDataFrame(
+        [(2, "b", "en")], "doc_id long, text string, lang string"
+    ).write.mode("append").parquet(p)
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) == {"doc_id", "text", "lang"}
+    rows = {r["doc_id"]: r for r in merged.collect()}
+    assert rows[1]["lang"] is None and rows[2]["lang"] == "en"
