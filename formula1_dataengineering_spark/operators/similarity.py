@@ -344,3 +344,42 @@ def srp_multiprobe_topk(
     pruned = bucketed.where(F.col("bucket").isin(list(groups)))
     scored = _gemm_batch_topk(pruned, groups, id_col, vec_col, k, "bucket")
     return _finalize_topk(scored, k)
+
+
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    top-k most similar vectors with a DIFFERENT label — the negatives
+    that are hardest to separate and therefore most informative.
+
+    Physical design: one :func:`cosine_topk` GEMM pass per distinct
+    query label, each over the complementary-label corpus slice
+    (query labels are few and the query set is bounded by the same
+    contract as ``cosine_topk``). Corpus scans stay pushed-down label
+    filters; nothing pairs across the full corpus.
+    """
+    q_labels = sorted(
+        r[label_col]
+        for r in queries.select(label_col).distinct().collect()
+        if r[label_col] is not None
+    )
+    out = None
+    for lbl in q_labels:
+        part = cosine_topk(
+            queries.where(F.col(label_col) == lbl),
+            corpus.where(F.col(label_col) != lbl),
+            id_col=id_col,
+            vec_col=vec_col,
+            k=k,
+        )
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        return cosine_topk(queries.limit(0), corpus, id_col=id_col,
+                           vec_col=vec_col, k=k)
+    return out

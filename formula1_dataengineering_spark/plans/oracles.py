@@ -501,6 +501,23 @@ SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rank AS INTEGER) AS 
 FROM ranked WHERE rank <= 5
 """
 
+ORACLE_SQL["hard_negative_topk"] = f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS} AS cos
+  FROM e a JOIN e b
+    ON a.vec_id < 10 AND a.label <> b.label
+), ranked AS (
+  SELECT query_id, neighbor_id, cos, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
+       CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
 ORACLE_SQL["knn_ivf_label"] = f"""
 WITH e AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -2228,3 +2245,93 @@ FROM r
 # bpe_merge_symbol_stats: 3 unrolled BPE merge rounds — pair
 # counts, (cnt desc, a, b) argmax, sentinel-string replace merge.
 ORACLE_SQL["bpe_merge_symbol_stats"] = "WITH w AS (\n  SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS w\n  FROM documents WHERE text IS NOT NULL\n), wf0 AS (\n  SELECT chr(1) || array_to_string(regexp_extract_all(w, '.'), chr(1)) || chr(1) AS s,\n         CAST(count(*) AS BIGINT) AS freq\n  FROM w GROUP BY 1\n), sym0 AS (\n  SELECT s, freq, list_filter(string_split(s, chr(1)), x -> x != '') AS q\n  FROM wf0\n), pc0 AS (\n  SELECT q[i] AS a, q[i + 1] AS b, CAST(sum(freq) AS BIGINT) AS cnt\n  FROM (SELECT freq, q, unnest(range(1, len(q))) AS i FROM sym0)\n  GROUP BY 1, 2\n), best0 AS (\n  SELECT a, b FROM pc0 ORDER BY cnt DESC, a, b LIMIT 1\n), wf1 AS (\n  SELECT replace(replace(s,\n           coalesce(chr(1) || a || chr(1) || b || chr(1), chr(2)),\n           coalesce(chr(1) || a || b || chr(1), chr(2))),\n         coalesce(chr(1) || a || chr(1) || b || chr(1), chr(2)),\n         coalesce(chr(1) || a || b || chr(1), chr(2))) AS s, freq\n  FROM sym0 LEFT JOIN best0 ON true  -- empty best (no pairs) must keep s, not annihilate it\n), sym1 AS (\n  SELECT s, freq, list_filter(string_split(s, chr(1)), x -> x != '') AS q\n  FROM wf1\n), pc1 AS (\n  SELECT q[i] AS a, q[i + 1] AS b, CAST(sum(freq) AS BIGINT) AS cnt\n  FROM (SELECT freq, q, unnest(range(1, len(q))) AS i FROM sym1)\n  GROUP BY 1, 2\n), best1 AS (\n  SELECT a, b FROM pc1 ORDER BY cnt DESC, a, b LIMIT 1\n), wf2 AS (\n  SELECT replace(replace(s,\n           coalesce(chr(1) || a || chr(1) || b || chr(1), chr(2)),\n           coalesce(chr(1) || a || b || chr(1), chr(2))),\n         coalesce(chr(1) || a || chr(1) || b || chr(1), chr(2)),\n         coalesce(chr(1) || a || b || chr(1), chr(2))) AS s, freq\n  FROM sym1 LEFT JOIN best1 ON true  -- empty best (no pairs) must keep s, not annihilate it\n), sym2 AS (\n  SELECT s, freq, list_filter(string_split(s, chr(1)), x -> x != '') AS q\n  FROM wf2\n), pc2 AS (\n  SELECT q[i] AS a, q[i + 1] AS b, CAST(sum(freq) AS BIGINT) AS cnt\n  FROM (SELECT freq, q, unnest(range(1, len(q))) AS i FROM sym2)\n  GROUP BY 1, 2\n), best2 AS (\n  SELECT a, b FROM pc2 ORDER BY cnt DESC, a, b LIMIT 1\n), wf3 AS (\n  SELECT replace(replace(s,\n           coalesce(chr(1) || a || chr(1) || b || chr(1), chr(2)),\n           coalesce(chr(1) || a || b || chr(1), chr(2))),\n         coalesce(chr(1) || a || chr(1) || b || chr(1), chr(2)),\n         coalesce(chr(1) || a || b || chr(1), chr(2))) AS s, freq\n  FROM sym2 LEFT JOIN best2 ON true  -- empty best (no pairs) must keep s, not annihilate it\n)\nSELECT symbol, CAST(sum(freq) AS BIGINT) AS total_count FROM (\n  SELECT freq, unnest(list_filter(string_split(s, chr(1)), x -> x != ''))\n         AS symbol\n  FROM wf3\n) GROUP BY 1 ORDER BY total_count DESC, symbol LIMIT 20\n"
+
+ORACLE_SQL["filter_cascade_stats"] = """
+WITH a AS (
+  SELECT CAST(count(*) AS BIGINT) AS c0,
+         CAST(sum(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN text IS NOT NULL AND n_chars >= 100
+                  THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+         CAST(sum(CASE WHEN text IS NOT NULL AND n_chars >= 100
+                       AND lang IN ('en', 'de', 'fr')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+         CAST(sum(CASE WHEN text IS NOT NULL AND n_chars >= 100
+                       AND lang IN ('en', 'de', 'fr')
+                       AND len(string_split(text, ' ')) >= 40
+                  THEN 1 ELSE 0 END) AS BIGINT) AS c4
+  FROM documents
+)
+SELECT stage, n_in, n_out, n_in - n_out AS n_dropped FROM (
+  SELECT '1_non_null_text' AS stage, c0 AS n_in, c1 AS n_out FROM a
+  UNION ALL SELECT '2_min_length', c1, c2 FROM a
+  UNION ALL SELECT '3_language', c2, c3 FROM a
+  UNION ALL SELECT '4_min_tokens', c3, c4 FROM a
+)
+"""
+
+ORACLE_SQL["domain_filter_stats"] = """
+WITH u AS (
+  SELECT 'https://site' || CAST(doc_id % 13 AS VARCHAR) || '.example'
+         || (CASE WHEN doc_id % 3 = 0 THEN '.net' ELSE '.org' END)
+         || '/p/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+), h AS (
+  SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS domain FROM u
+)
+SELECT domain, regexp_matches(domain, '\\.net$') AS is_blocked,
+       count(*) AS n_docs
+FROM h GROUP BY 1, 2
+"""
+
+ORACLE_SQL["dedup_keep_best_docs"] = f"""
+WITH h AS (
+  SELECT doc_id, n_chars,
+         ((md5_number(text) % {_M48} + {_M48}) % {_M48}) AS content_hash,
+         row_number() OVER (
+           PARTITION BY ((md5_number(text) % {_M48} + {_M48}) % {_M48})
+           ORDER BY n_chars DESC, doc_id
+         ) AS rn
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT content_hash, CAST(count(*) AS BIGINT) AS n_copies,
+       min(CASE WHEN rn = 1 THEN doc_id END) AS kept_doc_id,
+       min(CASE WHEN rn = 1 THEN n_chars END) AS kept_n_chars
+FROM h GROUP BY content_hash
+"""
+
+ORACLE_SQL["packing_efficiency_stats"] = """
+WITH n AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+  FROM documents WHERE text IS NOT NULL
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_prev
+  FROM n
+), packed AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(cum_prev // 512 AS BIGINT) AS bin_id,
+         (cum_prev % 512 + n_tokens > 512) AS crosses
+  FROM c
+), per_bin AS (
+  SELECT source, bin_id, count(*) AS docs, sum(n_tokens) AS tok
+  FROM packed GROUP BY 1, 2
+), last_bin AS (
+  SELECT source, max(bin_id) AS last FROM per_bin GROUP BY 1
+), fill AS (
+  SELECT p.source, round(avg(p.tok / 512.0), 4) AS closed_bin_mean_fill
+  FROM per_bin p JOIN last_bin l USING (source)
+  WHERE p.bin_id <> l.last GROUP BY 1
+), totals AS (
+  SELECT source, CAST(count(DISTINCT bin_id) AS BIGINT) AS n_bins,
+         count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(sum(CASE WHEN crosses THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_boundary_docs
+  FROM packed GROUP BY 1
+)
+SELECT t.source, t.n_bins, t.n_docs, t.total_tokens, t.n_boundary_docs,
+       f.closed_bin_mean_fill
+FROM totals t LEFT JOIN fill f USING (source)
+"""

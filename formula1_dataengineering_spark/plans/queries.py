@@ -2924,3 +2924,138 @@ def ivf_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_pq_topk(
         e, e.where(F.col("vec_id") < 10), m=8, k=4, iters=2, topk=5
     )
+
+
+@query("filter_cascade_stats")
+def filter_cascade_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship funnel of a 4-stage quality filter cascade
+    (non-null text → length ≥ 100 chars → lang ∈ {en,de,fr} → ≥ 40
+    tokens): per stage, docs in / dropped / surviving — the audit
+    table a curation pipeline publishes with every run. ONE corpus
+    pass: the cascade is conditional aggregation (each stage's count
+    is a sum of nested predicates), unpivoted to long form at the
+    single-row edge."""
+    d = load(spark, sf_dir, "documents")
+    s1 = F.col("text").isNotNull()
+    s2 = s1 & (F.col("n_chars") >= 100)
+    s3 = s2 & F.col("lang").isin("en", "de", "fr")
+    s4 = s3 & (F.size(F.split("text", " ")) >= 40)
+    agg = d.agg(
+        F.count("*").alias("c0"),
+        *[
+            F.sum(s.cast("long")).alias(f"c{i}")
+            for i, s in enumerate((s1, s2, s3, s4), start=1)
+        ],
+    )
+    stages = ["non_null_text", "min_length", "language", "min_tokens"]
+    stack_args = ", ".join(
+        f"'{i}_{name}', c{i - 1}, c{i}"
+        for i, name in enumerate(stages, start=1)
+    )
+    return agg.selectExpr(
+        f"stack({len(stages)}, {stack_args}) AS (stage, n_in, n_out)"
+    ).select(
+        "stage",
+        "n_in",
+        "n_out",
+        (F.col("n_in") - F.col("n_out")).alias("n_dropped"),
+    )
+
+
+@query("domain_filter_stats")
+def domain_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain web-corpus accounting with blocklist flags: the
+    synthetic corpus carries no URLs, so each doc gets a deterministic
+    doc_id-derived URL (pii_scrub_stats' seeding pattern), then the
+    host is regexp-extracted (portable — Spark's parse_url has no
+    DuckDB twin), flagged against a blocklist, and counted per domain
+    — the URL-filtering stage of web-corpus curation. Pure scan-stage
+    regexp into a #domains-row aggregate."""
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://site"),
+        (F.col("doc_id") % 13).cast("string"),
+        F.lit(".example"),
+        F.when(F.col("doc_id") % 3 == 0, ".net").otherwise(".org"),
+        F.lit("/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    host = F.regexp_extract(url, r"^https?://([^/]+)/", 1)
+    blocked = host.rlike(r"\.net$")
+    return (
+        d.select(host.alias("domain"), blocked.alias("is_blocked"))
+        .groupBy("domain", "is_blocked")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@query("dedup_keep_best_docs")
+def dedup_keep_best_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup that keeps the BEST duplicate (max n_chars, tie min
+    doc_id) instead of the arbitrary/min-id one — the quality-aware
+    keep policy real pipelines use (longest copy usually has the least
+    truncation). min_by over a total order, map-side combinable."""
+    from ..operators.dedup import portable_hash48
+
+    d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return (
+        d.groupBy(portable_hash48(F.col("text")).alias("content_hash"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min_by(
+                F.struct("doc_id", "n_chars"),
+                F.struct((-F.col("n_chars")).alias("neg"), F.col("doc_id")),
+            ).alias("__keep"),
+        )
+        .select(
+            "content_hash",
+            "n_copies",
+            F.col("__keep.doc_id").alias("kept_doc_id"),
+            F.col("__keep.n_chars").alias("kept_n_chars"),
+        )
+    )
+
+
+@query("packing_efficiency_stats")
+def packing_efficiency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency report over the sequence-packing output: per
+    source, bins used, docs packed, total tokens, boundary-crossing
+    docs, and mean fill of CLOSED bins (the open tail bin per source
+    is excluded — its fill is an artifact of corpus size, not packing
+    quality). The audit a training-data build publishes next to its
+    packed shards."""
+    from ..operators.curation import pack_sequences
+
+    packed = pack_sequences(
+        load(spark, sf_dir, "documents"), budget=512, part_col="source"
+    )
+    per_bin = packed.groupBy("source", "bin_id").agg(
+        F.count("*").alias("__docs"),
+        F.sum("n_tokens").alias("__tok"),
+    )
+    last_bin = per_bin.groupBy("source").agg(F.max("bin_id").alias("__last"))
+    closed = per_bin.join(F.broadcast(last_bin), "source").where(
+        F.col("bin_id") != F.col("__last")
+    )
+    totals = packed.groupBy("source").agg(
+        F.countDistinct("bin_id").alias("n_bins"),
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(F.col("crosses_boundary").cast("long")).alias("n_boundary_docs"),
+    )
+    fill = closed.groupBy("source").agg(
+        F.round(F.avg(F.col("__tok") / 512.0), 4).alias("closed_bin_mean_fill")
+    )
+    return totals.join(fill, "source", "left")
+
+
+@query("hard_negative_topk")
+def hard_negative_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: for query vectors (vec_id <
+    10), the top-5 most similar CROSS-label vectors — the informative
+    negatives a contrastive trainer pairs with each anchor. One GEMM
+    pass per query label over the complementary corpus slice."""
+    from ..operators.similarity import hard_negative_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    return hard_negative_topk(e, e.where(F.col("vec_id") < 10), k=5)
