@@ -246,3 +246,33 @@ def session_report_html(facade, driver_number: int | None = None) -> str:
         sections,
         subtitle=f"{info['session_type']} · {info['circuit']}",
     )
+
+
+def corpus_report_html(spark, sf_dir: str, max_rows: int = 50) -> str:
+    """Corpus datasheet (the LLM-pipeline counterpart of the session
+    report): one static page summarizing the training corpus — source
+    accounting, the quality-filter survivorship funnel, per-source
+    vocabulary heavy hitters, distribution drift, and the sketch
+    profile of the event stream. Every section is an existing
+    hash-verified catalog query collected at its (already tiny)
+    aggregate edge; the sink only lays out tables.
+    """
+    from ..plans.queries import QUERIES
+
+    sections = []
+    for heading, name in (
+        ("Source accounting", "token_stats_by_source"),
+        ("Quality filter funnel", "filter_cascade_stats"),
+        ("Heavy-hitter terms by source", "heavy_hitter_terms_by_source"),
+        ("Source distribution drift (TVD)", "source_term_drift"),
+        ("Event stream sketch profile", "sketch_profile_by_type"),
+    ):
+        pdf = QUERIES[name](spark, sf_dir).toPandas()
+        if len(pdf) > max_rows:
+            pdf = pdf.head(max_rows)
+        sections.append((heading, "", pdf))
+    return dashboard_html(
+        "Corpus datasheet",
+        sections,
+        subtitle=f"catalog tables at {sf_dir}",
+    )

@@ -299,3 +299,20 @@ def test_drilldown_site_navigates_year_weekend_session(spark, tables, tmp_path):
     for name in pages:
         for href in re.findall(r"href='([^']+)'", (tmp_path / name).read_text()):
             assert (tmp_path / href).exists(), (name, href)
+
+
+def test_corpus_report_html_renders_all_sections(spark):
+    from formula1_dataengineering_spark.sinks.dashboard import (
+        corpus_report_html,
+    )
+
+    html = corpus_report_html(spark, "/root/testdata/sf0.001")
+    for heading in (
+        "Source accounting",
+        "Quality filter funnel",
+        "Heavy-hitter terms",
+        "distribution drift",
+        "sketch profile",
+    ):
+        assert heading in html
+    assert html.count("table view") == 5
