@@ -100,3 +100,29 @@ def write_clustered(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_mixed_corpus(
+    docs_with_key,
+    out_dir: str,
+    key_col: str = "mix_key",
+    n_shards: int = 8,
+):
+    """Materialize a curriculum order (``operators.curation.mixing_order``
+    keys) as globally-ordered training shards: range-partition on the
+    mix key (shard i's keys all precede shard i+1's), sort within each
+    shard, write one parquet per shard — a reader consuming shards in
+    partition order streams the exact weighted-interleave curriculum.
+
+    Scale: repartitionByRange samples the key distribution, so shards
+    balance regardless of skew; the sort is per-shard (no global
+    single-task sort anywhere).
+    """
+    from pyspark.sql import functions as F
+
+    (
+        docs_with_key.repartitionByRange(n_shards, F.col(key_col))
+        .sortWithinPartitions(key_col)
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )

@@ -129,3 +129,37 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     assert set(merged.columns) == {"doc_id", "text", "lang"}
     rows = {r["doc_id"]: r for r in merged.collect()}
     assert rows[1]["lang"] is None and rows[2]["lang"] == "en"
+
+
+def test_mixed_corpus_shards_are_globally_ordered(spark, tmp_path):
+    """Range-partitioned curriculum write: files read in partition
+    order yield the exact ascending mix-key order — within-file sorted
+    AND file boundaries non-overlapping."""
+    from formula1_dataengineering_spark.operators.curation import mixing_order
+    from formula1_dataengineering_spark.sources.layout import write_mixed_corpus
+
+    docs = spark.createDataFrame(
+        [(i, "a" if i % 3 else "b", None) for i in range(300)],
+        "doc_id long, source string, text string",
+    )
+    keyed = mixing_order(docs, weights={"a": 2.0})
+    out = str(tmp_path / "mixed")
+    write_mixed_corpus(keyed, out, n_shards=4)
+
+    import glob
+
+    files = sorted(glob.glob(out + "/part-*.parquet"))
+    assert len(files) >= 2
+    prev_max = None
+    total = 0
+    for f in files:
+        pdf = spark.read.parquet(f).toPandas()
+        total += len(pdf)
+        if len(pdf) == 0:
+            continue
+        keys = list(pdf["mix_key"])
+        assert keys == sorted(keys)  # within-shard order
+        if prev_max is not None:
+            assert keys[0] >= prev_max  # shard boundaries don't overlap
+        prev_max = keys[-1]
+    assert total == 300

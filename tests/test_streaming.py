@@ -239,3 +239,54 @@ def test_checkpoint_resume_ingests_only_new_files(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == base.count()  # nothing reprocessed, nothing lost
     assert got.select("event_id").distinct().count() == base.count()
+
+
+def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
+    """Late-data policy: once the watermark has passed a window and its
+    append-mode result was EMITTED (state evicted), a later-arriving
+    row for that window is guaranteed-dropped — no duplicate window
+    emission. (While state is still live, sub-watermark rows MAY merge;
+    Spark's guarantee is one-sided, so the test forces eviction first.)
+    """
+    import datetime as dt
+    import time
+
+    from formula1_dataengineering_spark.streaming.events import (
+        run_to_completion,
+        tumbling_event_counts,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    src = str(tmp_path / "src")
+    batches = [
+        # batch 0: window 12:00 gets ONE event; max ts 12:30 -> wm 12:20
+        [(1, t0), (2, t0 + dt.timedelta(minutes=30))],
+        # batch 1: advance; end of batch emits+evicts window 12:00
+        [(4, t0 + dt.timedelta(minutes=60))],
+        # batch 2: LATE row for the evicted 12:00 window -> dropped
+        [(3, t0 + dt.timedelta(minutes=2))],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(
+            [(eid, ts, 1, "view", 1.0, None) for eid, ts in rows], schema
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/f{i}")
+        time.sleep(1.1)  # file-stream orders batches by modification time
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    got = run_to_completion(
+        tumbling_event_counts(stream, window="5 minutes", watermark="10 minutes"),
+        "t_late_drop",
+        output_mode="append",
+    ).toPandas()
+    w0 = got[got["window_start"] == t0]
+    # exactly one emission of the 12:00 window, without the late row —
+    # and no duplicate emission after the late arrival
+    assert len(w0) == 1
+    assert int(w0["n_events"].iloc[0]) == 1
