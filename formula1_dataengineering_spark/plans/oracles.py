@@ -2335,3 +2335,32 @@ SELECT t.source, t.n_bins, t.n_docs, t.total_tokens, t.n_boundary_docs,
        f.closed_bin_mean_fill
 FROM totals t LEFT JOIN fill f USING (source)
 """
+
+ORACLE_SQL["end_to_end_curation_stats"] = f"""
+WITH f AS (
+  SELECT doc_id, source, text, n_chars,
+         ((md5_number(text) % {_M48} + {_M48}) % {_M48}) AS h
+  FROM documents WHERE text IS NOT NULL AND n_chars >= 100
+), ranked AS (
+  SELECT doc_id, source, text,
+         row_number() OVER (
+           PARTITION BY h ORDER BY n_chars DESC, doc_id) AS rn
+  FROM f
+), kept AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+  FROM ranked WHERE rn = 1
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_prev
+  FROM kept
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(count(DISTINCT cum_prev // 512) AS BIGINT) AS n_bins,
+       CAST(sum(CASE WHEN cum_prev % 512 + n_tokens > 512
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_docs
+FROM c GROUP BY source
+"""

@@ -3059,3 +3059,36 @@ def hard_negative_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "embeddings")
     return hard_negative_topk(e, e.where(F.col("vec_id") < 10), k=5)
+
+
+@query("end_to_end_curation_stats")
+def end_to_end_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation DAG as ONE lazy plan — quality filter
+    (non-null, ≥100 chars) → exact dedup keeping the best copy →
+    fixed-budget sequence packing → per-source accounting. The point
+    is COMPOSITION: every stage is an existing verified operator, and
+    chaining them stays a single Catalyst plan (no materialization
+    between stages), which is how a real pipeline would run them."""
+    from ..operators.curation import pack_sequences
+    from ..operators.dedup import portable_hash48
+
+    d = load(spark, sf_dir, "documents")
+    filtered = d.where(F.col("text").isNotNull() & (F.col("n_chars") >= 100))
+    kept_ids = (
+        filtered.groupBy(portable_hash48(F.col("text")).alias("__h"))
+        .agg(
+            F.min_by(
+                F.col("doc_id"),
+                F.struct((-F.col("n_chars")).alias("neg"), F.col("doc_id")),
+            ).alias("doc_id")
+        )
+        .select("doc_id")
+    )
+    kept = filtered.join(kept_ids, "doc_id", "left_semi")
+    packed = pack_sequences(kept, budget=512, part_col="source")
+    return packed.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.countDistinct("bin_id").alias("n_bins"),
+        F.sum(F.col("crosses_boundary").cast("long")).alias("n_boundary_docs"),
+    )
