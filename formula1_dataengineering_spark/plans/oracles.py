@@ -2364,3 +2364,50 @@ SELECT source, count(*) AS n_docs,
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_docs
 FROM c GROUP BY source
 """
+
+ORACLE_SQL["source_term_entropy"] = r"""
+WITH tc AS (
+  SELECT source,
+         unnest(list_filter(string_split_regex(text, '\s+'), x -> x != ''))
+           AS t
+  FROM documents
+), c AS (
+  SELECT source, t, CAST(count(*) AS BIGINT) AS c FROM tc GROUP BY 1, 2
+), tot AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1
+)
+SELECT c.source,
+       round(-sum((CAST(c.c AS DOUBLE) / t.n) * ln(CAST(c.c AS DOUBLE) / t.n)), 4)
+         AS entropy_nats,
+       count(*) AS n_terms,
+       max(t.n) AS n_tokens
+FROM c JOIN tot t USING (source)
+GROUP BY c.source
+"""
+
+ORACLE_SQL["doc_bigram_surprisal"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x != '') AS q
+  FROM documents
+), bi AS (
+  SELECT doc_id, q[i] AS w1, q[i + 1] AS w2
+  FROM (SELECT doc_id, q, unnest(range(1, len(q))) AS i FROM toks)
+), bc AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS bn FROM bi GROUP BY 1, 2
+), uc AS (
+  SELECT w1, CAST(sum(bn) AS BIGINT) AS un,
+         CAST(count(*) AS BIGINT) AS vocab
+  FROM bc GROUP BY 1
+), lm AS (
+  SELECT b.w1, b.w2,
+         -ln(CAST(b.bn + 1 AS DOUBLE) / (u.un + u.vocab)) AS surprisal
+  FROM bc b JOIN uc u USING (w1)
+), scored AS (
+  SELECT bi.doc_id, round(avg(l.surprisal), 4) AS mean_surprisal,
+         count(*) AS n_bigrams
+  FROM bi JOIN lm l USING (w1, w2)
+  GROUP BY 1
+)
+SELECT * FROM scored ORDER BY mean_surprisal DESC, doc_id LIMIT 20
+"""

@@ -3092,3 +3092,90 @@ def end_to_end_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("bin_id").alias("n_bins"),
         F.sum(F.col("crosses_boundary").cast("long")).alias("n_boundary_docs"),
     )
+
+
+@query("source_term_entropy")
+def source_term_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each source's term distribution (nats, round
+    4) plus distinct-term and token counts — the vocabulary-diversity
+    metric beside TVD drift: low entropy flags boilerplate-heavy
+    sources. ln parity across engines is already proven by the
+    hash-matched tf-idf gate; rounding absorbs the last ulp."""
+    from ..functions.text import tokens
+
+    d = load(spark, sf_dir, "documents")
+    tc = (
+        d.select(F.col("source"), F.explode(tokens(F.col("text"))).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = tc.groupBy("source").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    return (
+        tc.join(F.broadcast(tot), "source")
+        .groupBy("source")
+        .agg(
+            F.round(-F.sum(p * F.log(p)), 4).alias("entropy_nats"),
+            F.count("*").alias("n_terms"),
+            F.max("n").alias("n_tokens"),
+        )
+    )
+
+
+@query("doc_bigram_surprisal")
+def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-bigram LM surprisal per document (top-20 most surprising
+    docs): score = mean over the doc's bigrams of −ln P(w2 | w1) with
+    add-one smoothing over the observed continuation vocabulary — the
+    perplexity-proxy quality filter (high surprisal ≈ incoherent or
+    out-of-domain text). One explode for bigrams shared by the count
+    and score branches; joins keyed on the bigram/unigram (high-
+    cardinality, broadcastable while the LM fits)."""
+    from ..functions.text import tokens
+
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    bi = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size(toks) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(toks) - 1),
+                        lambda i: F.struct(
+                            F.element_at(toks, i).alias("w1"),
+                            F.element_at(toks, (i + 1).cast("int")).alias("w2"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    bc = bi.groupBy("w1", "w2").agg(F.count("*").alias("bn"))
+    uc = bc.groupBy("w1").agg(
+        F.sum("bn").alias("un"), F.count("*").alias("vocab")
+    )
+    lm = bc.join(uc, "w1").select(
+        "w1",
+        "w2",
+        (
+            -F.log(
+                (F.col("bn") + 1).cast("double")
+                / (F.col("un") + F.col("vocab"))
+            )
+        ).alias("surprisal"),
+    )
+    scored = (
+        bi.join(lm, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg("surprisal"), 4).alias("mean_surprisal"),
+            F.count("*").alias("n_bigrams"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("mean_surprisal").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
