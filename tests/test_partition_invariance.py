@@ -30,6 +30,9 @@ SENSITIVE = [
     "token_budget_sample_docs",
     "supplier_ship_span",
     "source_term_drift",
+    "source_term_entropy",
+    "doc_bigram_surprisal",
+    "end_to_end_curation_stats",
 ]
 
 
