@@ -1267,7 +1267,8 @@ WITH d AS (
   UNION ALL
   SELECT doc_id + 10000000 AS doc_id, text FROM documents
 )
-SELECT a.doc_id AS id_a, b.doc_id AS id_b, 1.0 AS est_jaccard
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(1.0 AS DOUBLE) AS est_jaccard
 FROM d a JOIN d b ON a.text = b.text AND a.doc_id < b.doc_id
 """
 
@@ -1876,7 +1877,8 @@ WITH seeded AS (
   SELECT doc_id + 1000000000, 'mirror', text FROM documents
   WHERE text IS NOT NULL AND doc_id % 7 = 0
 ), h AS (
-  SELECT ((md5_number(text) % {_M48} + {_M48}) % {_M48}) AS content_hash,
+  SELECT CAST(((md5_number(text) % {_M48} + {_M48}) % {_M48}) AS BIGINT)
+           AS content_hash,
          source, doc_id
   FROM seeded
 )
@@ -2082,9 +2084,9 @@ WHERE u.i <= len(wraw)
 ORACLE_SQL["normalized_dedup_docs"] = f"""
 WITH n AS (
   SELECT doc_id, source,
-         ((md5_number(trim(regexp_replace(regexp_replace(lower(text),
+         CAST(((md5_number(trim(regexp_replace(regexp_replace(lower(text),
              '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))
-           % {_M48} + {_M48}) % {_M48}) AS norm_key
+           % {_M48} + {_M48}) % {_M48}) AS BIGINT) AS norm_key
   FROM documents WHERE text IS NOT NULL
 )
 SELECT norm_key, count(*) AS n_docs, min(doc_id) AS canonical_doc_id,
@@ -2286,7 +2288,8 @@ FROM h GROUP BY 1, 2
 ORACLE_SQL["dedup_keep_best_docs"] = f"""
 WITH h AS (
   SELECT doc_id, n_chars,
-         ((md5_number(text) % {_M48} + {_M48}) % {_M48}) AS content_hash,
+         CAST(((md5_number(text) % {_M48} + {_M48}) % {_M48}) AS BIGINT)
+           AS content_hash,
          row_number() OVER (
            PARTITION BY ((md5_number(text) % {_M48} + {_M48}) % {_M48})
            ORDER BY n_chars DESC, doc_id

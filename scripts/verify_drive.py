@@ -79,6 +79,18 @@ def main():
             cur = con.execute(sql)
             ocols = [d[0] for d in cur.description]
             orows = cur.fetchall()
+            # Driver-faithful typing probe: the external driver compares
+            # Arrow-typed results, so a DuckDB HUGEINT/DECIMAL output
+            # column hash-mismatches Spark int64/float64 even when the
+            # fetchall values above are equal (VERDICT r3 item 1).
+            import pyarrow as pa
+
+            oschema = con.execute(f"SELECT * FROM ({sql}) LIMIT 0").arrow().schema
+            dec = [(f.name, str(f.type)) for f in oschema if pa.types.is_decimal(f.type)]
+            if dec:
+                print(f"FAIL {name}: oracle Arrow schema has decimal cols {dec}")
+                n_fail += 1
+                continue
         except Exception as e:
             print(f"FAIL {name}: oracle raised {type(e).__name__}: {e}")
             n_fail += 1
