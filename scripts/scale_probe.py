@@ -64,8 +64,36 @@ def build_10x(spark: SparkSession, out_dir: str) -> None:
     for rep in ereps[1:]:
         ebig = ebig.unionByName(rep)
     ebig.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+    # events: disjoint event_id ranges, same users/timestamps — per-user
+    # and per-hour densities grow 10x, which is what funnel/retention/
+    # gap-fill/anomaly plans are sensitive to. Written via catalog.load
+    # so nanos timestamps normalize identically to the source table.
+    from formula1_dataengineering_spark.sources.catalog import load
+
+    ev = load(spark, SF_DIR, "events")
+    vmax = ev.agg(F.max("event_id")).first()[0] + 1
+    vreps = [
+        ev.select(
+            (F.col("event_id") + r * vmax).alias("event_id"),
+            *[c for c in ev.columns if c != "event_id"],
+        )
+        for r in range(10)
+    ]
+    vbig = vreps[0]
+    for rep in vreps[1:]:
+        vbig = vbig.unionByName(rep)
+    # The streaming source globs for a FILE named events.parquet (the
+    # testdata layout); a Spark-written directory would match nothing
+    # and stream 0 rows, so write single-part and move the part file.
+    import glob as _glob
+
+    staging = f"{out_dir}/_events_staging"
+    vbig.coalesce(1).write.mode("overwrite").parquet(staging)
+    part = _glob.glob(f"{staging}/part-*.parquet")[0]
+    shutil.move(part, f"{out_dir}/events.parquet")
+    shutil.rmtree(staging, ignore_errors=True)
     for t in TABLES:
-        if t not in ("documents", "embeddings"):
+        if t not in ("documents", "embeddings", "events"):
             os.symlink(f"{SF_DIR}/{t}.parquet", f"{out_dir}/{t}.parquet")
 
 
