@@ -2414,3 +2414,18 @@ WITH toks AS (
 )
 SELECT * FROM scored ORDER BY mean_surprisal DESC, doc_id LIMIT 20
 """
+
+
+# Round 4: layout-backed execution. The engine runs this over a
+# ship_year hive-partitioned rewrite of lineitem (partition pruning in
+# the scan); values must equal the same aggregate over the raw table.
+ORACLE_SQL["pricing_summary_partitioned"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                         AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4)                         AS avg_qty,
+       count(*)                                          AS count_order
+FROM lineitem
+WHERE year(l_shipdate) = 1995
+GROUP BY l_returnflag, l_linestatus
+"""

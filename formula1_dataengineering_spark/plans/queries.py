@@ -3205,3 +3205,54 @@ def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.orderBy(F.col("mean_surprisal").desc(), F.col("doc_id").asc())
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Round 4: physical-layout-backed execution (VERDICT r3 item 8)
+# --------------------------------------------------------------------------
+
+
+@query("pricing_summary_partitioned")
+def pricing_summary_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Q1-shaped pricing summary executed END-TO-END over the
+    hive-partitioned layout (``sources.bucketing.write_partitioned``):
+    lineitem is written partitioned by ``ship_year``, read back, and
+    the one-year filter resolves as DIRECTORY-level partition pruning —
+    ``EXPLAIN`` shows the year predicate under ``PartitionFilters``,
+    not as a data filter (pinned by tests/test_plans.py). This is the
+    100 TB pruning story exercised through a real benched query: a
+    1-year query on a year-partitioned fact table opens 1/7th of the
+    files before a single row group is read.
+
+    The write is a layout build step (once per (sf_dir, layout
+    version) — skipped when the `_SUCCESS` marker exists), mirroring
+    how a real warehouse materializes layout once and amortizes it
+    over every subsequent query.
+    """
+    import os
+    import tempfile
+
+    from ..sources.bucketing import write_partitioned
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_lineitem_by_year_v1_{tag}"
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        li = load(spark, sf_dir, "lineitem").withColumn(
+            "ship_year", F.year("l_shipdate")
+        )
+        write_partitioned(li, path, ["ship_year"])
+    part = spark.read.parquet(path)
+    return (
+        part.where(F.col("ship_year") == 1995)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )

@@ -107,6 +107,7 @@ def write_mixed_corpus(
     out_dir: str,
     key_col: str = "mix_key",
     n_shards: int = 8,
+    tiebreak_cols: tuple[str, str] = ("source", "doc_id"),
 ):
     """Materialize a curriculum order (``operators.curation.mixing_order``
     keys) as globally-ordered training shards: range-partition on the
@@ -114,15 +115,24 @@ def write_mixed_corpus(
     shard, write one parquet per shard — a reader consuming shards in
     partition order streams the exact weighted-interleave curriculum.
 
+    ``mix_key`` alone is not a total order — cross-source ties are
+    guaranteed (rank 2 at weight 2.0 and rank 1 at weight 1.0 both key
+    to 1.0) — so the within-shard sort adds the ``(source, id)``
+    tie-break that ``mixing_order`` already emits, making the written
+    order a pure function of the data regardless of partition layout.
+
     Scale: repartitionByRange samples the key distribution, so shards
     balance regardless of skew; the sort is per-shard (no global
     single-task sort anywhere).
     """
     from pyspark.sql import functions as F
 
+    order = [key_col] + [c for c in tiebreak_cols if c in docs_with_key.columns]
+    # Range-partition on the SAME total order: with mix_key alone, tied
+    # keys straddling a shard boundary could land on either side.
     (
-        docs_with_key.repartitionByRange(n_shards, F.col(key_col))
-        .sortWithinPartitions(key_col)
+        docs_with_key.repartitionByRange(n_shards, *[F.col(c) for c in order])
+        .sortWithinPartitions(*order)
         .write.mode("overwrite")
         .parquet(out_dir)
     )

@@ -17,6 +17,7 @@ logic.
 from __future__ import annotations
 
 import json
+import socket
 import time
 from collections.abc import Callable, Sequence
 from concurrent.futures import ThreadPoolExecutor
@@ -63,6 +64,13 @@ def http_fetcher(url: str, params: dict, timeout_s: float = 30.0) -> bytes:
         raise
     except TimeoutError as e:
         raise TransientError(f"timeout after {timeout_s}s") from e
+    except error.URLError as e:
+        # A connect-phase timeout is wrapped by urllib into
+        # URLError(reason=timeout) rather than raised bare; without
+        # this arm connect stalls would never be retried.
+        if isinstance(e.reason, (TimeoutError, socket.timeout)):
+            raise TransientError(f"connect timeout after {timeout_s}s") from e
+        raise
 
 
 def fetch_with_retry(

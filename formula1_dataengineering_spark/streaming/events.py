@@ -18,6 +18,7 @@ the source becomes Kafka with the same downstream plan.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -382,9 +383,16 @@ def incremental_upsert_sink(
         try:
             existing = spark.read.parquet(out_dir).select(key_col)
             new = new.join(existing, key_col, "left_anti")
-        except Exception as exc:  # noqa: BLE001 — narrowed by message
-            msg = str(exc)
-            if "PATH_NOT_FOUND" not in msg and "UNABLE_TO_INFER_SCHEMA" not in msg:
+        except AnalysisException as exc:
+            # Structured error class, not message substrings (raw text
+            # is Spark-version-specific). Older exceptions without a
+            # class fall back to the message, best-effort.
+            cls = exc.getErrorClass() or ""
+            missing = cls in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA") or (
+                not cls
+                and ("PATH_NOT_FOUND" in str(exc) or "UNABLE_TO_INFER_SCHEMA" in str(exc))
+            )
+            if not missing:
                 raise
         new.write.mode("append").parquet(out_dir)
 

@@ -239,3 +239,31 @@ def test_http_fetcher_raises_transient_on_429():
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_http_fetcher_retries_connect_phase_timeouts(monkeypatch):
+    """A connect-phase stall surfaces as URLError(reason=timeout), not a
+    bare TimeoutError; it must still map to TransientError so the
+    bounded-retry loop fires (code-review finding, round 4)."""
+    import socket
+    from urllib import error, request
+
+    def _stall(*a, **k):
+        raise error.URLError(socket.timeout("connect timed out"))
+
+    monkeypatch.setattr(request, "urlopen", _stall)
+    with pytest.raises(TransientError):
+        http_fetcher("http://203.0.113.1/v1/laps", {}, timeout_s=0.01)
+
+
+def test_http_fetcher_propagates_non_timeout_urlerror(monkeypatch):
+    """Connection refused (and other non-timeout URLErrors) are NOT
+    transient — they must propagate, not burn retries."""
+    from urllib import error, request
+
+    def _refused(*a, **k):
+        raise error.URLError(ConnectionRefusedError(111, "refused"))
+
+    monkeypatch.setattr(request, "urlopen", _refused)
+    with pytest.raises(error.URLError):
+        http_fetcher("http://203.0.113.1/v1/laps", {}, timeout_s=0.01)

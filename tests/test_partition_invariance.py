@@ -33,6 +33,11 @@ SENSITIVE = [
     "source_term_entropy",
     "doc_bigram_surprisal",
     "end_to_end_curation_stats",
+    # VERDICT r3 item 7: the three driver-red-then-fixed dedup/leakage
+    # queries are groupBy-deterministic by construction — pin it.
+    "normalized_dedup_docs",
+    "dedup_keep_best_docs",
+    "cross_source_leakage",
 ]
 
 

@@ -344,3 +344,25 @@ def test_disjunctive_predicates_push_to_both_scans(spark):
     li_push = next(l for l in pushed if "l_quantity" in l)
     part_push = next(l for l in pushed if "p_brand" in l)
     assert "Or(" in li_push and "Or(" in part_push
+
+
+def test_partitioned_layout_prunes_directories(spark):
+    """pricing_summary_partitioned (VERDICT r3 item 8): the one-year
+    predicate on the hive-partitioned rewrite must resolve as
+    DIRECTORY-level pruning — it appears under PartitionFilters on the
+    scan, never as a post-scan data Filter, and the scan reads only the
+    projected measure columns."""
+    plan = formatted_plan(spark, "pricing_summary_partitioned")
+    scan_lines = [
+        l for l in plan.splitlines() if "PartitionFilters" in l
+    ]
+    assert scan_lines, "scan reports no PartitionFilters section"
+    assert any("ship_year" in l and "1995" in l for l in scan_lines)
+    # the partition predicate must NOT survive as a data filter (a
+    # fully-pruned scan may omit the PushedFilters section entirely)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert all("ship_year" not in l for l in pushed)
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in read_schema and "l_shipdate" not in read_schema
+    # still a two-phase aggregate over the pruned scan
+    assert plan.count("HashAggregate") >= 2
