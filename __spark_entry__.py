@@ -86,6 +86,15 @@ _PRIORITY = [
     "cross_source_leakage",
     "normalized_dedup_docs",
     "dedup_keep_best_docs",
+    # round-4 additions (never driver-hashed yet).
+    "pricing_summary_partitioned",
+    "semantic_dedup_embeddings",
+    "dsir_importance_weights",
+    "supplier_pagerank",
+    "join_key_skew_profile",
+    "weighted_ares_sample",
+    "source_kl_divergence",
+    "events_stream_hourly_users",
 ]
 
 

@@ -555,3 +555,53 @@ def group_minhash_similarity(
             "est_jaccard"
         ),
     )
+
+
+def semantic_dedup_drops(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): the
+    embedding-space analogue of MinHash near-dup removal. Cluster the
+    corpus with fixed-iteration k-means, compare pairs only WITHIN a
+    cluster, and drop every vector whose cosine to a lower-id vector
+    in its cluster reaches ``threshold`` (the lowest id is the kept
+    canonical — the deterministic stand-in for SemDeDup's
+    keep-one-per-similarity-group rule).
+
+    Returns (id, cluster, max_cos_to_kept) for DROPPED vectors only,
+    ``max_cos_to_kept`` = the strongest earlier-id similarity that
+    caused the drop, rounded to 6.
+
+    Scale: the pair space is bounded by the cluster partition — at
+    100 TB, k grows with the corpus so cluster size stays bounded
+    (SemDeDup's own recipe), the k-means pass is the verified
+    broadcast-join dataflow of ``clustering.kmeans_assignments``, and
+    within-cluster scoring is one GEMM per cluster via
+    ``similarity.neardup_pairs`` (vectors shuffle once, pairs never
+    materialize outside the threshold survivors).
+    """
+    from .similarity import neardup_pairs
+    from ..operators.clustering import kmeans_assignments
+
+    assign = kmeans_assignments(
+        embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+    ).select(id_col, "cluster")
+    clustered = embeddings.select(id_col, vec_col).join(assign, id_col)
+    pairs = neardup_pairs(
+        clustered,
+        id_col=id_col,
+        vec_col=vec_col,
+        bucket_col="cluster",
+        threshold=threshold,
+    )
+    drops = pairs.groupBy(F.col("id_b").alias(id_col)).agg(
+        F.round(F.max("cosine"), 6).alias("max_cos_to_kept")
+    )
+    return drops.join(assign, id_col).select(
+        id_col, "cluster", "max_cos_to_kept"
+    )

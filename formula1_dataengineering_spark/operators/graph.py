@@ -270,3 +270,81 @@ def _propagate(sym: DataFrame, max_iter: int) -> DataFrame:
         pending_unpersist.pop().unpersist()
     sym.unpersist()
     return labels
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    round_decimals: int = 9,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a DIRECTED edge list (pass each
+    undirected edge twice for symmetric graphs). Unrolling a fixed
+    ``iters`` keeps the iterative algorithm inside the hash-matched
+    correctness gate (the k-means recipe): every per-node rank sum is
+    quantized to ``round_decimals`` before feeding the next iteration,
+    so the one partition-order-dependent float reduction re-enters as
+    an identical literal in both engines.
+
+    Dangling nodes (no out-edges) leak their mass — the standard
+    simplification; both engines agree because both drop it.
+
+    Returns (node, rank) for every node appearing in the edge list.
+
+    Scale: per iteration, one shuffle — contributions group on dst.
+    Degrees and ranks are node-cardinality tables co-keyed with the
+    edge list's src; at cluster scale, pre-partition edges by src once
+    and every iteration's rank⋈edges join reuses that layout (no
+    re-shuffle of the big edge table).
+    """
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    # The 1-row node-count attaches via the single-valued-key broadcast
+    # equi-join (a bare crossJoin compiles to BroadcastNestedLoopJoin,
+    # which the catalog's plan-hygiene gate bans).
+    n = nodes.agg(F.count("*").alias("n_nodes")).withColumn(
+        "__j", F.pmod(F.col("n_nodes"), F.lit(1)).cast("int")
+    )
+
+    def with_n(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "__j", F.pmod(F.col("node"), F.lit(1)).cast("int")
+        ).join(F.broadcast(n), "__j")
+
+    ranks = with_n(nodes).select(
+        "node", F.round(F.lit(1.0) / F.col("n_nodes"), round_decimals).alias("rank")
+    )
+    for _ in range(iters):
+        contribs = (
+            e.join(deg, "src")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = (
+            with_n(
+                nodes.join(
+                    contribs.withColumnRenamed("dst", "node"), "node", "left"
+                )
+            )
+            .select(
+                "node",
+                F.round(
+                    (1 - damping) / F.col("n_nodes")
+                    + damping * F.coalesce(F.col("in_mass"), F.lit(0.0)),
+                    round_decimals,
+                ).alias("rank"),
+            )
+        )
+    return ranks

@@ -2429,3 +2429,219 @@ FROM lineitem
 WHERE year(l_shipdate) = 1995
 GROUP BY l_returnflag, l_linestatus
 """
+
+
+# semantic_dedup_embeddings: the kmeans_ivf_training assignment chain
+# (a3) + within-cluster pairwise cosine >= 0.3; dropped = any vector
+# with a lower-id same-cluster neighbor over threshold.
+ORACLE_SQL["semantic_dedup_embeddings"] = """WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), c0 AS (
+  SELECT CAST(vec_id AS BIGINT) AS cluster, v AS c
+  FROM e ORDER BY vec_id LIMIT 8
+), s1 AS (
+  SELECT e.vec_id, e.v, c.cluster, list_reduce(list_transform(list_zip(e.v, c.c), x -> (x[1] - x[2]) * (x[1] - x[2])), (a, b) -> a + b) AS dist
+  FROM e CROSS JOIN c0 c
+), a1 AS (
+  SELECT vec_id, v, cluster, dist FROM (
+    SELECT s.*, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+    FROM s1 s
+  ) WHERE rn = 1
+), u1 AS (
+  SELECT cluster, d AS dim, round(avg(val), 4) AS cv FROM (
+    SELECT cluster, unnest(v) AS val, generate_subscripts(v, 1) AS d FROM a1
+  ) GROUP BY cluster, d
+), c1 AS (
+  SELECT cluster, list(cv ORDER BY dim) AS c FROM u1 GROUP BY cluster
+), s2 AS (
+  SELECT e.vec_id, e.v, c.cluster, list_reduce(list_transform(list_zip(e.v, c.c), x -> (x[1] - x[2]) * (x[1] - x[2])), (a, b) -> a + b) AS dist
+  FROM e CROSS JOIN c1 c
+), a2 AS (
+  SELECT vec_id, v, cluster, dist FROM (
+    SELECT s.*, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+    FROM s2 s
+  ) WHERE rn = 1
+), u2 AS (
+  SELECT cluster, d AS dim, round(avg(val), 4) AS cv FROM (
+    SELECT cluster, unnest(v) AS val, generate_subscripts(v, 1) AS d FROM a2
+  ) GROUP BY cluster, d
+), c2 AS (
+  SELECT cluster, list(cv ORDER BY dim) AS c FROM u2 GROUP BY cluster
+), s3 AS (
+  SELECT e.vec_id, e.v, c.cluster, list_reduce(list_transform(list_zip(e.v, c.c), x -> (x[1] - x[2]) * (x[1] - x[2])), (a, b) -> a + b) AS dist
+  FROM e CROSS JOIN c2 c
+), a3 AS (
+  SELECT vec_id, v, cluster, dist FROM (
+    SELECT s.*, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+    FROM s3 s
+  ) WHERE rn = 1
+), pairs AS (
+  SELECT b.vec_id, b.cluster, round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+  FROM a3 a JOIN a3 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+)
+SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+       round(max(cosine), 6) AS max_cos_to_kept
+FROM pairs GROUP BY vec_id, cluster
+"""
+
+
+# dsir_importance_weights: add-one-smoothed unigram log-ratio between
+# the lang='en' target LM and the whole-corpus LM, summed per doc with
+# token multiplicity.
+ORACLE_SQL["dsir_importance_weights"] = """
+WITH tok AS (
+  SELECT doc_id, lang, t
+  FROM documents,
+       unnest(list_filter(string_split_regex(text, '\\s+'),
+                          x -> x != '')) AS u(t)
+  WHERE text IS NOT NULL
+), dtc AS (
+  SELECT doc_id, lang, t, count(*) AS k FROM tok GROUP BY 1, 2, 3
+), term AS (
+  SELECT t, sum(k) AS raw_n,
+         sum(CASE WHEN lang = 'en' THEN k ELSE 0 END) AS tgt_n
+  FROM dtc GROUP BY t
+), tot AS (
+  SELECT count(*) AS v, sum(raw_n) AS n_raw, sum(tgt_n) AS n_tgt FROM term
+), ratio AS (
+  SELECT t,
+         ln((tgt_n + 1) * 1.0 / (n_tgt + v))
+           - ln((raw_n + 1) * 1.0 / (n_raw + v)) AS lr
+  FROM term CROSS JOIN tot
+)
+SELECT doc_id, round(sum(k * lr), 4) AS importance,
+       CAST(sum(k) AS BIGINT) AS n_tokens
+FROM dtc JOIN ratio USING (t)
+GROUP BY doc_id
+ORDER BY importance DESC, doc_id
+LIMIT 50
+"""
+
+
+# supplier_pagerank: 3 unrolled PageRank iterations over the bipartite
+# distinct (cust, supp) trade graph, per-iteration round-9 quantization
+# mirroring operators/graph.pagerank_fixed.
+ORACLE_SQL["supplier_pagerank"] = """
+WITH pairs AS (
+  SELECT DISTINCT o_custkey + 1000000000 AS cust_node, l_suppkey AS supp_node
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), e AS (
+  SELECT cust_node AS src, supp_node AS dst FROM pairs
+  UNION ALL
+  SELECT supp_node AS src, cust_node AS dst FROM pairs
+), nodes AS (
+  SELECT DISTINCT src AS node FROM e
+  UNION
+  SELECT DISTINCT dst AS node FROM e
+), deg AS (
+  SELECT src, count(*) AS deg FROM e GROUP BY src
+), n AS (
+  SELECT count(*) AS n_nodes FROM nodes
+), r0 AS (
+  SELECT node, round(1.0 / n_nodes, 9) AS rank FROM nodes CROSS JOIN n
+), m1 AS (
+  SELECT e.dst, sum(r.rank / d.deg) AS in_mass
+  FROM e JOIN deg d ON e.src = d.src JOIN r0 r ON e.src = r.node
+  GROUP BY e.dst
+), r1 AS (
+  SELECT node, round(0.15 / n_nodes + 0.85 * COALESCE(in_mass, 0.0), 9) AS rank
+  FROM nodes LEFT JOIN m1 ON node = m1.dst CROSS JOIN n
+), m2 AS (
+  SELECT e.dst, sum(r.rank / d.deg) AS in_mass
+  FROM e JOIN deg d ON e.src = d.src JOIN r1 r ON e.src = r.node
+  GROUP BY e.dst
+), r2 AS (
+  SELECT node, round(0.15 / n_nodes + 0.85 * COALESCE(in_mass, 0.0), 9) AS rank
+  FROM nodes LEFT JOIN m2 ON node = m2.dst CROSS JOIN n
+), m3 AS (
+  SELECT e.dst, sum(r.rank / d.deg) AS in_mass
+  FROM e JOIN deg d ON e.src = d.src JOIN r2 r ON e.src = r.node
+  GROUP BY e.dst
+), r3 AS (
+  SELECT node, round(0.15 / n_nodes + 0.85 * COALESCE(in_mass, 0.0), 9) AS rank
+  FROM nodes LEFT JOIN m3 ON node = m3.dst CROSS JOIN n
+)
+SELECT node AS s_suppkey, round(rank, 6) AS pagerank
+FROM r3 WHERE node < 1000000000
+"""
+
+
+# join_key_skew_profile: per-key counts then #keys-row stats, for the
+# two hottest shuffle keys.
+ORACLE_SQL["join_key_skew_profile"] = """
+WITH eu AS (
+  SELECT user_id AS k, count(*) AS n FROM events GROUP BY 1
+), ls AS (
+  SELECT l_suppkey AS k, count(*) AS n FROM lineitem GROUP BY 1
+)
+SELECT 'events.user_id' AS key_name,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       count(*) AS n_keys,
+       CAST(max(n) AS BIGINT) AS top1_count,
+       round(max(n) * 1.0 / sum(n), 6) AS top1_share,
+       round(quantile_cont(n, 0.99) / avg(n), 4) AS p99_over_mean
+FROM eu
+UNION ALL
+SELECT 'lineitem.l_suppkey',
+       CAST(sum(n) AS BIGINT), count(*), CAST(max(n) AS BIGINT),
+       round(max(n) * 1.0 / sum(n), 6),
+       round(quantile_cont(n, 0.99) / avg(n), 4)
+FROM ls
+"""
+
+# weighted_ares_sample: deterministic Efraimidis-Spirakis keys from the
+# portable 48-bit hash; ln(u)/n_chars, top-5 per source.
+ORACLE_SQL["weighted_ares_sample"] = f"""
+WITH keyed AS (
+  SELECT source, doc_id, n_chars,
+         round(ln((((md5_number(CAST(doc_id AS VARCHAR)) % {_M48} + {_M48})
+                     % {_M48}) + 1) / {float(_M48)}) / n_chars, 9)
+           AS sample_key
+  FROM documents WHERE text IS NOT NULL AND n_chars > 0
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY source ORDER BY sample_key DESC, doc_id) AS rn
+  FROM keyed
+)
+SELECT source, doc_id, n_chars, sample_key, CAST(rn AS INT) AS rank
+FROM ranked WHERE rn <= 5
+"""
+
+# source_kl_divergence: observed-support KL with add-one smoothing on
+# both LMs.
+ORACLE_SQL["source_kl_divergence"] = """
+WITH tok AS (
+  SELECT source, t
+  FROM documents,
+       unnest(list_filter(string_split_regex(text, '\\s+'),
+                          x -> x != '')) AS u(t)
+  WHERE text IS NOT NULL
+), tc AS (
+  SELECT source, t, count(*) AS k FROM tok GROUP BY 1, 2
+), corpus AS (
+  SELECT t, sum(k) AS kc FROM tc GROUP BY t
+), vn AS (
+  SELECT count(*) AS v, sum(kc) AS nc FROM corpus
+), st AS (
+  SELECT source, sum(k) AS ns FROM tc GROUP BY source
+)
+SELECT source,
+       round(sum(((k + 1) * 1.0 / (ns + v))
+                 * (ln((k + 1) * 1.0 / (ns + v))
+                    - ln((kc + 1) * 1.0 / (nc + v)))), 4) AS kl_nats,
+       count(*) AS n_terms
+FROM tc JOIN corpus USING (t) JOIN st USING (source) CROSS JOIN vn
+GROUP BY source
+"""
+
+
+# events_stream_hourly_users: batch twin of the streaming exact
+# distinct — hour-truncated distinct user counts.
+ORACLE_SQL["events_stream_hourly_users"] = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start_s,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1
+"""

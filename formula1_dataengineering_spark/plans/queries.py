@@ -3256,3 +3256,270 @@ def pricing_summary_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("count_order"),
         )
     )
+
+
+@query("semantic_dedup_embeddings")
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: fixed-iteration k-means
+    (k=8) buckets the pair space, within-cluster GEMM finds cosine ≥
+    0.3 pairs, lowest id per similarity group survives. Output = the
+    DROPPED vectors with the similarity that killed them — the
+    embedding-space member of the dedup ladder (exact → MinHash/LSH →
+    SimHash → n-gram Jaccard → semantic)."""
+    from ..operators.dedup import semantic_dedup_drops
+
+    e = load(spark, sf_dir, "embeddings")
+    return semantic_dedup_drops(e, k=8, iters=3, threshold=0.3)
+
+
+@query("dsir_importance_weights")
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, hashed-ngram
+    variant at the unigram level): each doc scores
+    Σ_tokens log(p_target / p_raw) under add-one-smoothed unigram LMs,
+    target = the English subcorpus (``lang = 'en'``), raw = the whole
+    corpus. Top-50 by weight (desc, doc_id tie-break) = the docs
+    importance resampling would draw first when steering the mixture
+    toward the target domain.
+
+    Plan shape: the doc_bigram_surprisal recipe at the unigram level —
+    ONE tokenize+explode pass reduced to per-doc term counts
+    (persisted; both LMs and the scoring join derive from it), term
+    log-ratios computed on the corpus-vocabulary table (V rows) and
+    joined back against per-doc COUNTS (bounded by distinct (doc,
+    term) pairs, heavy terms contribute one row per doc). Global
+    scalars (V, N_target, N_raw) attach via the single-valued-key
+    broadcast equi-join (the catalog bans nested-loop shapes; a bare
+    crossJoin of the 1-row aggregate would compile to one).
+    """
+    from ..functions.text import tokens
+
+    d = load(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
+    dtc = (
+        d.where(F.col("text").isNotNull())
+        .select("doc_id", "lang", F.explode(tokens(F.col("text"))).alias("t"))
+        .groupBy("doc_id", "lang", "t")
+        .agg(F.count("*").alias("k"))
+        .persist()
+    )
+    term = dtc.groupBy("t").agg(
+        F.sum("k").alias("raw_n"),
+        F.sum(F.when(F.col("lang") == "en", F.col("k")).otherwise(0)).alias(
+            "tgt_n"
+        ),
+    )
+    totals = term.agg(
+        F.count("*").alias("v"),
+        F.sum("raw_n").alias("n_raw"),
+        F.sum("tgt_n").alias("n_tgt"),
+    )
+    ratio = term.withColumn(
+        "__j", F.pmod(F.col("raw_n"), F.lit(1)).cast("int")
+    ).join(
+        F.broadcast(
+            totals.withColumn("__j", F.pmod(F.col("v"), F.lit(1)).cast("int"))
+        ),
+        "__j",
+    ).select(
+        "t",
+        (
+            F.log((F.col("tgt_n") + 1) / (F.col("n_tgt") + F.col("v")))
+            - F.log((F.col("raw_n") + 1) / (F.col("n_raw") + F.col("v")))
+        ).alias("lr"),
+    )
+    scored = (
+        dtc.join(ratio, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(F.col("k") * F.col("lr")), 4).alias("importance"),
+            F.sum("k").cast("bigint").alias("n_tokens"),
+        )
+    )
+    return scored.orderBy(
+        F.col("importance").desc(), F.col("doc_id").asc()
+    ).limit(50)
+
+
+@query("supplier_pagerank")
+def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (3 rounds, d=0.85) over the bipartite
+    customer↔supplier trade graph (distinct (o_custkey, l_suppkey)
+    pairs via orders ⋈ lineitem, both directions) — the
+    graph-centrality member of the operator family next to connected
+    components: the same unroll-and-quantize recipe that keeps
+    iterative algorithms inside the hash-matched gate. Output is every
+    supplier's rank (customers share the mass but leave the result).
+
+    Scale: the edge list shuffles once to build; each iteration is one
+    contribution shuffle keyed on dst. Customer ids offset by 10^9
+    keep the node space disjoint without string keys."""
+    from ..operators.graph import pagerank_fixed
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_suppkey"
+    )
+    pairs = (
+        o.join(li, "o_orderkey")
+        .select(
+            (F.col("o_custkey") + F.lit(1_000_000_000)).alias("cust_node"),
+            F.col("l_suppkey").alias("supp_node"),
+        )
+        .distinct()
+    )
+    edges = pairs.selectExpr("cust_node AS src", "supp_node AS dst").unionByName(
+        pairs.selectExpr("supp_node AS src", "cust_node AS dst")
+    )
+    pr = pagerank_fixed(edges, iters=3, damping=0.85)
+    return (
+        pr.where(F.col("node") < 1_000_000_000)
+        .select(
+            F.col("node").alias("s_suppkey"),
+            F.round("rank", 6).alias("pagerank"),
+        )
+    )
+
+
+@query("join_key_skew_profile")
+def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution skew diagnostics for the two hottest
+    shuffle keys (events.user_id, lineitem.l_suppkey) — the
+    pre-flight check that decides salting/AQE-skew-join settings
+    before a 100 TB run: rows, distinct keys, the heaviest key's
+    share, and p99-count/mean-count (how much worse the tail
+    partition is than the average).
+
+    Scale: per-key counts with map-side partials, then a
+    #keys-row stats aggregate — nothing wider than the key space
+    ever shuffles."""
+    e = load(spark, sf_dir, "events")
+    li = load(spark, sf_dir, "lineitem")
+
+    def profile(df: DataFrame, key: str, tag: str) -> DataFrame:
+        per = df.groupBy(F.col(key).alias("__k")).agg(
+            F.count("*").alias("__n")
+        )
+        return per.agg(
+            F.lit(tag).alias("key_name"),
+            F.sum("__n").cast("bigint").alias("n_rows"),
+            F.count("*").alias("n_keys"),
+            F.max("__n").cast("bigint").alias("top1_count"),
+            F.round(F.max("__n") / F.sum("__n"), 6).alias("top1_share"),
+            F.round(
+                F.percentile("__n", F.lit(0.99)) / F.avg("__n"), 4
+            ).alias("p99_over_mean"),
+        )
+
+    return profile(e, "user_id", "events.user_id").unionByName(
+        profile(li, "l_suppkey", "lineitem.l_suppkey")
+    )
+
+
+@query("weighted_ares_sample")
+def weighted_ares_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    A-Res), deterministic form: each doc draws u from the portable
+    48-bit hash of its id and keys on ln(u)/weight (weight = n_chars,
+    so longer docs are proportionally likelier); top-5 keys per source
+    win. The length-weighted cousin of the uniform
+    deterministic_event_sample — how a curation pipeline takes a
+    reproducible weighted subsample with no RNG state anywhere.
+
+    Scale: hash + ln are scan-stage; the only shuffle is the per-source
+    top-k (rank window over groups, count bounded by k·#sources)."""
+    from ..operators.dedup import portable_hash48
+
+    d = load(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.col("n_chars") > 0)
+    )
+    u = (portable_hash48(F.col("doc_id").cast("string")) + 1) / F.lit(
+        float(2**48)
+    )
+    keyed = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round(F.log(u) / F.col("n_chars"), 9).alias("sample_key"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("sample_key").desc(), F.col("doc_id").asc()
+    )
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("source", "doc_id", "n_chars", "sample_key",
+                F.col("rn").cast("int").alias("rank"))
+    )
+
+
+@query("source_kl_divergence")
+def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL(source ‖ corpus) over add-one-smoothed unigram LMs,
+    observed-support variant (summed over terms PRESENT in the
+    source) — the directional drift metric beside TVD
+    (source_term_drift) and entropy (source_term_entropy): how
+    surprised the corpus-wide LM is by each source's vocabulary.
+
+    Scale: same one-explode shape as the entropy gate; the per-term
+    join is against the V-row corpus LM with map-side partials on
+    both sides."""
+    from ..functions.text import tokens
+
+    d = load(spark, sf_dir, "documents")
+    tc = (
+        d.where(F.col("text").isNotNull())
+        .select("source", F.explode(tokens(F.col("text"))).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count("*").alias("k"))
+        .persist()
+    )
+    corpus = tc.groupBy("t").agg(F.sum("k").alias("kc"))
+    v_nc = corpus.agg(
+        F.count("*").alias("v"), F.sum("kc").alias("nc")
+    )
+    src_tot = tc.groupBy("source").agg(F.sum("k").alias("ns"))
+    joined = (
+        tc.join(corpus, "t")
+        .join(F.broadcast(src_tot), "source")
+        .withColumn("__j", F.pmod(F.col("k"), F.lit(1)).cast("int"))
+        .join(
+            F.broadcast(
+                v_nc.withColumn(
+                    "__j", F.pmod(F.col("v"), F.lit(1)).cast("int")
+                )
+            ),
+            "__j",
+        )
+    )
+    ps = (F.col("k") + 1) / (F.col("ns") + F.col("v"))
+    pc = (F.col("kc") + 1) / (F.col("nc") + F.col("v"))
+    return joined.groupBy("source").agg(
+        F.round(F.sum(ps * (F.log(ps) - F.log(pc))), 4).alias("kl_nats"),
+        F.count("*").alias("n_terms"),
+    )
+
+
+@query("events_stream_hourly_users")
+def events_stream_hourly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EXACT distinct-users-per-hour: watermarked streaming
+    dropDuplicates on (user_id, hour) feeding a windowed count — the
+    streaming twin of ``count(DISTINCT ...)`` with state bounded by
+    distinct pairs inside the horizon. Complete mode over the bounded
+    source; the identical batch aggregate is the DuckDB oracle."""
+    from ..streaming.events import (
+        hourly_distinct_users,
+        read_events_stream,
+        run_to_completion,
+    )
+
+    agg = hourly_distinct_users(read_events_stream(spark, sf_dir))
+    out = run_to_completion(agg, "gate_hourly_users", output_mode="complete")
+    return out.select(
+        (F.unix_micros("hour_start") / F.lit(1_000_000))
+        .cast("bigint")
+        .alias("hour_start_s"),
+        "n_users",
+    )

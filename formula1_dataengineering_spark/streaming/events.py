@@ -403,3 +403,27 @@ def incremental_upsert_sink(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer
+
+
+def hourly_distinct_users(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """EXACT distinct users per hour on a stream: streaming
+    ``dropDuplicates`` on (user_id, hour) holds one state row per
+    distinct pair inside the watermark horizon, then a windowed count
+    — the streaming form of ``count(DISTINCT user_id) GROUP BY hour``.
+
+    Scale: state is bounded by (distinct users/hour × horizon hours),
+    evicted as the watermark advances; both the dedup and the count
+    shuffle on the same (hour-derived) keys."""
+    houred = events.select(
+        "user_id", "ts", F.date_trunc("hour", "ts").alias("hour")
+    )
+    deduped = houred.withWatermark("ts", watermark).dropDuplicates(
+        ["user_id", "hour"]
+    )
+    return (
+        deduped.groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n_users"))
+        .select(F.col("window.start").alias("hour_start"), "n_users")
+    )

@@ -38,6 +38,14 @@ SENSITIVE = [
     "normalized_dedup_docs",
     "dedup_keep_best_docs",
     "cross_source_leakage",
+    # Round-4 additions with unquantized intermediate float sums or
+    # iterative state: DSIR log-ratio sums, KL sums, PageRank rounds,
+    # k-means-bucketed semantic dedup, hash-keyed weighted sampling.
+    "dsir_importance_weights",
+    "source_kl_divergence",
+    "supplier_pagerank",
+    "semantic_dedup_embeddings",
+    "weighted_ares_sample",
 ]
 
 
