@@ -299,6 +299,12 @@ def pagerank_fixed(
     and every iteration's rank⋈edges join reuses that layout (no
     re-shuffle of the big edge table).
     """
+    # NOTE: deliberately NOT persisted. Caching the edge list here
+    # pins its pre-AQE 2×shuffle-partition layout and disables runtime
+    # coalescing for every consumer — measured 4.7 s → 22 s at sf0.1.
+    # Recomputing the (join + distinct) lineage per iteration is
+    # cheaper under AQE; callers with an expensive edge build can
+    # persist BEFORE calling.
     e = edges.select(
         F.col(src_col).cast("long").alias("src"),
         F.col(dst_col).cast("long").alias("dst"),
