@@ -95,6 +95,9 @@ _PRIORITY = [
     "weighted_ares_sample",
     "source_kl_divergence",
     "events_stream_hourly_users",
+    "cms_term_frequency_estimates",
+    "ppjoin_exact_jaccard_pairs",
+    "snapshot_cdc_diff",
 ]
 
 

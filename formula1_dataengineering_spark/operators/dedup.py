@@ -605,3 +605,84 @@ def semantic_dedup_drops(
     return drops.join(assign, id_col).select(
         id_col, "cluster", "max_cos_to_kept"
     )
+
+
+def ppjoin_exact_jaccard(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (PPJoin
+    family, Xiao et al.): unlike the MinHash/LSH members of the dedup
+    ladder this has NO false negatives — every pair with token-set
+    Jaccard ≥ ``threshold`` is returned with its exact similarity.
+
+    Prefix filter: tokens are globally ordered rarest-first (corpus
+    frequency asc, token asc); a doc's prefix is its first
+    ``|set| − ceil(τ·|set|) + 1`` tokens, and two docs can reach τ only
+    if their prefixes share a token — the classical lossless bound.
+    Intersections are then counted ONLY for candidate pairs.
+
+    Scale: the candidate join streams prefix tokens (rarest-first
+    ordering keeps hot tokens out of prefixes, which is the entire
+    point of PPJoin); intersection counting shuffles candidate-pair ×
+    set-size rows, bounded by the filter, never all-pairs. Use τ=0.5+
+    at corpus scale — lower thresholds lengthen prefixes toward the
+    quadratic regime, which is inherent to exactness, not this plan.
+    """
+    ts = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.array_distinct(
+                    F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+                )
+            ).alias("t"),
+        )
+    )
+    sizes = ts.groupBy("id").agg(F.count("*").alias("sz"))
+    freq = ts.groupBy("t").agg(F.count("*").alias("df"))
+    ranked = (
+        ts.join(freq, "t")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy(
+                    F.col("df").asc(), F.col("t").asc()
+                )
+            ),
+        )
+        .join(sizes, "id")
+    )
+    prefix = ranked.where(
+        F.col("rn")
+        <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    ).select("id", "t", "sz")
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "t")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .distinct()
+    )
+    inter = (
+        cand.join(ts.select(F.col("id").alias("id_a"), "t"), "id_a")
+        .join(
+            ts.select(F.col("id").alias("id_b"), F.col("t")),
+            ["id_b", "t"],
+        )
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return (
+        inter.where(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )

@@ -2645,3 +2645,89 @@ SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start_s,
 FROM events
 GROUP BY 1
 """
+
+
+# cms_term_frequency_estimates: d=4 x w=1024 Count-Min Sketch from the
+# term-count aggregate; estimates = min over the 4 counters for the
+# top-20 true terms.
+ORACLE_SQL["cms_term_frequency_estimates"] = f"""
+WITH tok AS (
+  SELECT t FROM documents,
+       unnest(list_filter(string_split_regex(text, '\\s+'),
+                          x -> x != '')) AS u(t)
+  WHERE text IS NOT NULL
+), tc AS (
+  SELECT t, count(*) AS k FROM tok GROUP BY t
+), cells AS (
+  SELECT t, k, j,
+         CAST(((md5_number(CAST(j AS VARCHAR) || ':' || t) % {_M48} + {_M48})
+               % {_M48}) % 1024 AS INT) AS col
+  FROM tc CROSS JOIN generate_series(0, 3) g(j)
+), sketch AS (
+  SELECT j, col, sum(k) AS counter FROM cells GROUP BY j, col
+), top AS (
+  SELECT t, k FROM tc ORDER BY k DESC, t LIMIT 20
+), est AS (
+  SELECT top.t, top.k, min(s.counter) AS cms_estimate
+  FROM top
+  JOIN cells c ON c.t = top.t
+  JOIN sketch s ON s.j = c.j AND s.col = c.col
+  GROUP BY top.t, top.k
+)
+SELECT t AS term, CAST(k AS BIGINT) AS true_count,
+       CAST(cms_estimate AS BIGINT) AS cms_estimate,
+       CAST(cms_estimate - k AS BIGINT) AS overestimate
+FROM est
+"""
+
+
+# ppjoin_exact_jaccard_pairs: brute-force all-pairs token-set Jaccard
+# (co-occurrence join) >= 0.5 — deliberately filter-free so the
+# engine's prefix filtering is proven lossless by the hash match.
+ORACLE_SQL["ppjoin_exact_jaccard_pairs"] = """
+WITH ts AS (
+  SELECT DISTINCT doc_id AS id, t
+  FROM documents,
+       unnest(list_filter(string_split_regex(text, '\\s+'),
+                          x -> x != '')) AS u(t)
+  WHERE text IS NOT NULL
+), sz AS (
+  SELECT id, count(*) AS sz FROM ts GROUP BY id
+), co AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM ts a JOIN ts b ON a.t = b.t AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM co JOIN sz sa ON co.id_a = sa.id JOIN sz sb ON co.id_b = sb.id
+WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5
+"""
+
+
+# snapshot_cdc_diff: the same derived second snapshot and full-outer
+# classification in SQL.
+ORACLE_SQL["snapshot_cdc_diff"] = """
+WITH old AS (
+  SELECT o_orderkey AS k, o_totalprice AS old_p FROM orders
+), new AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice * 1.1
+              ELSE o_totalprice END AS new_p
+  FROM orders WHERE o_orderkey % 17 != 0
+  UNION ALL
+  SELECT o_orderkey + 1000000000, o_totalprice
+  FROM orders WHERE o_orderkey % 19 = 0
+), j AS (
+  SELECT COALESCE(old.k, new.k) AS k, old_p, new_p
+  FROM old FULL OUTER JOIN new ON old.k = new.k
+)
+SELECT CASE WHEN old_p IS NULL THEN 'inserted'
+            WHEN new_p IS NULL THEN 'deleted'
+            WHEN old_p != new_p THEN 'updated'
+            ELSE 'unchanged' END AS status,
+       count(*) AS n_keys,
+       round(sum(COALESCE(old_p, 0.0)), 2) AS total_old_price,
+       round(sum(COALESCE(new_p, 0.0)), 2) AS total_new_price
+FROM j GROUP BY 1
+"""

@@ -3523,3 +3523,147 @@ def events_stream_hourly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("hour_start_s"),
         "n_users",
     )
+
+
+@query("cms_term_frequency_estimates")
+def cms_term_frequency_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch term-frequency estimation (Cormode &
+    Muthukrishnan), deterministic form: d=4 hash rows × w=1024
+    counters, hash_j(t) = portable-48(j ‖ t) mod w. The sketch is
+    built as a dataflow — per-term counts (map-side combinable), then
+    (row, col) counter sums — which IS the CMS merge property:
+    per-partition sketches sum elementwise, expressed as one groupBy.
+    Point estimates (min over the d counters) are evaluated for the
+    top-20 true terms and reported against truth — the overestimate
+    column is the sketch's collision bias, ≥ 0 by construction.
+
+    Scale: the counter table is d·w rows regardless of corpus size
+    (broadcastable); the corpus contributes one explode→count pass.
+    The d-fold fan-out happens on the V-row term-count AGGREGATE, not
+    on token occurrences."""
+    from ..operators.dedup import portable_hash48
+
+    d_rows, w = 4, 1024
+    docs = load(spark, sf_dir, "documents")
+    from ..functions.text import tokens
+
+    tc = (
+        docs.where(F.col("text").isNotNull())
+        .select(F.explode(tokens(F.col("text"))).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("k"))
+    )
+    rows = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(d_rows - 1)),
+            lambda j: F.struct(
+                j.cast("int").alias("j"),
+                F.pmod(
+                    portable_hash48(
+                        F.concat(j.cast("string"), F.lit(":"), F.col("t"))
+                    ),
+                    F.lit(w),
+                ).cast("int").alias("col"),
+            ),
+        )
+    )
+    cells = tc.select("t", "k", rows.alias("__c")).select(
+        "t", "k", F.col("__c.j").alias("j"), F.col("__c.col").alias("col")
+    )
+    sketch = cells.groupBy("j", "col").agg(F.sum("k").alias("counter"))
+    top = (
+        tc.orderBy(F.col("k").desc(), F.col("t").asc())
+        .limit(20)
+        .select("t", "k")
+    )
+    est = (
+        top.select(
+            "t",
+            "k",
+            rows.alias("__c"),
+        )
+        .select("t", "k", F.col("__c.j").alias("j"), F.col("__c.col").alias("col"))
+        .join(F.broadcast(sketch), ["j", "col"])
+        .groupBy("t", "k")
+        .agg(F.min("counter").alias("cms_estimate"))
+    )
+    return est.select(
+        F.col("t").alias("term"),
+        F.col("k").cast("bigint").alias("true_count"),
+        F.col("cms_estimate").cast("bigint").alias("cms_estimate"),
+        (F.col("cms_estimate") - F.col("k")).cast("bigint").alias("overestimate"),
+    )
+
+
+@query("ppjoin_exact_jaccard_pairs")
+def ppjoin_exact_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXACT member of the dedup similarity ladder: PPJoin-style
+    prefix-filtered set-similarity self-join at τ=0.5 on word-token
+    sets — no false negatives, oracle is the brute-force all-pairs
+    Jaccard, so the hash match PROVES the prefix filter is lossless on
+    this corpus."""
+    from ..operators.dedup import ppjoin_exact_jaccard
+
+    d = load(spark, sf_dir, "documents")
+    return ppjoin_exact_jaccard(d, threshold=0.5)
+
+
+@query("snapshot_cdc_diff")
+def snapshot_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture diff between two warehouse snapshots — the
+    maintenance step behind SCD2/MERGE loads. The 'new' snapshot is
+    derived deterministically from orders (every 17th key deleted,
+    every 13th repriced +10%, every 19th re-inserted under a shifted
+    key); a full-outer join on the key classifies every key into
+    inserted/deleted/updated/unchanged, aggregated per class.
+
+    Scale: one full-outer shuffle join on the snapshot key + a 4-row
+    aggregate; at 100 TB both snapshots would be bucketed on the key
+    and the join is exchange-free (sources/bucketing.py)."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    old = o
+    new = (
+        o.where(F.col("o_orderkey") % 17 != 0)
+        .select(
+            "o_orderkey",
+            # no per-row round: the IEEE double product is identical in
+            # both engines, while round(x*1.1, 2) straddles .005
+            # boundaries differently per decimal formatter (measured
+            # 2-cent drift in the sf0.01 'updated' sum).
+            F.when(
+                F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") * 1.1
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+        .unionByName(
+            o.where(F.col("o_orderkey") % 19 == 0).select(
+                (F.col("o_orderkey") + 1_000_000_000).alias("o_orderkey"),
+                "o_totalprice",
+            )
+        )
+    )
+    j = old.select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("old_p")
+    ).join(
+        new.select(
+            F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("new_p")
+        ),
+        "k",
+        "full_outer",
+    )
+    status = (
+        F.when(F.col("old_p").isNull(), F.lit("inserted"))
+        .when(F.col("new_p").isNull(), F.lit("deleted"))
+        .when(F.col("old_p") != F.col("new_p"), F.lit("updated"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.groupBy(status.alias("status")).agg(
+        F.count("*").alias("n_keys"),
+        F.round(F.sum(F.coalesce(F.col("old_p"), F.lit(0.0))), 2).alias(
+            "total_old_price"
+        ),
+        F.round(F.sum(F.coalesce(F.col("new_p"), F.lit(0.0))), 2).alias(
+            "total_new_price"
+        ),
+    )

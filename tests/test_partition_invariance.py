@@ -46,6 +46,9 @@ SENSITIVE = [
     "supplier_pagerank",
     "semantic_dedup_embeddings",
     "weighted_ares_sample",
+    "cms_term_frequency_estimates",
+    "ppjoin_exact_jaccard_pairs",
+    "snapshot_cdc_diff",
 ]
 
 
