@@ -366,3 +366,36 @@ def test_partitioned_layout_prunes_directories(spark):
     assert "l_orderkey" not in read_schema and "l_shipdate" not in read_schema
     # still a two-phase aggregate over the pruned scan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_cms_sketch_is_broadcast_joined(spark):
+    """CMS (round 4): the d·w counter table must attach via ONE
+    broadcast hash join (it is corpus-size-independent) and the plan
+    needs no sort-merge join or window anywhere."""
+    plan = formatted_plan(spark, "cms_term_frequency_estimates")
+    tree = _tree(plan)
+    assert tree.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in tree
+    assert "Window" not in tree
+
+
+def test_semantic_dedup_single_gemm_stage(spark):
+    """SemDeDup (round 4): within-cluster scoring is exactly ONE
+    applyInPandas GEMM stage — vectors shuffle once into clusters,
+    pairs never materialize JVM-side."""
+    plan = formatted_plan(spark, "semantic_dedup_embeddings")
+    tree = _tree(plan)
+    assert tree.count("InPandas") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_pagerank_no_window_no_cartesian(spark):
+    """PageRank (round 4): three unrolled iterations of join+aggregate;
+    no window, no cartesian, and the 1-row node-count frames attach as
+    broadcast hash joins (the single-valued-key trick)."""
+    plan = formatted_plan(spark, "supplier_pagerank")
+    tree = _tree(plan)
+    assert "Window" not in tree
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert tree.count("BroadcastHashJoin") >= 4
