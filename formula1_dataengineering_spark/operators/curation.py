@@ -779,3 +779,88 @@ def observed_quality_counters(docs: DataFrame, text_col: str = "text"):
         F.sum(F.length(text_col)).alias("total_chars"),
     )
     return observed, obs
+
+
+def content_defined_chunks(
+    docs: DataFrame,
+    window: int = 16,
+    mask: int = 64,
+    min_pos: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-defined chunking (Rabin/CDC-style): a chunk boundary
+    falls at every position ``i ≥ min_pos`` where the portable 48-bit
+    hash of the trailing ``window`` characters is ≡ 0 (mod ``mask``) —
+    so boundaries are a pure function of LOCAL content, and inserting a
+    prefix shifts chunk positions but re-synchronizes the boundary
+    stream within one window. That is the property fixed-size chunking
+    lacks and dedup storage relies on: shifted near-duplicates still
+    share almost all chunk hashes.
+
+    Returns one row per chunk: (id, source kept if present, chunk_idx,
+    chunk_start, chunk_len, chunk_hash).
+
+    Scale: position fan-out is explode(len) rows of a 16-char window
+    each (never the whole text per row); boundary lists collapse to
+    one bounded array per doc (≈ len/mask entries) before chunk
+    substrings are cut. Average chunk = ``mask`` chars; no sequential
+    state, so the scan parallelizes like any other.
+    """
+    from ..operators.dedup import portable_hash48
+
+    keep = [c for c in docs.columns if c in (id_col, "source")]
+    d = docs.where(F.col(text_col).isNotNull()).select(
+        *keep, F.col(text_col).alias("__t")
+    )
+    wins = d.select(
+        id_col,
+        F.explode(
+            F.when(
+                F.length("__t") >= window,
+                F.transform(
+                    F.sequence(F.lit(window), F.length("__t")),
+                    lambda i: F.struct(
+                        i.cast("int").alias("i"),
+                        F.col("__t")
+                        .substr(i - window + 1, F.lit(window))
+                        .alias("w"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<i:int,w:string>>"))
+        ).alias("__p"),
+    ).select(id_col, F.col("__p.i").alias("i"), F.col("__p.w").alias("w"))
+    bnd = wins.where(
+        (F.col("i") >= min_pos)
+        & (F.pmod(portable_hash48(F.col("w")), F.lit(mask)) == 0)
+    ).select(id_col, "i")
+    bs = bnd.groupBy(id_col).agg(F.array_sort(F.collect_list("i")).alias("bs"))
+    withbs = d.join(bs, id_col, "left").withColumn(
+        "bs", F.coalesce(F.col("bs"), F.array().cast("array<int>"))
+    )
+    starts = F.concat(
+        F.array(F.lit(1)), F.transform(F.col("bs"), lambda x: x + 1)
+    )
+    ends = F.concat(F.col("bs"), F.array(F.length("__t").cast("int")))
+    chunks = withbs.select(
+        *keep,
+        "__t",
+        F.posexplode(
+            F.zip_with(
+                starts,
+                ends,
+                lambda s, e: F.struct(s.alias("s"), e.alias("e")),
+            )
+        ).alias("chunk_idx", "__se"),
+    )
+    return chunks.select(
+        *keep,
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("__se.s").cast("int").alias("chunk_start"),
+        (F.col("__se.e") - F.col("__se.s") + 1).cast("int").alias("chunk_len"),
+        portable_hash48(
+            F.col("__t").substr(
+                F.col("__se.s"), F.col("__se.e") - F.col("__se.s") + 1
+            )
+        ).alias("chunk_hash"),
+    )

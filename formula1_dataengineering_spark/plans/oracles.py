@@ -2731,3 +2731,86 @@ SELECT CASE WHEN old_p IS NULL THEN 'inserted'
        round(sum(COALESCE(new_p, 0.0)), 2) AS total_new_price
 FROM j GROUP BY 1
 """
+
+
+# token_pmi_top_pairs: doc-distinct co-occurrence PMI over the top-200
+# vocabulary, c(a,b) >= 5, top-50 by (pmi desc, pair asc).
+ORACLE_SQL["token_pmi_top_pairs"] = """
+WITH dt AS (
+  SELECT DISTINCT doc_id, t
+  FROM documents,
+       unnest(list_filter(string_split_regex(text, '\\s+'),
+                          x -> x != '')) AS u(t)
+  WHERE text IS NOT NULL
+), dfc AS (
+  SELECT t, count(*) AS df FROM dt GROUP BY t
+), top AS (
+  SELECT t, df FROM dfc ORDER BY df DESC, t LIMIT 200
+), dtt AS (
+  SELECT dt.doc_id, dt.t FROM dt JOIN top USING (t)
+), n AS (
+  SELECT count(DISTINCT doc_id) AS n_docs FROM documents WHERE text IS NOT NULL
+), pairs AS (
+  SELECT a.t AS t_a, b.t AS t_b, count(*) AS c_ab
+  FROM dtt a JOIN dtt b ON a.doc_id = b.doc_id AND a.t < b.t
+  GROUP BY 1, 2
+  HAVING count(*) >= 5
+)
+SELECT t_a, t_b, CAST(c_ab AS BIGINT) AS c_ab,
+       round(ln(n.n_docs * c_ab * 1.0 / (ta.df * tb.df)), 4) AS pmi
+FROM pairs
+JOIN top ta ON pairs.t_a = ta.t
+JOIN top tb ON pairs.t_b = tb.t
+CROSS JOIN n
+ORDER BY pmi DESC, t_a, t_b
+LIMIT 50
+"""
+
+
+# cdc_chunk_dedup_stats: the same rolling-window boundary rule
+# (hash48(trailing 16 chars) % 64 == 0, position >= 32) replayed with
+# list arithmetic; chunk hashes over the cut substrings.
+ORACLE_SQL["cdc_chunk_dedup_stats"] = f"""
+WITH base AS (
+  SELECT doc_id, source, text FROM documents
+  WHERE text IS NOT NULL AND n_chars > 0
+), corpus AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT doc_id + 1000000000, source, 'zz ' || text FROM base
+  WHERE doc_id % 5 = 0
+), pos AS (
+  SELECT doc_id, CAST(u.i AS INT) AS i
+  FROM corpus, unnest(range(16, len(text) + 1)) AS u(i)
+  WHERE len(text) >= 16
+), bnd AS (
+  SELECT p.doc_id, p.i
+  FROM pos p JOIN corpus c ON p.doc_id = c.doc_id
+  WHERE p.i >= 32
+    AND ((md5_number(substr(c.text, p.i - 15, 16)) % {_M48} + {_M48})
+         % {_M48}) % 64 = 0
+), bs AS (
+  SELECT doc_id, list(i ORDER BY i) AS bs FROM bnd GROUP BY doc_id
+), withbs AS (
+  SELECT c.doc_id, c.source, c.text, COALESCE(bs.bs, []) AS bs
+  FROM corpus c LEFT JOIN bs ON c.doc_id = bs.doc_id
+), chunks AS (
+  SELECT doc_id, source,
+         u.se[1] AS s, u.se[2] AS e,
+         substr(text, u.se[1], u.se[2] - u.se[1] + 1) AS chunk
+  FROM withbs,
+       unnest(list_zip(
+         list_prepend(1, list_transform(bs, x -> x + 1)),
+         list_append(bs, len(text)))) AS u(se)
+), hashed AS (
+  SELECT source, e - s + 1 AS chunk_len,
+         CAST(((md5_number(chunk) % {_M48} + {_M48}) % {_M48}) AS BIGINT)
+           AS chunk_hash
+  FROM chunks
+)
+SELECT source, count(*) AS n_chunks,
+       count(DISTINCT chunk_hash) AS n_distinct_chunks,
+       round(count(DISTINCT chunk_hash) * 1.0 / count(*), 4) AS dedup_ratio,
+       round(avg(chunk_len), 2) AS mean_chunk_len
+FROM hashed GROUP BY source
+"""

@@ -3667,3 +3667,98 @@ def snapshot_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_new_price"
         ),
     )
+
+
+@query("token_pmi_top_pairs")
+def token_pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 token pairs by pointwise mutual information (document-
+    level co-occurrence over the 200 most frequent tokens) — the
+    collocation/phrase-mining primitive behind tokenizer-merge and
+    stop-phrase decisions. PMI = ln(N·c(a,b) / (c(a)·c(b))) over
+    doc-distinct occurrences; pairs need c(a,b) ≥ 5 to suppress
+    small-count noise.
+
+    Scale: the vocabulary is capped FIRST (top-200 by corpus doc
+    frequency, lossless two-phase top-k), so the per-doc pair fan-out
+    is ≤ C(200,2) regardless of corpus size; co-occurrence counts are
+    one groupBy with map-side partials."""
+    from ..functions.text import tokens
+
+    d = load(spark, sf_dir, "documents")
+    dt = (
+        d.where(F.col("text").isNotNull())
+        .select("doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("t"))
+    )
+    df_counts = dt.groupBy("t").agg(F.count("*").alias("df"))
+    top = (
+        df_counts.orderBy(F.col("df").desc(), F.col("t").asc())
+        .limit(200)
+    )
+    dt_top = dt.join(F.broadcast(top), "t")
+    n_docs = d.where(F.col("text").isNotNull()).count()
+    pairs = (
+        dt_top.alias("a")
+        .join(dt_top.alias("b"), "doc_id")
+        .where(F.col("a.t") < F.col("b.t"))
+        .groupBy(F.col("a.t").alias("t_a"), F.col("b.t").alias("t_b"))
+        .agg(F.count("*").alias("c_ab"))
+        .where(F.col("c_ab") >= 5)
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(top.select(F.col("t").alias("t_a"), F.col("df").alias("c_a"))),
+            "t_a",
+        )
+        .join(
+            F.broadcast(top.select(F.col("t").alias("t_b"), F.col("df").alias("c_b"))),
+            "t_b",
+        )
+        .select(
+            "t_a",
+            "t_b",
+            F.col("c_ab").cast("bigint").alias("c_ab"),
+            F.round(
+                F.log(
+                    F.lit(float(n_docs))
+                    * F.col("c_ab")
+                    / (F.col("c_a") * F.col("c_b"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("t_a").asc(), F.col("t_b").asc()
+    ).limit(50)
+
+
+@query("cdc_chunk_dedup_stats")
+def cdc_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking proving SHIFT-ROBUST dedup: every 5th
+    doc is re-ingested under a 3-char prefix ('zz ' — the classic
+    insertion that defeats fixed-size chunking), the whole corpus is
+    CDC-chunked (16-char rolling window, boundary ≡ 0 mod 64), and
+    per-source chunk-hash dedup ratios drop below 1 exactly because
+    shifted copies re-synchronize on the same boundaries. Output per
+    source: chunks, distinct chunk hashes, dedup ratio, mean chunk
+    length."""
+    from ..operators.curation import content_defined_chunks
+
+    d = load(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.col("n_chars") > 0)
+    )
+    mirrored = d.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1_000_000_000).alias("doc_id"),
+        F.col("source"),
+        F.concat(F.lit("zz "), F.col("text")).alias("text"),
+    )
+    corpus = d.select("doc_id", "source", "text").unionByName(mirrored)
+    ch = content_defined_chunks(corpus)
+    return ch.groupBy("source").agg(
+        F.count("*").alias("n_chunks"),
+        F.countDistinct("chunk_hash").alias("n_distinct_chunks"),
+        F.round(F.countDistinct("chunk_hash") / F.count("*"), 4).alias(
+            "dedup_ratio"
+        ),
+        F.round(F.avg("chunk_len"), 2).alias("mean_chunk_len"),
+    )

@@ -49,6 +49,8 @@ SENSITIVE = [
     "cms_term_frequency_estimates",
     "ppjoin_exact_jaccard_pairs",
     "snapshot_cdc_diff",
+    "token_pmi_top_pairs",
+    "cdc_chunk_dedup_stats",
 ]
 
 
