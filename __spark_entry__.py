@@ -100,6 +100,8 @@ _PRIORITY = [
     "snapshot_cdc_diff",
     "token_pmi_top_pairs",
     "cdc_chunk_dedup_stats",
+    "langid_confusion_matrix",
+    "bucketed_colocated_revenue",
 ]
 
 

@@ -612,6 +612,7 @@ def ppjoin_exact_jaccard(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shingle_k: int = 3,
 ) -> DataFrame:
     """EXACT set-similarity self-join via prefix filtering (PPJoin
     family, Xiao et al.): unlike the MinHash/LSH members of the dedup
@@ -636,9 +637,7 @@ def ppjoin_exact_jaccard(
         .select(
             F.col(id_col).alias("id"),
             F.explode(
-                F.array_distinct(
-                    F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
-                )
+                F.array_distinct(_shingle_col(F.col(text_col), shingle_k))
             ).alias("t"),
         )
     )
@@ -659,7 +658,24 @@ def ppjoin_exact_jaccard(
     prefix = ranked.where(
         F.col("rn")
         <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-    ).select("id", "t", "sz")
+    ).select("id", "t", "sz", "rn")
+    # PPJoin's two candidate prunes, applied before any pair survives
+    # to verification (they are what keeps dense near-dup corpora out
+    # of the quadratic regime):
+    #  - length filter: Jaccard ≥ τ forces τ·|B| ≤ |A| (sizes within a
+    #    factor 1/τ);
+    #  - positional filter: a match at prefix positions (pa, pb) caps
+    #    the overlap at min(|A|−pa, |B|−pb) + 1, which must reach
+    #    α = ceil(τ/(1+τ)·(|A|+|B|)).
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("sz_a") + F.col("sz_b"))
+    )
+    ubound = (
+        F.least(
+            F.col("sz_a") - F.col("pa"), F.col("sz_b") - F.col("pb")
+        )
+        + 1
+    )
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"), "t")
@@ -669,7 +685,15 @@ def ppjoin_exact_jaccard(
             F.col("b.id").alias("id_b"),
             F.col("a.sz").alias("sz_a"),
             F.col("b.sz").alias("sz_b"),
+            F.col("a.rn").alias("pa"),
+            F.col("b.rn").alias("pb"),
         )
+        .where(
+            (F.col("sz_a") >= F.ceil(F.lit(threshold) * F.col("sz_b")))
+            & (F.col("sz_b") >= F.ceil(F.lit(threshold) * F.col("sz_a")))
+            & (ubound >= alpha)
+        )
+        .select("id_a", "id_b", "sz_a", "sz_b")
         .distinct()
     )
     inter = (

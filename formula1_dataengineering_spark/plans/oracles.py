@@ -2681,16 +2681,19 @@ FROM est
 """
 
 
-# ppjoin_exact_jaccard_pairs: brute-force all-pairs token-set Jaccard
-# (co-occurrence join) >= 0.5 — deliberately filter-free so the
-# engine's prefix filtering is proven lossless by the hash match.
+# ppjoin_exact_jaccard_pairs: brute-force all-pairs Jaccard over
+# DISTINCT word-trigram shingle sets (same shingling as the MinHash
+# family) >= 0.5 — deliberately filter-free so the engine's
+# prefix/length/positional filtering is proven lossless by the hash
+# match.
 ORACLE_SQL["ppjoin_exact_jaccard_pairs"] = """
-WITH ts AS (
-  SELECT DISTINCT doc_id AS id, t
-  FROM documents,
-       unnest(list_filter(string_split_regex(text, '\\s+'),
-                          x -> x != '')) AS u(t)
+WITH toks AS (
+  SELECT doc_id AS id, string_split(text, ' ') AS t FROM documents
   WHERE text IS NOT NULL
+), ts AS (
+  SELECT DISTINCT id, unnest(list_transform(range(1, len(t) - 1),
+         i -> array_to_string(t[i:i+2], ' '))) AS t
+  FROM toks
 ), sz AS (
   SELECT id, count(*) AS sz FROM ts GROUP BY id
 ), co AS (
@@ -2813,4 +2816,44 @@ SELECT source, count(*) AS n_chunks,
        round(count(DISTINCT chunk_hash) * 1.0 / count(*), 4) AS dedup_ratio,
        round(avg(chunk_len), 2) AS mean_chunk_len
 FROM hashed GROUP BY source
+"""
+
+
+# langid_confusion_matrix: the doc_language_id predicate aggregated
+# into an (actual, predicted) confusion matrix with per-actual shares.
+ORACLE_SQL["langid_confusion_matrix"] = """
+WITH hits AS (
+  SELECT lang,
+    len(list_filter(string_split_regex(lower(text), '\\s+'),
+        t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS en,
+    len(list_filter(string_split_regex(lower(text), '\\s+'),
+        t -> t IN ('der', 'die', 'das', 'und', 'nicht'))) AS de,
+    len(list_filter(string_split_regex(lower(text), '\\s+'),
+        t -> t IN ('le', 'la', 'les', 'et', 'pas'))) AS fr
+  FROM documents
+), cells AS (
+  SELECT lang AS actual,
+         CASE WHEN en >= de AND en >= fr AND en > 0 THEN 'en'
+              WHEN de >= fr AND de > 0 THEN 'de'
+              WHEN fr > 0 THEN 'fr'
+              ELSE 'und' END AS predicted
+  FROM hits
+), m AS (
+  SELECT actual, predicted, count(*) AS n_docs FROM cells GROUP BY 1, 2
+)
+SELECT actual, predicted, n_docs,
+       round(n_docs * 1.0 / sum(n_docs) OVER (PARTITION BY actual), 4)
+         AS share_of_actual
+FROM m
+"""
+
+# bucketed_colocated_revenue: plain join+aggregate over the raw tables
+# (the bucketed layout changes the PLAN, never the values).
+ORACLE_SQL["bucketed_colocated_revenue"] = """
+SELECT c_mktsegment AS segment,
+       round(sum(o_totalprice), 2) AS total_revenue,
+       count(*) AS n_orders,
+       count(DISTINCT o_custkey) AS n_customers
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
 """

@@ -3762,3 +3762,74 @@ def cdc_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.avg("chunk_len"), 2).alias("mean_chunk_len"),
     )
+
+
+@query("langid_confusion_matrix")
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation shape over the lang-ID heuristic: the
+    (actual, predicted) confusion matrix with per-cell share of the
+    actual class — how a pipeline validates a filter model against
+    labels before trusting it to route 100 TB. Reuses the exact
+    doc_language_id predicate; one aggregate."""
+    d = load(spark, sf_dir, "documents")
+    en = stopword_hits(F.col("text"), STOPWORDS["en"])
+    de = stopword_hits(F.col("text"), STOPWORDS["de"])
+    fr = stopword_hits(F.col("text"), STOPWORDS["fr"])
+    pred = (
+        F.when((en >= de) & (en >= fr) & (en > 0), "en")
+        .when((de >= fr) & (de > 0), "de")
+        .when(fr > 0, "fr")
+        .otherwise("und")
+    )
+    cells = d.select(F.col("lang").alias("actual"), pred.alias("predicted"))
+    per_actual = Window.partitionBy("actual")
+    return (
+        cells.groupBy("actual", "predicted")
+        .agg(F.count("*").alias("n_docs"))
+        .withColumn(
+            "share_of_actual",
+            F.round(F.col("n_docs") / F.sum("n_docs").over(per_actual), 4),
+        )
+    )
+
+
+@query("bucketed_colocated_revenue")
+def bucketed_colocated_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BUCKETING story benched end-to-end (the join-side twin of
+    pricing_summary_partitioned's pruning story): orders and customer
+    are written bucketed+sorted by custkey into the session catalog
+    (once per sf, `_SUCCESS`-style existence check on the table), and
+    the revenue-by-segment query joins them EXCHANGE-FREE — the
+    write-time shuffle amortized across every later query, which is
+    the co-located-join contract a 100 TB warehouse runs on
+    (tests/test_plans.py pins the no-Exchange plan)."""
+    import os
+    import tempfile
+
+    from ..sources.bucketing import write_bucketed
+
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_bucketed_v1_{tag}")
+    to, tc = f"orders_bkt_{tag}", f"customer_bkt_{tag}"
+    for tbl, name, path in (
+        ("orders", to, f"{base}/orders"),
+        ("customer", tc, f"{base}/customer"),
+    ):
+        if not spark.catalog.tableExists(name):
+            df = load(spark, sf_dir, tbl)
+            key = "o_custkey" if tbl == "orders" else "c_custkey"
+            write_bucketed(df, name, [key], n_buckets=8, path=path)
+    # differently-named keys → explicit equi-condition (colocated_join's
+    # USING form needs identical names); the bucket specs still line up.
+    j = spark.table(to).join(
+        spark.table(tc), F.col("o_custkey") == F.col("c_custkey")
+    )
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+        .withColumnRenamed("c_mktsegment", "segment")
+    )

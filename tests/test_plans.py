@@ -399,3 +399,34 @@ def test_pagerank_no_window_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert tree.count("BroadcastHashJoin") >= 4
+
+
+def test_bucketed_colocated_revenue_joins_without_exchange(spark):
+    """bucketed_colocated_revenue (round 4): with broadcast disabled
+    (the 100 TB regime — at test scale the optimizer rightly broadcasts
+    the tiny customer side), the sort-merge join must consume the
+    bucketed scans DIRECTLY: no Exchange between scan and join, the
+    write-time shuffle having paid for it. Only the final segment
+    aggregate may exchange."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        prev_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    except Exception:
+        prev_aqe = None
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        plan = formatted_plan(spark, "bucketed_colocated_revenue")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        if prev_aqe is not None:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe)
+        else:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    tree = _tree(plan)
+    assert "SortMergeJoin" in tree
+    # the tree prints root-first: everything BELOW the join (its two
+    # bucketed scan inputs) must be exchange-free
+    below_join = tree.split("SortMergeJoin")[1]
+    assert "Exchange" not in below_join
+    assert tree.count("Exchange") <= 1
