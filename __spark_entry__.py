@@ -102,6 +102,8 @@ _PRIORITY = [
     "cdc_chunk_dedup_stats",
     "langid_confusion_matrix",
     "bucketed_colocated_revenue",
+    "events_stream_unattributed_views",
+    "table_profile_stats",
 ]
 
 

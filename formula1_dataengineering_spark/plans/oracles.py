@@ -2857,3 +2857,75 @@ SELECT c_mktsegment AS segment,
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """
+
+
+# events_stream_unattributed_views: batch anti-join twin of the
+# streaming left-outer attribution (views with no same-user purchase
+# in [view_ts, view_ts + 30 min]).
+ORACLE_SQL["events_stream_unattributed_views"] = """
+WITH v AS (
+  SELECT user_id, ts AS view_ts, event_id AS view_id
+  FROM events WHERE event_type = 'view'
+), p AS (
+  SELECT user_id, ts AS purchase_ts FROM events WHERE event_type = 'purchase'
+)
+SELECT v.user_id,
+       epoch_us(v.view_ts) AS view_ts_us,
+       v.view_id
+FROM v
+WHERE NOT EXISTS (
+  SELECT 1 FROM p
+  WHERE p.user_id = v.user_id
+    AND p.purchase_ts >= v.view_ts
+    AND p.purchase_ts <= v.view_ts + INTERVAL 30 MINUTE
+)
+-- bounded-source emission cutoff: an unmatched view emits only once
+-- the global watermark passes the end of its attribution horizon.
+-- Spark's global watermark = min over both inputs of (side's max
+-- event time, millisecond-truncated) - 30 min delay.
+AND v.view_ts + INTERVAL 30 MINUTE
+      < (SELECT least(
+           max(CASE WHEN event_type = 'view' THEN ts END),
+           max(CASE WHEN event_type = 'purchase' THEN ts END)
+         ) - INTERVAL 30 MINUTE FROM events)
+"""
+
+# table_profile_stats: one-pass per-column profile of lineitem.
+ORACLE_SQL["table_profile_stats"] = """
+WITH s AS (
+  SELECT
+    sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS q_nulls,
+    count(DISTINCT l_quantity) AS q_distinct,
+    round(CAST(min(l_quantity) AS DOUBLE), 4) AS q_min,
+    round(CAST(max(l_quantity) AS DOUBLE), 4) AS q_max,
+    sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS ep_nulls,
+    count(DISTINCT l_extendedprice) AS ep_distinct,
+    round(CAST(min(l_extendedprice) AS DOUBLE), 4) AS ep_min,
+    round(CAST(max(l_extendedprice) AS DOUBLE), 4) AS ep_max,
+    sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS d_nulls,
+    count(DISTINCT l_discount) AS d_distinct,
+    round(CAST(min(l_discount) AS DOUBLE), 4) AS d_min,
+    round(CAST(max(l_discount) AS DOUBLE), 4) AS d_max,
+    sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS t_nulls,
+    count(DISTINCT l_tax) AS t_distinct,
+    round(CAST(min(l_tax) AS DOUBLE), 4) AS t_min,
+    round(CAST(max(l_tax) AS DOUBLE), 4) AS t_max,
+    sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS rf_nulls,
+    count(DISTINCT l_returnflag) AS rf_distinct,
+    sum(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS ls_nulls,
+    count(DISTINCT l_linestatus) AS ls_distinct
+  FROM lineitem
+)
+SELECT 'l_quantity' AS column_name, CAST(q_nulls AS BIGINT) AS n_nulls,
+       q_distinct AS n_distinct, q_min AS min_value, q_max AS max_value FROM s
+UNION ALL
+SELECT 'l_extendedprice', CAST(ep_nulls AS BIGINT), ep_distinct, ep_min, ep_max FROM s
+UNION ALL
+SELECT 'l_discount', CAST(d_nulls AS BIGINT), d_distinct, d_min, d_max FROM s
+UNION ALL
+SELECT 'l_tax', CAST(t_nulls AS BIGINT), t_distinct, t_min, t_max FROM s
+UNION ALL
+SELECT 'l_returnflag', CAST(rf_nulls AS BIGINT), rf_distinct, NULL, NULL FROM s
+UNION ALL
+SELECT 'l_linestatus', CAST(ls_nulls AS BIGINT), ls_distinct, NULL, NULL FROM s
+"""

@@ -3833,3 +3833,79 @@ def bucketed_colocated_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumnRenamed("c_mktsegment", "segment")
     )
+
+
+@query("events_stream_unattributed_views")
+def events_stream_unattributed_views(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming LEFT OUTER stream-stream join gate: views with no
+    same-user purchase within 30 minutes (the abandoned-intent feed) —
+    the outer-join capability the inner attribution gate doesn't
+    exercise: unmatched rows emit only after the watermark closes
+    their horizon. Batch anti-join oracle."""
+    from ..streaming.events import read_events_stream, run_to_completion, unattributed_views
+
+    out = run_to_completion(
+        unattributed_views(read_events_stream(spark, sf_dir)),
+        "gate_unattributed_views",
+        output_mode="append",
+    )
+    # exact epoch MICROS (the catalog's timestamp rule): seconds-level
+    # division truncates while DuckDB's epoch() rounds the fraction —
+    # off-by-one on any sub-second timestamp.
+    return out.select(
+        "user_id",
+        F.unix_micros("view_ts").alias("view_ts_us"),
+        "view_id",
+    )
+
+
+@query("table_profile_stats")
+def table_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-TABLE-shaped column profile of lineitem in ONE pass:
+    per column, null count, distinct count, min/max (numeric columns
+    as doubles) — the data-quality audit a pipeline runs before
+    trusting a new 100 TB drop. Every column's stats come from a
+    single aggregate row (no per-column scans), then unpivot to one
+    row per column."""
+    li = load(spark, sf_dir, "lineitem")
+    num_cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    str_cols = ["l_returnflag", "l_linestatus"]
+    aggs = []
+    for c in num_cols + str_cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+        ]
+    for c in num_cols:
+        aggs += [
+            F.round(F.min(c).cast("double"), 4).alias(f"{c}__min"),
+            F.round(F.max(c).cast("double"), 4).alias(f"{c}__max"),
+        ]
+    row = li.agg(*aggs)
+    parts = []
+    for c in num_cols:
+        parts.append(
+            row.select(
+                F.lit(c).alias("column_name"),
+                F.col(f"{c}__nulls").cast("bigint").alias("n_nulls"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_value"),
+                F.col(f"{c}__max").alias("max_value"),
+            )
+        )
+    for c in str_cols:
+        parts.append(
+            row.select(
+                F.lit(c).alias("column_name"),
+                F.col(f"{c}__nulls").cast("bigint").alias("n_nulls"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                F.lit(None).cast("double").alias("min_value"),
+                F.lit(None).cast("double").alias("max_value"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -427,3 +427,47 @@ def hourly_distinct_users(
         .agg(F.count("*").alias("n_users"))
         .select(F.col("window.start").alias("hour_start"), "n_users")
     )
+
+
+def unattributed_views(
+    events: DataFrame, watermark: str = "30 minutes", horizon_minutes: int = 30
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join: views with NO purchase by the
+    same user inside the attribution horizon — the abandoned-intent
+    feed. Outer stream-stream joins are a distinct engine capability:
+    the unmatched side can only emit once the watermark proves no
+    match can still arrive, so rows surface with watermark delay (fine
+    under run-to-completion on a bounded source).
+
+    Scale: state as in the inner attribution join — both sides
+    watermarked, the time bound expires join state in both
+    directions."""
+    views = (
+        events.where(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            "user_id = p_user_id AND purchase_ts >= view_ts "
+            f"AND purchase_ts <= view_ts + INTERVAL {int(horizon_minutes)} MINUTES"
+        ),
+        "left_outer",
+    )
+    return joined.where(F.col("purchase_id").isNull()).select(
+        "user_id", "view_ts", "view_id"
+    )
