@@ -104,6 +104,8 @@ _PRIORITY = [
     "bucketed_colocated_revenue",
     "events_stream_unattributed_views",
     "table_profile_stats",
+    "value_mad_outliers",
+    "value_psi_drift",
 ]
 
 

@@ -2929,3 +2929,73 @@ SELECT 'l_returnflag', CAST(rf_nulls AS BIGINT), rf_distinct, NULL, NULL FROM s
 UNION ALL
 SELECT 'l_linestatus', CAST(ls_nulls AS BIGINT), ls_distinct, NULL, NULL FROM s
 """
+
+
+# value_mad_outliers: Iglewicz-Hoaglin modified z-score outliers per
+# event type (median + MAD via quantile_cont, matching Spark's
+# percentile interpolation).
+ORACLE_SQL["value_mad_outliers"] = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY 1
+), dev AS (
+  SELECT e.event_type, abs(e.value - m.med) AS absdev, m.med
+  FROM events e JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, quantile_cont(absdev, 0.5) AS mad, any_value(med) AS med
+  FROM dev GROUP BY 1
+)
+SELECT d.event_type,
+       round(any_value(m.med), 4) AS median_value,
+       round(any_value(m.mad), 4) AS mad,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN d.absdev > 3.5 * 1.4826 * m.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       round(sum(CASE WHEN d.absdev > 3.5 * 1.4826 * m.mad
+                      THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS outlier_share
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+"""
+
+# value_psi_drift: decile-bin PSI between timeline halves; bin edges
+# fit on the first half (round-9 quantized in both engines).
+ORACLE_SQL["value_psi_drift"] = """
+WITH ev AS (
+  SELECT event_type, value, epoch_us(ts) AS us FROM events
+), m AS (
+  SELECT CAST(round(quantile_cont(us, 0.5)) AS BIGINT) AS m FROM ev
+), halves AS (
+  SELECT event_type, value,
+         CASE WHEN us <= m.m THEN 1 ELSE 2 END AS half
+  FROM ev CROSS JOIN m
+), edges AS (
+  SELECT event_type,
+         list_transform(quantile_cont(value,
+             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+           x -> round(x, 9)) AS edges
+  FROM halves WHERE half = 1 GROUP BY event_type
+), binned AS (
+  SELECT h.event_type, h.half,
+         len(list_filter(e.edges, ed -> h.value > ed)) AS bin
+  FROM halves h JOIN edges e USING (event_type)
+), counts AS (
+  SELECT event_type, half, bin, count(*) AS n FROM binned GROUP BY 1, 2, 3
+), tot AS (
+  SELECT event_type, half, sum(n) AS tot FROM counts GROUP BY 1, 2
+), shares AS (
+  SELECT c.event_type, c.half, c.bin,
+         greatest(c.n * 1.0 / t.tot, 1e-6) AS p
+  FROM counts c JOIN tot t USING (event_type, half)
+), j AS (
+  SELECT COALESCE(a.event_type, b.event_type) AS event_type,
+         COALESCE(a.p, 1e-6) AS p1, COALESCE(b.p, 1e-6) AS p2
+  FROM (SELECT * FROM shares WHERE half = 1) a
+  FULL OUTER JOIN (SELECT * FROM shares WHERE half = 2) b
+    ON a.event_type = b.event_type AND a.bin = b.bin
+)
+SELECT event_type,
+       round(sum((p2 - p1) * (ln(p2) - ln(p1))), 6) AS psi,
+       count(*) AS n_bins
+FROM j GROUP BY event_type
+"""

@@ -3909,3 +3909,135 @@ def table_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@query("value_mad_outliers")
+def value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: modified z-score
+    |x − median| / (1.4826·MAD) > 3.5 (the Iglewicz-Hoaglin rule) —
+    the heavy-tail-safe cousin of the z-score anomaly gate (means and
+    stddevs are themselves corrupted by the outliers they hunt;
+    medians are not). Output: per-type medians, MAD, outlier counts
+    and share.
+
+    Scale: two #type-bounded percentile aggregates (median, then MAD
+    over |x−median|) + one flagging pass — the corpus shuffles on
+    event_type with map-side partials; no row-level state."""
+    e = load(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = (
+        e.join(F.broadcast(med), "event_type")
+        .withColumn("absdev", F.abs(F.col("value") - F.col("med")))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("absdev", F.lit(0.5)).alias("mad"),
+        F.first("med").alias("med"),
+    )
+    flagged = dev.drop("med").join(F.broadcast(mad), "event_type")
+    is_out = (
+        F.col("absdev") > F.lit(3.5) * F.lit(1.4826) * F.col("mad")
+    )
+    return flagged.groupBy("event_type").agg(
+        F.round(F.first("med"), 4).alias("median_value"),
+        F.round(F.first("mad"), 4).alias("mad"),
+        F.count("*").alias("n_events"),
+        F.sum(is_out.cast("long")).alias("n_outliers"),
+        F.round(F.sum(is_out.cast("long")) / F.count("*"), 6).alias(
+            "outlier_share"
+        ),
+    )
+
+
+@query("value_psi_drift")
+def value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second halves
+    of the events timeline (split at the median ts): decile bins fit
+    on the FIRST half, both halves histogrammed into them, PSI =
+    Σ (p₂−p₁)·ln(p₂/p₁) with ε-floored shares — the standard ML-ops
+    input-drift alarm (PSI > 0.2 ≈ shifted population), one per event
+    type.
+
+    Scale: bin edges are a #type×9 broadcast; each half histograms in
+    one pass with map-side partials. Bin assignment uses the same
+    quantile edges in both engines (exact percentile, round-9
+    quantized) so bucket membership is identical."""
+    e = load(spark, sf_dir, "events")
+    ts_med = e.agg(
+        F.percentile(F.unix_micros("ts"), F.lit(0.5)).alias("m")
+    )
+    halves = (
+        e.withColumn("__us", F.unix_micros("ts"))
+        .withColumn("__j", F.pmod(F.col("event_id"), F.lit(1)).cast("int"))
+        .join(
+            F.broadcast(
+                ts_med.select(
+                    F.round("m").cast("bigint").alias("m"),
+                ).withColumn(
+                    # column-derived key: a literal would constant-fold
+                    # back into a nested-loop cross join
+                    "__j",
+                    F.pmod(F.col("m"), F.lit(1)).cast("int"),
+                )
+            ),
+            "__j",
+        )
+        .withColumn("half", F.when(F.col("__us") <= F.col("m"), 1).otherwise(2))
+    )
+    edges = (
+        halves.where(F.col("half") == 1)
+        .groupBy("event_type")
+        .agg(
+            F.transform(
+                F.percentile(
+                    "value",
+                    F.lit([i / 10.0 for i in range(1, 10)]),
+                ),
+                lambda x: F.round(x, 9),
+            ).alias("edges")
+        )
+    )
+    binned = (
+        halves.join(F.broadcast(edges), "event_type")
+        .withColumn(
+            "bin",
+            F.aggregate(
+                "edges",
+                F.lit(0),
+                lambda acc, ed: acc
+                + F.when(F.col("value") > ed, 1).otherwise(0),
+            ),
+        )
+    )
+    counts = binned.groupBy("event_type", "half", "bin").agg(
+        F.count("*").alias("n")
+    )
+    tot = counts.groupBy("event_type", "half").agg(F.sum("n").alias("tot"))
+    shares = counts.join(tot, ["event_type", "half"]).select(
+        "event_type",
+        "half",
+        "bin",
+        F.greatest(F.col("n") / F.col("tot"), F.lit(1e-6)).alias("p"),
+    )
+    p1 = shares.where(F.col("half") == 1).select(
+        "event_type", "bin", F.col("p").alias("p1")
+    )
+    p2 = shares.where(F.col("half") == 2).select(
+        "event_type", "bin", F.col("p").alias("p2")
+    )
+    joined = p1.join(p2, ["event_type", "bin"], "full_outer").select(
+        "event_type",
+        F.coalesce(F.col("p1"), F.lit(1e-6)).alias("p1"),
+        F.coalesce(F.col("p2"), F.lit(1e-6)).alias("p2"),
+    )
+    return joined.groupBy("event_type").agg(
+        F.round(
+            F.sum(
+                (F.col("p2") - F.col("p1"))
+                * (F.log("p2") - F.log("p1"))
+            ),
+            6,
+        ).alias("psi"),
+        F.count("*").alias("n_bins"),
+    )

@@ -53,6 +53,9 @@ SENSITIVE = [
     "cdc_chunk_dedup_stats",
     "langid_confusion_matrix",
     "bucketed_colocated_revenue",
+    "table_profile_stats",
+    "value_mad_outliers",
+    "value_psi_drift",
 ]
 
 
