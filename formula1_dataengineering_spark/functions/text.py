@@ -370,3 +370,19 @@ def bpe_merge_symbol_stats(
         .orderBy(F.col("total_count").desc(), "symbol")
         .limit(top_k)
     )
+
+
+def langid_prediction(text: Column) -> Column:
+    """The heuristic language-ID predicate shared by the
+    ``doc_language_id`` gate and the ``langid_confusion_matrix``
+    evaluation — ONE definition so the confusion matrix can never
+    silently evaluate a predicate the pipeline no longer runs."""
+    en = stopword_hits(text, STOPWORDS["en"])
+    de = stopword_hits(text, STOPWORDS["de"])
+    fr = stopword_hits(text, STOPWORDS["fr"])
+    return (
+        F.when((en >= de) & (en >= fr) & (en > 0), "en")
+        .when((de >= fr) & (de > 0), "de")
+        .when(fr > 0, "fr")
+        .otherwise("und")
+    )

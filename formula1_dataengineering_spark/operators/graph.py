@@ -314,18 +314,13 @@ def pagerank_fixed(
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
     )
+    from .scalars import broadcast_scalars
+
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    # The 1-row node-count attaches via the single-valued-key broadcast
-    # equi-join (a bare crossJoin compiles to BroadcastNestedLoopJoin,
-    # which the catalog's plan-hygiene gate bans).
-    n = nodes.agg(F.count("*").alias("n_nodes")).withColumn(
-        "__j", F.pmod(F.col("n_nodes"), F.lit(1)).cast("int")
-    )
+    n = nodes.agg(F.count("*").alias("n_nodes"))
 
     def with_n(df: DataFrame) -> DataFrame:
-        return df.withColumn(
-            "__j", F.pmod(F.col("node"), F.lit(1)).cast("int")
-        ).join(F.broadcast(n), "__j")
+        return broadcast_scalars(df, n, "node", "n_nodes")
 
     ranks = with_n(nodes).select(
         "node", F.round(F.lit(1.0) / F.col("n_nodes"), round_decimals).alias("rank")

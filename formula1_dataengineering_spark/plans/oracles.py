@@ -2881,13 +2881,17 @@ WHERE NOT EXISTS (
 )
 -- bounded-source emission cutoff: an unmatched view emits only once
 -- the global watermark passes the end of its attribution horizon.
--- Spark's global watermark = min over both inputs of (side's max
--- event time, millisecond-truncated) - 30 min delay.
-AND v.view_ts + INTERVAL 30 MINUTE
+-- Spark's global watermark = min over both inputs of the side's max
+-- event time FLOORED TO MILLISECONDS (EventTimeWatermarkExec tracks
+-- ms) minus the 30-min delay; the row's own event time stays at
+-- microsecond precision on the other side of the comparison.
+AND epoch_us(v.view_ts) + 1800000000
       < (SELECT least(
-           max(CASE WHEN event_type = 'view' THEN ts END),
-           max(CASE WHEN event_type = 'purchase' THEN ts END)
-         ) - INTERVAL 30 MINUTE FROM events)
+           (epoch_us(max(CASE WHEN event_type = 'view' THEN ts END))
+              // 1000) * 1000,
+           (epoch_us(max(CASE WHEN event_type = 'purchase' THEN ts END))
+              // 1000) * 1000
+         ) - 1800000000 FROM events)
 """
 
 # table_profile_stats: one-pass per-column profile of lineitem.

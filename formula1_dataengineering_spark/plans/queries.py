@@ -576,18 +576,15 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("doc_language_id")
 def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID from stopword hits (en/de/fr/und)."""
+    from ..functions.text import langid_prediction
+
     d = load(spark, sf_dir, "documents")
     en = stopword_hits(F.col("text"), STOPWORDS["en"])
-    de = stopword_hits(F.col("text"), STOPWORDS["de"])
-    fr = stopword_hits(F.col("text"), STOPWORDS["fr"])
-    pred = (
-        F.when((en >= de) & (en >= fr) & (en > 0), "en")
-        .when((de >= fr) & (de > 0), "de")
-        .when(fr > 0, "fr")
-        .otherwise("und")
-    )
     return d.select(
-        "doc_id", "lang", pred.alias("pred_lang"), en.alias("en_hits")
+        "doc_id",
+        "lang",
+        langid_prediction(F.col("text")).alias("pred_lang"),
+        en.alias("en_hits"),
     )
 
 
@@ -3238,7 +3235,12 @@ def pricing_summary_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(
         tempfile.gettempdir(), f"spark_graft_lineitem_by_year_v1_{tag}"
     )
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    marker = os.path.join(path, "_SUCCESS")
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    stale = os.path.exists(marker) and os.path.getmtime(src) > os.path.getmtime(
+        marker
+    )
+    if stale or not os.path.exists(marker):
         li = load(spark, sf_dir, "lineitem").withColumn(
             "ship_year", F.year("l_shipdate")
         )
@@ -3316,14 +3318,9 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("raw_n").alias("n_raw"),
         F.sum("tgt_n").alias("n_tgt"),
     )
-    ratio = term.withColumn(
-        "__j", F.pmod(F.col("raw_n"), F.lit(1)).cast("int")
-    ).join(
-        F.broadcast(
-            totals.withColumn("__j", F.pmod(F.col("v"), F.lit(1)).cast("int"))
-        ),
-        "__j",
-    ).select(
+    from ..operators.scalars import broadcast_scalars
+
+    ratio = broadcast_scalars(term, totals, "raw_n", "v").select(
         "t",
         (
             F.log((F.col("tgt_n") + 1) / (F.col("n_tgt") + F.col("v")))
@@ -3481,18 +3478,13 @@ def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("v"), F.sum("kc").alias("nc")
     )
     src_tot = tc.groupBy("source").agg(F.sum("k").alias("ns"))
-    joined = (
-        tc.join(corpus, "t")
-        .join(F.broadcast(src_tot), "source")
-        .withColumn("__j", F.pmod(F.col("k"), F.lit(1)).cast("int"))
-        .join(
-            F.broadcast(
-                v_nc.withColumn(
-                    "__j", F.pmod(F.col("v"), F.lit(1)).cast("int")
-                )
-            ),
-            "__j",
-        )
+    from ..operators.scalars import broadcast_scalars
+
+    joined = broadcast_scalars(
+        tc.join(corpus, "t").join(F.broadcast(src_tot), "source"),
+        v_nc,
+        "k",
+        "v",
     )
     ps = (F.col("k") + 1) / (F.col("ns") + F.col("v"))
     pc = (F.col("kc") + 1) / (F.col("nc") + F.col("v"))
@@ -3695,7 +3687,14 @@ def token_pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(200)
     )
     dt_top = dt.join(F.broadcast(top), "t")
-    n_docs = d.where(F.col("text").isNotNull()).count()
+    # lazy broadcast scalar, never a driver-side .count(): an eager
+    # count would scan documents at plan-CONSTRUCTION time (even for
+    # EXPLAIN-only consumers) and then again in the dataflow.
+    from ..operators.scalars import broadcast_scalars
+
+    n_docs = d.where(F.col("text").isNotNull()).agg(
+        F.count("*").alias("n_docs")
+    )
     pairs = (
         dt_top.alias("a")
         .join(dt_top.alias("b"), "doc_id")
@@ -3705,7 +3704,8 @@ def token_pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("c_ab") >= 5)
     )
     scored = (
-        pairs.join(
+        broadcast_scalars(pairs, n_docs, "c_ab", "n_docs")
+        .join(
             F.broadcast(top.select(F.col("t").alias("t_a"), F.col("df").alias("c_a"))),
             "t_a",
         )
@@ -3719,7 +3719,7 @@ def token_pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_ab").cast("bigint").alias("c_ab"),
             F.round(
                 F.log(
-                    F.lit(float(n_docs))
+                    F.col("n_docs").cast("double")
                     * F.col("c_ab")
                     / (F.col("c_a") * F.col("c_b"))
                 ),
@@ -3771,17 +3771,13 @@ def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     actual class — how a pipeline validates a filter model against
     labels before trusting it to route 100 TB. Reuses the exact
     doc_language_id predicate; one aggregate."""
+    from ..functions.text import langid_prediction
+
     d = load(spark, sf_dir, "documents")
-    en = stopword_hits(F.col("text"), STOPWORDS["en"])
-    de = stopword_hits(F.col("text"), STOPWORDS["de"])
-    fr = stopword_hits(F.col("text"), STOPWORDS["fr"])
-    pred = (
-        F.when((en >= de) & (en >= fr) & (en > 0), "en")
-        .when((de >= fr) & (de > 0), "de")
-        .when(fr > 0, "fr")
-        .otherwise("und")
+    cells = d.select(
+        F.col("lang").alias("actual"),
+        langid_prediction(F.col("text")).alias("predicted"),
     )
-    cells = d.select(F.col("lang").alias("actual"), pred.alias("predicted"))
     per_actual = Window.partitionBy("actual")
     return (
         cells.groupBy("actual", "predicted")
@@ -3967,24 +3963,14 @@ def value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts_med = e.agg(
         F.percentile(F.unix_micros("ts"), F.lit(0.5)).alias("m")
     )
-    halves = (
-        e.withColumn("__us", F.unix_micros("ts"))
-        .withColumn("__j", F.pmod(F.col("event_id"), F.lit(1)).cast("int"))
-        .join(
-            F.broadcast(
-                ts_med.select(
-                    F.round("m").cast("bigint").alias("m"),
-                ).withColumn(
-                    # column-derived key: a literal would constant-fold
-                    # back into a nested-loop cross join
-                    "__j",
-                    F.pmod(F.col("m"), F.lit(1)).cast("int"),
-                )
-            ),
-            "__j",
-        )
-        .withColumn("half", F.when(F.col("__us") <= F.col("m"), 1).otherwise(2))
-    )
+    from ..operators.scalars import broadcast_scalars
+
+    halves = broadcast_scalars(
+        e.withColumn("__us", F.unix_micros("ts")),
+        ts_med.select(F.round("m").cast("bigint").alias("m")),
+        "event_id",
+        "m",
+    ).withColumn("half", F.when(F.col("__us") <= F.col("m"), 1).otherwise(2))
     edges = (
         halves.where(F.col("half") == 1)
         .groupBy("event_type")

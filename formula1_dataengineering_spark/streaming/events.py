@@ -52,24 +52,30 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..sources.catalog import load
 
-    # catalog.load owns the probe: it only sets the legacy nanosAsLong
-    # conf when this session's reader rejects nanos outright. After it
-    # returns, the conf tells us which raw shape the stream scan will
-    # see: bigint nanos under the legacy conf, TIMESTAMP_NTZ otherwise.
+    # catalog.load owns the conf probe: it only sets the legacy
+    # nanosAsLong conf when this session's reader rejects nanos
+    # outright. After it returns, probe how THIS FILE's ts column
+    # actually resolves under the current confs — the target dir may
+    # be a Spark-written replica whose ts is plain micros
+    # (TIMESTAMP/TIMESTAMP_NTZ) rather than the testdata's INT64
+    # nanos, and the session conf alone cannot distinguish them
+    # (code-review finding, round 4).
     load(spark, sf_dir, "events")
-    legacy = (
-        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
-        == "true"
+    raw_type = (
+        spark.read.option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .schema["ts"]
+        .dataType
     )
     # The file-stream source monitors a DIRECTORY; select the single
     # table file with a glob filter.
     reader = spark.readStream.format("parquet").option(
         "pathGlobFilter", "events.parquet"
     )
-    if legacy:
+    if isinstance(raw_type, T.LongType):
         raw = reader.schema(_events_stream_schema(T.LongType())).load(sf_dir)
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    raw = reader.schema(_events_stream_schema(T.TimestampNTZType())).load(sf_dir)
+    raw = reader.schema(_events_stream_schema(raw_type)).load(sf_dir)
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
