@@ -62,6 +62,7 @@ def main() -> None:
         spark.catalog.clearCache()
         gc.collect()
 
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     print(
         json.dumps(
             {
@@ -69,7 +70,29 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
+            }
+        )
+    )
+    # Compact summary printed LAST: the full per-query line above is
+    # ~5 KiB and the driver's stdout capture keeps only a bounded tail,
+    # so rounds 1-4 recorded "parsed": null. A short final line always
+    # survives a tail capture and parses.
+    ordered = sorted(timings.values())
+    median = (
+        ordered[len(ordered) // 2]
+        if len(ordered) % 2
+        else (ordered[len(ordered) // 2 - 1] + ordered[len(ordered) // 2]) / 2
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_total_runtime",
+                "value": round(total, 3),
+                "unit": "sec",
+                "n_queries": len(timings),
+                "median_s": round(median, 3),
+                "sf": sf_val,
             }
         )
     )

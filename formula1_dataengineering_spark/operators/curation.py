@@ -781,6 +781,21 @@ def observed_quality_counters(docs: DataFrame, text_col: str = "text"):
     return observed, obs
 
 
+#: Karp-Rabin polynomial rolling-hash constants shared verbatim with
+#: the DuckDB oracle (oracles.py inlines ``cdc_window_pows``): hash of
+#: a window = Σ codepoint[k]·BASE^(W-1-k)  mod  MOD. MOD = 2^31-1 keeps
+#: every intermediate ≤ 2^56 (16 terms · 2^21 codepoint · 2^31 pow), so
+#: both numpy uint64 and DuckDB BIGINT evaluate it exactly.
+CDC_BASE = 257
+CDC_MOD = 2_147_483_647  # 2^31 - 1
+
+
+def cdc_window_pows(window: int = 16) -> list[int]:
+    """``BASE^k mod MOD`` for k in [0, window) — the shared coefficient
+    table for the Spark kernel and the generated oracle SQL."""
+    return [pow(CDC_BASE, k, CDC_MOD) for k in range(window)]
+
+
 def content_defined_chunks(
     docs: DataFrame,
     window: int = 16,
@@ -790,54 +805,63 @@ def content_defined_chunks(
     text_col: str = "text",
 ) -> DataFrame:
     """Content-defined chunking (Rabin/CDC-style): a chunk boundary
-    falls at every position ``i ≥ min_pos`` where the portable 48-bit
-    hash of the trailing ``window`` characters is ≡ 0 (mod ``mask``) —
-    so boundaries are a pure function of LOCAL content, and inserting a
-    prefix shifts chunk positions but re-synchronizes the boundary
-    stream within one window. That is the property fixed-size chunking
-    lacks and dedup storage relies on: shifted near-duplicates still
-    share almost all chunk hashes.
+    falls at every position ``i ≥ min_pos`` where the Karp-Rabin
+    polynomial hash of the trailing ``window`` characters is ≡ 0 (mod
+    ``mask``) — so boundaries are a pure function of LOCAL content, and
+    inserting a prefix shifts chunk positions but re-synchronizes the
+    boundary stream within one window. That is the property fixed-size
+    chunking lacks and dedup storage relies on: shifted near-duplicates
+    still share almost all chunk hashes.
 
     Returns one row per chunk: (id, source kept if present, chunk_idx,
     chunk_start, chunk_len, chunk_hash).
 
-    Scale: position fan-out is explode(len) rows of a 16-char window
-    each (never the whole text per row); boundary lists collapse to
-    one bounded array per doc (≈ len/mask entries) before chunk
-    substrings are cut. Average chunk = ``mask`` chars; no sequential
-    state, so the scan parallelizes like any other.
+    Scale: boundary detection is an Arrow-batched pandas_udf running a
+    vectorized polynomial window hash over the doc's codepoint array —
+    16 numpy axpy ops per doc regardless of length, O(1) work per
+    character, no per-position row fan-out and NO shuffle (boundaries
+    come back as one bounded array per doc, ≈ len/mask entries).
+    Chunk-content hashing stays the portable md5-derived 48-bit hash
+    (one digest per ~mask-char chunk, amortized O(1)/char). Average
+    chunk = ``mask`` chars; no sequential state across docs, so the
+    scan parallelizes like any other.
     """
+    import numpy as np
+
     from ..operators.dedup import portable_hash48
+
+    pows = np.array(cdc_window_pows(window)[::-1], dtype=np.uint64)
+    mod = np.uint64(CDC_MOD)
+    mask_u = np.uint64(mask)
+
+    @F.pandas_udf("array<int>")
+    def _boundaries(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None or len(t) < window:
+                out.append([])
+                continue
+            # utf-32-le: one uint32 codepoint per character, matching
+            # Spark/DuckDB character-based substr positions exactly.
+            c = np.frombuffer(
+                t.encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.uint64)
+            n = c.shape[0]
+            m = n - window + 1
+            h = np.zeros(m, dtype=np.uint64)
+            for k in range(window):
+                h += c[k : k + m] * pows[k]
+            h %= mod
+            i = np.arange(window, n + 1, dtype=np.int64)
+            hits = i[(h % mask_u == np.uint64(0)) & (i >= min_pos)]
+            out.append(hits.astype(np.int32).tolist())
+        return pd.Series(out)
 
     keep = [c for c in docs.columns if c in (id_col, "source")]
     d = docs.where(F.col(text_col).isNotNull()).select(
         *keep, F.col(text_col).alias("__t")
     )
-    wins = d.select(
-        id_col,
-        F.explode(
-            F.when(
-                F.length("__t") >= window,
-                F.transform(
-                    F.sequence(F.lit(window), F.length("__t")),
-                    lambda i: F.struct(
-                        i.cast("int").alias("i"),
-                        F.col("__t")
-                        .substr(i - window + 1, F.lit(window))
-                        .alias("w"),
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<struct<i:int,w:string>>"))
-        ).alias("__p"),
-    ).select(id_col, F.col("__p.i").alias("i"), F.col("__p.w").alias("w"))
-    bnd = wins.where(
-        (F.col("i") >= min_pos)
-        & (F.pmod(portable_hash48(F.col("w")), F.lit(mask)) == 0)
-    ).select(id_col, "i")
-    bs = bnd.groupBy(id_col).agg(F.array_sort(F.collect_list("i")).alias("bs"))
-    withbs = d.join(bs, id_col, "left").withColumn(
-        "bs", F.coalesce(F.col("bs"), F.array().cast("array<int>"))
-    )
+    withbs = d.withColumn("bs", _boundaries(F.col("__t")))
     starts = F.concat(
         F.array(F.lit(1)), F.transform(F.col("bs"), lambda x: x + 1)
     )

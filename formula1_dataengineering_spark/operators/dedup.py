@@ -607,12 +607,27 @@ def semantic_dedup_drops(
     )
 
 
+#: Slack subtracted inside every PPJoin ceil: double rounding can push
+#: τ·|set| a few ulps ABOVE an exact-integer product (0.55*20 →
+#: 11.000000000000002 → ceil 12 instead of 11), silently tightening a
+#: lossless filter into one that drops true pairs. Subtracting 1e-6
+#: before ceil only ever RELAXES a bound (and by less than one integer
+#: for any real corpus size), so losslessness is preserved for every
+#: τ, not just binary-exact ones like 0.5.
+_CEIL_EPS = 1e-6
+
+
+def _ceil_tight(x) -> Column:
+    return F.ceil(x - F.lit(_CEIL_EPS))
+
+
 def ppjoin_exact_jaccard(
     docs: DataFrame,
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_k: int = 3,
+    candidate_budget: int | None = None,
 ) -> DataFrame:
     """EXACT set-similarity self-join via prefix filtering (PPJoin
     family, Xiao et al.): unlike the MinHash/LSH members of the dedup
@@ -631,6 +646,15 @@ def ppjoin_exact_jaccard(
     set-size rows, bounded by the filter, never all-pairs. Use τ=0.5+
     at corpus scale — lower thresholds lengthen prefixes toward the
     quadratic regime, which is inherent to exactness, not this plan.
+
+    ``candidate_budget``: optional guard against silently entering
+    that quadratic regime (dense corpora / low τ). When set, a cheap
+    pre-count of prefix-token frequencies upper-bounds the candidate
+    pairs as Σ_t c_t·(c_t−1)/2 over prefix-token counts c_t, and the
+    operator raises ``ValueError`` (naming the hot-token estimate and
+    the LSH alternative) instead of launching the join when the bound
+    exceeds the budget. Costs one small aggregate job on the prefix
+    relation, so it is opt-in.
     """
     ts = (
         docs.where(F.col(text_col).isNotNull())
@@ -657,8 +681,30 @@ def ppjoin_exact_jaccard(
     )
     prefix = ranked.where(
         F.col("rn")
-        <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+        <= F.col("sz") - _ceil_tight(F.lit(threshold) * F.col("sz")) + 1
     ).select("id", "t", "sz", "rn")
+    if candidate_budget is not None:
+        est_row = (
+            prefix.groupBy("t")
+            .agg(F.count("*").alias("c"))
+            .agg(
+                F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("pairs"),
+                F.max("c").alias("hottest"),
+            )
+            .collect()
+        )
+        est = int(est_row[0]["pairs"] or 0)
+        if est > candidate_budget:
+            raise ValueError(
+                f"ppjoin_exact_jaccard: prefix-token candidate bound "
+                f"{est:,} pairs exceeds candidate_budget="
+                f"{candidate_budget:,} (hottest prefix token appears in "
+                f"{int(est_row[0]['hottest'] or 0):,} docs). The corpus/τ "
+                f"combination is in the quadratic regime of exact "
+                f"set-similarity join — raise τ, or switch to the "
+                f"minhash_lsh near-dup path, which bounds pair growth "
+                f"by banding instead of exactness."
+            )
     # PPJoin's two candidate prunes, applied before any pair survives
     # to verification (they are what keeps dense near-dup corpora out
     # of the quadratic regime):
@@ -667,7 +713,7 @@ def ppjoin_exact_jaccard(
     #  - positional filter: a match at prefix positions (pa, pb) caps
     #    the overlap at min(|A|−pa, |B|−pb) + 1, which must reach
     #    α = ceil(τ/(1+τ)·(|A|+|B|)).
-    alpha = F.ceil(
+    alpha = _ceil_tight(
         F.lit(threshold / (1.0 + threshold)) * (F.col("sz_a") + F.col("sz_b"))
     )
     ubound = (
@@ -689,8 +735,8 @@ def ppjoin_exact_jaccard(
             F.col("b.rn").alias("pb"),
         )
         .where(
-            (F.col("sz_a") >= F.ceil(F.lit(threshold) * F.col("sz_b")))
-            & (F.col("sz_b") >= F.ceil(F.lit(threshold) * F.col("sz_a")))
+            (F.col("sz_a") >= _ceil_tight(F.lit(threshold) * F.col("sz_b")))
+            & (F.col("sz_b") >= _ceil_tight(F.lit(threshold) * F.col("sz_a")))
             & (ubound >= alpha)
         )
         .select("id_a", "id_b", "sz_a", "sz_b")

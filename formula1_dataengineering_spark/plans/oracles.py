@@ -2522,7 +2522,11 @@ LIMIT 50
 
 # supplier_pagerank: 3 unrolled PageRank iterations over the bipartite
 # distinct (cust, supp) trade graph, per-iteration round-9 quantization
-# mirroring operators/graph.pagerank_fixed.
+# mirroring operators/graph.pagerank_fixed. The teleport term is
+# spelled (1.0 - 0.85) in DOUBLE, not the literal 0.15: Python's
+# `1 - damping` is 0.15000000000000002, a different double than 0.15 —
+# both sides must round-quantize the SAME double or a boundary-
+# straddling rank breaks the hash on other data.
 ORACLE_SQL["supplier_pagerank"] = """
 WITH pairs AS (
   SELECT DISTINCT o_custkey + 1000000000 AS cust_node, l_suppkey AS supp_node
@@ -2546,21 +2550,21 @@ WITH pairs AS (
   FROM e JOIN deg d ON e.src = d.src JOIN r0 r ON e.src = r.node
   GROUP BY e.dst
 ), r1 AS (
-  SELECT node, round(0.15 / n_nodes + 0.85 * COALESCE(in_mass, 0.0), 9) AS rank
+  SELECT node, round((CAST(1.0 AS DOUBLE) - 0.85) / n_nodes + 0.85 * COALESCE(in_mass, 0.0), 9) AS rank
   FROM nodes LEFT JOIN m1 ON node = m1.dst CROSS JOIN n
 ), m2 AS (
   SELECT e.dst, sum(r.rank / d.deg) AS in_mass
   FROM e JOIN deg d ON e.src = d.src JOIN r1 r ON e.src = r.node
   GROUP BY e.dst
 ), r2 AS (
-  SELECT node, round(0.15 / n_nodes + 0.85 * COALESCE(in_mass, 0.0), 9) AS rank
+  SELECT node, round((CAST(1.0 AS DOUBLE) - 0.85) / n_nodes + 0.85 * COALESCE(in_mass, 0.0), 9) AS rank
   FROM nodes LEFT JOIN m2 ON node = m2.dst CROSS JOIN n
 ), m3 AS (
   SELECT e.dst, sum(r.rank / d.deg) AS in_mass
   FROM e JOIN deg d ON e.src = d.src JOIN r2 r ON e.src = r.node
   GROUP BY e.dst
 ), r3 AS (
-  SELECT node, round(0.15 / n_nodes + 0.85 * COALESCE(in_mass, 0.0), 9) AS rank
+  SELECT node, round((CAST(1.0 AS DOUBLE) - 0.85) / n_nodes + 0.85 * COALESCE(in_mass, 0.0), 9) AS rank
   FROM nodes LEFT JOIN m3 ON node = m3.dst CROSS JOIN n
 )
 SELECT node AS s_suppkey, round(rank, 6) AS pagerank
@@ -2770,9 +2774,23 @@ LIMIT 50
 """
 
 
-# cdc_chunk_dedup_stats: the same rolling-window boundary rule
-# (hash48(trailing 16 chars) % 64 == 0, position >= 32) replayed with
-# list arithmetic; chunk hashes over the cut substrings.
+# cdc_chunk_dedup_stats: the same Karp-Rabin rolling-window boundary
+# rule (Σ codepoint·pow % (2^31-1) % 64 == 0 over the trailing 16
+# chars, position >= 32) replayed with an inlined 16-term polynomial
+# (coefficients imported from the Spark kernel so the two sides cannot
+# drift); chunk hashes over the cut substrings stay md5-derived.
+from ..operators.curation import CDC_MOD as _CDC_MOD
+from ..operators.curation import cdc_window_pows as _cdc_window_pows
+
+_CDC_POWS = _cdc_window_pows(16)
+# window chars sit at positions i-15 .. i (1-based); offset k gets
+# coefficient BASE^(15-k), identical to the numpy kernel's pows[::-1].
+_CDC_POLY = " + ".join(
+    f"CAST(unicode(substr(c.text, p.i - 15 + {k}, 1)) AS BIGINT)"
+    f" * {_CDC_POWS[15 - k]}"
+    for k in range(16)
+)
+
 ORACLE_SQL["cdc_chunk_dedup_stats"] = f"""
 WITH base AS (
   SELECT doc_id, source, text FROM documents
@@ -2790,8 +2808,7 @@ WITH base AS (
   SELECT p.doc_id, p.i
   FROM pos p JOIN corpus c ON p.doc_id = c.doc_id
   WHERE p.i >= 32
-    AND ((md5_number(substr(c.text, p.i - 15, 16)) % {_M48} + {_M48})
-         % {_M48}) % 64 = 0
+    AND (({_CDC_POLY}) % {_CDC_MOD}) % 64 = 0
 ), bs AS (
   SELECT doc_id, list(i ORDER BY i) AS bs FROM bnd GROUP BY doc_id
 ), withbs AS (
