@@ -2952,6 +2952,46 @@ SELECT 'l_linestatus', CAST(ls_nulls AS BIGINT), ls_distinct, NULL, NULL FROM s
 """
 
 
+# table_profile_approx: the deterministic columns (nulls, min/max)
+# computed exactly; approx_ok asserted TRUE — the Spark side checks
+# its HLL estimate against an exact per-column side-pass and emits the
+# verdict (DuckDB cannot replay Spark's HLL++ sketch bit-for-bit, so
+# the invariant crosses the hash, not the estimate — the
+# minhash_lsh_fast_dup_recall pattern).
+ORACLE_SQL["table_profile_approx"] = """
+WITH s AS (
+  SELECT
+    sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS q_nulls,
+    round(CAST(min(l_quantity) AS DOUBLE), 4) AS q_min,
+    round(CAST(max(l_quantity) AS DOUBLE), 4) AS q_max,
+    sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS ep_nulls,
+    round(CAST(min(l_extendedprice) AS DOUBLE), 4) AS ep_min,
+    round(CAST(max(l_extendedprice) AS DOUBLE), 4) AS ep_max,
+    sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS d_nulls,
+    round(CAST(min(l_discount) AS DOUBLE), 4) AS d_min,
+    round(CAST(max(l_discount) AS DOUBLE), 4) AS d_max,
+    sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS t_nulls,
+    round(CAST(min(l_tax) AS DOUBLE), 4) AS t_min,
+    round(CAST(max(l_tax) AS DOUBLE), 4) AS t_max,
+    sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS rf_nulls,
+    sum(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS ls_nulls
+  FROM lineitem
+)
+SELECT 'l_quantity' AS column_name, CAST(q_nulls AS BIGINT) AS n_nulls,
+       q_min AS min_value, q_max AS max_value, TRUE AS approx_ok FROM s
+UNION ALL
+SELECT 'l_extendedprice', CAST(ep_nulls AS BIGINT), ep_min, ep_max, TRUE FROM s
+UNION ALL
+SELECT 'l_discount', CAST(d_nulls AS BIGINT), d_min, d_max, TRUE FROM s
+UNION ALL
+SELECT 'l_tax', CAST(t_nulls AS BIGINT), t_min, t_max, TRUE FROM s
+UNION ALL
+SELECT 'l_returnflag', CAST(rf_nulls AS BIGINT), NULL, NULL, TRUE FROM s
+UNION ALL
+SELECT 'l_linestatus', CAST(ls_nulls AS BIGINT), NULL, NULL, TRUE FROM s
+"""
+
+
 # value_mad_outliers: Iglewicz-Hoaglin modified z-score outliers per
 # event type (median + MAD via quantile_cont, matching Spark's
 # percentile interpolation).

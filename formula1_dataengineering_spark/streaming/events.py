@@ -419,17 +419,23 @@ def hourly_distinct_users(
     distinct pair inside the watermark horizon, then a windowed count
     — the streaming form of ``count(DISTINCT user_id) GROUP BY hour``.
 
-    Scale: state is bounded by (distinct users/hour × horizon hours),
-    evicted as the watermark advances; both the dedup and the count
-    shuffle on the same (hour-derived) keys."""
+    Scale: state is bounded by (distinct users/hour × horizon hours)
+    and actually evicted as the watermark advances BECAUSE the
+    watermark sits on the derived ``hour`` column, which is part of
+    the dedup subset — Spark only expires dropDuplicates state when
+    the event-time column is one of the dedup keys; a watermark on the
+    raw ``ts`` (not in the subset) would keep every pair forever. Both
+    the dedup and the count shuffle on the same (hour-derived) keys.
+    Hour-truncating the watermark column costs at most one hour of
+    extra lateness tolerance, never dropped rows."""
     houred = events.select(
-        "user_id", "ts", F.date_trunc("hour", "ts").alias("hour")
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
     )
-    deduped = houred.withWatermark("ts", watermark).dropDuplicates(
+    deduped = houred.withWatermark("hour", watermark).dropDuplicates(
         ["user_id", "hour"]
     )
     return (
-        deduped.groupBy(F.window("ts", "1 hour"))
+        deduped.groupBy(F.window("hour", "1 hour"))
         .agg(F.count("*").alias("n_users"))
         .select(F.col("window.start").alias("hour_start"), "n_users")
     )

@@ -430,3 +430,23 @@ def test_bucketed_colocated_revenue_joins_without_exchange(spark):
     below_join = tree.split("SortMergeJoin")[1]
     assert "Exchange" not in below_join
     assert tree.count("Exchange") <= 1
+
+
+def test_table_profile_approx_single_scan_profile(spark):
+    """table_profile_approx (round 5): the HLL profile itself must be
+    ONE scan with no Expand — the sketches fold into a single partial
+    aggregate. (On this Spark the exact twin's multi-countDistinct is
+    rewritten into 6 per-column re-aggregations = 6 scans rather than
+    an Expand; either way the exact default is a multi-pass/multiplied
+    shape at 100 TB.) The gate's full plan = 1 profile scan + 6
+    exact-verification side scans (gate-only, documented), broadcast-
+    joined by column name; nothing Expands and nothing goes
+    nested-loop."""
+    plan = formatted_plan(spark, "table_profile_approx")
+    tree = _tree(plan)
+    assert "Expand" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert tree.count("Scan parquet") == 7
+    exact_tree = _tree(formatted_plan(spark, "table_profile_stats"))
+    assert exact_tree.count("Scan parquet") >= 6
