@@ -3060,3 +3060,63 @@ SELECT event_type,
        count(*) AS n_bins
 FROM j GROUP BY event_type
 """
+
+
+# events_stream_psi_drift: batch replay of the windowed drift monitor —
+# decile edges + reference shares fit on the first timeline half
+# (round-9 quantized), the full stream histogrammed per (day, type)
+# against them, PSI per cell with an exploded 0..9 bin spine so empty
+# bins hit the same 1e-6 floor as Spark. Complete mode over the
+# bounded source = plain batch aggregate semantics.
+ORACLE_SQL["events_stream_psi_drift"] = """
+WITH ev AS (
+  SELECT event_type, value, epoch_us(ts) AS us,
+         date_trunc('day', ts) AS day
+  FROM events
+), m AS (
+  SELECT CAST(round(quantile_cont(us, 0.5)) AS BIGINT) AS m FROM ev
+), fh AS (
+  SELECT event_type, value FROM ev CROSS JOIN m WHERE us <= m.m
+), edges AS (
+  SELECT event_type,
+         list_transform(quantile_cont(value,
+             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+           x -> round(x, 9)) AS edges
+  FROM fh GROUP BY event_type
+), ref_binned AS (
+  SELECT f.event_type,
+         len(list_filter(e.edges, ed -> f.value > ed)) AS bin
+  FROM fh f JOIN edges e USING (event_type)
+), ref_counts AS (
+  SELECT event_type, bin, count(*) AS rn FROM ref_binned GROUP BY 1, 2
+), ref_tot AS (
+  SELECT event_type, sum(rn) AS rtot FROM ref_counts GROUP BY 1
+), ref_shares AS (
+  SELECT c.event_type, c.bin, greatest(c.rn * 1.0 / t.rtot, 1e-6) AS p_ref
+  FROM ref_counts c JOIN ref_tot t USING (event_type)
+), live_binned AS (
+  SELECT ev.day, ev.event_type,
+         len(list_filter(e.edges, ed -> ev.value > ed)) AS bin
+  FROM ev JOIN edges e USING (event_type)
+), live AS (
+  SELECT day, event_type, bin, count(*) AS n FROM live_binned
+  GROUP BY 1, 2, 3
+), tot AS (
+  SELECT day, event_type, sum(n) AS tot FROM live GROUP BY 1, 2
+), spine AS (
+  SELECT t.day, t.event_type, t.tot, g.bin
+  FROM tot t CROSS JOIN generate_series(0, 9) g(bin)
+), cells AS (
+  SELECT s.day, s.event_type, s.tot,
+         greatest(COALESCE(l.n, 0) * 1.0 / s.tot, 1e-6) AS p,
+         COALESCE(r.p_ref, 1e-6) AS p_ref
+  FROM spine s
+  LEFT JOIN live l ON s.day = l.day AND s.event_type = l.event_type
+                   AND s.bin = l.bin
+  LEFT JOIN ref_shares r ON s.event_type = r.event_type AND s.bin = r.bin
+)
+SELECT CAST(epoch(day) AS BIGINT) AS day_start_s, event_type,
+       round(sum((p - p_ref) * (ln(p) - ln(p_ref))), 6) AS psi,
+       CAST(min(tot) AS BIGINT) AS n_events
+FROM cells GROUP BY 1, 2
+"""

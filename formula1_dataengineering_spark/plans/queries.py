@@ -4128,3 +4128,124 @@ def value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("psi"),
         F.count("*").alias("n_bins"),
     )
+
+
+@query("events_stream_psi_drift")
+def events_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed input-drift monitoring ON THE STREAM (the round-4
+    robust-stats family joined to the streaming surface — the shape an
+    ML-ops pipeline actually runs): decile bin edges and reference
+    shares are fit OFFLINE on the first half of the timeline (the
+    "training population"), the live event stream is histogrammed
+    against them per (day, event_type) via a stream-static broadcast
+    join + windowed count, and each day's PSI vs the reference is the
+    alert signal (PSI > 0.2 ≈ shifted inputs).
+
+    The streaming stage is ``windowed_binned_counts`` (complete mode
+    over the bounded source); the PSI arithmetic runs batch-side over
+    the tiny aggregated counts — exactly where an alerting layer sits.
+    Missing (day, type, bin) cells are completed from an exploded
+    0..9 bin spine so the ε-floor applies to empty bins identically in
+    both engines.
+
+    Scale: stream state = #days×#types×10 rows in the horizon; edges
+    and reference shares are #types×10 broadcasts; the PSI join and
+    aggregate run on aggregated counts, not events."""
+    from ..operators.scalars import broadcast_scalars
+    from ..streaming.events import (
+        read_events_stream,
+        run_to_completion,
+        windowed_binned_counts,
+    )
+
+    e = load(spark, sf_dir, "events")
+    ts_med = e.agg(
+        F.percentile(F.unix_micros("ts"), F.lit(0.5)).alias("m")
+    )
+    first_half = broadcast_scalars(
+        e.withColumn("__us", F.unix_micros("ts")),
+        ts_med.select(F.round("m").cast("bigint").alias("m")),
+        "event_id",
+        "m",
+    ).where(F.col("__us") <= F.col("m"))
+    edges = first_half.groupBy("event_type").agg(
+        F.transform(
+            F.percentile(
+                "value", F.lit([i / 10.0 for i in range(1, 10)])
+            ),
+            lambda x: F.round(x, 9),
+        ).alias("edges")
+    )
+    ref_binned = first_half.join(F.broadcast(edges), "event_type").select(
+        "event_type",
+        F.aggregate(
+            "edges",
+            F.lit(0),
+            lambda acc, ed: acc
+            + F.when(F.col("value") > ed, 1).otherwise(0),
+        ).alias("bin"),
+    )
+    ref_counts = ref_binned.groupBy("event_type", "bin").agg(
+        F.count("*").alias("rn")
+    )
+    ref_tot = ref_counts.groupBy("event_type").agg(
+        F.sum("rn").alias("rtot")
+    )
+    ref_shares = ref_counts.join(ref_tot, "event_type").select(
+        "event_type",
+        "bin",
+        F.greatest(F.col("rn") / F.col("rtot"), F.lit(1e-6)).alias("p_ref"),
+    )
+
+    counts = run_to_completion(
+        windowed_binned_counts(read_events_stream(spark, sf_dir), edges),
+        "gate_psi_drift",
+        output_mode="complete",
+    )
+    # one reference to the sink relation only: a spine join back onto
+    # `counts` would self-join the streaming memory view, which defeats
+    # attribute deduplication (internal "Conflicting attributes"
+    # analyzer error) — so fold each group's bins into a map and
+    # explode the 0..9 spine out of the SAME row instead.
+    g = counts.groupBy("win_start", "event_type").agg(
+        F.map_from_entries(F.collect_list(F.struct("bin", "n"))).alias(
+            "bn"
+        ),
+        F.sum("n").alias("tot"),
+    )
+    spine = g.select(
+        "win_start",
+        "event_type",
+        "tot",
+        "bn",
+        F.explode(F.sequence(F.lit(0), F.lit(9))).alias("bin"),
+    )
+    cells = spine.join(
+        F.broadcast(ref_shares), ["event_type", "bin"], "left"
+    ).select(
+        "win_start",
+        "event_type",
+        "tot",
+        F.greatest(
+            F.coalesce(F.col("bn")[F.col("bin")], F.lit(0)) / F.col("tot"),
+            F.lit(1e-6),
+        ).alias("p"),
+        F.coalesce(F.col("p_ref"), F.lit(1e-6)).alias("p_ref"),
+    )
+    return cells.groupBy("win_start", "event_type").agg(
+        F.round(
+            F.sum(
+                (F.col("p") - F.col("p_ref"))
+                * (F.log("p") - F.log("p_ref"))
+            ),
+            6,
+        ).alias("psi"),
+        F.first("tot").cast("bigint").alias("n_events"),
+    ).select(
+        (F.unix_micros("win_start") / F.lit(1_000_000))
+        .cast("bigint")
+        .alias("day_start_s"),
+        "event_type",
+        "psi",
+        "n_events",
+    )

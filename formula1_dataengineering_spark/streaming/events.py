@@ -411,6 +411,43 @@ def incremental_upsert_sink(
     return writer
 
 
+def windowed_binned_counts(
+    events: DataFrame, edges: DataFrame, window: str = "1 day"
+) -> DataFrame:
+    """Streaming histogram against STATIC reference bin edges — the
+    stream half of a windowed drift monitor (PSI/KL): each event is
+    assigned its reference decile bin via a stream-static broadcast
+    join (``edges``: one row per event_type with a sorted array of bin
+    edges, fit offline on the reference population), then counted per
+    (event-time window, event_type, bin).
+
+    Scale: the static edge table is #types × 9 doubles — broadcast,
+    re-resolved per micro-batch, no join state; windowed-agg state is
+    #windows × #types × #bins rows inside the watermark horizon. Bin
+    assignment (count of edges below the value) runs inside codegen
+    via ``F.aggregate`` over the broadcast array — no UDF in the
+    per-event hot path.
+    """
+    binned = events.join(F.broadcast(edges), "event_type").withColumn(
+        "bin",
+        F.aggregate(
+            "edges",
+            F.lit(0),
+            lambda acc, ed: acc + F.when(F.col("value") > ed, 1).otherwise(0),
+        ),
+    )
+    return (
+        binned.groupBy(F.window("ts", window), "event_type", "bin")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            "event_type",
+            "bin",
+            "n",
+        )
+    )
+
+
 def hourly_distinct_users(
     events: DataFrame, watermark: str = "2 hours"
 ) -> DataFrame:
