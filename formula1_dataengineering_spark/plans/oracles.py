@@ -3120,3 +3120,24 @@ SELECT CAST(epoch(day) AS BIGINT) AS day_start_s, event_type,
        CAST(min(tot) AS BIGINT) AS n_events
 FROM cells GROUP BY 1, 2
 """
+
+
+# value_quantiles_approx: exact quantile_cont values hash-matched; the
+# GK rank verdicts asserted TRUE (the sketch's returned element is
+# implementation-defined; its rank-error guarantee is what the Spark
+# side checks exactly, per the recall-invariant pattern).
+ORACLE_SQL["value_quantiles_approx"] = """
+WITH q AS (
+  SELECT event_type,
+         quantile_cont(value, [0.5, 0.9, 0.99]) AS qs
+  FROM events GROUP BY event_type
+), px AS (
+  SELECT event_type, g.i,
+         CASE g.i WHEN 1 THEN 0.5 WHEN 2 THEN 0.9 ELSE 0.99 END AS p,
+         round(qs[g.i], 4) AS exact_q
+  FROM q CROSS JOIN generate_series(1, 3) g(i)
+)
+SELECT event_type, round(CAST(p AS DOUBLE), 2) AS p, exact_q,
+       TRUE AS rank_ok
+FROM px
+"""

@@ -4249,3 +4249,82 @@ def events_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "psi",
         "n_events",
     )
+
+
+@query("value_quantiles_approx")
+def value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna approximate quantiles (``percentile_approx``,
+    Spark's mergeable quantile sketch) verified against the sketch's
+    FORMAL guarantee — completing the approx-sketch family (HLL
+    table_profile_approx, CMS, KMV) with the one every monitoring
+    pipeline needs: percentiles without a full sort at 100 TB.
+
+    Gate shape (the recall-invariant pattern): exact per-type
+    ``percentile`` values hash-match the oracle directly; each GK
+    estimate at accuracy=1000 (rank error ε ≤ 1/1000) is rank-checked
+    INSIDE the query — the returned element's possible rank interval
+    [#(<e)+1, #(≤e)] must intersect [(p−ε)·n, (p+ε)·n] — and crosses
+    the hash as a ``rank_ok`` verdict the oracle asserts TRUE (GK
+    output is implementation-defined, its guarantee is not).
+
+    Scale: the GK sketch is one map-side-mergeable aggregate; the
+    rank-check join-back is gate verification only (documented), and
+    even it is a broadcast of #types×3 scalars against one scan."""
+    e = load(spark, sf_dir, "events").select("event_type", "value")
+    ps = [0.5, 0.9, 0.99]
+    acc = 1000
+    approx = (
+        e.groupBy("event_type")
+        .agg(
+            F.percentile_approx(
+                "value", F.lit(ps), F.lit(acc)
+            ).alias("ap")
+        )
+        .select(
+            "event_type",
+            F.posexplode("ap").alias("pi", "approx_q"),
+        )
+    )
+    ranks = (
+        e.join(F.broadcast(approx), "event_type")
+        .groupBy("event_type", "pi")
+        .agg(
+            F.sum((F.col("value") < F.col("approx_q")).cast("long")).alias(
+                "n_lt"
+            ),
+            F.sum((F.col("value") <= F.col("approx_q")).cast("long")).alias(
+                "n_le"
+            ),
+            F.count("*").alias("n"),
+        )
+    )
+    # Spark's documented guarantee is rank ∈ [floor((p−ε)N),
+    # ceil((p+ε)N)] — the floor/ceil matter (measured: the sketch
+    # legitimately returns the element at exactly floor((p−ε)N), a
+    # hair under the un-floored real bound); ±1 rank of slack encodes
+    # the floor/ceil without re-importing the float-ceil boundary bug.
+    p_col = F.element_at(F.lit(ps), F.col("pi") + 1)
+    verdicts = ranks.select(
+        "event_type",
+        F.round(p_col, 2).alias("p"),
+        (
+            (F.col("n_lt") <= (p_col + 1.0 / acc) * F.col("n") + 1)
+            & (F.col("n_le") >= (p_col - 1.0 / acc) * F.col("n") - 1)
+        ).alias("rank_ok"),
+    )
+    exact = (
+        e.groupBy("event_type")
+        .agg(F.percentile("value", F.lit(ps)).alias("__q"))
+        .select(
+            "event_type",
+            F.posexplode("__q").alias("pi", "__qv"),
+        )
+        .select(
+            "event_type",
+            F.round(F.element_at(F.lit(ps), F.col("pi") + 1), 2).alias("p"),
+            F.round("__qv", 4).alias("exact_q"),
+        )
+    )
+    return exact.join(verdicts, ["event_type", "p"]).select(
+        "event_type", "p", "exact_q", "rank_ok"
+    )

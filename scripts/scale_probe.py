@@ -1,13 +1,22 @@
-"""10x scale-sensitivity probe for documents-table queries.
+"""Nx scale-sensitivity probe (default 10x) for catalog queries.
 
 Methodology (BASELINE.md "Scale sensitivity" sections): replicate the
-sf0.1 documents table 10x — disjoint doc_id ranges per replica and a
+sf0.1 documents table Nx — disjoint doc_id ranges per replica and a
 per-replica token PREFIX so replicas are NEAR-duplicates (shingles
 shift; exact-dup plans can't shortcut) — then run each named query
-best-of-2 at sf0.1 and at 10x on the same session and report the ratio.
+best-of-2 at sf0.1 and at Nx on the same session and report the ratio.
 
-Usage: python scripts/scale_probe.py [query ...]   (default: the
-round-3 probe set)
+Also replicates orders+lineitem with disjoint (orderkey, custkey,
+suppkey) ranges — N disjoint copies of the trade graph — so the
+graph-query axis (supplier_pagerank's edge list, CC edge sets) gets
+real scale evidence instead of a fixed-graph blind spot (round-4
+verdict item 5). Other dims (customer/supplier/part) stay symlinked:
+the replicated keys are OUT of dim range by construction, which only
+the graph queries (which never join the dims) tolerate — don't probe
+dim-joining queries with this script beyond 1x baselines.
+
+Usage: python scripts/scale_probe.py [--replicas N] [query ...]
+(default: the round-3 probe set, N=10)
 """
 
 import os
@@ -33,7 +42,7 @@ DEFAULT = [
 ]
 
 
-def build_10x(spark: SparkSession, out_dir: str) -> None:
+def build_10x(spark: SparkSession, out_dir: str, n: int = 10) -> None:
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     max_id = docs.agg(F.max("doc_id")).first()[0] + 1
     replicas = [
@@ -42,7 +51,7 @@ def build_10x(spark: SparkSession, out_dir: str) -> None:
             *[c for c in docs.columns if c not in ("doc_id", "text")],
             F.concat(F.lit(f"r{r} "), F.col("text")).alias("text"),
         )
-        for r in range(10)
+        for r in range(n)
     ]
     big = replicas[0]
     for rep in replicas[1:]:
@@ -58,7 +67,7 @@ def build_10x(spark: SparkSession, out_dir: str) -> None:
             (F.col("vec_id") + r * emax).alias("vec_id"),
             *[c for c in emb.columns if c != "vec_id"],
         )
-        for r in range(10)
+        for r in range(n)
     ]
     ebig = ereps[0]
     for rep in ereps[1:]:
@@ -77,7 +86,7 @@ def build_10x(spark: SparkSession, out_dir: str) -> None:
             (F.col("event_id") + r * vmax).alias("event_id"),
             *[c for c in ev.columns if c != "event_id"],
         )
-        for r in range(10)
+        for r in range(n)
     ]
     vbig = vreps[0]
     for rep in vreps[1:]:
@@ -92,8 +101,42 @@ def build_10x(spark: SparkSession, out_dir: str) -> None:
     part = _glob.glob(f"{staging}/part-*.parquet")[0]
     shutil.move(part, f"{out_dir}/events.parquet")
     shutil.rmtree(staging, ignore_errors=True)
+    # orders + lineitem: n disjoint copies of the trade graph.
+    # Shifting o_orderkey/l_orderkey by the same stride keeps the
+    # order->items join intact inside each replica; shifting
+    # custkey/suppkey makes the replica subgraphs node-disjoint, so
+    # edges AND nodes grow nx (the pagerank/CC axis).
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    omax = orders.agg(F.max("o_orderkey")).first()[0] + 1
+    cmax = orders.agg(F.max("o_custkey")).first()[0] + 1
+    smax = li.agg(F.max("l_suppkey")).first()[0] + 1
+    oreps = [
+        orders.select(
+            (F.col("o_orderkey") + r * omax).alias("o_orderkey"),
+            (F.col("o_custkey") + r * cmax).alias("o_custkey"),
+            *[c for c in orders.columns if c not in ("o_orderkey", "o_custkey")],
+        )
+        for r in range(n)
+    ]
+    obig = oreps[0]
+    for rep in oreps[1:]:
+        obig = obig.unionByName(rep)
+    obig.write.mode("overwrite").parquet(f"{out_dir}/orders.parquet")
+    lreps = [
+        li.select(
+            (F.col("l_orderkey") + r * omax).alias("l_orderkey"),
+            (F.col("l_suppkey") + r * smax).alias("l_suppkey"),
+            *[c for c in li.columns if c not in ("l_orderkey", "l_suppkey")],
+        )
+        for r in range(n)
+    ]
+    lbig = lreps[0]
+    for rep in lreps[1:]:
+        lbig = lbig.unionByName(rep)
+    lbig.write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
     for t in TABLES:
-        if t not in ("documents", "embeddings", "events"):
+        if t not in ("documents", "embeddings", "events", "orders", "lineitem"):
             os.symlink(f"{SF_DIR}/{t}.parquet", f"{out_dir}/{t}.parquet")
 
 
@@ -108,7 +151,12 @@ def timed(fn, *a):
 
 
 def main():
-    names = sys.argv[1:] or DEFAULT
+    args = sys.argv[1:]
+    n = 10
+    if args and args[0] == "--replicas":
+        n = int(args[1])
+        args = args[2:]
+    names = args or DEFAULT
     spark = (
         SparkSession.builder.master(
             f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
@@ -125,14 +173,14 @@ def main():
     tmp = tempfile.mkdtemp(prefix="scale10x_")
     try:
         t0 = time.perf_counter()
-        build_10x(spark, tmp)
-        print(f"built 10x documents in {time.perf_counter() - t0:.1f}s")
+        build_10x(spark, tmp, n)
+        print(f"built {n}x tables in {time.perf_counter() - t0:.1f}s")
         for name in names:
             q = QUERIES[name]
             base = timed(q, spark, SF_DIR)
             big = timed(q, spark, tmp)
             print(
-                f"{name}: sf0.1 {base:.2f}s  10x {big:.2f}s  "
+                f"{name}: sf0.1 {base:.2f}s  {n}x {big:.2f}s  "
                 f"ratio {big / base:.1f}x"
             )
     finally:
