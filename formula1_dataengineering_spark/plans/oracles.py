@@ -3141,3 +3141,51 @@ SELECT event_type, round(CAST(p AS DOUBLE), 2) AS p, exact_q,
        TRUE AS rank_ok
 FROM px
 """
+
+
+# gopher_quality_flags: the Gopher rule thresholds replayed with list
+# arithmetic; same whitespace tokenization / lowercased stopword
+# convention as the rest of the text stack.
+ORACLE_SQL["gopher_quality_flags"] = """
+WITH base AS (
+  SELECT source, text,
+         list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS toks
+  FROM documents WHERE text IS NOT NULL
+), sig AS (
+  SELECT source,
+         len(toks) AS n_words,
+         list_sum(list_transform(toks, t -> len(t))) * 1.0 / len(toks)
+           AS mean_wl,
+         len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]')))
+           * 1.0 / len(toks) AS alpha_ratio,
+         (len(text) - len(replace(text, '#', ''))
+          + (len(text) - len(replace(text, '...', ''))) / 3.0)
+           / len(toks) AS symbol_ratio,
+         len(list_filter(list_transform(toks, t -> lower(t)),
+             t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS stop_hits
+  FROM base WHERE len(toks) > 0
+), flags AS (
+  SELECT source,
+         NOT (n_words BETWEEN 50 AND 100000) AS f_words,
+         NOT (mean_wl BETWEEN 3.0 AND 10.0) AS f_wordlen,
+         symbol_ratio > 0.1 AS f_symbols,
+         alpha_ratio < 0.8 AS f_alpha,
+         stop_hits < 2 AS f_stopwords
+  FROM sig
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN f_words THEN 1 ELSE 0 END) AS BIGINT)
+         AS fail_word_count,
+       CAST(sum(CASE WHEN f_wordlen THEN 1 ELSE 0 END) AS BIGINT)
+         AS fail_mean_word_len,
+       CAST(sum(CASE WHEN f_symbols THEN 1 ELSE 0 END) AS BIGINT)
+         AS fail_symbol_ratio,
+       CAST(sum(CASE WHEN f_alpha THEN 1 ELSE 0 END) AS BIGINT)
+         AS fail_alpha_ratio,
+       CAST(sum(CASE WHEN f_stopwords THEN 1 ELSE 0 END) AS BIGINT)
+         AS fail_stopwords,
+       round(sum(CASE WHEN NOT f_words AND NOT f_wordlen AND NOT f_symbols
+                       AND NOT f_alpha AND NOT f_stopwords
+                  THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS pass_rate
+FROM flags GROUP BY source
+"""

@@ -4328,3 +4328,66 @@ def value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(verdicts, ["event_type", "p"]).select(
         "event_type", "p", "exact_q", "rank_ok"
     )
+
+
+@query("gopher_quality_flags")
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher quality-rule set (Rae et al. 2021,
+    arXiv:2112.11446 Table A1) composed as corpus filters — the
+    RULE-THRESHOLD layer on top of the raw metric gates (doc_quality,
+    doc_repetition_stats): word count in [50, 100k], mean word length
+    in [3, 10], symbol-to-word ratio (# and ellipsis) ≤ 0.1, ≥ 80 % of
+    words alphabetic, ≥ 2 English stopword hits. Output per source:
+    per-rule failure counts and the all-rules pass rate — the triage
+    table a curation run reads before committing thresholds to 100 TB.
+
+    Scale: one scan, all signals are JVM array arithmetic on the
+    whitespace token array (shared tokenization convention with the
+    dedup/curation stack); one groupBy(source) with map-side partials.
+    """
+    from ..functions.text import STOPWORDS, stopword_hits, tokens
+
+    d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = tokens(F.col("text"))
+    n_words = F.size(toks)
+    mean_wl = F.aggregate(
+        F.transform(toks, F.length),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / n_words
+    alpha_ratio = (
+        F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]"))) / n_words
+    )
+    n_hash = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
+    n_ellipsis = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit("...")))
+    ) / 3
+    symbol_ratio = (n_hash + n_ellipsis) / n_words
+    stop_hits = stopword_hits(F.col("text"), STOPWORDS["en"])
+    sig = d.where(n_words > 0).select(
+        "source",
+        (~n_words.between(50, 100_000)).alias("f_words"),
+        (~mean_wl.between(3.0, 10.0)).alias("f_wordlen"),
+        (symbol_ratio > 0.1).alias("f_symbols"),
+        (alpha_ratio < 0.8).alias("f_alpha"),
+        (stop_hits < 2).alias("f_stopwords"),
+    )
+    passed = (
+        ~F.col("f_words")
+        & ~F.col("f_wordlen")
+        & ~F.col("f_symbols")
+        & ~F.col("f_alpha")
+        & ~F.col("f_stopwords")
+    )
+    return sig.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("f_words").cast("long")).alias("fail_word_count"),
+        F.sum(F.col("f_wordlen").cast("long")).alias("fail_mean_word_len"),
+        F.sum(F.col("f_symbols").cast("long")).alias("fail_symbol_ratio"),
+        F.sum(F.col("f_alpha").cast("long")).alias("fail_alpha_ratio"),
+        F.sum(F.col("f_stopwords").cast("long")).alias("fail_stopwords"),
+        F.round(F.sum(passed.cast("long")) / F.count("*"), 4).alias(
+            "pass_rate"
+        ),
+    )
