@@ -3189,3 +3189,73 @@ SELECT source, count(*) AS n_docs,
                   THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS pass_rate
 FROM flags GROUP BY source
 """
+
+
+# events_stream_mad_outliers: batch replay — first-half median/MAD
+# (round-9 quantized thresholds, same doubles both sides), per-day
+# modified-z outlier counts over the full stream.
+ORACLE_SQL["events_stream_mad_outliers"] = """
+WITH ev AS (
+  SELECT event_type, value, epoch_us(ts) AS us,
+         date_trunc('day', ts) AS day
+  FROM events
+), m AS (
+  SELECT CAST(round(quantile_cont(us, 0.5)) AS BIGINT) AS m FROM ev
+), fh AS (
+  SELECT event_type, value FROM ev CROSS JOIN m WHERE us <= m.m
+), med AS (
+  SELECT event_type, round(quantile_cont(value, 0.5), 9) AS med
+  FROM fh GROUP BY 1
+), mad AS (
+  SELECT f.event_type, any_value(d.med) AS med,
+         round(quantile_cont(abs(f.value - d.med), 0.5), 9) AS mad
+  FROM fh f JOIN med d USING (event_type) GROUP BY f.event_type
+), thr AS (
+  SELECT event_type, med, round(3.5 * 1.4826 * mad, 9) AS thr FROM mad
+)
+SELECT CAST(epoch(ev.day) AS BIGINT) AS day_start_s, ev.event_type,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN abs(ev.value - t.med) > t.thr THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       round(sum(CASE WHEN abs(ev.value - t.med) > t.thr THEN 1 ELSE 0 END)
+             * 1.0 / count(*), 6) AS outlier_share
+FROM ev JOIN thr t USING (event_type)
+GROUP BY 1, 2
+"""
+
+
+# ivf_recall_at_k: per-query overlap of the IVF top-5 (label cell)
+# with the exact brute-force top-5 — both CTEs are the existing
+# knn oracles verbatim; recall@5 over denominator k.
+ORACLE_SQL["ivf_recall_at_k"] = f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), bscored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS} AS cos
+  FROM e a JOIN e b ON a.vec_id < 10 AND a.vec_id <> b.vec_id
+), brute AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+    FROM bscored
+  ) WHERE rank <= 5
+), iscored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS} AS cos
+  FROM e a JOIN e b
+    ON a.vec_id < 10 AND a.vec_id <> b.vec_id AND a.label = b.label
+), ivf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+    FROM iscored
+  ) WHERE rank <= 5
+)
+SELECT b.query_id,
+       CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       round(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             / 5.0, 4) AS recall_at_5
+FROM brute b LEFT JOIN ivf i
+  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+GROUP BY b.query_id
+"""

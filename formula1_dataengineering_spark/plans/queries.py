@@ -4391,3 +4391,103 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pass_rate"
         ),
     )
+
+
+@query("events_stream_mad_outliers")
+def events_stream_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming robust-outlier monitoring — the MAD sibling of
+    events_stream_psi_drift, completing the robust-stats family on the
+    streaming surface: per-type median and MAD are fit OFFLINE on the
+    first half of the timeline (round-9 quantized so both engines
+    apply the identical threshold double), broadcast into the stream,
+    and each day's modified-z outlier count/share (Iglewicz-Hoaglin,
+    |x−med| > 3.5·1.4826·MAD) is the alert feed.
+
+    Scale: thresholds are #types rows broadcast per micro-batch (no
+    join state); window state = #days×#types; the outlier test is one
+    codegen'd comparison per event — no sketch, no second pass."""
+    from ..operators.scalars import broadcast_scalars
+    from ..streaming.events import (
+        read_events_stream,
+        run_to_completion,
+        windowed_outlier_counts,
+    )
+
+    e = load(spark, sf_dir, "events")
+    ts_med = e.agg(
+        F.percentile(F.unix_micros("ts"), F.lit(0.5)).alias("m")
+    )
+    first_half = broadcast_scalars(
+        e.withColumn("__us", F.unix_micros("ts")),
+        ts_med.select(F.round("m").cast("bigint").alias("m")),
+        "event_id",
+        "m",
+    ).where(F.col("__us") <= F.col("m"))
+    med = first_half.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 9).alias("med")
+    )
+    mad = (
+        first_half.join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            "med",
+            F.abs(F.col("value") - F.col("med")).alias("absdev"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.first("med").alias("med"),
+            F.round(F.percentile("absdev", F.lit(0.5)), 9).alias("mad"),
+        )
+    )
+    thresholds = mad.select(
+        "event_type",
+        "med",
+        F.round(F.lit(3.5) * F.lit(1.4826) * F.col("mad"), 9).alias("thr"),
+    )
+    out = run_to_completion(
+        windowed_outlier_counts(read_events_stream(spark, sf_dir), thresholds),
+        "gate_mad_outliers",
+        output_mode="complete",
+    )
+    return out.select(
+        (F.unix_micros("win_start") / F.lit(1_000_000))
+        .cast("bigint")
+        .alias("day_start_s"),
+        "event_type",
+        "n_events",
+        "n_outliers",
+        F.round(F.col("n_outliers") / F.col("n_events"), 6).alias(
+            "outlier_share"
+        ),
+    )
+
+
+@query("ivf_recall_at_k")
+def ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED recall of the IVF ANN path against exact brute force,
+    per query vector — the accounting an ANN deployment publishes
+    (recall@k is the contract; the speedup is only honest next to it).
+    Composes the two existing oracle-replayable plans (cosine_topk,
+    ivf_topk probing the label cell) and counts per-query overlap:
+    recall@5 = |IVF top-5 ∩ exact top-5| / 5.
+
+    Scale: both sides are the audited ANN plans (candidate set bounded
+    by the probed cell, no cartesian); the overlap join runs on
+    #queries×k rows."""
+    from ..operators.similarity import cosine_topk, ivf_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    brute = cosine_topk(q, e, k=5).select("query_id", "neighbor_id")
+    approx = ivf_topk(q, e, cell_col="label", k=5).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    j = brute.join(approx, ["query_id", "neighbor_id"], "left")
+    return j.groupBy("query_id").agg(
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias(
+            "n_hits"
+        ),
+        F.round(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.lit(5.0), 4
+        ).alias("recall_at_5"),
+    )

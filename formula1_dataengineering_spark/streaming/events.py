@@ -448,6 +448,35 @@ def windowed_binned_counts(
     )
 
 
+def windowed_outlier_counts(
+    events: DataFrame, thresholds: DataFrame, window: str = "1 day"
+) -> DataFrame:
+    """Streaming robust-outlier monitor: per (event-time window,
+    event_type), how many values exceed a STATIC modified-z threshold
+    (|x − median| > 3.5·1.4826·MAD, medians/MADs fit offline on the
+    reference population) — the MAD sibling of the PSI drift monitor.
+
+    ``thresholds``: static (event_type, med, thr) rows, broadcast per
+    micro-batch (no join state). Window state = #windows × #types
+    rows. The outlier test is one codegen'd comparison per event.
+    """
+    j = events.join(F.broadcast(thresholds), "event_type")
+    is_out = F.abs(F.col("value") - F.col("med")) > F.col("thr")
+    return (
+        j.groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(is_out.cast("long")).alias("n_outliers"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "n_outliers",
+        )
+    )
+
+
 def hourly_distinct_users(
     events: DataFrame, watermark: str = "2 hours"
 ) -> DataFrame:
