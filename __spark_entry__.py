@@ -12,7 +12,7 @@ staleness, computed at import time from the recorded
 this round whose old green hash no longer covers the current plan,
 (2) queries that have never earned a green driver row (new this round),
 (3) everything else, oldest green row first. The local DuckDB harness
-(tests/test_queries_oracle.py) still guards all 153 every round.
+(tests/test_queries_oracle.py) still guards the full catalog every round.
 """
 
 from __future__ import annotations

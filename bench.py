@@ -78,12 +78,9 @@ def main() -> None:
     # ~5 KiB and the driver's stdout capture keeps only a bounded tail,
     # so rounds 1-4 recorded "parsed": null. A short final line always
     # survives a tail capture and parses.
-    ordered = sorted(timings.values())
-    median = (
-        ordered[len(ordered) // 2]
-        if len(ordered) % 2
-        else (ordered[len(ordered) // 2 - 1] + ordered[len(ordered) // 2]) / 2
-    )
+    import statistics
+
+    median = statistics.median(timings.values()) if timings else 0.0
     print(
         json.dumps(
             {

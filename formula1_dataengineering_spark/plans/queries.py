@@ -4047,6 +4047,29 @@ def value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _timeline_halves(e: DataFrame) -> DataFrame:
+    """Median-timestamp split shared by the drift / robust-stats gates
+    (batch PSI, streaming PSI, streaming MAD): attaches ``half``
+    (1 = reference population, 2 = live) using the round-to-bigint
+    median cutoff with an INCLUSIVE ``<=`` — the exact convention every
+    one of their oracles replays (``CAST(round(quantile_cont(us, 0.5))
+    AS BIGINT)``, ``us <= m``). One copy so a cutoff change cannot
+    leave a sibling gate silently diverged from its oracle."""
+    from ..operators.scalars import broadcast_scalars
+
+    ts_med = e.agg(
+        F.percentile(F.unix_micros("ts"), F.lit(0.5)).alias("m")
+    )
+    return broadcast_scalars(
+        e.withColumn("__us", F.unix_micros("ts")),
+        ts_med.select(F.round("m").cast("bigint").alias("m")),
+        "event_id",
+        "m",
+    ).withColumn(
+        "half", F.when(F.col("__us") <= F.col("m"), 1).otherwise(2)
+    )
+
+
 @query("value_psi_drift")
 def value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index between the first and second halves
@@ -4061,17 +4084,7 @@ def value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantile edges in both engines (exact percentile, round-9
     quantized) so bucket membership is identical."""
     e = load(spark, sf_dir, "events")
-    ts_med = e.agg(
-        F.percentile(F.unix_micros("ts"), F.lit(0.5)).alias("m")
-    )
-    from ..operators.scalars import broadcast_scalars
-
-    halves = broadcast_scalars(
-        e.withColumn("__us", F.unix_micros("ts")),
-        ts_med.select(F.round("m").cast("bigint").alias("m")),
-        "event_id",
-        "m",
-    ).withColumn("half", F.when(F.col("__us") <= F.col("m"), 1).otherwise(2))
+    halves = _timeline_halves(e)
     edges = (
         halves.where(F.col("half") == 1)
         .groupBy("event_type")
@@ -4151,7 +4164,6 @@ def events_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: stream state = #days×#types×10 rows in the horizon; edges
     and reference shares are #types×10 broadcasts; the PSI join and
     aggregate run on aggregated counts, not events."""
-    from ..operators.scalars import broadcast_scalars
     from ..streaming.events import (
         read_events_stream,
         run_to_completion,
@@ -4159,15 +4171,7 @@ def events_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = load(spark, sf_dir, "events")
-    ts_med = e.agg(
-        F.percentile(F.unix_micros("ts"), F.lit(0.5)).alias("m")
-    )
-    first_half = broadcast_scalars(
-        e.withColumn("__us", F.unix_micros("ts")),
-        ts_med.select(F.round("m").cast("bigint").alias("m")),
-        "event_id",
-        "m",
-    ).where(F.col("__us") <= F.col("m"))
+    first_half = _timeline_halves(e).where(F.col("half") == 1)
     edges = first_half.groupBy("event_type").agg(
         F.transform(
             F.percentile(
@@ -4406,7 +4410,6 @@ def events_stream_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: thresholds are #types rows broadcast per micro-batch (no
     join state); window state = #days×#types; the outlier test is one
     codegen'd comparison per event — no sketch, no second pass."""
-    from ..operators.scalars import broadcast_scalars
     from ..streaming.events import (
         read_events_stream,
         run_to_completion,
@@ -4414,15 +4417,7 @@ def events_stream_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = load(spark, sf_dir, "events")
-    ts_med = e.agg(
-        F.percentile(F.unix_micros("ts"), F.lit(0.5)).alias("m")
-    )
-    first_half = broadcast_scalars(
-        e.withColumn("__us", F.unix_micros("ts")),
-        ts_med.select(F.round("m").cast("bigint").alias("m")),
-        "event_id",
-        "m",
-    ).where(F.col("__us") <= F.col("m"))
+    first_half = _timeline_halves(e).where(F.col("half") == 1)
     med = first_half.groupBy("event_type").agg(
         F.round(F.percentile("value", F.lit(0.5)), 9).alias("med")
     )

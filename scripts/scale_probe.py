@@ -42,7 +42,12 @@ DEFAULT = [
 ]
 
 
-def build_10x(spark: SparkSession, out_dir: str, n: int = 10) -> None:
+GRAPH_QUERIES = {"supplier_pagerank", "neardup_clusters_distributed"}
+
+
+def build_10x(
+    spark: SparkSession, out_dir: str, n: int = 10, graph: bool = False
+) -> None:
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     max_id = docs.agg(F.max("doc_id")).first()[0] + 1
     replicas = [
@@ -101,7 +106,15 @@ def build_10x(spark: SparkSession, out_dir: str, n: int = 10) -> None:
     part = _glob.glob(f"{staging}/part-*.parquet")[0]
     shutil.move(part, f"{out_dir}/events.parquet")
     shutil.rmtree(staging, ignore_errors=True)
-    # orders + lineitem: n disjoint copies of the trade graph.
+    # orders + lineitem: n disjoint copies of the trade graph — built
+    # only when a graph query is being probed (a 100x lineitem write is
+    # pure waste for a documents-only probe); symlinked otherwise.
+    graph_tables = ("orders", "lineitem") if graph else ()
+    if not graph:
+        for t in TABLES:
+            if t not in ("documents", "embeddings", "events"):
+                os.symlink(f"{SF_DIR}/{t}.parquet", f"{out_dir}/{t}.parquet")
+        return
     # Shifting o_orderkey/l_orderkey by the same stride keeps the
     # order->items join intact inside each replica; shifting
     # custkey/suppkey makes the replica subgraphs node-disjoint, so
@@ -136,7 +149,7 @@ def build_10x(spark: SparkSession, out_dir: str, n: int = 10) -> None:
         lbig = lbig.unionByName(rep)
     lbig.write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
     for t in TABLES:
-        if t not in ("documents", "embeddings", "events", "orders", "lineitem"):
+        if t not in ("documents", "embeddings", "events", *graph_tables):
             os.symlink(f"{SF_DIR}/{t}.parquet", f"{out_dir}/{t}.parquet")
 
 
@@ -153,9 +166,12 @@ def timed(fn, *a):
 def main():
     args = sys.argv[1:]
     n = 10
-    if args and args[0] == "--replicas":
-        n = int(args[1])
-        args = args[2:]
+    if "--replicas" in args:
+        i = args.index("--replicas")
+        if i + 1 >= len(args):
+            sys.exit("--replicas needs a value, e.g. --replicas 100")
+        n = int(args[i + 1])
+        del args[i : i + 2]
     names = args or DEFAULT
     spark = (
         SparkSession.builder.master(
@@ -173,7 +189,7 @@ def main():
     tmp = tempfile.mkdtemp(prefix="scale10x_")
     try:
         t0 = time.perf_counter()
-        build_10x(spark, tmp, n)
+        build_10x(spark, tmp, n, graph=bool(GRAPH_QUERIES & set(names)))
         print(f"built {n}x tables in {time.perf_counter() - t0:.1f}s")
         for name in names:
             q = QUERIES[name]
