@@ -56,6 +56,16 @@ SENSITIVE = [
     "table_profile_stats",
     "value_mad_outliers",
     "value_psi_drift",
+    # Round-5 additions: PSI float sums over exploded bin spines, GK
+    # sketch + rank verdicts, HLL verdicts, Gopher ratio thresholds,
+    # recall overlap counts. (Streaming gates pin their own state
+    # partitioning inside run_to_completion; the batch-side PSI/MAD
+    # arithmetic is covered via their shared _timeline_halves path in
+    # value_psi_drift above.)
+    "table_profile_approx",
+    "value_quantiles_approx",
+    "gopher_quality_flags",
+    "ivf_recall_at_k",
 ]
 
 

@@ -290,3 +290,37 @@ def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
     # and no duplicate emission after the late arrival
     assert len(w0) == 1
     assert int(w0["n_events"].iloc[0]) == 1
+
+
+def test_hourly_distinct_users_watermark_evicts_dedup_state(spark):
+    """Round-4 advice: dropDuplicates state only expires when the
+    watermark column is IN the dedup subset. Pin the fix structurally:
+    the analyzed plan's EventTimeWatermark must sit on `hour` (a dedup
+    key), not on the raw `ts` — plus value parity with the batch
+    count(DISTINCT) twin."""
+    from formula1_dataengineering_spark.streaming.events import (
+        hourly_distinct_users,
+    )
+
+    stream = read_events_stream(spark, SF)
+    agg = hourly_distinct_users(stream)
+    analyzed = agg._jdf.queryExecution().analyzed().toString()
+    wm_lines = [
+        l for l in analyzed.splitlines() if "EventTimeWatermark" in l
+    ]
+    assert wm_lines, "no watermark in plan"
+    assert any("hour" in l for l in wm_lines)
+    assert not any("'ts" in l or " ts#" in l for l in wm_lines)
+
+    got = run_to_completion(
+        agg, "t_hourly_wm", output_mode="complete"
+    ).toPandas()
+    want = (
+        load(spark, SF, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour_start"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .toPandas()
+    )
+    g = got.sort_values("hour_start").reset_index(drop=True)
+    w = want.sort_values("hour_start").reset_index(drop=True)
+    assert list(g["n_users"]) == list(w["n_users"])
