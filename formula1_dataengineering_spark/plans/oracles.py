@@ -3259,3 +3259,51 @@ FROM brute b LEFT JOIN ivf i
   ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
 GROUP BY b.query_id
 """
+
+
+# leakage_safe_split: cluster-keyed 80/10/10 split over the
+# normalized-content hash (same normalization + hash48 as
+# normalized_dedup_docs); straddle count computed, not assumed.
+ORACLE_SQL["leakage_safe_split"] = f"""
+WITH n AS (
+  SELECT doc_id,
+         CAST(((md5_number(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))
+           % {_M48} + {_M48}) % {_M48}) AS BIGINT) AS cluster_key
+  FROM documents WHERE text IS NOT NULL
+), a AS (
+  SELECT doc_id, cluster_key,
+         CASE WHEN cluster_key % 100 < 80 THEN 'train'
+              WHEN cluster_key % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM n
+), pc AS (
+  SELECT cluster_key, count(*) AS n_docs,
+         count(DISTINCT split) AS n_splits, any_value(split) AS split
+  FROM a GROUP BY cluster_key
+), t AS (
+  SELECT count(*) AS n_total FROM a
+)
+SELECT split, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       count(*) AS n_clusters,
+       CAST(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_straddling_clusters,
+       round(sum(n_docs) * 1.0 / any_value(t.n_total), 4) AS doc_share
+FROM pc CROSS JOIN t GROUP BY split
+"""
+
+
+# jsonl_ingest_stats: the same profile from the PARQUET table — the
+# Spark side reads its own JSONL dump, so a hash match proves the
+# round trip preserved every value the profile touches.
+ORACLE_SQL["jsonl_ingest_stats"] = """
+SELECT source, lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(len(text)) AS BIGINT) AS total_text_len,
+       CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_text,
+       min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id
+FROM documents
+GROUP BY source, lang
+"""

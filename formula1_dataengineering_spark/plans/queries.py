@@ -4486,3 +4486,105 @@ def ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.lit(5.0), 4
         ).alias("recall_at_5"),
     )
+
+
+@query("leakage_safe_split")
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: assign each NEAR-DUP CLUSTER
+    (normalized-content hash, the dedup ladder's first rung) to a
+    split by hashing the CLUSTER key — so normalization-equal variants
+    of a document can never straddle train and test, the eval-
+    contamination failure a row-level random split ships by default.
+    80/10/10 via pmod(cluster_key, 100). Output per split: docs,
+    clusters, doc share, plus ``n_straddling_clusters`` — clusters
+    seen in >1 split — verified IN-QUERY (0 by construction since the
+    split is a pure function of the cluster key; the column proves it
+    rather than asserting it).
+
+    Scale: split assignment is scan-stage arithmetic on the same
+    normalized hash the dedup pass already computes; the stats are one
+    groupBy(cluster) + one groupBy(split) — both map-side combinable."""
+    from ..operators.dedup import portable_hash48
+
+    d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    assigned = d.select(
+        "doc_id", portable_hash48(norm).alias("cluster_key")
+    ).withColumn(
+        "split",
+        F.when(F.pmod("cluster_key", F.lit(100)) < 80, "train")
+        .when(F.pmod("cluster_key", F.lit(100)) < 90, "val")
+        .otherwise("test"),
+    )
+    per_cluster = assigned.groupBy("cluster_key").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("split").alias("n_splits"),
+        F.first("split").alias("split"),
+    )
+    from ..operators.scalars import broadcast_scalars
+
+    tot = assigned.agg(F.count("*").alias("n_total"))
+    stats = per_cluster.groupBy("split").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.count("*").alias("n_clusters"),
+        F.sum((F.col("n_splits") > 1).cast("long")).alias(
+            "n_straddling_clusters"
+        ),
+    )
+    return broadcast_scalars(stats, tot, "n_docs", "n_total").select(
+        "split",
+        "n_docs",
+        "n_clusters",
+        "n_straddling_clusters",
+        F.round(F.col("n_docs") / F.col("n_total"), 4).alias("doc_share"),
+    )
+
+
+@query("jsonl_ingest_stats")
+def jsonl_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL ingestion end-to-end (the format 100 TB corpora actually
+    arrive in): documents are dumped once per sf as sharded gzip JSONL
+    (mtime-staleness rebuild, like the other layout builds), read back
+    with a DECLARED schema — no inference pass — and profiled per
+    (source, lang). The oracle computes the same profile from the
+    parquet table, so the hash match proves round-trip fidelity
+    (types, nulls, text bytes) — not just that something was read.
+
+    Scale notes live in sources/jsonl.py: explicit schema avoids the
+    full inference scan; gzip shards keep one-task-per-file
+    parallelism."""
+    import os
+    import tempfile
+
+    from ..sources.jsonl import (
+        DOCUMENTS_JSONL_SCHEMA,
+        read_jsonl,
+        write_jsonl,
+    )
+
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_docs_jsonl_v1_{tag}"
+    )
+    marker = os.path.join(path, "_SUCCESS")
+    src = os.path.join(sf_dir, "documents.parquet")
+    fresh = os.path.exists(marker) and os.path.getmtime(
+        src
+    ) <= os.path.getmtime(marker)
+    if not fresh:
+        write_jsonl(load(spark, sf_dir, "documents"), path)
+    docs = read_jsonl(spark, path, DOCUMENTS_JSONL_SCHEMA)
+    return docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.length("text")).alias("total_text_len"),
+        F.sum(F.col("text").isNull().cast("long")).alias("n_null_text"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )

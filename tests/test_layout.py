@@ -163,3 +163,41 @@ def test_mixed_corpus_shards_are_globally_ordered(spark, tmp_path):
             assert keys[0] >= prev_max  # shard boundaries don't overlap
         prev_max = keys[-1]
     assert total == 300
+
+
+def test_jsonl_roundtrip_and_declared_schema(spark, tmp_path):
+    """JSONL writer/reader: round trip preserves values and types
+    under the DECLARED schema (no inference), and a corrupt line
+    surfaces as nulls (PERMISSIVE) instead of failing the job."""
+    from pyspark.sql import types as T
+
+    from formula1_dataengineering_spark.sources.jsonl import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, "hello\nworld"), (2, None), (3, 'quote " and \\ slash')],
+        schema,
+    )
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl(df, path, compression="gzip")
+    back = read_jsonl(spark, path, schema)
+    assert back.schema == schema
+    got = {r["doc_id"]: r["text"] for r in back.collect()}
+    assert got == {1: "hello\nworld", 2: None, 3: 'quote " and \\ slash'}
+
+    bad = tmp_path / "bad_jsonl"
+    bad.mkdir()
+    (bad / "part-0.json").write_text(
+        '{"doc_id": 1, "text": "ok"}\nNOT JSON AT ALL\n'
+    )
+    rows = read_jsonl(spark, str(bad), schema).collect()
+    assert len(rows) == 2  # corrupt line kept as nulls, job survives
+    assert {r["doc_id"] for r in rows} == {1, None}

@@ -66,6 +66,8 @@ SENSITIVE = [
     "value_quantiles_approx",
     "gopher_quality_flags",
     "ivf_recall_at_k",
+    "leakage_safe_split",
+    "jsonl_ingest_stats",
 ]
 
 
