@@ -3307,3 +3307,17 @@ SELECT source, lang, count(*) AS n_docs,
 FROM documents
 GROUP BY source, lang
 """
+
+
+# zorder_box_scan: the same 2-D box aggregate from the RAW table (the
+# Z-ordered layout changes the PLAN and file-touch count, never the
+# values).
+ORACLE_SQL["zorder_box_scan"] = """
+SELECT count(*) AS n_items,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(sum(l_quantity), 2) AS total_qty
+FROM lineitem
+WHERE l_partkey BETWEEN 100 AND 400 AND l_suppkey BETWEEN 10 AND 60
+"""

@@ -4588,3 +4588,65 @@ def jsonl_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
     )
+
+
+@query("zorder_box_scan")
+def zorder_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Z-ORDER layout story benched end-to-end — third member of
+    the layout trilogy (pricing_summary_partitioned: directory
+    pruning; bucketed_colocated_revenue: exchange-free join): lineitem
+    is rewritten once per sf Z-ordered on (l_partkey, l_suppkey)
+    (sources/layout.write_clustered, Morton-interleaved sort key,
+    bounded file sizes), and a 2-D box predicate — the query shape
+    that defeats any single-column sort — aggregates over it. Values
+    hash-match the raw-table oracle; the scan-efficiency evidence
+    (box touches O(perimeter) files vs a linear layout's O(area)) is
+    measured in tests/test_layout.py::
+    test_zorder_layout_beats_linear_on_box_queries.
+
+    Scale: at 100 TB two correlated range dims (time × key, geo × id)
+    make Z-ordering the difference between reading hundreds and
+    hundreds of thousands of row groups for box-shaped queries."""
+    import os
+    import tempfile
+
+    from ..sources.layout import write_clustered
+
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_lineitem_zorder_v1_{tag}"
+    )
+    marker = os.path.join(path, "_SUCCESS")
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    fresh = os.path.exists(marker) and os.path.getmtime(
+        src
+    ) <= os.path.getmtime(marker)
+    if not fresh:
+        li = load(spark, sf_dir, "lineitem").select(
+            "l_partkey",
+            "l_suppkey",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        )
+        write_clustered(
+            li,
+            path,
+            zorder_by=["l_partkey", "l_suppkey"],
+            zorder_bits=16,
+            max_records_per_file=20_000,
+        )
+    z = spark.read.parquet(path)
+    box = z.where(
+        F.col("l_partkey").between(100, 400)
+        & F.col("l_suppkey").between(10, 60)
+    )
+    return box.agg(
+        F.count("*").alias("n_items"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+    )

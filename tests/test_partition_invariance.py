@@ -68,6 +68,7 @@ SENSITIVE = [
     "ivf_recall_at_k",
     "leakage_safe_split",
     "jsonl_ingest_stats",
+    "zorder_box_scan",
 ]
 
 
