@@ -3321,3 +3321,83 @@ SELECT count(*) AS n_items,
 FROM lineitem
 WHERE l_partkey BETWEEN 100 AND 400 AND l_suppkey BETWEEN 10 AND 60
 """
+
+
+# bm25_topk_docs: BM25 with the identical formula, round-6 quantized
+# scores ranked with the same (score desc, doc_id) total order.
+ORACLE_SQL["bm25_topk_docs"] = """
+WITH q(query, term) AS (
+  VALUES ('q_join', 'spark'), ('q_join', 'join'), ('q_join', 'filter'),
+         ('q_scan', 'table'), ('q_scan', 'scan'), ('q_scan', 'merge'),
+         ('q_stream', 'stream'), ('q_stream', 'window'), ('q_stream', 'value')
+), toks AS (
+  SELECT doc_id, u.term
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS ts
+    FROM documents WHERE text IS NOT NULL
+  ), unnest(ts) AS u(term)
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT count(*) AS n_corpus, avg(dl) AS avgdl FROM dl
+), tf AS (
+  SELECT t.doc_id, t.term, count(*) AS tf
+  FROM toks t
+  WHERE t.term IN (SELECT DISTINCT term FROM q)
+  GROUP BY t.doc_id, t.term
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT q.query, tf.doc_id,
+         ln((s.n_corpus - df.df + 0.5) / (df.df + 0.5) + 1.0)
+         * tf.tf * (1.2 + 1)
+         / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS part
+  FROM tf
+  JOIN df USING (term)
+  JOIN q ON q.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+), per_doc AS (
+  SELECT query, doc_id, round(sum(part), 6) AS score
+  FROM scored GROUP BY query, doc_id
+), ranked AS (
+  SELECT query, doc_id, score, row_number() OVER (
+    PARTITION BY query ORDER BY score DESC, doc_id ASC) AS rank
+  FROM per_doc
+)
+SELECT query, doc_id, score, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+# source_temperature_mix: sqrt-tempered shares + largest-remainder
+# 10k allocation, same total order on fractional parts.
+ORACLE_SQL["source_temperature_mix"] = """
+WITH c AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+), t AS (
+  SELECT sum(n_docs) AS n_total, sum(sqrt(n_docs)) AS z FROM c
+), s AS (
+  SELECT c.source, c.n_docs,
+         round(c.n_docs * 1.0 / t.n_total, 6) AS natural_share,
+         sqrt(c.n_docs) / t.z AS q
+  FROM c CROSS JOIN t
+), seats AS (
+  SELECT source, n_docs, natural_share, q,
+         q * 10000 AS exact_seats,
+         CAST(floor(q * 10000) AS BIGINT) AS floor_seats
+  FROM s
+), r AS (
+  SELECT sum(floor_seats) AS floor_total FROM seats
+), ranked AS (
+  SELECT seats.*, (10000 - r.floor_total) AS n_rem,
+         row_number() OVER (
+           ORDER BY exact_seats - floor_seats DESC, source ASC) AS rk
+  FROM seats CROSS JOIN r
+)
+SELECT source, n_docs, natural_share, round(q, 6) AS tempered_share,
+       CAST(floor_seats + CASE WHEN rk <= n_rem THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc_10k
+FROM ranked
+"""

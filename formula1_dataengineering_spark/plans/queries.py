@@ -4650,3 +4650,136 @@ def zorder_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revenue"),
         F.round(F.sum("l_quantity"), 2).alias("total_qty"),
     )
+
+
+@query("bm25_topk_docs")
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 sparse retrieval (Robertson-Spärck Jones, k1=1.2 b=0.75):
+    top-10 documents per query for a fixed query set — the lexical
+    retrieval primitive next to the dense ANN ladder (hybrid search =
+    this + knn_*). idf = ln((N−df+0.5)/(df+0.5)+1), per-term scores
+    summed per (query, doc), round-6 quantized BEFORE ranking so both
+    engines rank the same doubles; ties broken by doc_id.
+
+    Scale: the corpus explode is FILTERED to query terms before any
+    aggregation (the inverted-index access pattern — work scales with
+    postings of the query terms, not the corpus vocabulary); N and
+    avgdl attach as broadcast scalars; tf/df aggregates are map-side
+    combinable."""
+    from ..functions.text import tokens
+    from ..operators.scalars import broadcast_scalars
+
+    queries = [
+        ("q_join", ["spark", "join", "filter"]),
+        ("q_scan", ["table", "scan", "merge"]),
+        ("q_stream", ["stream", "window", "value"]),
+    ]
+    k1, b = 1.2, 0.75
+    qterms = spark.createDataFrame(
+        [(q, t) for q, ts in queries for t in ts], ["query", "term"]
+    )
+    d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    doclen = d.select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("dl")
+    ).where(F.col("dl") > 0)
+    stats = doclen.agg(
+        F.count("*").alias("n_corpus"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = (
+        toks.join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(F.broadcast(qterms), "term")
+        .join(doclen, "doc_id")
+    )
+    scored = broadcast_scalars(scored, stats, "tf", "n_corpus")
+    idf = F.log(
+        (F.col("n_corpus") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    tfn = (
+        F.col("tf")
+        * (k1 + 1)
+        / (
+            F.col("tf")
+            + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    per_doc = scored.groupBy("query", "doc_id").agg(
+        F.round(F.sum(idf * tfn), 6).alias("score")
+    )
+    w = Window.partitionBy("query").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("query", "doc_id", "score", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+@query("source_temperature_mix")
+def source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture reweighting (the multilingual /
+    multi-source sampling standard, mT5/XLM-R family): tempered share
+    q_s ∝ p_s^α flattens the natural source distribution so
+    low-resource sources are upsampled. α = 0.5 here — inside the
+    standard 0.2–0.7 band AND bit-reproducible across engines because
+    p^0.5 = sqrt(p), which IEEE 754 rounds correctly (a general pow()
+    carries no such guarantee, so two engines may disagree in the last
+    ulp and break quantized ranking).
+
+    A concrete 10k-example allocation is materialized by LARGEST
+    REMAINDER: floor(q_s·10000) per source, the remaining seats
+    assigned by fractional part desc (source asc tie-break) — the
+    integer allocation that sums to exactly 10000, which 'round each
+    share' does not.
+
+    Scale: one groupBy(source) then arithmetic on #sources rows."""
+    from ..operators.scalars import broadcast_scalars
+
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    tot = counts.agg(
+        F.sum("n_docs").alias("n_total"),
+        F.sum(F.sqrt(F.col("n_docs"))).alias("z"),
+    )
+    s = broadcast_scalars(counts, tot, "n_docs", "n_total")
+    shares = s.select(
+        "source",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("n_total"), 6).alias(
+            "natural_share"
+        ),
+        (F.sqrt(F.col("n_docs")) / F.col("z")).alias("__q"),
+    )
+    seats = shares.withColumn(
+        "__exact", F.col("__q") * 10_000
+    ).withColumn("__floor", F.floor("__exact").cast("long"))
+    rem_total = seats.agg(
+        (F.lit(10_000) - F.sum("__floor")).alias("n_rem")
+    )
+    seats = broadcast_scalars(seats, rem_total, "n_docs", "n_rem")
+    w = Window.orderBy(
+        (F.col("__exact") - F.col("__floor")).desc(), F.col("source").asc()
+    )
+    return (
+        seats.withColumn("__r", F.row_number().over(w))
+        .select(
+            "source",
+            "n_docs",
+            "natural_share",
+            F.round("__q", 6).alias("tempered_share"),
+            (
+                F.col("__floor")
+                + (F.col("__r") <= F.col("n_rem")).cast("long")
+            ).alias("alloc_10k"),
+        )
+    )

@@ -69,6 +69,8 @@ SENSITIVE = [
     "leakage_safe_split",
     "jsonl_ingest_stats",
     "zorder_box_scan",
+    "bm25_topk_docs",
+    "source_temperature_mix",
 ]
 
 
