@@ -3401,3 +3401,84 @@ SELECT source, n_docs, natural_share, round(q, 6) AS tempered_share,
             AS BIGINT) AS alloc_10k
 FROM ranked
 """
+
+
+# hybrid_rrf_fusion: BM25 top-10 (same CTEs as bm25_topk_docs) fused
+# by RRF (k=60) with a dense cosine top-10 seeded by each query's
+# BM25 rank-1 document embedding (pseudo-relevance feedback); dense
+# ranking on raw cosine with neighbor-id tie-break, matching
+# cosine_topk; the seed doc itself is retrievable (no self-exclusion —
+# query ids are offset out of the corpus id range on the Spark side).
+ORACLE_SQL["hybrid_rrf_fusion"] = f"""
+WITH q(query, term) AS (
+  VALUES ('q_join', 'spark'), ('q_join', 'join'), ('q_join', 'filter'),
+         ('q_scan', 'table'), ('q_scan', 'scan'), ('q_scan', 'merge'),
+         ('q_stream', 'stream'), ('q_stream', 'window'), ('q_stream', 'value')
+), toks AS (
+  SELECT doc_id, u.term
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS ts
+    FROM documents WHERE text IS NOT NULL
+  ), unnest(ts) AS u(term)
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT count(*) AS n_corpus, avg(dl) AS avgdl FROM dl
+), tf AS (
+  SELECT t.doc_id, t.term, count(*) AS tf
+  FROM toks t
+  WHERE t.term IN (SELECT DISTINCT term FROM q)
+  GROUP BY t.doc_id, t.term
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+), bm_scored AS (
+  SELECT q.query, tf.doc_id,
+         ln((s.n_corpus - df.df + 0.5) / (df.df + 0.5) + 1.0)
+         * tf.tf * (1.2 + 1)
+         / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS part
+  FROM tf
+  JOIN df USING (term)
+  JOIN q ON q.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+), bm_per_doc AS (
+  SELECT query, doc_id, round(sum(part), 6) AS score
+  FROM bm_scored GROUP BY query, doc_id
+), bm25 AS (
+  SELECT query, doc_id, rank FROM (
+    SELECT query, doc_id, row_number() OVER (
+      PARTITION BY query ORDER BY score DESC, doc_id ASC) AS rank
+    FROM bm_per_doc
+  ) WHERE rank <= 10
+), e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), seeds AS (
+  SELECT b.query, e.v FROM bm25 b JOIN e ON b.doc_id = e.vec_id
+  WHERE b.rank = 1
+), d_scored AS (
+  SELECT a.query, b.vec_id AS doc_id,
+         list_dot_product(a.v, b.v)
+         / (sqrt(list_dot_product(a.v, a.v))
+            * sqrt(list_dot_product(b.v, b.v))) AS cos
+  FROM seeds a CROSS JOIN e b
+), dense AS (
+  SELECT query, doc_id, rank FROM (
+    SELECT query, doc_id, row_number() OVER (
+      PARTITION BY query ORDER BY cos DESC, doc_id ASC) AS rank
+    FROM d_scored
+  ) WHERE rank <= 10
+), fused AS (
+  SELECT COALESCE(b.query, d.query) AS query,
+         COALESCE(b.doc_id, d.doc_id) AS doc_id,
+         round(COALESCE(1.0 / (60 + b.rank), 0)
+               + COALESCE(1.0 / (60 + d.rank), 0), 6) AS rrf_score
+  FROM bm25 b FULL OUTER JOIN dense d
+    ON b.query = d.query AND b.doc_id = d.doc_id
+)
+SELECT query, doc_id, rrf_score, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT query, doc_id, rrf_score, row_number() OVER (
+    PARTITION BY query ORDER BY rrf_score DESC, doc_id ASC) AS rank
+  FROM fused
+) WHERE rank <= 10
+"""

@@ -4652,31 +4652,26 @@ def zorder_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("bm25_topk_docs")
-def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 sparse retrieval (Robertson-Spärck Jones, k1=1.2 b=0.75):
-    top-10 documents per query for a fixed query set — the lexical
-    retrieval primitive next to the dense ANN ladder (hybrid search =
-    this + knn_*). idf = ln((N−df+0.5)/(df+0.5)+1), per-term scores
-    summed per (query, doc), round-6 quantized BEFORE ranking so both
-    engines rank the same doubles; ties broken by doc_id.
+#: Fixed BM25 query set shared by the lexical gate and the hybrid
+#: fusion gate (and inlined as VALUES in both oracles).
+_BM25_QUERIES = [
+    ("q_join", ["spark", "join", "filter"]),
+    ("q_scan", ["table", "scan", "merge"]),
+    ("q_stream", ["stream", "window", "value"]),
+]
 
-    Scale: the corpus explode is FILTERED to query terms before any
-    aggregation (the inverted-index access pattern — work scales with
-    postings of the query terms, not the corpus vocabulary); N and
-    avgdl attach as broadcast scalars; tf/df aggregates are map-side
-    combinable."""
+
+def _bm25_rankings(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Shared BM25 top-k ranking (see bm25_topk_docs for the formula
+    and scale notes) — one implementation for the lexical gate and the
+    hybrid RRF fusion gate so the two cannot drift from each other or
+    their oracles."""
     from ..functions.text import tokens
     from ..operators.scalars import broadcast_scalars
 
-    queries = [
-        ("q_join", ["spark", "join", "filter"]),
-        ("q_scan", ["table", "scan", "merge"]),
-        ("q_stream", ["stream", "window", "value"]),
-    ]
     k1, b = 1.2, 0.75
     qterms = spark.createDataFrame(
-        [(q, t) for q, ts in queries for t in ts], ["query", "term"]
+        [(q, t) for q, ts in _BM25_QUERIES for t in ts], ["query", "term"]
     )
     d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     toks = d.select(
@@ -4720,9 +4715,28 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         per_doc.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 10)
-        .select("query", "doc_id", "score", F.col("rank").cast("int").alias("rank"))
+        .where(F.col("rank") <= k)
+        .select(
+            "query", "doc_id", "score", F.col("rank").cast("int").alias("rank")
+        )
     )
+
+
+@query("bm25_topk_docs")
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 sparse retrieval (Robertson-Spärck Jones, k1=1.2 b=0.75):
+    top-10 documents per query for a fixed query set — the lexical
+    retrieval primitive next to the dense ANN ladder (hybrid search =
+    this + knn_*). idf = ln((N−df+0.5)/(df+0.5)+1), per-term scores
+    summed per (query, doc), round-6 quantized BEFORE ranking so both
+    engines rank the same doubles; ties broken by doc_id.
+
+    Scale: the corpus explode is FILTERED to query terms before any
+    aggregation (the inverted-index access pattern — work scales with
+    postings of the query terms, not the corpus vocabulary); N and
+    avgdl attach as broadcast scalars; tf/df aggregates are map-side
+    combinable."""
+    return _bm25_rankings(spark, sf_dir, k=10)
 
 
 @query("source_temperature_mix")
@@ -4781,5 +4795,79 @@ def source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("__floor")
                 + (F.col("__r") <= F.col("n_rem")).cast("long")
             ).alias("alloc_10k"),
+        )
+    )
+
+
+@query("hybrid_rrf_fusion")
+def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval — the modern search stack in one gate: BM25
+    lexical top-10 (shared _bm25_rankings) fused with a DENSE ranking
+    by Reciprocal Rank Fusion (Cormack et al.: score = Σ 1/(60+rank),
+    rank-only so the two scorers' incomparable score scales never
+    matter). The dense query vector comes from pseudo-relevance
+    feedback: each query's BM25 rank-1 document's embedding
+    (vec_id == doc_id by fixture construction) retrieves cosine top-10
+    via the audited GEMM cosine_topk plan.
+
+    Scale: BM25 cost = query-term postings; dense cost = the audited
+    batched-GEMM scan; the fusion itself is a full-outer join of two
+    k-row lists per query."""
+    from ..operators.similarity import cosine_topk
+
+    bm25 = _bm25_rankings(spark, sf_dir, k=10)
+    emb = load(spark, sf_dir, "embeddings")
+    # the GEMM path's output schema types query ids as long — map the
+    # string query names onto stable ints for the dense leg and back.
+    # Offset far above any corpus vec_id: the GEMM kernel nan-masks
+    # self-matches by ID EQUALITY, and a low query id would silently
+    # exclude the same-numbered corpus vector from that query's list.
+    qid_map = {
+        q: 1_000_000_001 + i for i, (q, _) in enumerate(_BM25_QUERIES)
+    }
+    qid_expr = F.create_map(
+        *[F.lit(x) for kv in qid_map.items() for x in kv]
+    )
+    seeds = (
+        bm25.where(F.col("rank") == 1)
+        .select(
+            qid_expr[F.col("query")].alias("qid"),
+            F.col("doc_id").alias("vec_id"),
+        )
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .select(F.col("qid").alias("vec_id"), "embedding")
+    )
+    name_expr = F.create_map(
+        *[F.lit(x) for k, v in qid_map.items() for x in (v, k)]
+    )
+    dense = cosine_topk(seeds, emb, k=10).select(
+        name_expr[F.col("query_id")].alias("query"),
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("d_rank"),
+    )
+    lex = bm25.select("query", "doc_id", F.col("rank").alias("b_rank"))
+    fused = (
+        lex.join(dense, ["query", "doc_id"], "full_outer")
+        .select(
+            "query",
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (60 + F.col("b_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("d_rank")), F.lit(0.0)),
+                6,
+            ).alias("rrf_score"),
+        )
+    )
+    w = Window.partitionBy("query").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select(
+            "query",
+            "doc_id",
+            "rrf_score",
+            F.col("rank").cast("int").alias("rank"),
         )
     )

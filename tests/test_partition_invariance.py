@@ -71,6 +71,7 @@ SENSITIVE = [
     "zorder_box_scan",
     "bm25_topk_docs",
     "source_temperature_mix",
+    "hybrid_rrf_fusion",
 ]
 
 
