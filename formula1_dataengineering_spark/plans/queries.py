@@ -4815,7 +4815,11 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-row lists per query."""
     from ..operators.similarity import cosine_topk
 
-    bm25 = _bm25_rankings(spark, sf_dir, k=10)
+    # persisted: both fusion legs consume this 30-row frame (seeds AND
+    # the lexical side) — without it the whole BM25 subtree executes
+    # twice. Bounded like the other shared frames (CacheManager dedups
+    # on analyzed-plan identity; ≤ #queries×k rows per sf).
+    bm25 = _bm25_rankings(spark, sf_dir, k=10).persist()
     emb = load(spark, sf_dir, "embeddings")
     # the GEMM path's output schema types query ids as long — map the
     # string query names onto stable ints for the dense leg and back.
