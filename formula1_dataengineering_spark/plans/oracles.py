@@ -3482,3 +3482,25 @@ SELECT query, doc_id, rrf_score, CAST(rank AS INTEGER) AS rank FROM (
   FROM fused
 ) WHERE rank <= 10
 """
+
+
+# k_anonymity_profile: QI-group sizes vs k thresholds.
+ORACLE_SQL["k_anonymity_profile"] = """
+WITH g AS (
+  SELECT c_mktsegment, c_nationkey, count(*) AS gsize
+  FROM customer GROUP BY 1, 2
+), t AS (
+  SELECT sum(gsize) AS n_rows FROM g
+), ks AS (
+  SELECT g.gsize, t.n_rows, u.k
+  FROM g CROSS JOIN t, unnest([2, 5, 10]) AS u(k)
+)
+SELECT k,
+       CAST(sum(CASE WHEN gsize < k THEN 1 ELSE 0 END) AS BIGINT)
+         AS violating_groups,
+       CAST(sum(CASE WHEN gsize < k THEN gsize ELSE 0 END) AS BIGINT)
+         AS exposed_rows,
+       round(sum(CASE WHEN gsize < k THEN gsize ELSE 0 END)
+             * 1.0 / any_value(n_rows), 6) AS exposed_share
+FROM ks GROUP BY k
+"""

@@ -4875,3 +4875,52 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+@query("k_anonymity_profile")
+def k_anonymity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers (governance check a
+    pipeline runs before releasing derived datasets): customers
+    grouped by the QI tuple (c_mktsegment, c_nationkey); a row is
+    k-anonymous iff its QI group has ≥ k members. Output per k ∈
+    {2, 5, 10}: violating groups, exposed rows, exposed share — the
+    re-identification risk table.
+
+    Scale: ONE groupBy over the QI tuple, then arithmetic on
+    #groups×3 rows (the k fan-out happens after aggregation, never on
+    the fact table)."""
+    c = load(spark, sf_dir, "customer")
+    groups = c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count("*").alias("gsize")
+    )
+    from ..operators.scalars import broadcast_scalars
+
+    tot = groups.agg(F.sum("gsize").alias("n_rows"))
+    g = broadcast_scalars(groups, tot, "gsize", "n_rows")
+    ks = g.select(
+        "gsize",
+        "n_rows",
+        F.explode(F.array(F.lit(2), F.lit(5), F.lit(10))).alias("k"),
+    )
+    return (
+        ks.groupBy("k")
+        .agg(
+            F.sum((F.col("gsize") < F.col("k")).cast("long")).alias(
+                "violating_groups"
+            ),
+            F.sum(
+                F.when(F.col("gsize") < F.col("k"), F.col("gsize")).otherwise(
+                    0
+                )
+            ).cast("bigint").alias("exposed_rows"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("gsize") < F.col("k"), F.col("gsize")
+                    ).otherwise(0)
+                )
+                / F.first("n_rows"),
+                6,
+            ).alias("exposed_share"),
+        )
+    )

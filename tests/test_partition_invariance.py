@@ -72,6 +72,7 @@ SENSITIVE = [
     "bm25_topk_docs",
     "source_temperature_mix",
     "hybrid_rrf_fusion",
+    "k_anonymity_profile",
 ]
 
 
