@@ -3504,3 +3504,47 @@ SELECT k,
              * 1.0 / any_value(n_rows), 6) AS exposed_share
 FROM ks GROUP BY k
 """
+
+
+# hourly_ewma_top_residuals: identical sequential fold (list_reduce
+# over the hour-sorted series, alpha=0.5 exact halving) -> lag
+# residuals -> top-5 per type.
+ORACLE_SQL["hourly_ewma_top_residuals"] = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         round(avg(value), 9) AS x
+  FROM events GROUP BY 1, 2
+), arrs AS (
+  SELECT event_type,
+         list(hour ORDER BY hour) AS hours,
+         list(x ORDER BY hour) AS xs
+  FROM hourly GROUP BY event_type
+), folded AS (
+  SELECT event_type, hours, xs,
+         list_transform(range(1, len(xs) + 1),
+           i -> list_reduce(xs[1:i],
+                (a, b) -> CAST(a * 0.5 AS DOUBLE)
+                          + CAST(b * 0.5 AS DOUBLE))) AS ew
+  FROM arrs
+), rows_ AS (
+  SELECT f.event_type, u.i,
+         f.hours[u.i] AS hour, f.xs[u.i] AS x, f.ew[u.i] AS ewma
+  FROM folded f, unnest(range(1, len(f.xs) + 1)) AS u(i)
+), scored AS (
+  SELECT event_type,
+         CAST(epoch(hour) AS BIGINT) AS hour_s,
+         round(x, 6) AS value,
+         round(ewma, 6) AS ewma,
+         round(abs(x - lag(ewma) OVER (
+           PARTITION BY event_type ORDER BY hour)), 6) AS abs_residual
+  FROM rows_
+)
+SELECT event_type, hour_s, value, ewma, abs_residual,
+       CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY event_type
+    ORDER BY abs_residual DESC, hour_s ASC) AS rk
+  FROM scored WHERE abs_residual IS NOT NULL
+) WHERE rk <= 5
+"""

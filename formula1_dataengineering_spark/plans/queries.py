@@ -4924,3 +4924,96 @@ def k_anonymity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("exposed_share"),
         )
     )
+
+
+@query("hourly_ewma_top_residuals")
+def hourly_ewma_top_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA anomaly surfacing — the exponential-smoothing sibling of
+    the z-score/MAD monitors: per event type, the hourly value series
+    is smoothed with α = 0.5 and the 5 hours with the largest
+    |x_t − EWMA_{t−1}| residuals are the anomaly report.
+
+    α = 0.5 is deliberate: the recurrence multiplies only by 0.5
+    (exact in binary), so the ONLY rounding is in the additions — and
+    both engines run the identical sequential fold over the identical
+    hour-sorted array (Spark ``F.aggregate``, DuckDB ``list_reduce``),
+    making the whole series bit-reproducible. A general α (or a
+    windowed running-sum formulation, which segment-tree window
+    aggregates re-associate) carries no such guarantee. Hourly inputs
+    are round-9 quantized first, the usual cross-engine float rule.
+
+    Scale: one hourly aggregate (map-side partials), then the fold
+    runs on #types arrays of #hours elements — series length, not
+    event count; the final top-5 is a #types×#hours window."""
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.round(F.avg("value"), 9).alias("x"))
+    arr = hourly.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("hour", "x"))).alias("hs")
+    )
+    acc0 = F.struct(
+        F.array().cast("array<double>").alias("arr"),
+        F.lit(None).cast("double").alias("prev"),
+    )
+    folded = arr.withColumn(
+        "ew",
+        F.aggregate(
+            "hs",
+            acc0,
+            lambda acc, s: F.struct(
+                F.concat(
+                    acc["arr"],
+                    F.array(
+                        F.when(
+                            acc["prev"].isNull(), s["x"]
+                        ).otherwise(0.5 * s["x"] + 0.5 * acc["prev"])
+                    ),
+                ).alias("arr"),
+                F.when(acc["prev"].isNull(), s["x"])
+                .otherwise(0.5 * s["x"] + 0.5 * acc["prev"])
+                .alias("prev"),
+            ),
+            lambda acc: acc["arr"],
+        ),
+    )
+    rows = folded.select(
+        "event_type",
+        F.posexplode(F.arrays_zip(F.col("hs"), F.col("ew"))).alias(
+            "i", "z"
+        ),
+    ).select(
+        "event_type",
+        F.col("z.hs.hour").alias("hour"),
+        F.col("z.hs.x").alias("x"),
+        F.col("z.ew").alias("ewma"),
+    )
+    w_lag = Window.partitionBy("event_type").orderBy("hour")
+    scored = rows.withColumn(
+        "prev_ewma", F.lag("ewma").over(w_lag)
+    ).where(F.col("prev_ewma").isNotNull()).select(
+        "event_type",
+        (F.unix_micros("hour") / F.lit(1_000_000))
+        .cast("bigint")
+        .alias("hour_s"),
+        F.round("x", 6).alias("value"),
+        F.round("ewma", 6).alias("ewma"),
+        F.round(F.abs(F.col("x") - F.col("prev_ewma")), 6).alias(
+            "abs_residual"
+        ),
+    )
+    w_top = Window.partitionBy("event_type").orderBy(
+        F.col("abs_residual").desc(), F.col("hour_s").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w_top))
+        .where(F.col("rk") <= 5)
+        .select(
+            "event_type",
+            "hour_s",
+            "value",
+            "ewma",
+            "abs_residual",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )

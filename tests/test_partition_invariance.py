@@ -73,6 +73,7 @@ SENSITIVE = [
     "source_temperature_mix",
     "hybrid_rrf_fusion",
     "k_anonymity_profile",
+    "hourly_ewma_top_residuals",
 ]
 
 
