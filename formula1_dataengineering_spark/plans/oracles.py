@@ -3548,3 +3548,32 @@ FROM (
   FROM scored WHERE abs_residual IS NOT NULL
 ) WHERE rk <= 5
 """
+
+
+# events_native_session_window: gap-islands replay of the native
+# session_window semantics — session end = last event + gap (10 min),
+# epoch MICROS per the catalog timestamp rule.
+ORACLE_SQL["events_native_session_window"] = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, value FROM events
+), flagged AS (
+  SELECT user_id, us, value,
+         CASE WHEN us - lag(us) OVER (
+                PARTITION BY user_id ORDER BY us) > 600000000
+              OR lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM e
+), sessions AS (
+  SELECT user_id, us, value,
+         sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY us
+           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       min(us) AS session_start_us,
+       max(us) + 600000000 AS session_end_us,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM sessions GROUP BY user_id, sid
+"""

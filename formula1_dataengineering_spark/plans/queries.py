@@ -5017,3 +5017,33 @@ def hourly_ewma_top_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+@query("events_native_session_window")
+def events_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-BOUNDARY verification of ``session_window``: the
+    existing gate (events_sessionized_streamed) hash-checks only a
+    per-user rollup, so the engine's window-merge arithmetic (start =
+    first event, end = last event + gap, merges across micro-batch
+    state) never itself crossed an oracle — this gate emits every
+    session's exact boundary micros + value sum (≈10k rows at sf0.01)
+    against a gap-islands batch replay. Complete mode over the
+    bounded source."""
+    from ..streaming.events import (
+        native_session_windows,
+        read_events_stream,
+        run_to_completion,
+    )
+
+    out = run_to_completion(
+        native_session_windows(read_events_stream(spark, sf_dir)),
+        "gate_native_sessions",
+        output_mode="complete",
+    )
+    return out.select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n_events",
+        "total_value",
+    )

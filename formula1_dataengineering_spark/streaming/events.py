@@ -549,3 +549,35 @@ def unattributed_views(
     return joined.where(F.col("purchase_id").isNull()).select(
         "user_id", "view_ts", "view_id"
     )
+
+
+def native_session_windows(
+    events: DataFrame, gap: str = "10 minutes"
+) -> DataFrame:
+    """``session_window`` sessionization emitting the SESSION
+    BOUNDARIES (start, end = last event + gap) and per-session value
+    sums — the boundary-verified sibling of :func:`sessionized_counts`
+    (whose gate hash-checks only a per-user rollup, so the engine's
+    window-merge arithmetic itself never crossed an oracle before
+    this). Each user's events within ``gap`` of each other merge into
+    one window.
+
+    Scale: state is one open session per active user inside the
+    watermark horizon, merged engine-side (no per-event Python); the
+    shuffle keys on user_id."""
+    return (
+        events.groupBy(
+            F.session_window("ts", gap).alias("w"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
