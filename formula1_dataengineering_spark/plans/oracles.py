@@ -3381,7 +3381,7 @@ WITH c AS (
 ), s AS (
   SELECT c.source, c.n_docs,
          round(c.n_docs * 1.0 / t.n_total, 6) AS natural_share,
-         sqrt(c.n_docs) / t.z AS q
+         round(sqrt(c.n_docs) / t.z, 9) AS q
   FROM c CROSS JOIN t
 ), seats AS (
   SELECT source, n_docs, natural_share, q,
@@ -3555,18 +3555,24 @@ FROM (
 # epoch MICROS per the catalog timestamp rule.
 ORACLE_SQL["events_native_session_window"] = """
 WITH e AS (
-  SELECT user_id, epoch_us(ts) AS us, value FROM events
+  SELECT user_id, epoch_us(ts) AS us, event_id, value FROM events
 ), flagged AS (
-  SELECT user_id, us, value,
+  SELECT user_id, us, event_id, value,
          CASE WHEN us - lag(us) OVER (
-                PARTITION BY user_id ORDER BY us) > 600000000
-              OR lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                PARTITION BY user_id ORDER BY us, event_id) > 600000000
+              OR lag(us) OVER (
+                PARTITION BY user_id ORDER BY us, event_id) IS NULL
               THEN 1 ELSE 0 END AS new_session
   FROM e
 ), sessions AS (
+  -- event_id tie-break (the sessionize_events oracle's defense): with
+  -- duplicate (user, ts) rows an untied running sum could order the
+  -- unflagged duplicate before the flagged one and assign it to the
+  -- PREVIOUS session; tied rows are 0 apart so they always belong to
+  -- the flagged row's session.
   SELECT user_id, us, value,
          sum(new_session) OVER (
-           PARTITION BY user_id ORDER BY us
+           PARTITION BY user_id ORDER BY us, event_id
            ROWS UNBOUNDED PRECEDING) AS sid
   FROM flagged
 )

@@ -3226,21 +3226,13 @@ def pricing_summary_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     how a real warehouse materializes layout once and amortizes it
     over every subsequent query.
     """
-    import os
-    import tempfile
-
     from ..sources.bucketing import write_partitioned
+    from ..sources.catalog import layout_artifact
 
-    tag = sf_dir.strip("/").replace("/", "_")
-    path = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_lineitem_by_year_v1_{tag}"
+    path, fresh = layout_artifact(
+        sf_dir, "spark_graft_lineitem_by_year_v2", "lineitem"
     )
-    marker = os.path.join(path, "_SUCCESS")
-    src = os.path.join(sf_dir, "lineitem.parquet")
-    stale = os.path.exists(marker) and os.path.getmtime(src) > os.path.getmtime(
-        marker
-    )
-    if stale or not os.path.exists(marker):
+    if not fresh:
         li = load(spark, sf_dir, "lineitem").withColumn(
             "ship_year", F.year("l_shipdate")
         )
@@ -3799,33 +3791,23 @@ def bucketed_colocated_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     write-time shuffle amortized across every later query, which is
     the co-located-join contract a 100 TB warehouse runs on
     (tests/test_plans.py pins the no-Exchange plan)."""
-    import os
-    import tempfile
-
     from ..sources.bucketing import write_bucketed
+    from ..sources.catalog import layout_artifact
 
     tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
-    base = os.path.join(tempfile.gettempdir(), f"spark_graft_bucketed_v1_{tag}")
     to, tc = f"orders_bkt_{tag}", f"customer_bkt_{tag}"
-    for tbl, name, path in (
-        ("orders", to, f"{base}/orders"),
-        ("customer", tc, f"{base}/customer"),
-    ):
-        # Staleness mirrors pricing_summary_partitioned: a catalog hit
-        # alone is not enough — if the source parquet is newer than the
-        # bucketed write's _SUCCESS marker (sf_dir regenerated between
-        # sessions), rebuild with mode=overwrite instead of silently
-        # serving stale buckets. (saveAsTable overwrite also makes a
-        # concurrent-session race converge on a full rewrite, not a
-        # mixed directory.)
-        marker = os.path.join(path, "_SUCCESS")
-        src = os.path.join(sf_dir, f"{tbl}.parquet")
-        fresh = (
-            spark.catalog.tableExists(name)
-            and os.path.exists(marker)
-            and os.path.getmtime(src) <= os.path.getmtime(marker)
+    for tbl, name in (("orders", to), ("customer", tc)):
+        # Staleness via the shared layout_artifact rule, PLUS the
+        # catalog check: a catalog hit alone is not enough — if the
+        # source parquet is newer than the bucketed write's _SUCCESS
+        # marker (sf_dir regenerated between sessions), rebuild with
+        # mode=overwrite instead of silently serving stale buckets.
+        # (saveAsTable overwrite also makes a concurrent-session race
+        # converge on a full rewrite, not a mixed directory.)
+        path, fresh = layout_artifact(
+            sf_dir, f"spark_graft_bucketed_v2_{tbl}", tbl
         )
-        if not fresh:
+        if not (fresh and spark.catalog.tableExists(name)):
             df = load(spark, sf_dir, tbl)
             key = "o_custkey" if tbl == "orders" else "c_custkey"
             write_bucketed(df, name, [key], n_buckets=8, path=path)
@@ -4559,24 +4541,16 @@ def jsonl_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale notes live in sources/jsonl.py: explicit schema avoids the
     full inference scan; gzip shards keep one-task-per-file
     parallelism."""
-    import os
-    import tempfile
-
+    from ..sources.catalog import layout_artifact
     from ..sources.jsonl import (
         DOCUMENTS_JSONL_SCHEMA,
         read_jsonl,
         write_jsonl,
     )
 
-    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
-    path = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_docs_jsonl_v1_{tag}"
+    path, fresh = layout_artifact(
+        sf_dir, "spark_graft_docs_jsonl_v1", "documents"
     )
-    marker = os.path.join(path, "_SUCCESS")
-    src = os.path.join(sf_dir, "documents.parquet")
-    fresh = os.path.exists(marker) and os.path.getmtime(
-        src
-    ) <= os.path.getmtime(marker)
     if not fresh:
         write_jsonl(load(spark, sf_dir, "documents"), path)
     docs = read_jsonl(spark, path, DOCUMENTS_JSONL_SCHEMA)
@@ -4607,20 +4581,12 @@ def zorder_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: at 100 TB two correlated range dims (time × key, geo × id)
     make Z-ordering the difference between reading hundreds and
     hundreds of thousands of row groups for box-shaped queries."""
-    import os
-    import tempfile
-
+    from ..sources.catalog import layout_artifact
     from ..sources.layout import write_clustered
 
-    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
-    path = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_lineitem_zorder_v1_{tag}"
+    path, fresh = layout_artifact(
+        sf_dir, "spark_graft_lineitem_zorder_v1", "lineitem"
     )
-    marker = os.path.join(path, "_SUCCESS")
-    src = os.path.join(sf_dir, "lineitem.parquet")
-    fresh = os.path.exists(marker) and os.path.getmtime(
-        src
-    ) <= os.path.getmtime(marker)
     if not fresh:
         li = load(spark, sf_dir, "lineitem").select(
             "l_partkey",
@@ -4677,9 +4643,10 @@ def _bm25_rankings(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     toks = d.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("term")
     )
-    doclen = d.select(
-        "doc_id", F.size(tokens(F.col("text"))).alias("dl")
-    ).where(F.col("dl") > 0)
+    # dl derived from toks (one tokenization pass, the oracle's own dl
+    # CTE shape); zero-token docs emit no toks rows, so dl > 0 is
+    # implied.
+    doclen = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
     stats = doclen.agg(
         F.count("*").alias("n_corpus"),
         F.avg("dl").alias("avgdl"),
@@ -4766,13 +4733,19 @@ def source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.sqrt(F.col("n_docs"))).alias("z"),
     )
     s = broadcast_scalars(counts, tot, "n_docs", "n_total")
+    # round-9 quantized BEFORE the floor/remainder arithmetic: z is an
+    # order-sensitive float sum (partial aggregation vs DuckDB's
+    # sequential fold can differ in the last ulp), and an unquantized
+    # q*10000 sitting next to an integer could floor differently per
+    # engine — the repo's quantize-before-rank rule applies to seat
+    # allocation too.
     shares = s.select(
         "source",
         "n_docs",
         F.round(F.col("n_docs") / F.col("n_total"), 6).alias(
             "natural_share"
         ),
-        (F.sqrt(F.col("n_docs")) / F.col("z")).alias("__q"),
+        F.round(F.sqrt(F.col("n_docs")) / F.col("z"), 9).alias("__q"),
     )
     seats = shares.withColumn(
         "__exact", F.col("__q") * 10_000

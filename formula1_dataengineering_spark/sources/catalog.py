@@ -88,3 +88,23 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every catalog table as a temp view for ``spark.sql``."""
     for name in TABLES:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def layout_artifact(sf_dir: str, name: str, src_table: str):
+    """Shared once-per-(sf, layout-version) rebuild decision for the
+    derived-layout gates (partitioned / bucketed / JSONL / Z-order):
+    returns ``(path, fresh)`` where ``path`` is the artifact directory
+    under $TMPDIR and ``fresh`` means a ``_SUCCESS`` marker exists and
+    is at least as new as the source parquet's mtime. One copy of the
+    tag/marker/mtime idiom — four inline copies had already drifted
+    into two formulations."""
+    import tempfile
+
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    path = os.path.join(tempfile.gettempdir(), f"{name}_{tag}")
+    marker = os.path.join(path, "_SUCCESS")
+    src = os.path.join(sf_dir, f"{src_table}.parquet")
+    fresh = os.path.exists(marker) and os.path.getmtime(
+        src
+    ) <= os.path.getmtime(marker)
+    return path, fresh

@@ -98,8 +98,16 @@ def test_result_invariant_under_shuffle_partitioning(spark, name):
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "3")
         a = _canon(QUERIES[name](spark, SF))
+        # drop caches between runs: queries that persist a shared frame
+        # (hybrid_rrf_fusion's BM25 leg, surprisal/DSIR/KL) would
+        # otherwise serve run 1's cached subtree to run 2 (CacheManager
+        # dedups on the analyzed plan, which does not include the
+        # shuffle-partition conf) — making the second partitioning
+        # vacuous for exactly the subtree the test exists to stress.
+        spark.catalog.clearCache()
         spark.conf.set("spark.sql.shuffle.partitions", "17")
         b = _canon(QUERIES[name](spark, SF))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.catalog.clearCache()
     assert a == b
