@@ -3583,3 +3583,21 @@ SELECT user_id,
        round(sum(value), 2) AS total_value
 FROM sessions GROUP BY user_id, sid
 """
+
+
+# audio_feature_stats: closed-form replay of the WAV DSP — audio rows
+# are doc_id%3==2 with rate 8000+doc_id%8*500 and n_samples=n_chars;
+# the synthesized square wave has RMS exactly 1000 and (n-1)//4
+# crossings.
+ORACLE_SQL["audio_feature_stats"] = """
+WITH a AS (
+  SELECT CAST(8000 + doc_id % 8 * 500 AS INT) AS rate,
+         n_chars AS n_samples
+  FROM documents WHERE doc_id % 3 = 2 AND n_chars > 0
+)
+SELECT rate, count(*) AS n_clips,
+       CAST(sum(n_samples) AS BIGINT) AS total_samples,
+       round(avg(1000.0), 4) AS mean_rms,
+       CAST(sum((n_samples - 1) // 4) AS BIGINT) AS total_crossings
+FROM a GROUP BY rate
+"""

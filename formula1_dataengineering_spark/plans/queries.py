@@ -5020,3 +5020,34 @@ def events_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+
+
+@query("audio_feature_stats")
+def audio_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio feature extraction end-to-end (the multimodal DSP
+    gate beside the image decoders): WAV payloads carrying a
+    deterministic square wave (period 8, amplitude 1000) are built
+    from (doc_id, n_chars), RIFF-walked to PCM, and reduced to
+    RMS + strict zero-crossing counts per clip — aggregated per sample
+    rate. The oracle recomputes every feature in closed form (RMS of a
+    ±1000 square wave is exactly 1000; crossings of period-8 phase are
+    (n−1) div 4), so an endianness, chunk-walk, or dtype bug in the
+    DSP kernel breaks the hash.
+
+    Scale: one fused build+extract mapInPandas pass, payloads never
+    shuffle; only 3 numbers per clip reach the aggregate."""
+    from ..sources.multimodal import (
+        audio_features,
+        demo_binary_media_from_documents,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    feats = audio_features(demo_binary_media_from_documents(d)).where(
+        F.col("rate").isNotNull() & (F.col("n_samples") > 0)
+    )
+    return feats.groupBy("rate").agg(
+        F.count("*").alias("n_clips"),
+        F.sum("n_samples").alias("total_samples"),
+        F.round(F.avg("rms"), 4).alias("mean_rms"),
+        F.sum("n_crossings").alias("total_crossings"),
+    )

@@ -74,6 +74,7 @@ SENSITIVE = [
     "hybrid_rrf_fusion",
     "k_anonymity_profile",
     "hourly_ewma_top_residuals",
+    "audio_feature_stats",
 ]
 
 
