@@ -3601,3 +3601,26 @@ SELECT rate, count(*) AS n_clips,
        CAST(sum((n_samples - 1) // 4) AS BIGINT) AS total_crossings
 FROM a GROUP BY rate
 """
+
+
+# l_diversity_profile: distinct sensitive values per QI group vs l.
+ORACLE_SQL["l_diversity_profile"] = """
+WITH g AS (
+  SELECT c_nationkey, count(DISTINCT c_mktsegment) AS l_distinct,
+         count(*) AS gsize
+  FROM customer GROUP BY c_nationkey
+), t AS (
+  SELECT sum(gsize) AS n_rows FROM g
+), ks AS (
+  SELECT g.l_distinct, g.gsize, t.n_rows, u.l
+  FROM g CROSS JOIN t, unnest([2, 3, 5]) AS u(l)
+)
+SELECT l,
+       CAST(sum(CASE WHEN l_distinct < l THEN 1 ELSE 0 END) AS BIGINT)
+         AS groups_below_l,
+       CAST(sum(CASE WHEN l_distinct < l THEN gsize ELSE 0 END) AS BIGINT)
+         AS rows_below_l,
+       round(sum(CASE WHEN l_distinct < l THEN gsize ELSE 0 END)
+             * 1.0 / any_value(n_rows), 6) AS exposed_share
+FROM ks GROUP BY l
+"""

@@ -5051,3 +5051,56 @@ def audio_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("rms"), 4).alias("mean_rms"),
         F.sum("n_crossings").alias("total_crossings"),
     )
+
+
+@query("l_diversity_profile")
+def l_diversity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — k-anonymity's necessary complement (a
+    k-anonymous group whose SENSITIVE attribute is constant still
+    leaks it): per quasi-identifier group (c_nationkey), the count of
+    distinct sensitive values (c_mktsegment), profiled against
+    l ∈ {2, 3, 5}: groups below l, rows in them, exposed share.
+
+    Scale: one groupBy over (QI, sensitive) then a #groups-bounded
+    rollup; the l fan-out happens after aggregation."""
+    c = load(spark, sf_dir, "customer")
+    per_qi = (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").alias("n"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.countDistinct("c_mktsegment").alias("l_distinct"),
+            F.sum("n").alias("gsize"),
+        )
+    )
+    from ..operators.scalars import broadcast_scalars
+
+    tot = per_qi.agg(F.sum("gsize").alias("n_rows"))
+    g = broadcast_scalars(per_qi, tot, "gsize", "n_rows")
+    ks = g.select(
+        "l_distinct",
+        "gsize",
+        "n_rows",
+        F.explode(F.array(F.lit(2), F.lit(3), F.lit(5))).alias("l"),
+    )
+    return ks.groupBy("l").agg(
+        F.sum((F.col("l_distinct") < F.col("l")).cast("long")).alias(
+            "groups_below_l"
+        ),
+        F.sum(
+            F.when(F.col("l_distinct") < F.col("l"), F.col("gsize")).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("rows_below_l"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("l_distinct") < F.col("l"), F.col("gsize")
+                ).otherwise(0)
+            )
+            / F.first("n_rows"),
+            6,
+        ).alias("exposed_share"),
+    )

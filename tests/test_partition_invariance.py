@@ -75,6 +75,7 @@ SENSITIVE = [
     "k_anonymity_profile",
     "hourly_ewma_top_residuals",
     "audio_feature_stats",
+    "l_diversity_profile",
 ]
 
 
