@@ -3362,6 +3362,15 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.selectExpr("cust_node AS src", "supp_node AS dst").unionByName(
         pairs.selectExpr("supp_node AS src", "cust_node AS dst")
     )
+    # lazy localCheckpoint: the join+distinct edge build would
+    # otherwise recompute in all 4 consumers (nodes/deg + 3
+    # iterations). persist() was measured HARMFUL here (pins the
+    # pre-AQE layout, 4.7 → 22 s — graph.py NOTE); localCheckpoint
+    # materializes the AQE-FINAL layout instead and wins at both
+    # measured scales (sf0.1: 5.3 → 4.4 s; 10× edges: 16.0 → 14.1 s,
+    # and far lower variance). eager=False so EXPLAIN-only consumers
+    # pay nothing (the round-4 lazy-scalar rule).
+    edges = edges.localCheckpoint(eager=False)
     pr = pagerank_fixed(edges, iters=3, damping=0.85)
     return (
         pr.where(F.col("node") < 1_000_000_000)
