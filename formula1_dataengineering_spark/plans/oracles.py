@@ -3624,3 +3624,35 @@ SELECT l,
              * 1.0 / any_value(n_rows), 6) AS exposed_share
 FROM ks GROUP BY l
 """
+
+
+# doc_skyline_frontier: same two-window dominance test (strictly
+# longer RANGE frame + equal-length peer max).
+ORACLE_SQL["doc_skyline_frontier"] = """
+WITH m AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\\s+'), t -> t != ''))
+           AS n_tokens,
+         round(len(list_distinct(list_filter(
+                 string_split_regex(text, '\\s+'), t -> t != '')))
+               * 1.0 /
+               len(list_filter(string_split_regex(text, '\\s+'),
+                   t -> t != '')), 9) AS diversity
+  FROM documents WHERE text IS NOT NULL
+), nz AS (
+  SELECT * FROM m WHERE n_tokens > 0
+), flagged AS (
+  SELECT doc_id, n_tokens, diversity,
+         max(diversity) OVER (
+           ORDER BY n_tokens
+           RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+           AS best_longer,
+         max(diversity) OVER (PARTITION BY n_tokens) AS best_peer
+  FROM nz
+)
+SELECT doc_id, n_tokens, round(diversity, 6) AS diversity
+FROM flagged
+WHERE NOT ((best_longer IS NOT NULL AND best_longer >= diversity)
+           OR best_peer > diversity)
+ORDER BY n_tokens DESC, doc_id ASC
+"""

@@ -5113,3 +5113,59 @@ def l_diversity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("exposed_share"),
     )
+
+
+@query("doc_skyline_frontier")
+def doc_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKYLINE (Pareto frontier) over curation metrics — the
+    multi-criteria selection primitive (Börzsönyi et al., "The Skyline
+    Operator"): documents not dominated in (token count, lexical
+    diversity) by any other doc; the length-vs-diversity trade-off a
+    curator actually weighs. Dominance = ≥ in both dims, > in at
+    least one.
+
+    Plan: NOT the naive O(n²) self-join — sort by one dimension and a
+    doc is dominated iff (a) some STRICTLY longer doc has ≥ its
+    diversity (RANGE frame over n_tokens+1 … ∞) or (b) an equal-length
+    peer has strictly greater diversity (partition-by-length max).
+    Two window passes, O(n log n), both engines evaluate the same
+    frames.
+
+    Scale: two windows keyed on a numeric sort — at cluster scale the
+    range-frame window distributes like any ranked aggregation; no
+    pair materialization ever."""
+    from ..functions.text import tokens
+
+    d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = tokens(F.col("text"))
+    m = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct(toks)) / F.size(toks), 9
+        ).alias("diversity"),
+    ).where(F.col("n_tokens") > 0)
+    w_longer = Window.orderBy("n_tokens").rangeBetween(
+        1, Window.unboundedFollowing
+    )
+    w_peer = Window.partitionBy("n_tokens")
+    flagged = m.select(
+        "doc_id",
+        "n_tokens",
+        "diversity",
+        F.max("diversity").over(w_longer).alias("best_longer"),
+        F.max("diversity").over(w_peer).alias("best_peer"),
+    )
+    dominated = (
+        F.col("best_longer").isNotNull()
+        & (F.col("best_longer") >= F.col("diversity"))
+    ) | (F.col("best_peer") > F.col("diversity"))
+    return (
+        flagged.where(~dominated)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round("diversity", 6).alias("diversity"),
+        )
+        .orderBy(F.col("n_tokens").desc(), F.col("doc_id").asc())
+    )

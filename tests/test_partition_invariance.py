@@ -76,6 +76,7 @@ SENSITIVE = [
     "hourly_ewma_top_residuals",
     "audio_feature_stats",
     "l_diversity_profile",
+    "doc_skyline_frontier",
 ]
 
 
