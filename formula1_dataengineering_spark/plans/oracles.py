@@ -3656,3 +3656,16 @@ WHERE NOT ((best_longer IS NOT NULL AND best_longer >= diversity)
            OR best_peer > diversity)
 ORDER BY n_tokens DESC, doc_id ASC
 """
+
+
+# mergeable_profile_check: whole-table deterministic values + TRUE
+# verdicts (the merge arithmetic is checked Spark-side; the oracle
+# pins the merged values and asserts the invariant).
+ORACLE_SQL["mergeable_profile_check"] = """
+SELECT count(*) AS merged_rows,
+       round(CAST(min(l_quantity) AS DOUBLE), 4) AS merged_min,
+       round(CAST(max(l_quantity) AS DOUBLE), 4) AS merged_max,
+       TRUE AS exact_merge_ok,
+       TRUE AS float_merge_ok
+FROM lineitem
+"""

@@ -5169,3 +5169,72 @@ def doc_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n_tokens").desc(), F.col("doc_id").asc())
     )
+
+
+@query("mergeable_profile_check")
+def mergeable_profile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ALGEBRAIC MERGE property verified as data — the reason
+    map-side combining, per-partition sketches, and incremental stats
+    maintenance work at all: lineitem split into deterministic halves
+    (orderkey parity), each half profiled independently, the two
+    profiles MERGED with the measure's merge operator (+ for counts
+    and sums, least/greatest for min/max), and the merged profile
+    compared against the whole-table profile in-query. Exact measures
+    must match exactly; the float sum within 1e-6 relative (two group
+    sums added vs one global sum differ only in summation order).
+
+    Scale: this is the property that lets 100 TB statistics be
+    maintained per-partition and per-increment instead of recomputed;
+    the gate states it as a hash-checked invariant instead of a
+    docstring claim."""
+    li = load(spark, sf_dir, "lineitem")
+
+    def prof(df):
+        return df.agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("l_quantity").isNull().cast("long")).alias(
+                "n_nulls"
+            ),
+            F.min("l_quantity").cast("double").alias("min_q"),
+            F.max("l_quantity").cast("double").alias("max_q"),
+            F.sum("l_extendedprice").alias("sum_price"),
+        )
+    a = prof(li.where(F.col("l_orderkey") % 2 == 0))
+    b = prof(li.where(F.col("l_orderkey") % 2 == 1))
+    whole = prof(li)
+    from ..operators.scalars import broadcast_scalars
+
+    ab = broadcast_scalars(
+        a.select(
+            F.col("n_rows").alias("a_rows"),
+            F.col("n_nulls").alias("a_nulls"),
+            F.col("min_q").alias("a_min"),
+            F.col("max_q").alias("a_max"),
+            F.col("sum_price").alias("a_sum"),
+        ),
+        b.select(
+            F.col("n_rows").alias("b_rows"),
+            F.col("n_nulls").alias("b_nulls"),
+            F.col("min_q").alias("b_min"),
+            F.col("max_q").alias("b_max"),
+            F.col("sum_price").alias("b_sum"),
+        ),
+        "a_rows",
+        "b_rows",
+    )
+    j = broadcast_scalars(ab, whole, "a_rows", "n_rows")
+    return j.select(
+        (F.col("a_rows") + F.col("b_rows")).alias("merged_rows"),
+        F.round(F.least("a_min", "b_min"), 4).alias("merged_min"),
+        F.round(F.greatest("a_max", "b_max"), 4).alias("merged_max"),
+        (
+            (F.col("a_rows") + F.col("b_rows") == F.col("n_rows"))
+            & (F.col("a_nulls") + F.col("b_nulls") == F.col("n_nulls"))
+            & (F.least("a_min", "b_min") == F.col("min_q"))
+            & (F.greatest("a_max", "b_max") == F.col("max_q"))
+        ).alias("exact_merge_ok"),
+        (
+            F.abs(F.col("a_sum") + F.col("b_sum") - F.col("sum_price"))
+            <= F.lit(1e-6) * F.abs(F.col("sum_price"))
+        ).alias("float_merge_ok"),
+    )

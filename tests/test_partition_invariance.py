@@ -77,6 +77,7 @@ SENSITIVE = [
     "audio_feature_stats",
     "l_diversity_profile",
     "doc_skyline_frontier",
+    "mergeable_profile_check",
 ]
 
 
