@@ -32,18 +32,16 @@ from formula1_dataengineering_spark.plans import ORACLE_SQL, QUERIES
 #: queue (per round-4 advice). Keep this list current — add any query
 #: whose Spark plan or oracle changed since its last green row.
 _PRIORITY = [
-    # round-5 rewrite: boundary detection moved from per-char md5
-    # windows to a vectorized Karp-Rabin pandas_udf (new oracle poly).
-    "cdc_chunk_dedup_stats",
-    # round-4 rewrite only locally re-verified since (advice item 4).
-    "doc_bigram_surprisal",
-    # round-5 touched: ceil-free PPJoin filters, teleport literal
-    # parity, bucketed-table staleness rebuild, stream-dedup watermark.
-    "ppjoin_exact_jaccard_pairs",
-    "supplier_pagerank",
-    "bucketed_colocated_revenue",
-    "events_stream_hourly_users",
+    # round-6 rewrite (VERDICT r5 item 1): the unpartitioned
+    # range-frame window over the doc table became the two-phase
+    # groupBy + suffix-max-over-lengths + broadcast-back form; the r5
+    # green row hashed the old plan.
+    "doc_skyline_frontier",
 ]
+# The rest of the r6 rotation is pure staleness: the 45-query r2-stale
+# block (incl. the flagship qualifying_grid_events /
+# race_positions_events / tire_assignment_events and the evolved
+# streaming gates) sorts first automatically below.
 
 
 def _latest_green_round() -> dict[str, int]:

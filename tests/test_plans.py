@@ -450,3 +450,25 @@ def test_table_profile_approx_single_scan_profile(spark):
     assert tree.count("Scan parquet") == 7
     exact_tree = _tree(formatted_plan(spark, "table_profile_stats"))
     assert exact_tree.count("Scan parquet") >= 6
+
+
+def test_skyline_window_runs_over_length_summary_only(spark):
+    """doc_skyline_frontier (round-6 rewrite, VERDICT r5 item 1): the
+    suffix-max window must consume the per-length AGGREGATE (one row
+    per distinct n_tokens), never the raw document table — an
+    unpartitioned window over the corpus moves every row through a
+    single task at 100 TB. Pin the two-phase shape: exactly one Window,
+    fed by a HashAggregate keyed on n_tokens, joined back by broadcast."""
+    plan = formatted_plan(spark, "doc_skyline_frontier")
+    tree = _tree(plan)
+    assert "BroadcastHashJoin" in tree
+    assert tree.count("Window") == 1
+    # Root-first tree: the lines below "Window" are its input chain —
+    # an aggregation must appear there BEFORE the branch's parquet
+    # scan, so only summary rows ever reach the single-partition sort.
+    below_window = tree.split("Window")[1]
+    agg_pos = below_window.find("HashAggregate")
+    scan_pos = below_window.find("Scan parquet")
+    assert agg_pos != -1 and scan_pos != -1 and agg_pos < scan_pos, tree
+    # And the summary branch's scan is pruned to the one needed column.
+    assert "ReadSchema: struct<text:string>" in plan
