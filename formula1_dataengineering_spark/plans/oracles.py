@@ -3669,3 +3669,16 @@ SELECT count(*) AS merged_rows,
        TRUE AS float_merge_ok
 FROM lineitem
 """
+
+
+# events_stream_restart_recovery: the batch one-pass aggregate the
+# two-run checkpointed stream must reproduce; recovery verdicts are
+# computed Spark-side and asserted TRUE here (sketch-gate pattern).
+ORACLE_SQL["events_stream_restart_recovery"] = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(user_id) AS BIGINT) AS sum_uid,
+       TRUE AS recovered_in_run2
+FROM events
+GROUP BY event_type
+"""

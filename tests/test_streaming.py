@@ -324,3 +324,47 @@ def test_hourly_distinct_users_watermark_evicts_dedup_state(spark):
     g = got.sort_values("hour_start").reset_index(drop=True)
     w = want.sort_values("hour_start").reset_index(drop=True)
     assert list(g["n_users"]) == list(w["n_users"])
+
+
+def test_restart_from_checkpoint_carries_state_exactly_once(spark, tmp_path):
+    """Crash-recovery proof (VERDICT r5 item 3): a checkpointed
+    update-mode aggregation is stopped after half the source, the
+    other half lands, and a NEW query run restarts from the
+    checkpoint. The final per-type totals must equal the one-pass
+    batch aggregate (state restored AND offsets not re-read), every
+    key's final row must come from a post-restart micro-batch, and
+    run 1's intermediate totals must be strictly smaller — i.e. run 2
+    genuinely CONTINUED accumulated state rather than recomputing or
+    replaying."""
+    from formula1_dataengineering_spark.streaming.events import (
+        restart_recovery_totals,
+    )
+
+    final = restart_recovery_totals(spark, SF, str(tmp_path / "work"))
+    rows = {r["event_type"]: r for r in final.collect()}
+    want = {
+        r["event_type"]: r
+        for r in load(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("user_id").alias("s"))
+        .collect()
+    }
+    assert set(rows) == set(want)
+    for t, r in rows.items():
+        # exactly-once: lost state => undercount, replayed offsets =>
+        # double count; equality pins both.
+        assert r["n_events"] == want[t]["n"], t
+        assert r["sum_uid"] == want[t]["s"], t
+        # final value produced after the restart (batch ids are
+        # monotone across restarts through the checkpoint).
+        assert r["batch_id"] >= 1, t
+    # Run 1 really was partial: the pre-restart emission for each key
+    # (batch 0 rows in the sink) holds roughly half the events.
+    run1 = {
+        r["event_type"]: r["n_events"]
+        for r in spark.read.parquet(str(tmp_path / "work" / "sink"))
+        .where(F.col("batch_id") == 0)
+        .collect()
+    }
+    for t, n1 in run1.items():
+        assert 0 < n1 < rows[t]["n_events"], (t, n1)
