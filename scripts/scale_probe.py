@@ -42,11 +42,26 @@ DEFAULT = [
 ]
 
 
-GRAPH_QUERIES = {"supplier_pagerank", "neardup_clusters_distributed"}
+GRAPH_QUERIES = {
+    "supplier_pagerank",
+    "neardup_clusters_distributed",
+    # lineitem-only profile (never joins the dims) — needs the
+    # replicated fact table, tolerates out-of-dim-range keys.
+    "mergeable_profile_check",
+}
+# customer-only profiles (QI-group aggregates, no fact join):
+# replicate customer with disjoint custkey ranges so group SIZES
+# grow nx while the QI-group count stays fixed — the axis the
+# k-anonymity/l-diversity plans are sensitive to.
+CUSTOMER_QUERIES = {"l_diversity_profile", "k_anonymity_profile"}
 
 
 def build_10x(
-    spark: SparkSession, out_dir: str, n: int = 10, graph: bool = False
+    spark: SparkSession,
+    out_dir: str,
+    n: int = 10,
+    graph: bool = False,
+    customer: bool = False,
 ) -> None:
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     max_id = docs.agg(F.max("doc_id")).first()[0] + 1
@@ -110,9 +125,25 @@ def build_10x(
     # only when a graph query is being probed (a 100x lineitem write is
     # pure waste for a documents-only probe); symlinked otherwise.
     graph_tables = ("orders", "lineitem") if graph else ()
+    built = {"documents", "embeddings", "events", *graph_tables}
+    if customer:
+        cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        ckmax = cust.agg(F.max("c_custkey")).first()[0] + 1
+        creps = [
+            cust.select(
+                (F.col("c_custkey") + r * ckmax).alias("c_custkey"),
+                *[c for c in cust.columns if c != "c_custkey"],
+            )
+            for r in range(n)
+        ]
+        cbig = creps[0]
+        for rep in creps[1:]:
+            cbig = cbig.unionByName(rep)
+        cbig.write.mode("overwrite").parquet(f"{out_dir}/customer.parquet")
+        built.add("customer")
     if not graph:
         for t in TABLES:
-            if t not in ("documents", "embeddings", "events"):
+            if t not in built:
                 os.symlink(f"{SF_DIR}/{t}.parquet", f"{out_dir}/{t}.parquet")
         return
     # Shifting o_orderkey/l_orderkey by the same stride keeps the
@@ -149,7 +180,7 @@ def build_10x(
         lbig = lbig.unionByName(rep)
     lbig.write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
     for t in TABLES:
-        if t not in ("documents", "embeddings", "events", *graph_tables):
+        if t not in built:
             os.symlink(f"{SF_DIR}/{t}.parquet", f"{out_dir}/{t}.parquet")
 
 
@@ -189,7 +220,13 @@ def main():
     tmp = tempfile.mkdtemp(prefix="scale10x_")
     try:
         t0 = time.perf_counter()
-        build_10x(spark, tmp, n, graph=bool(GRAPH_QUERIES & set(names)))
+        build_10x(
+            spark,
+            tmp,
+            n,
+            graph=bool(GRAPH_QUERIES & set(names)),
+            customer=bool(CUSTOMER_QUERIES & set(names)),
+        )
         print(f"built {n}x tables in {time.perf_counter() - t0:.1f}s")
         for name in names:
             q = QUERIES[name]

@@ -2,7 +2,17 @@
 oracle at sf0.01, on a PLAIN SparkSession (mirrors the external driver;
 see .claude/skills/verify/SKILL.md).
 
-Usage: python scripts/verify_drive.py [sf_dir] [name_filter ...]
+Usage: python scripts/verify_drive.py [--changed-only] [sf_dir] [name ...]
+
+``--changed-only`` (round-5 verdict item 7 — keeps iteration time
+bounded as the catalog grows): drive only the queries whose coverage
+is actually in question this round — the ``_PRIORITY`` rewrites, any
+query with no green driver row yet, and every query whose plan source
+(its function body in queries.py, or its ORACLE_SQL entry) changed
+since the last driver round-close commit. Edits OUTSIDE queries.py /
+oracles.py (operators, sources, streaming) are reported as a warning:
+their blast radius needs the full drive, which remains the round-close
+gate.
 """
 import math
 import sys
@@ -11,8 +21,12 @@ import time
 import duckdb
 from pyspark.sql import SparkSession
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-ONLY = set(sys.argv[2:])
+ARGS = sys.argv[1:]
+CHANGED_ONLY = "--changed-only" in ARGS
+if CHANGED_ONLY:
+    ARGS.remove("--changed-only")
+SF_DIR = ARGS[0] if ARGS else "/root/testdata/sf0.01"
+ONLY = set(ARGS[1:])
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
@@ -36,6 +50,97 @@ def frame_rows(cols, rows):
     return [cols[i] for i in order], out
 
 
+def _changed_query_names(E, queries, oracles) -> set[str]:
+    """Names needing re-verification: _PRIORITY, never-driver-green,
+    and queries whose function body or oracle SQL changed since the
+    last driver round-close commit (message 'round N: verdict...')."""
+    import inspect
+    import re
+    import subprocess
+
+    repo = "/root/repo"
+    names: set[str] = set(getattr(E, "_PRIORITY", ()))
+    latest = E._latest_green_round()
+    names |= {n for n in queries if latest.get(n, 0) == 0}
+
+    out = subprocess.run(
+        ["git", "log", "--format=%H %s", "-200"],
+        cwd=repo, capture_output=True, text=True,
+    ).stdout
+    base = None
+    for line in out.splitlines():
+        sha, _, msg = line.partition(" ")
+        if re.match(r"round \d+: verdict", msg):
+            base = sha
+            break
+    if base is None:
+        print("changed-only: no round-close commit found; driving all")
+        return set(queries)
+
+    diff = subprocess.run(
+        ["git", "diff", "--unified=0", f"{base}..HEAD", "--", "*.py"],
+        cwd=repo, capture_output=True, text=True,
+    ).stdout
+    changed: dict[str, list[tuple[int, int]]] = {}
+    cur_file = None
+    for line in diff.splitlines():
+        if line.startswith("+++ b/"):
+            cur_file = line[6:]
+        elif line.startswith("@@") and cur_file:
+            m = re.search(r"\+(\d+)(?:,(\d+))?", line)
+            if m:
+                start = int(m.group(1))
+                n = int(m.group(2)) if m.group(2) else 1
+                changed.setdefault(cur_file, []).append(
+                    (start, start + max(n, 1) - 1)
+                )
+
+    def overlaps(path, lo, hi):
+        return any(
+            not (b < lo or a > hi) for a, b in changed.get(path, ())
+        )
+
+    qpath = "formula1_dataengineering_spark/plans/queries.py"
+    for name, fn in queries.items():
+        try:
+            real = inspect.unwrap(fn)
+            lines, start = inspect.getsourcelines(real)
+        except (TypeError, OSError):
+            names.add(name)
+            continue
+        if overlaps(qpath, start, start + len(lines) - 1):
+            names.add(name)
+
+    opath = "formula1_dataengineering_spark/plans/oracles.py"
+    if opath in changed:
+        src = open(f"{repo}/{opath}").read().splitlines()
+        spans, cur_name, cur_start = [], None, None
+        for i, line in enumerate(src, 1):
+            m = re.match(r'ORACLE_SQL\["([\w]+)"\]', line)
+            if m:
+                if cur_name:
+                    spans.append((cur_name, cur_start, i - 1))
+                cur_name, cur_start = m.group(1), i
+        if cur_name:
+            spans.append((cur_name, cur_start, len(src)))
+        for n, lo, hi in spans:
+            if overlaps(opath, lo, hi):
+                names.add(n)
+
+    other = sorted(
+        f for f in changed
+        if f not in (qpath, opath)
+        and f.startswith("formula1_dataengineering_spark/")
+    )
+    if other:
+        print(
+            "changed-only WARNING: shared modules changed "
+            f"({', '.join(other)}) — their blast radius is not tracked; "
+            "run the full drive before round close."
+        )
+    return names & set(queries)
+
+
 def main():
     spark = (
         SparkSession.builder.master("local[8]")
@@ -57,6 +162,10 @@ def main():
     queries = E.queries()
     oracles = E.oracle_sql()
     names = [n for n in queries if not ONLY or n in ONLY]
+    if CHANGED_ONLY:
+        keep = _changed_query_names(E, queries, oracles)
+        names = [n for n in names if n in keep]
+        print(f"changed-only: driving {len(names)} of {len(queries)}")
 
     n_pass = n_fail = n_noracle = 0
     t_all = time.time()
