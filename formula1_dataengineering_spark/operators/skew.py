@@ -12,6 +12,25 @@ exploded ``n``× (one copy per salt value). The join key becomes
 (key, salt), splitting each hot key's rows across ``n`` shuffle
 partitions. Semantics are identical to the unsalted equi-join — the
 oracle for the demo query is the plain SQL join.
+
+When salting beats AQE (and vice versa) — the decision rule, with the
+measured halves in tests/test_skew_plan.py (AQE's splitter firing on a
+hot-key SMJ; salting bounding per-partition rows where AQE cannot):
+
+- AQE skew-join only rewrites JOINS, and only sort-merge /
+  shuffled-hash ones: it splits an oversized fact partition and
+  REPLICATES the matching other-side partition. Prefer it (i.e. do
+  nothing) for fact-fact equi-joins — zero code, runtime-sized.
+- Salting wins when the hot key hurts a stage AQE won't rewrite:
+  a skewed ``groupBy`` feeding further per-key work (AQE can coalesce
+  small post-shuffle partitions but cannot SPLIT one hot group), a
+  hot key REUSED across several downstream joins/aggregations (salt
+  once, amortize; AQE re-splits per join), window functions
+  partitioned on the hot key, or an outer-side skew pattern AQE's
+  replication rule declines. It also gives a deterministic layout
+  where AQE's split count varies run-to-run with observed sizes.
+- Both lose to ``broadcast()`` when the other side fits — check that
+  first.
 """
 
 from __future__ import annotations

@@ -271,6 +271,19 @@ def _tid(expr: str) -> str:
     )
 
 
+# Canonical whitespace tokenizer fragments (VERDICT r5 item 8): one
+# definition shared by every text/dedup-family oracle, so the
+# tokenization contract exists in exactly one place on the DuckDB
+# side (mirrors functions/text.tokens on the Spark side). _TOKSA is
+# the alnum-run variant (mirrors text.alnum_tokens).
+_TOKS = "list_filter(string_split_regex(text, '\\s+'), t -> t != '')"
+_TOKSL = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')"
+_TOKSA = (
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+    "t -> t != '')"
+)
+
+
 _MINHASH_TEMPLATE = f"""
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -547,10 +560,10 @@ WHERE {_COS} >= 0.25
 # the \s+ split (leading/trailing whitespace would otherwise make the
 # engines disagree on token counts; synthetic data happens to be clean
 # but the oracle must match the SEMANTICS, not the fixture).
-ORACLE_SQL["doc_quality"] = """
+ORACLE_SQL["doc_quality"] = f"""
 WITH toks AS (
   SELECT doc_id, text,
-         list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS t
+         {_TOKS} AS t
   FROM documents
 )
 SELECT doc_id,
@@ -594,10 +607,10 @@ SELECT doc_id,
 FROM documents
 """
 
-ORACLE_SQL["token_stats_by_source"] = """
+ORACLE_SQL["token_stats_by_source"] = f"""
 WITH toks AS (
   SELECT source, n_chars,
-         len(list_filter(string_split_regex(text, '\\s+'), t -> t != ''))
+         len({_TOKS})
            AS n_tok
   FROM documents
 )
@@ -832,13 +845,11 @@ SELECT n_name, revenue,
 FROM rev
 """
 
-ORACLE_SQL["regex_token_stats"] = """
+ORACLE_SQL["regex_token_stats"] = f"""
 WITH toks AS (
   SELECT source,
-         len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                         x -> x != '')) AS n,
-         len(list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                         x -> x != ''))) AS nd
+         len({_TOKSA}) AS n,
+         len(list_distinct({_TOKSA})) AS nd
   FROM documents
 )
 SELECT source, CAST(sum(n) AS BIGINT) AS total_tokens,
@@ -1087,19 +1098,17 @@ GROUP BY 1
 ORACLE_SQL["corpus_selection"] = (
     _MINHASH_BASE_K3.format(sig_exprs=_SIG_EXPRS)
     + _CAND_GRAMS_SQL
-    + """, losers AS (
+    + f""", losers AS (
   SELECT DISTINCT id_b AS doc_id FROM scored
   WHERE ni > 0 AND ni * 1.0 / un >= 0.5
 ), winners AS (
   SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
 ), q AS (
   SELECT doc_id, source, lang,
-         CAST(len(list_filter(string_split_regex(text, '\\s+'),
-              x -> x != '')) AS INTEGER) AS n_tokens,
+         CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
          len(list_filter(string_split_regex(lower(text), '\\s+'),
              x -> x IN ('the', 'a', 'of', 'and', 'to'))) * 1.0
-           / len(list_filter(string_split_regex(text, '\\s+'),
-                 x -> x != '')) AS stop_ratio
+           / len({_TOKS}) AS stop_ratio
   FROM documents
 )
 SELECT q.doc_id, q.source, q.lang, q.n_tokens
@@ -1393,10 +1402,9 @@ SELECT * FROM ranked WHERE o_orderkey % 199 = 0
 
 ORACLE_SQL["neardup_clusters_distributed"] = ORACLE_SQL["neardup_clusters"]
 
-ORACLE_SQL["doc_repetition_stats"] = """
+ORACLE_SQL["doc_repetition_stats"] = f"""
 WITH toks AS (
-  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
-                                    x -> x != '')) AS token
+  SELECT doc_id, unnest({_TOKS}) AS token
   FROM documents
 ), per_tok AS (
   SELECT doc_id, token, count(*) AS c FROM toks GROUP BY 1, 2
@@ -1414,11 +1422,10 @@ FROM documents d JOIN top t USING (doc_id)
 GROUP BY d.source
 """
 
-ORACLE_SQL["doc_rarity_score"] = """
+ORACLE_SQL["doc_rarity_score"] = f"""
 WITH doc_tok AS (
   SELECT DISTINCT doc_id, token FROM (
-    SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
-                                      x -> x != '')) AS token
+    SELECT doc_id, unnest({_TOKS}) AS token
     FROM documents
   )
 ), dfc AS (
@@ -1832,10 +1839,9 @@ FROM documents d JOIN thr t USING (source)
 WHERE d.n_chars >= t.t
 """
 
-ORACLE_SQL["heavy_hitter_terms_by_source"] = r"""
+ORACLE_SQL["heavy_hitter_terms_by_source"] = fr"""
 WITH toks AS (
-  SELECT source, unnest(list_filter(string_split_regex(text, '\s+'),
-                                    x -> x != '')) AS term
+  SELECT source, unnest({_TOKS}) AS term
   FROM documents
 ), counts AS (
   SELECT source, term, count(*) AS term_count FROM toks GROUP BY 1, 2
@@ -1847,10 +1853,9 @@ WITH toks AS (
 SELECT source, term, term_count, rk FROM ranked WHERE rk <= 10
 """
 
-ORACLE_SQL["source_term_drift"] = r"""
+ORACLE_SQL["source_term_drift"] = fr"""
 WITH toks AS (
-  SELECT source, unnest(list_filter(string_split_regex(text, '\s+'),
-                                    x -> x != '')) AS term
+  SELECT source, unnest({_TOKS}) AS term
   FROM documents
 ), gt AS (
   SELECT source, term, CAST(count(*) AS BIGINT) AS gc FROM toks GROUP BY 1, 2
@@ -2368,10 +2373,10 @@ SELECT source, count(*) AS n_docs,
 FROM c GROUP BY source
 """
 
-ORACLE_SQL["source_term_entropy"] = r"""
+ORACLE_SQL["source_term_entropy"] = fr"""
 WITH tc AS (
   SELECT source,
-         unnest(list_filter(string_split_regex(text, '\s+'), x -> x != ''))
+         unnest({_TOKS})
            AS t
   FROM documents
 ), c AS (
@@ -2388,10 +2393,10 @@ FROM c JOIN tot t USING (source)
 GROUP BY c.source
 """
 
-ORACLE_SQL["doc_bigram_surprisal"] = r"""
+ORACLE_SQL["doc_bigram_surprisal"] = fr"""
 WITH toks AS (
   SELECT doc_id,
-         list_filter(string_split_regex(text, '\s+'), x -> x != '') AS q
+         {_TOKS} AS q
   FROM documents
 ), bi AS (
   SELECT doc_id, q[i] AS w1, q[i + 1] AS w2
@@ -2490,12 +2495,11 @@ FROM pairs GROUP BY vec_id, cluster
 # dsir_importance_weights: add-one-smoothed unigram log-ratio between
 # the lang='en' target LM and the whole-corpus LM, summed per doc with
 # token multiplicity.
-ORACLE_SQL["dsir_importance_weights"] = """
+ORACLE_SQL["dsir_importance_weights"] = f"""
 WITH tok AS (
   SELECT doc_id, lang, t
   FROM documents,
-       unnest(list_filter(string_split_regex(text, '\\s+'),
-                          x -> x != '')) AS u(t)
+       unnest({_TOKS}) AS u(t)
   WHERE text IS NOT NULL
 ), dtc AS (
   SELECT doc_id, lang, t, count(*) AS k FROM tok GROUP BY 1, 2, 3
@@ -2615,12 +2619,11 @@ FROM ranked WHERE rn <= 5
 
 # source_kl_divergence: observed-support KL with add-one smoothing on
 # both LMs.
-ORACLE_SQL["source_kl_divergence"] = """
+ORACLE_SQL["source_kl_divergence"] = f"""
 WITH tok AS (
   SELECT source, t
   FROM documents,
-       unnest(list_filter(string_split_regex(text, '\\s+'),
-                          x -> x != '')) AS u(t)
+       unnest({_TOKS}) AS u(t)
   WHERE text IS NOT NULL
 ), tc AS (
   SELECT source, t, count(*) AS k FROM tok GROUP BY 1, 2
@@ -2657,8 +2660,7 @@ GROUP BY 1
 ORACLE_SQL["cms_term_frequency_estimates"] = f"""
 WITH tok AS (
   SELECT t FROM documents,
-       unnest(list_filter(string_split_regex(text, '\\s+'),
-                          x -> x != '')) AS u(t)
+       unnest({_TOKS}) AS u(t)
   WHERE text IS NOT NULL
 ), tc AS (
   SELECT t, count(*) AS k FROM tok GROUP BY t
@@ -2742,12 +2744,11 @@ FROM j GROUP BY 1
 
 # token_pmi_top_pairs: doc-distinct co-occurrence PMI over the top-200
 # vocabulary, c(a,b) >= 5, top-50 by (pmi desc, pair asc).
-ORACLE_SQL["token_pmi_top_pairs"] = """
+ORACLE_SQL["token_pmi_top_pairs"] = f"""
 WITH dt AS (
   SELECT DISTINCT doc_id, t
   FROM documents,
-       unnest(list_filter(string_split_regex(text, '\\s+'),
-                          x -> x != '')) AS u(t)
+       unnest({_TOKS}) AS u(t)
   WHERE text IS NOT NULL
 ), dfc AS (
   SELECT t, count(*) AS df FROM dt GROUP BY t
@@ -3146,10 +3147,10 @@ FROM px
 # gopher_quality_flags: the Gopher rule thresholds replayed with list
 # arithmetic; same whitespace tokenization / lowercased stopword
 # convention as the rest of the text stack.
-ORACLE_SQL["gopher_quality_flags"] = """
+ORACLE_SQL["gopher_quality_flags"] = f"""
 WITH base AS (
   SELECT source, text,
-         list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS toks
+         {_TOKS} AS toks
   FROM documents WHERE text IS NOT NULL
 ), sig AS (
   SELECT source,
@@ -3325,7 +3326,7 @@ WHERE l_partkey BETWEEN 100 AND 400 AND l_suppkey BETWEEN 10 AND 60
 
 # bm25_topk_docs: BM25 with the identical formula, round-6 quantized
 # scores ranked with the same (score desc, doc_id) total order.
-ORACLE_SQL["bm25_topk_docs"] = """
+ORACLE_SQL["bm25_topk_docs"] = f"""
 WITH q(query, term) AS (
   VALUES ('q_join', 'spark'), ('q_join', 'join'), ('q_join', 'filter'),
          ('q_scan', 'table'), ('q_scan', 'scan'), ('q_scan', 'merge'),
@@ -3334,7 +3335,7 @@ WITH q(query, term) AS (
   SELECT doc_id, u.term
   FROM (
     SELECT doc_id,
-           list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS ts
+           {_TOKS} AS ts
     FROM documents WHERE text IS NOT NULL
   ), unnest(ts) AS u(term)
 ), dl AS (
@@ -3418,7 +3419,7 @@ WITH q(query, term) AS (
   SELECT doc_id, u.term
   FROM (
     SELECT doc_id,
-           list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS ts
+           {_TOKS} AS ts
     FROM documents WHERE text IS NOT NULL
   ), unnest(ts) AS u(term)
 ), dl AS (
@@ -3628,16 +3629,15 @@ FROM ks GROUP BY l
 
 # doc_skyline_frontier: same two-window dominance test (strictly
 # longer RANGE frame + equal-length peer max).
-ORACLE_SQL["doc_skyline_frontier"] = """
+ORACLE_SQL["doc_skyline_frontier"] = f"""
 WITH m AS (
   SELECT doc_id,
-         len(list_filter(string_split_regex(text, '\\s+'), t -> t != ''))
+         len({_TOKS})
            AS n_tokens,
          round(len(list_distinct(list_filter(
                  string_split_regex(text, '\\s+'), t -> t != '')))
                * 1.0 /
-               len(list_filter(string_split_regex(text, '\\s+'),
-                   t -> t != '')), 9) AS diversity
+               len({_TOKS}), 9) AS diversity
   FROM documents WHERE text IS NOT NULL
 ), nz AS (
   SELECT * FROM m WHERE n_tokens > 0
