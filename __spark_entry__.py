@@ -31,17 +31,12 @@ from formula1_dataengineering_spark.plans import ORACLE_SQL, QUERIES
 #: driver row hashed the pre-rewrite plan, so they jump the staleness
 #: queue (per round-4 advice). Keep this list current — add any query
 #: whose Spark plan or oracle changed since its last green row.
-_PRIORITY = [
-    # round-6 rewrite (VERDICT r5 item 1): the unpartitioned
-    # range-frame window over the doc table became the two-phase
-    # groupBy + suffix-max-over-lengths + broadcast-back form; the r5
-    # green row hashed the old plan.
-    "doc_skyline_frontier",
+_PRIORITY: list[str] = [
+    # round 7: no rewrites pending yet — doc_skyline_frontier earned
+    # its post-rewrite green row in CORRECTNESS_r06, so the rotation
+    # is pure staleness this round (the ~50 r3-era curation/recipe
+    # gates sort first automatically below, per VERDICT r6 item 1).
 ]
-# The rest of the r6 rotation is pure staleness: the 45-query r2-stale
-# block (incl. the flagship qualifying_grid_events /
-# race_positions_events / tire_assignment_events and the evolved
-# streaming gates) sorts first automatically below.
 
 
 def _latest_green_round() -> dict[str, int]:

@@ -1106,7 +1106,7 @@ ORACLE_SQL["corpus_selection"] = (
 ), q AS (
   SELECT doc_id, source, lang,
          CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
-         len(list_filter(string_split_regex(lower(text), '\\s+'),
+         len(list_filter({_TOKSL},
              x -> x IN ('the', 'a', 'of', 'and', 'to'))) * 1.0
            / len({_TOKS}) AS stop_ratio
   FROM documents

@@ -635,6 +635,26 @@ def restart_recovery_totals(
     def land(which: int) -> None:
         ev.where(half == which).write.mode("append").parquet(src)
 
+    # Split-coverage guard (round-6 advice): the recovery claims are
+    # data-dependent on the split putting every event_type in BOTH
+    # halves — a type absent from half B never gets a run-2 update
+    # (its final row would legitimately keep batch_id 0), silently
+    # weakening the "state genuinely continued" check. Fail loudly
+    # instead of passing vacuously.
+    one_sided = [
+        r["event_type"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct(half).alias("n_halves"))
+        .where(F.col("n_halves") < 2)
+        .collect()
+    ]
+    if one_sided:
+        raise ValueError(
+            f"split {split_expr!r} leaves event_type(s) {one_sided} "
+            "entirely in one half; the restart-recovery check would "
+            "be vacuous for them"
+        )
+
     # The file source validates the directory when the stream is
     # DEFINED — half A must land first.
     land(0)
@@ -685,6 +705,14 @@ def restart_recovery_totals(
             q.stop()
 
     run_once()  # run 1: half A only, clean stop with checkpoint
+    # Run 1 must have emitted batch-0 rows, or the downstream
+    # "run-1 totals are strictly partial" check is vacuously true
+    # (round-6 advice).
+    if spark.read.parquet(sink).count() == 0:
+        raise ValueError(
+            "run 1 emitted no micro-batch output; partial-progress "
+            "recovery cannot be demonstrated"
+        )
     land(1)
     run_once()  # run 2: restart — offsets + state restored
 

@@ -77,8 +77,13 @@ def _changed_query_names(E, queries, oracles) -> set[str]:
         print("changed-only: no round-close commit found; driving all")
         return set(queries)
 
+    # Diff base against the WORKTREE (no ..HEAD): uncommitted edits to
+    # queries.py/oracles.py must be driven too, and worktree hunk line
+    # numbers live in the same coordinate system as inspect's
+    # getsourcelines (round-6 advice: `{base}..HEAD` made in-flight
+    # edits invisible and drifted line numbers on a dirty tree).
     diff = subprocess.run(
-        ["git", "diff", "--unified=0", f"{base}..HEAD", "--", "*.py"],
+        ["git", "diff", "--unified=0", base, "--", "*.py"],
         cwd=repo, capture_output=True, text=True,
     ).stdout
     changed: dict[str, list[tuple[int, int]]] = {}
@@ -115,17 +120,54 @@ def _changed_query_names(E, queries, oracles) -> set[str]:
     if opath in changed:
         src = open(f"{repo}/{opath}").read().splitlines()
         spans, cur_name, cur_start = [], None, None
+        first_span_line = None
         for i, line in enumerate(src, 1):
             m = re.match(r'ORACLE_SQL\["([\w]+)"\]', line)
             if m:
+                if first_span_line is None:
+                    first_span_line = i
                 if cur_name:
                     spans.append((cur_name, cur_start, i - 1))
                 cur_name, cur_start = m.group(1), i
         if cur_name:
             spans.append((cur_name, cur_start, len(src)))
-        for n, lo, hi in spans:
-            if overlaps(opath, lo, hi):
-                names.add(n)
+        # Shared-fragment hazard (round-6 advice): module-level
+        # fragments (_TOKS, _COS, _SIG_EXPRS, ...) feed many oracles
+        # via f-strings and are interleaved between spans, so a hunk
+        # BEFORE the first ORACLE_SQL span, or one overlapping any
+        # `_name = ...` / `def _name` top-level statement's full
+        # extent (def line through the last continuation line before
+        # the next column-0 statement), has untracked blast radius —
+        # drive every oracle-bearing query rather than mis-attribute
+        # it to one neighbor span.
+        frag_spans = []
+        frag_start = None
+        for i, line in enumerate(src, 1):
+            if line and not line[0].isspace():
+                if frag_start is not None:
+                    frag_spans.append((frag_start, i - 1))
+                    frag_start = None
+                if re.match(r"(_\w+\s*=|def _)", line):
+                    frag_start = i
+        if frag_start is not None:
+            frag_spans.append((frag_start, len(src)))
+
+        def is_fragment_hunk(lo, hi):
+            if first_span_line is not None and lo < first_span_line:
+                return True
+            return any(not (b < lo or a > hi) for a, b in frag_spans)
+
+        if any(is_fragment_hunk(lo, hi) for lo, hi in changed[opath]):
+            print(
+                "changed-only WARNING: oracles.py shared fragment "
+                "changed — consumers are untracked; driving ALL "
+                "oracle-bearing queries."
+            )
+            names |= set(oracles)
+        else:
+            for n, lo, hi in spans:
+                if overlaps(opath, lo, hi):
+                    names.add(n)
 
     other = sorted(
         f for f in changed

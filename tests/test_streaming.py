@@ -366,5 +366,9 @@ def test_restart_from_checkpoint_carries_state_exactly_once(spark, tmp_path):
         .where(F.col("batch_id") == 0)
         .collect()
     }
+    # Every key must have a batch-0 row (the helper guards that the
+    # split covers both halves per type, so none of these loops are
+    # vacuous — round-6 advice).
+    assert set(run1) == set(want)
     for t, n1 in run1.items():
         assert 0 < n1 < rows[t]["n_events"], (t, n1)
