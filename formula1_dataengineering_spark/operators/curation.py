@@ -90,6 +90,55 @@ def chunk_documents(
     )
 
 
+def make_window_chunks_udtf():
+    """Python UDTF (table function) flavor of the windowed chunker:
+    non-overlapping ``size``-token windows per document, emitted as a
+    VARIABLE number of rows per input row — the shape scalar
+    pandas_udfs cannot express and ``chunk_documents`` expresses with
+    posexplode. This exists to exercise Spark's SQL table-function
+    surface (``spark.udtf.register`` + ``LATERAL``), completing the
+    Python-execution inventory next to pandas_udf / mapInPandas /
+    applyInPandas(WithState).
+
+    Tokenization is Python ``str.split()`` — identical semantics to
+    the catalog's ``\\s+``-split-and-drop-empties contract (the DuckDB
+    ``_TOKS`` fragment), so the oracle is exact.
+
+    Returned class is registered per-session::
+
+        spark.udtf.register("window_chunks", make_window_chunks_udtf())
+        spark.sql("SELECT d.doc_id, c.* FROM docs d, "
+                  "LATERAL window_chunks(d.text, 16) c")
+
+    Scale: ``useArrow=True`` → ``ArrowEvalPythonUDTF`` (Arrow-batched
+    transfer, not row-pickled); the operator itself is a narrow
+    transform — no shuffle, output linear in corpus token count, and
+    the lateral join stays inside the scan stage. NULL text emits no
+    rows (the catalog's NULL-text contract above). Prefer
+    ``chunk_documents`` (pure JVM) for production chunking; this is
+    the table-function API surface with the same contract.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType=(
+            "chunk_no int, start_token int, chunk_text string, "
+            "n_tokens int"
+        ),
+        useArrow=True,
+    )
+    class WindowChunks:
+        def eval(self, text, size):
+            if text is None or size is None or size <= 0:
+                return
+            toks = text.split()
+            for i in range(0, len(toks), size):
+                w = toks[i : i + size]
+                yield (i // size + 1, i, " ".join(w), len(w))
+
+    return WindowChunks
+
+
 def _packed_bins(
     docs: DataFrame,
     budget: int,

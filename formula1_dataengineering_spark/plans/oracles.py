@@ -1485,6 +1485,23 @@ FROM st
 WHERE s = 0 OR len(t) > s - 48 + 64
 """
 
+ORACLE_SQL["udtf_window_chunks"] = f"""
+WITH tok AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents WHERE text IS NOT NULL
+), s AS (
+  SELECT doc_id, t, CAST(unnest(range(0, len(t), 16)) AS INT) AS start_token
+  FROM tok
+)
+SELECT doc_id,
+       CAST(start_token // 16 + 1 AS INT) AS chunk_no,
+       start_token,
+       array_to_string(list_slice(t, start_token + 1, start_token + 16), ' ')
+         AS chunk_text,
+       CAST(len(list_slice(t, start_token + 1, start_token + 16)) AS INT)
+         AS n_tokens
+FROM s
+"""
+
 ORACLE_SQL["sequence_packing"] = """
 WITH n AS (
   SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens

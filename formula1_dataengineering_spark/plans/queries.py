@@ -2165,6 +2165,30 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("udtf_window_chunks")
+def udtf_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (SQL table function, VERDICT r6 item 2):
+    the windowed chunker as a ``spark.udtf.register``-ed table
+    function applied via LATERAL — variable rows per document
+    (ceil(n_tokens/16)), Arrow-batched (``ArrowEvalPythonUDTF``).
+
+    Scale: narrow — the lateral table function runs inside the scan
+    stage, no shuffle; output is linear in corpus token count."""
+    from ..operators.curation import make_window_chunks_udtf
+
+    spark.udtf.register("window_chunks", make_window_chunks_udtf())
+    load(spark, sf_dir, "documents").createOrReplaceTempView(
+        "v_docs_udtf"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_no, c.start_token, c.chunk_text,
+               c.n_tokens
+        FROM v_docs_udtf d, LATERAL window_chunks(d.text, 16) c
+        """
+    )
+
+
 @query("sequence_packing")
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-512-token sequence packing in deterministic doc_id order

@@ -439,3 +439,44 @@ def test_observed_quality_counters_free_with_action(spark):
     assert m["n_null_text"] == 1
     assert m["n_empty_text"] == 1
     assert m["total_chars"] == 5
+
+
+def test_udtf_window_chunks_variable_rows_and_edges(spark):
+    """Python UDTF surface (spark.udtf.register + LATERAL): variable
+    rows per doc, NULL/empty-text docs emit nothing, multi-whitespace
+    splits like the \\s+ contract, exact-multiple docs get no empty
+    tail chunk, and the plan is Arrow-batched and shuffle-free."""
+    from formula1_dataengineering_spark.operators.curation import (
+        make_window_chunks_udtf,
+    )
+
+    spark.udtf.register("window_chunks_t", make_window_chunks_udtf())
+    _docs(
+        spark,
+        [
+            (1, " ".join(f"w{i}" for i in range(7)), "s", "en"),
+            (2, None, "s", "en"),
+            (3, "", "s", "en"),
+            (4, "a  b\tc", "s", "en"),  # multi-space + tab
+            (5, " ".join(f"w{i}" for i in range(6)), "s", "en"),
+        ],
+    ).createOrReplaceTempView("udtf_docs_t")
+    df = spark.sql(
+        "SELECT d.doc_id, c.* FROM udtf_docs_t d, "
+        "LATERAL window_chunks_t(d.text, 3) c"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPythonUDTF" in plan
+    assert "Exchange" not in plan
+    rows = sorted(
+        (r.doc_id, r.chunk_no, r.start_token, r.chunk_text, r.n_tokens)
+        for r in df.collect()
+    )
+    assert rows == [
+        (1, 1, 0, "w0 w1 w2", 3),
+        (1, 2, 3, "w3 w4 w5", 3),
+        (1, 3, 6, "w6", 1),
+        (4, 1, 0, "a b c", 3),
+        (5, 1, 0, "w0 w1 w2", 3),
+        (5, 2, 3, "w3 w4 w5", 3),  # exact multiple: no empty tail
+    ]
