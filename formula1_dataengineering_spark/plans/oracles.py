@@ -3699,3 +3699,13 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """
+
+# The statestore-reader gate audits the PERSISTED aggregation buffers
+# in the checkpoint; correct recovered state == the batch aggregate.
+ORACLE_SQL["statestore_reader_recovery"] = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(user_id) AS BIGINT) AS sum_uid
+FROM events
+GROUP BY event_type
+"""
