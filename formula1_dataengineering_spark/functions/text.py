@@ -109,6 +109,39 @@ def weighted_char_fingerprint_fast(text: Column) -> Column:
     return fp(text)
 
 
+def weighted_char_fingerprint_arrow(text: Column) -> Column:
+    """Arrow-OPTIMIZED Python UDF (``useArrow=True``) form of
+    :func:`weighted_char_fingerprint` — same value, third execution
+    mode, kept for the measured three-way comparison (BASELINE.md
+    round-7 note; VERDICT r6 item 6).
+
+    ``useArrow=True`` swaps the pickle serializer for Arrow batches
+    but still calls the Python function once PER ROW. Measured on the
+    sf0.1 corpus (and 10× replicas — BASELINE.md round-7 note): this
+    string kernel is per-row in BOTH forms (the pandas_udf loops over
+    the Series), so the Arrow UDF matches and slightly beats it
+    (0.25 s vs 0.30 s at 50k docs; no per-row Series boxing), and
+    both are ~6× the interpreted per-character HOF expression
+    (1.56 s). Rule: pandas_udf wins when the kernel vectorizes
+    ACROSS rows (whole-Series numpy); for ragged per-row logic like
+    this, ``useArrow=True`` is the equal-or-better, simpler form.
+    """
+
+    @F.udf("long", useArrow=True)
+    def fp(t: str) -> int:
+        if not t:
+            return 0
+        cps = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(
+            np.int64
+        )
+        return (
+            int(cps @ np.arange(1, len(cps) + 1, dtype=np.int64))
+            % FINGERPRINT_MOD
+        )
+
+    return fp(text)
+
+
 def tf_idf_top_terms(
     docs,
     id_col: str = "doc_id",

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from formula1_dataengineering_spark.functions.text import (
     weighted_char_fingerprint,
+    weighted_char_fingerprint_arrow,
     weighted_char_fingerprint_fast,
 )
 from formula1_dataengineering_spark.functions.vectors import (
@@ -126,9 +127,13 @@ def test_fingerprint_fast_equals_column_form(spark, seed):
         "id",
         weighted_char_fingerprint(F.col("text")).alias("slow"),
         weighted_char_fingerprint_fast(F.col("text")).alias("fast"),
+        weighted_char_fingerprint_arrow(F.col("text")).alias("arrow"),
     ).collect()
     for r in rows:
-        assert r["slow"] == r["fast"], r
+        # three execution modes, one value: interpreted HOF expression,
+        # Arrow-batched pandas_udf, Arrow-optimized per-row Python UDF
+        # (useArrow=True) — the measured trade-off is in BASELINE.md.
+        assert r["slow"] == r["fast"] == r["arrow"], r
 
 
 @pytest.mark.parametrize("k", [1, 2, 3])
