@@ -64,7 +64,18 @@ def build_10x(
     customer: bool = False,
 ) -> None:
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    max_id = docs.agg(F.max("doc_id")).first()[0] + 1
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    # ONE shared id stride for documents AND embeddings (round-6
+    # verdict item 5): the fixtures guarantee vec_id == doc_id, and
+    # queries that look a document's embedding up by id (hybrid RRF's
+    # pseudo-relevance-feedback seeds) silently drop or remap seeds if
+    # the two tables replicate on different strides. Same stride →
+    # replica doc r*stride+d maps to replica embedding r*stride+d and
+    # the id contract survives replication.
+    max_id = max(
+        docs.agg(F.max("doc_id")).first()[0],
+        emb.agg(F.max("vec_id")).first()[0],
+    ) + 1
     replicas = [
         docs.select(
             (F.col("doc_id") + r * max_id).alias("doc_id"),
@@ -77,14 +88,13 @@ def build_10x(
     for rep in replicas[1:]:
         big = big.unionByName(rep)
     big.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
-    # embeddings: disjoint vec_id ranges, values unchanged (the
-    # distribution — and therefore centroid/percentile work — scales
-    # with row count, which is what the probe measures).
-    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    emax = emb.agg(F.max("vec_id")).first()[0] + 1
+    # embeddings: disjoint vec_id ranges in lockstep with doc_id
+    # (shared stride above), values unchanged (the distribution — and
+    # therefore centroid/percentile work — scales with row count,
+    # which is what the probe measures).
     ereps = [
         emb.select(
-            (F.col("vec_id") + r * emax).alias("vec_id"),
+            (F.col("vec_id") + r * max_id).alias("vec_id"),
             *[c for c in emb.columns if c != "vec_id"],
         )
         for r in range(n)
