@@ -278,6 +278,23 @@ def _tid(expr: str) -> str:
 # the alnum-run variant (mirrors text.alnum_tokens).
 _TOKS = "list_filter(string_split_regex(text, '\\s+'), t -> t != '')"
 _TOKSL = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')"
+#: packing-family running prefix sum (tokens BEFORE this doc) — one
+#: definition per accumulation contract; ``over`` is the window scope.
+_CUM_PREV = (
+    """CAST(COALESCE(SUM(n_tokens) OVER (
+           {over}
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_prev"""
+)
+_CUM_PREV_SRC = _CUM_PREV.format(over="PARTITION BY source ORDER BY doc_id")
+_CUM_PREV_GLOBAL = _CUM_PREV.format(over="ORDER BY source, doc_id")
+#: single-space-split token list (the curation operators' contract)
+_DOC_T = "SELECT doc_id, string_split(text, ' ') AS t FROM documents"
+#: embeddings typed to double via list_transform (kmeans/pq family)
+_EMB_LT = (
+    """SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings"""
+)
 _TOKSA = (
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
     "t -> t != '')"
@@ -286,7 +303,7 @@ _TOKSA = (
 
 _MINHASH_TEMPLATE = f"""
 WITH toks AS (
-  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  {_DOC_T}
 ), sh AS (
   SELECT doc_id, unnest({{shingle_expr}}) AS shingle FROM toks
 ), ids AS (
@@ -400,127 +417,48 @@ FROM scored WHERE ni > 0 AND ni * 1.0 / un >= 0.05
 """
 )
 
-def _srp_sql() -> str:
-    """SRP bucket oracle: the same seeded hyperplanes as the Spark
-    operator, emitted as decimal literals (repr = shortest round-trip,
-    so DuckDB parses the identical double)."""
-    from ..operators.similarity import default_srp_planes
-
-    planes = default_srp_planes()
-    bits = " + ".join(
-        f"CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
-        f"[{', '.join(repr(float(x)) for x in row)}]) > 0 "
-        f"THEN {1 << j} ELSE 0 END"
-        for j, row in enumerate(planes)
-    )
-    return f"SELECT vec_id, CAST({bits} AS BIGINT) AS bucket FROM embeddings"
-
-
-ORACLE_SQL["srp_lsh_buckets"] = _srp_sql()
-
-
-def _srp_knn_sql() -> str:
-    from ..operators.similarity import default_srp_planes
-
-    planes = default_srp_planes()
-    bits = " + ".join(
-        f"CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
-        f"[{', '.join(repr(float(x)) for x in row)}]) > 0 "
-        f"THEN {1 << j} ELSE 0 END"
-        for j, row in enumerate(planes)
-    )
-    cos = (
-        "list_dot_product(a.v, b.v) / "
-        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
-    )
-    return f"""
-WITH e AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, ({bits}) AS bucket
-  FROM embeddings
-), scored AS (
-  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {cos} AS cos
-  FROM e a JOIN e b
-    ON a.vec_id < 10 AND a.vec_id <> b.vec_id AND a.bucket = b.bucket
-), ranked AS (
-  SELECT query_id, neighbor_id, cos, row_number() OVER (
-    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
-  FROM scored
-)
-SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
-       CAST(rank AS INTEGER) AS rank
-FROM ranked WHERE rank <= 5
-"""
-
-
-ORACLE_SQL["knn_srp_bucket"] = _srp_knn_sql()
-
-
-def _srp_multiprobe_sql() -> str:
-    """Multi-probe membership is pure bucket algebra: a pair is scored
-    iff xor(bucket_a, bucket_b) is 0 or a single probe bit."""
-    from ..operators.similarity import default_srp_planes
-
-    planes = default_srp_planes()
-    bits = " + ".join(
-        f"CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
-        f"[{', '.join(repr(float(x)) for x in row)}]) > 0 "
-        f"THEN {1 << j} ELSE 0 END"
-        for j, row in enumerate(planes)
-    )
-    probe_set = ", ".join(str(1 << j) for j in range(len(planes)))
-    cos = (
-        "list_dot_product(a.v, b.v) / "
-        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
-    )
-    return f"""
-WITH e AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, ({bits}) AS bucket
-  FROM embeddings
-), scored AS (
-  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {cos} AS cos
-  FROM e a JOIN e b
-    ON a.vec_id < 10 AND a.vec_id <> b.vec_id
-   AND xor(a.bucket, b.bucket) IN (0, {probe_set})
-), ranked AS (
-  SELECT query_id, neighbor_id, cos, row_number() OVER (
-    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
-  FROM scored
-)
-SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
-       CAST(rank AS INTEGER) AS rank
-FROM ranked WHERE rank <= 5
-"""
-
-
-ORACLE_SQL["knn_srp_multiprobe"] = _srp_multiprobe_sql()
-
 _COS = (
     "list_dot_product(a.v, b.v) / "
     "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
 )
-
-ORACLE_SQL["knn_bruteforce"] = f"""
-WITH e AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-), scored AS (
-  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS} AS cos
-  FROM e a JOIN e b ON a.vec_id < 10 AND a.vec_id <> b.vec_id
-), ranked AS (
-  SELECT query_id, neighbor_id, cos, row_number() OVER (
-    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
-  FROM scored
+#: typed-embedding base selects shared by every ANN oracle
+_EMB_V = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
+_EMB_VL = (
+    "SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
 )
-SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rank AS INTEGER) AS rank
-FROM ranked WHERE rank <= 5
-"""
 
-ORACLE_SQL["hard_negative_topk"] = f"""
+
+def _srp_bits() -> str:
+    """The Spark operator's seeded hyperplane sign-bit expression,
+    emitted as decimal literals (repr = shortest round-trip, so DuckDB
+    parses the identical double)."""
+    from ..operators.similarity import default_srp_planes
+
+    return " + ".join(
+        f"CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"[{', '.join(repr(float(x)) for x in row)}]) > 0 "
+        f"THEN {1 << j} ELSE 0 END"
+        for j, row in enumerate(default_srp_planes())
+    )
+
+
+ORACLE_SQL["srp_lsh_buckets"] = (
+    f"SELECT vec_id, CAST({_srp_bits()} AS BIGINT) AS bucket FROM embeddings"
+)
+
+
+def _knn_sql(e_select: str, join_on: str) -> str:
+    """Shared cosine-top-5 oracle skeleton: every ANN-ladder oracle is
+    the same scored→ranked→rank≤5 pipeline over a typed embedding CTE;
+    variants differ only in the base select (labels / SRP buckets) and
+    the join predicate (candidate-generation rule)."""
+    return f"""
 WITH e AS (
-  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  {e_select}
 ), scored AS (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS} AS cos
   FROM e a JOIN e b
-    ON a.vec_id < 10 AND a.label <> b.label
+    ON {join_on}
 ), ranked AS (
   SELECT query_id, neighbor_id, cos, row_number() OVER (
     PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
@@ -531,25 +469,48 @@ SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
 FROM ranked WHERE rank <= 5
 """
 
-ORACLE_SQL["knn_ivf_label"] = f"""
-WITH e AS (
-  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-), scored AS (
-  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS} AS cos
-  FROM e a JOIN e b
-    ON a.vec_id < 10 AND a.vec_id <> b.vec_id AND a.label = b.label
-), ranked AS (
-  SELECT query_id, neighbor_id, cos, row_number() OVER (
-    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
-  FROM scored
+
+def _emb_v_bucket() -> str:
+    return (
+        f"SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, "
+        f"({_srp_bits()}) AS bucket FROM embeddings"
+    )
+
+
+ORACLE_SQL["knn_srp_bucket"] = _knn_sql(
+    _emb_v_bucket(),
+    "a.vec_id < 10 AND a.vec_id <> b.vec_id AND a.bucket = b.bucket",
 )
-SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rank AS INTEGER) AS rank
-FROM ranked WHERE rank <= 5
-"""
+
+# Multi-probe membership is pure bucket algebra: a pair is scored iff
+# xor(bucket_a, bucket_b) is 0 or a single probe bit.
+def _srp_probe_set() -> str:
+    from ..operators.similarity import default_srp_planes
+
+    return ", ".join(str(1 << j) for j in range(len(default_srp_planes())))
+
+
+ORACLE_SQL["knn_srp_multiprobe"] = _knn_sql(
+    _emb_v_bucket(),
+    "a.vec_id < 10 AND a.vec_id <> b.vec_id\n"
+    f"   AND xor(a.bucket, b.bucket) IN (0, {_srp_probe_set()})",
+)
+
+ORACLE_SQL["knn_bruteforce"] = _knn_sql(
+    _EMB_V, "a.vec_id < 10 AND a.vec_id <> b.vec_id"
+)
+
+ORACLE_SQL["hard_negative_topk"] = _knn_sql(
+    _EMB_VL, "a.vec_id < 10 AND a.label <> b.label"
+)
+
+ORACLE_SQL["knn_ivf_label"] = _knn_sql(
+    _EMB_VL, "a.vec_id < 10 AND a.vec_id <> b.vec_id AND a.label = b.label"
+)
 
 ORACLE_SQL["embedding_neardup"] = f"""
 WITH e AS (
-  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  {_EMB_VL}
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_COS}, 6) AS cosine
 FROM e a JOIN e b ON a.vec_id < b.vec_id AND a.label = b.label
@@ -1470,7 +1431,7 @@ ORACLE_SQL["events_sessionized_streamed"] = ORACLE_SQL["sessionize_events"]
 
 ORACLE_SQL["doc_chunking"] = f"""
 WITH toks AS (
-  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  {_DOC_T}
 ), st AS (
   SELECT doc_id, t,
          unnest(generate_series(0, greatest(len(t) - 1, 0), 48)) AS s
@@ -1502,16 +1463,13 @@ SELECT doc_id,
 FROM s
 """
 
-ORACLE_SQL["sequence_packing"] = """
+ORACLE_SQL["sequence_packing"] = f"""
 WITH n AS (
   SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
   FROM documents
 ), c AS (
   SELECT doc_id, source, n_tokens,
-         CAST(COALESCE(SUM(n_tokens) OVER (
-           PARTITION BY source ORDER BY doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-           AS cum_prev
+         {_CUM_PREV_SRC}
   FROM n
 )
 SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
@@ -1523,7 +1481,7 @@ FROM c
 
 ORACLE_SQL["decontamination_overlap"] = f"""
 WITH toks AS (
-  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  {_DOC_T}
 ), sh AS (
   SELECT doc_id, unnest(list_distinct(list_transform(
            range(1, len(t) - 6), i -> array_to_string(t[i:i + 7], ' ')
@@ -1573,16 +1531,13 @@ SELECT source,
 FROM f GROUP BY source
 """
 
-ORACLE_SQL["sequence_packing_global"] = """
+ORACLE_SQL["sequence_packing_global"] = f"""
 WITH n AS (
   SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
   FROM documents
 ), c AS (
   SELECT doc_id, source, n_tokens,
-         CAST(COALESCE(SUM(n_tokens) OVER (
-           ORDER BY source, doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-           AS cum_prev
+         {_CUM_PREV_GLOBAL}
   FROM n
 )
 SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
@@ -1601,9 +1556,8 @@ _KM_DIST = (
     "x -> (x[1] - x[2]) * (x[1] - x[2])), (a, b) -> a + b)"
 )
 
-_km = ['''WITH e AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-  FROM embeddings
+_km = [f'''WITH e AS (
+  {_EMB_LT}
 ), c0 AS (
   SELECT CAST(vec_id AS BIGINT) AS cluster, v AS c
   FROM e ORDER BY vec_id LIMIT 8
@@ -1744,9 +1698,9 @@ FROM documents d LEFT JOIN rebuilt rb USING (doc_id)
 GROUP BY d.source
 """
 
-ORACLE_SQL["bloom_decontamination_stats"] = """
+ORACLE_SQL["bloom_decontamination_stats"] = f"""
 WITH toks AS (
-  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  {_DOC_T}
 ), sh AS (
   SELECT doc_id, unnest(list_distinct(list_transform(
            range(1, len(t) - 6), i -> array_to_string(t[i:i + 7], ' ')
@@ -2030,10 +1984,9 @@ WHERE levenshtein(p1.p, p2.p) <= 24"""
 # embedding_top_pc: 3 unrolled power iterations mirroring
 # operators/clustering.power_iteration_pc (ordered-fold dots,
 # round-4 quantized per-dim sums, round-6 normalized direction).
-ORACLE_SQL["embedding_top_pc"] = """
+ORACLE_SQL["embedding_top_pc"] = f"""
 WITH base AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-  FROM embeddings
+  {_EMB_LT}
 ), w0 AS (
   SELECT list_transform(range(64), i -> 1.0) AS w
 ), s0 AS (
@@ -2137,9 +2090,8 @@ GROUP BY e.event_type
 # iterations) — ONE definition for both PQ gates, so a future fix to
 # seeding/tie-break/rounding cannot diverge between them
 # (code-review finding).
-_PQ_TRAIN_SQL = """WITH e AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-  FROM embeddings
+_PQ_TRAIN_SQL = f"""WITH e AS (
+  {_EMB_LT}
 ), sub AS (
   SELECT vec_id, CAST(s.i AS INT) AS sub_id,
          v[(s.i * 8 + 1):(s.i * 8 + 8)] AS sv
@@ -2324,16 +2276,13 @@ SELECT content_hash, CAST(count(*) AS BIGINT) AS n_copies,
 FROM h GROUP BY content_hash
 """
 
-ORACLE_SQL["packing_efficiency_stats"] = """
+ORACLE_SQL["packing_efficiency_stats"] = f"""
 WITH n AS (
   SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
   FROM documents WHERE text IS NOT NULL
 ), c AS (
   SELECT doc_id, source, n_tokens,
-         CAST(COALESCE(SUM(n_tokens) OVER (
-           PARTITION BY source ORDER BY doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-           AS cum_prev
+         {_CUM_PREV_SRC}
   FROM n
 ), packed AS (
   SELECT doc_id, source, n_tokens,
@@ -2376,10 +2325,7 @@ WITH f AS (
   FROM ranked WHERE rn = 1
 ), c AS (
   SELECT doc_id, source, n_tokens,
-         CAST(COALESCE(SUM(n_tokens) OVER (
-           PARTITION BY source ORDER BY doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-           AS cum_prev
+         {_CUM_PREV_SRC}
   FROM kept
 )
 SELECT source, count(*) AS n_docs,
@@ -2456,9 +2402,8 @@ GROUP BY l_returnflag, l_linestatus
 # semantic_dedup_embeddings: the kmeans_ivf_training assignment chain
 # (a3) + within-cluster pairwise cosine >= 0.3; dropped = any vector
 # with a lower-id same-cluster neighbor over threshold.
-ORACLE_SQL["semantic_dedup_embeddings"] = """WITH e AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-  FROM embeddings
+ORACLE_SQL["semantic_dedup_embeddings"] = f"""WITH e AS (
+  {_EMB_LT}
 ), c0 AS (
   SELECT CAST(vec_id AS BIGINT) AS cluster, v AS c
   FROM e ORDER BY vec_id LIMIT 8
