@@ -349,3 +349,56 @@ def pagerank_fixed(
             )
         )
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Exact triangle ENUMERATION by degree orientation (the
+    node-iterator++ / compact-forward scheme): every undirected edge
+    is oriented from its lower-(degree, id) endpoint to the higher
+    one; wedges are generated only at each triangle's minimum-ranked
+    vertex, and a wedge (b, c) closes iff the oriented edge (b, c)
+    exists. Each triangle is emitted exactly once as (a, b, c) in
+    orientation order.
+
+    Scale: orientation bounds per-vertex wedge fan-out by the graph's
+    arboricity (≤ √|E| out-degree), so total wedge work is O(|E|^1.5)
+    worst-case instead of Σ deg² — the difference between a skewed hub
+    exploding one task and work tracking the true triangle count. Two
+    equi-join shuffles (wedge build on apex, closure on the (b, c)
+    pair); no collect, no iteration.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+    )
+    und = e.union(e.select(F.col("v"), F.col("u"))).distinct()
+    deg = und.groupBy("u").agg(F.count("*").alias("d")).withColumnRenamed("u", "n")
+    lower = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = (
+        und.join(deg.select(F.col("n"), F.col("d").alias("du")), F.col("u") == F.col("n"))
+        .drop("n")
+        .join(deg.select(F.col("n"), F.col("d").alias("dv")), F.col("v") == F.col("n"))
+        .drop("n")
+        .where(lower)
+        # keep the out-endpoint's (deg, id) rank key for wedge ordering
+        .select(F.col("u").alias("a"), F.col("v").alias("b"), F.col("dv").alias("db"))
+    )
+    x, y = o.alias("x"), o.alias("y")
+    wedge_order = (F.col("x.db") < F.col("y.db")) | (
+        (F.col("x.db") == F.col("y.db")) & (F.col("x.b") < F.col("y.b"))
+    )
+    wedges = (
+        x.join(y, F.col("x.a") == F.col("y.a"))
+        .where(wedge_order)
+        .select(
+            F.col("x.a").alias("a"),
+            F.col("x.b").alias("b"),
+            F.col("y.b").alias("c"),
+        )
+    )
+    closing = o.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    return wedges.join(closing, ["b", "c"]).select("a", "b", "c")

@@ -383,3 +383,63 @@ def hard_negative_topk(
         return cosine_topk(queries.limit(0), corpus, id_col=id_col,
                            vec_col=vec_col, k=k)
     return out
+
+
+def mutual_knn_edges(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    k: int = 3,
+) -> DataFrame:
+    """Mutual-kNN GRAPH over an embedding corpus: an undirected edge
+    (u, v) exists iff v is in u's cell-bounded cosine top-k AND u is
+    in v's — the standard graph substrate for density-based dedup /
+    cluster analysis (mutual edges prune hub vectors' asymmetric
+    links).
+
+    This is NOT the GEMM path: here |Q| = |corpus|, so collecting the
+    query side (cosine_topk's contract) would pull the whole corpus to
+    the driver. Instead the within-cell self-join shuffles by
+    ``cell_col`` only and is scored with the Arrow-batched einsum
+    kernel; the quadratic cost is cell-bounded by construction (use
+    IVF/SRP cells to cap it; at 100 TB you'd feed the SRP buckets).
+
+    Output: one row per undirected edge, ``u < v``. Deterministic:
+    row_number over (cosine desc, neighbor id asc).
+    """
+    from ..functions.vectors import dot_pandas, l2_norm
+
+    e = emb.select(
+        F.col(cell_col).alias("__cell"),
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        l2_norm(F.col(vec_col)).alias("__n"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    denom = F.col("a.__n") * F.col("b.__n")
+    scored = (
+        a.join(b, F.col("a.__cell") == F.col("b.__cell"))
+        .where(F.col("a.__id") != F.col("b.__id"))
+        .select(
+            F.col("a.__id").alias("qa"),
+            F.col("b.__id").alias("qb"),
+            F.when(
+                denom > 0,
+                dot_pandas(F.col("a.__v"), F.col("b.__v")) / denom,
+            ).alias("cos"),
+        )
+    )
+    knn = topk_per_group(
+        scored, "qa", [F.col("cos").desc(), F.col("qb").asc()], k
+    ).select("qa", "qb")
+    r1, r2 = knn.alias("r1"), knn.alias("r2")
+    return (
+        r1.join(
+            r2,
+            (F.col("r1.qa") == F.col("r2.qb"))
+            & (F.col("r1.qb") == F.col("r2.qa")),
+        )
+        .where(F.col("r1.qa") < F.col("r1.qb"))
+        .select(F.col("r1.qa").alias("src"), F.col("r1.qb").alias("dst"))
+    )

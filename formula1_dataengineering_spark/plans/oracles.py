@@ -517,6 +517,40 @@ FROM e a JOIN e b ON a.vec_id < b.vec_id AND a.label = b.label
 WHERE {_COS} >= 0.25
 """
 
+# Mutual-kNN graph + degree-oriented triangle enumeration (the Spark
+# side mirrors this exactly: row_number (cos desc, id asc) per query,
+# reciprocal filter, orientation by (degree, id), wedge + closure).
+ORACLE_SQL["embedding_knn_triangles"] = f"""
+WITH e AS (
+  {_EMB_VL}
+), scored AS (
+  SELECT a.vec_id AS qa, b.vec_id AS qb, {_COS} AS cos
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT qa, qb, row_number() OVER (
+    PARTITION BY qa ORDER BY cos DESC, qb ASC) AS rk
+  FROM scored
+), knn AS (
+  SELECT qa, qb FROM ranked WHERE rk <= 3
+), mutual AS (
+  SELECT r1.qa AS u, r1.qb AS v
+  FROM knn r1 JOIN knn r2 ON r1.qa = r2.qb AND r1.qb = r2.qa
+  WHERE r1.qa < r1.qb
+), und AS (
+  SELECT u, v FROM mutual UNION ALL SELECT v, u FROM mutual
+), deg AS (
+  SELECT u AS n, count(*) AS d FROM und GROUP BY 1
+), o AS (
+  SELECT und.u AS a, und.v AS b, dv.d AS db
+  FROM und JOIN deg du ON du.n = und.u JOIN deg dv ON dv.n = und.v
+  WHERE (du.d < dv.d) OR (du.d = dv.d AND und.u < und.v)
+)
+SELECT x.a AS a, x.b AS b, y.b AS c
+FROM o x JOIN o y ON x.a = y.a
+ AND ((x.db < y.db) OR (x.db = y.db AND x.b < y.b))
+JOIN o z ON z.a = x.b AND z.b = y.b
+"""
+
 # Token splits mirror text.tokens(): empty strings are dropped after
 # the \s+ split (leading/trailing whitespace would otherwise make the
 # engines disagree on token counts; synthetic data happens to be clean

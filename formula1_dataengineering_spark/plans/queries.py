@@ -558,6 +558,25 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_pairs(e, bucket_col="label", threshold=0.25)
 
 
+@query("embedding_knn_triangles")
+def embedding_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN graph + exact triangle enumeration — the cluster-
+    density substrate for embedding-space dedup analysis: an edge iff
+    two vectors are RECIPROCAL cell-bounded cosine top-3 neighbors,
+    then every triangle (tight 3-clique of near-neighbors) emitted
+    once via degree orientation.
+
+    Scale: the kNN self-join shuffles by label cell only (never
+    collects the corpus as a GEMM query side); orientation bounds
+    wedge fan-out by arboricity — see operators/similarity.py
+    mutual_knn_edges and operators/graph.py triangle_count."""
+    from ..operators.graph import triangle_count
+    from ..operators.similarity import mutual_knn_edges
+
+    e = load(spark, sf_dir, "embeddings")
+    return triangle_count(mutual_knn_edges(e, k=3))
+
+
 @query("doc_quality")
 def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-score signals per document (length/punct/stopword)."""

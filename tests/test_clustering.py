@@ -183,3 +183,52 @@ def test_ivf_pq_results_stay_in_query_cell(spark):
     for _, r in out.iterrows():
         assert labels[r["vec_id"]] == labels[r["q_id"]]
     assert (out.groupby("q_id").size() == 4).all()
+
+
+def test_triangle_count_exact_once_and_oriented(spark):
+    """K4 + pendant + disconnected edge: K4 holds exactly 4 triangles,
+    each emitted ONCE regardless of input edge direction/duplication;
+    pendant and isolated edges contribute none."""
+    from formula1_dataengineering_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = k4 + [(3, 3), (0, 4), (10, 11)]  # self-loop, pendant, island
+    edges += [(b, a) for a, b in k4[:3]]  # reversed duplicates
+    df = spark.createDataFrame(edges, "src long, dst long")
+    tris = sorted(tuple(r) for r in triangle_count(df).collect())
+    # all vertices of K4 have equal degree (pendant bumps node 0), so
+    # orientation is by (degree, id); verify as unordered sets
+    assert len(tris) == 4
+    assert sorted(tuple(sorted(t)) for t in tris) == [
+        (0, 1, 2), (0, 1, 3), (0, 2, 3), (1, 2, 3),
+    ]
+    # exactly-once: no duplicate triples in any vertex order
+    assert len({tuple(sorted(t)) for t in tris}) == 4
+
+
+def test_mutual_knn_edges_reciprocal_only(spark):
+    """A hub vector that everyone ranks top-1 but that ranks only its
+    true neighbors back gets only reciprocal edges; asymmetric links
+    are pruned."""
+    from formula1_dataengineering_spark.operators.similarity import (
+        mutual_knn_edges,
+    )
+
+    # 1-D-ish geometry in 4 dims, single cell: two tight pairs plus a
+    # point far from everyone (its top-k is asymmetric).
+    rows = [
+        (0, [0.0, 0.0, 0.0, 1.0], "c"),
+        (1, [0.0, 0.0, 0.1, 1.0], "c"),   # tight with 0
+        (2, [1.0, 0.0, 0.0, 0.0], "c"),
+        (3, [1.0, 0.1, 0.0, 0.0], "c"),   # tight with 2
+        (4, [0.5, 0.5, 0.5, 0.5], "c"),   # middling, links to all
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+    got = sorted(
+        tuple(r) for r in mutual_knn_edges(emb, k=1).collect()
+    )
+    # k=1: 0<->1 and 2<->3 are each other's top-1; 4's top-1 is not
+    # reciprocated, so no edge touches 4.
+    assert got == [(0, 1), (2, 3)]
