@@ -812,6 +812,16 @@ FROM events
 GROUP BY 1
 """
 
+ORACLE_SQL["variant_payload_stats"] = """
+SELECT event_type AS t,
+       count(*) AS n,
+       round(sum(value), 2) AS sum_v,
+       CAST(sum(user_id) AS BIGINT) AS sum_u,
+       count(*) AS n_missing
+FROM events
+GROUP BY event_type
+"""
+
 ORACLE_SQL["normalized_embeddings"] = """
 WITH normed AS (
   SELECT vec_id, embedding,

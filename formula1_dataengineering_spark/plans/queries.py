@@ -874,6 +874,53 @@ def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("variant_payload_stats")
+def variant_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT-type surface (Spark 4 semi-structured path): event rows
+    are serialized to a nested JSON payload, parsed ONCE into the
+    binary VARIANT encoding, and consumed via typed path extraction —
+    ``variant_get`` for present paths (nested object ``$.m.v`` /
+    ``$.m.u``), ``try_variant_get`` probing a missing path (must be
+    NULL for every row, pinned as ``n_missing``). The hash match
+    against the ground-truth aggregate proves the JSON → variant →
+    typed round trip is value-exact, including null-field omission
+    (``to_json`` drops null values; ``variant_get`` yields NULL back).
+
+    Scale: this is the 100 TB schema-on-read contract — parse the
+    payload to variant once at ingest, store the binary, and let every
+    downstream query do typed O(path) extraction instead of re-parsing
+    strings; extraction is a codegen'd JVM expression (plan: the whole
+    parse+extract pipeline rides the scan stage; one aggregate
+    exchange)."""
+    ev = load(spark, sf_dir, "events")
+    payload = F.to_json(
+        F.struct(
+            F.col("event_type").alias("t"),
+            F.struct(
+                F.col("value").alias("v"), F.col("user_id").alias("u")
+            ).alias("m"),
+        )
+    )
+    return (
+        ev.select(F.parse_json(payload).alias("var"))
+        .select(
+            F.variant_get("var", "$.t", "string").alias("t"),
+            F.variant_get("var", "$.m.v", "double").alias("val"),
+            F.variant_get("var", "$.m.u", "bigint").alias("uid"),
+            F.try_variant_get("var", "$.missing", "int").alias("miss"),
+        )
+        .groupBy("t")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("val"), 2).alias("sum_v"),
+            F.sum("uid").alias("sum_u"),
+            F.sum(F.when(F.col("miss").isNull(), 1).otherwise(0)).alias(
+                "n_missing"
+            ),
+        )
+    )
+
+
 @query("normalized_embeddings")
 def normalized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unit-normalize embeddings, long form (vec_id, dim_idx, nval) —

@@ -472,3 +472,27 @@ def test_skyline_window_runs_over_length_summary_only(spark):
     assert agg_pos != -1 and scan_pos != -1 and agg_pos < scan_pos, tree
     # And the summary branch's scan is pruned to the one needed column.
     assert "ReadSchema: struct<text:string>" in plan
+
+
+def test_variant_null_field_round_trip(spark):
+    """to_json drops NULL struct fields; variant_get of the omitted
+    path must come back NULL (not 0), and try_variant_get of a
+    never-present path is NULL on every row — the null contract the
+    variant gate's aggregate relies on."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 2.5), (2, None)], "uid long, value double"
+    )
+    payload = F.to_json(
+        F.struct(F.struct(F.col("value").alias("v")).alias("m"))
+    )
+    out = df.select(
+        "uid",
+        F.variant_get(F.parse_json(payload), "$.m.v", "double").alias("v"),
+        F.try_variant_get(
+            F.parse_json(payload), "$.nope", "int"
+        ).alias("miss"),
+    ).collect()
+    got = {r["uid"]: (r["v"], r["miss"]) for r in out}
+    assert got == {1: (2.5, None), 2: (None, None)}
