@@ -812,6 +812,19 @@ FROM events
 GROUP BY 1
 """
 
+ORACLE_SQL["value_gini_by_type"] = """
+WITH v AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS i,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_type,
+       round(sum((2 * i - n - 1) * value) / (max(n) * sum(value)), 6) AS gini,
+       CAST(max(n) AS BIGINT) AS n_values
+FROM v GROUP BY event_type
+"""
+
 ORACLE_SQL["variant_payload_stats"] = """
 SELECT event_type AS t,
        count(*) AS n,

@@ -874,6 +874,34 @@ def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("value_gini_by_type")
+def value_gini_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDAF surface (GROUPED_AGG pandas_udf, the Series→scalar
+    aggregate form): per-event-type Gini coefficient of the value
+    distribution — a group-bounded inequality statistic Spark has no
+    built-in for. Completes the §2.10 Python-execution trio
+    (UDF/UDAF/UDTF) with the grouped-aggregate mode.
+
+    Scale: grouped-agg UDFs are whole-group (no partial aggregation),
+    so the contract is #groups small / group size shuffle-bounded —
+    exactly this shape (5 event types). The companion n_values rides
+    the same aggregate; unbounded-group reductions stay on built-ins
+    (functions/stats.py docstring)."""
+    from ..functions.stats import gini_pandas
+
+    ev = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    # grouped-agg pandas UDFs cannot share an agg() with built-in
+    # aggregates (INVALID_PANDAS_UDF_PLACEMENT) — the count rides a
+    # separate built-in aggregate, re-joined on the 5-row group key.
+    gini = ev.groupBy("event_type").agg(
+        F.round(gini_pandas(F.col("value")), 6).alias("gini")
+    )
+    counts = ev.groupBy("event_type").agg(
+        F.count("value").alias("n_values")
+    )
+    return gini.join(counts, "event_type")
+
+
 @query("variant_payload_stats")
 def variant_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VARIANT-type surface (Spark 4 semi-structured path): event rows

@@ -167,3 +167,28 @@ def test_vector_kernels_equal_hof_forms(spark):
     for r in rows:
         assert abs(r["d_hof"] - r["d_np"]) < 1e-9
         assert abs(r["n_hof"] - r["n_np"]) < 1e-9
+
+
+def test_gini_udaf_known_values(spark):
+    """Grouped-agg pandas UDF (Python UDAF): Gini of known
+    distributions — perfect equality -> 0, one-holder -> (n-1)/n,
+    NULLs dropped, zero-sum group -> 0."""
+    from formula1_dataengineering_spark.functions.stats import gini_pandas
+
+    rows = (
+        [("eq", 5.0)] * 4
+        + [("one", 0.0)] * 3 + [("one", 10.0)]
+        + [("nul", 2.0), ("nul", None), ("nul", 2.0)]
+        + [("zero", 0.0)] * 3
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        r["g"]: r["gini"]
+        for r in df.groupBy("g")
+        .agg(F.round(gini_pandas(F.col("v")), 6).alias("gini"))
+        .collect()
+    }
+    assert got["eq"] == 0.0
+    assert got["one"] == 0.75  # (n-1)/n with n=4
+    assert got["nul"] == 0.0
+    assert got["zero"] == 0.0
