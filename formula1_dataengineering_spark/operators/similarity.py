@@ -398,41 +398,55 @@ def mutual_knn_edges(
     cluster analysis (mutual edges prune hub vectors' asymmetric
     links).
 
-    This is NOT the GEMM path: here |Q| = |corpus|, so collecting the
-    query side (cosine_topk's contract) would pull the whole corpus to
-    the driver. Instead the within-cell self-join shuffles by
-    ``cell_col`` only and is scored with the Arrow-batched einsum
-    kernel; the quadratic cost is cell-bounded by construction (use
-    IVF/SRP cells to cap it; at 100 TB you'd feed the SRP buckets).
+    This is NOT the collected-query GEMM path: here |Q| = |corpus|, so
+    collecting the query side (cosine_topk's contract) would pull the
+    whole corpus to the driver. Instead one ``applyInPandas`` per cell
+    does a single ``M @ M.T`` BLAS GEMM and emits each row's top-k —
+    the VECTORS shuffle once (grouped by cell); the n² pair rows never
+    exist as Spark rows (the join formulation would ship each 64-float
+    array once per PAIR — measured ~5× slower on the neardup scorer,
+    similarity.py score_bucket, and the gap widens with cell size).
+    The quadratic arithmetic is cell-bounded by construction (use
+    IVF/SRP cells to cap it; at 100 TB you'd feed the SRP buckets —
+    a cell must fit one executor, the bucketing contract).
 
     Output: one row per undirected edge, ``u < v``. Deterministic:
-    row_number over (cosine desc, neighbor id asc).
+    row_number over (cosine desc, neighbor id asc), mirrored by the
+    oracle's window.
     """
-    from ..functions.vectors import dot_pandas, l2_norm
+    import numpy as np
 
-    e = emb.select(
-        F.col(cell_col).alias("__cell"),
-        F.col(id_col).alias("__id"),
-        F.col(vec_col).alias("__v"),
-        l2_norm(F.col(vec_col)).alias("__n"),
-    )
-    a, b = e.alias("a"), e.alias("b")
-    denom = F.col("a.__n") * F.col("b.__n")
-    scored = (
-        a.join(b, F.col("a.__cell") == F.col("b.__cell"))
-        .where(F.col("a.__id") != F.col("b.__id"))
-        .select(
-            F.col("a.__id").alias("qa"),
-            F.col("b.__id").alias("qb"),
-            F.when(
-                denom > 0,
-                dot_pandas(F.col("a.__v"), F.col("b.__v")) / denom,
-            ).alias("cos"),
+    kk = k
+
+    def knn_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, ignore_index=True)
+        ids = pdf[id_col].to_numpy()
+        M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        norms = np.sqrt((M * M).sum(axis=1))
+        norms[norms == 0] = np.nan
+        C = (M @ M.T) / np.outer(norms, norms)
+        np.fill_diagonal(C, np.nan)  # self-matches never rank
+        qa, qb = [], []
+        for i in range(len(ids)):
+            col = C[i]
+            valid = np.flatnonzero(~np.isnan(col))
+            if valid.size == 0:
+                continue
+            # exact top-k under the oracle's order: cos desc, id asc
+            order = valid[np.lexsort((ids[valid], -col[valid]))][:kk]
+            qa.extend([ids[i]] * order.size)
+            qb.extend(ids[order])
+        return pd.DataFrame({"qa": qa, "qb": qb}, dtype="int64")
+
+    knn = (
+        emb.select(
+            F.col(cell_col).alias("__cell"),
+            F.col(id_col).alias(id_col),
+            F.col(vec_col).alias(vec_col),
         )
+        .groupBy("__cell")
+        .applyInPandas(knn_bucket, schema="qa long, qb long")
     )
-    knn = topk_per_group(
-        scored, "qa", [F.col("cos").desc(), F.col("qb").asc()], k
-    ).select("qa", "qb")
     r1, r2 = knn.alias("r1"), knn.alias("r2")
     return (
         r1.join(
