@@ -812,6 +812,20 @@ FROM events
 GROUP BY 1
 """
 
+ORACLE_SQL["python_datasource_scan"] = """
+WITH g AS (
+  SELECT i AS id, CAST(i % 97 AS INT) AS bucket,
+         ['click','view','purchase','signup','error'][CAST(i % 5 AS INT) + 1]
+           AS typ,
+         ((i * 2654435761) % 1000000) / 1000.0 AS val
+  FROM range(20000) t(i)
+)
+SELECT bucket, count(*) AS n, round(sum(val), 3) AS sum_val,
+       max(id) AS max_id
+FROM g WHERE typ = 'click' AND id >= 500
+GROUP BY bucket
+"""
+
 ORACLE_SQL["value_gini_by_type"] = """
 WITH v AS (
   SELECT event_type, value,

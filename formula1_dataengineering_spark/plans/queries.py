@@ -874,6 +874,43 @@ def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("python_datasource_scan")
+def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python Data Source API surface (Spark 4): a custom batch source
+    registered via ``spark.dataSource.register`` with partition
+    planning AND filter pushdown — the pushed type equality and id
+    bound are consumed inside the source (rows never materialize);
+    unsupported predicates come back to Spark. Fixed 20k-row synthetic
+    generator (pure integer arithmetic), so the oracle reproduces every
+    row from ``range()`` — sf-independent like the streaming
+    fixed-cost gates. See sources/pydatasource.py for the contracts.
+
+    Scale: partition-planned generation parallelizes like a file scan;
+    pushdown shrinks the generated range server-side — the same two
+    contracts a production custom connector (internal service, bespoke
+    format) needs."""
+    from ..sources.pydatasource import SyntheticEventsDataSource
+
+    spark.dataSource.register(SyntheticEventsDataSource)
+    # NOT scoped: the returned frame is lazy and the caller collects
+    # after this function returns — planning must still see the flag,
+    # and a reader that implements pushFilters() hard-errors when it's
+    # off. Benign to leave on: it only affects Python data sources.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    df = (
+        spark.read.format("synthetic_events")
+        .option("n_rows", 20_000)
+        .option("n_partitions", 8)
+        .load()
+        .where((F.col("typ") == "click") & (F.col("id") >= 500))
+    )
+    return df.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("val"), 3).alias("sum_val"),
+        F.max("id").alias("max_id"),
+    )
+
+
 @query("value_gini_by_type")
 def value_gini_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDAF surface (GROUPED_AGG pandas_udf, the Series→scalar

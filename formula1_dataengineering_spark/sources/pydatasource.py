@@ -1,0 +1,105 @@
+"""Python Data Source API (Spark 4): a custom batch source with
+partition planning and FILTER PUSHDOWN, implemented entirely in
+Python.
+
+This is the extension point the engine offers for feeds that have no
+JVM connector — internal services, bespoke binary formats, synthetic
+load generators. The two contracts that matter at 100 TB:
+
+- **Partition planning** (``partitions()``): the source declares its
+  parallelism; each ``InputPartition`` is read independently on an
+  executor, so generation/ingest scales out like any file scan.
+- **Filter pushdown** (``pushFilters()``): supported predicates are
+  consumed INSIDE the source — pushed id bounds shrink the generation
+  range and a pushed type equality skips rows before they ever become
+  Spark rows; unsupported filters are yielded back and Spark
+  re-applies them. Requires
+  ``spark.sql.python.filterPushdown.enabled=true`` (session conf; the
+  gate scopes it). The post-optimization plan drops the consumed
+  predicates from the Filter node — pinned by test.
+
+The synthetic generator is pure integer arithmetic (hash-free, no
+RNG), so a SQL oracle reproduces every row exactly: for row i,
+``bucket = i % 97``, ``typ = TYPES[i % 5]``,
+``val = ((i * 2654435761) % 1_000_000) / 1000.0`` (one correctly-
+rounded IEEE division in both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+)
+
+#: Event-type cycle; index = i % 5.
+TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+class SyntheticEventsReader(DataSourceReader):
+    """Deterministic generator with id-range and type pushdown."""
+
+    def __init__(self, options):
+        self.n = int(options.get("n_rows", 1000))
+        self.n_partitions = int(options.get("n_partitions", 8))
+        self.id_lo = 0
+        self.id_hi = self.n  # exclusive
+        self.typ = None
+
+    def pushFilters(self, filters):
+        """Consume id bounds and type equality; yield the rest back
+        (Spark re-applies anything yielded — correctness never depends
+        on what the source accepts)."""
+        for f in filters:
+            if (
+                isinstance(f, GreaterThanOrEqual)
+                and tuple(f.attribute) == ("id",)
+            ):
+                self.id_lo = max(self.id_lo, int(f.value))
+            elif isinstance(f, LessThan) and tuple(f.attribute) == ("id",):
+                self.id_hi = min(self.id_hi, int(f.value))
+            elif isinstance(f, EqualTo) and tuple(f.attribute) == ("typ",):
+                if self.typ is not None and self.typ != f.value:
+                    self.id_hi = self.id_lo  # contradictory: empty scan
+                self.typ = f.value
+            else:
+                yield f
+
+    def partitions(self):
+        per = (self.n + self.n_partitions - 1) // self.n_partitions
+        return [
+            InputPartition((i * per, min((i + 1) * per, self.n)))
+            for i in range(self.n_partitions)
+        ]
+
+    def read(self, partition):
+        lo, hi = partition.value
+        lo, hi = max(lo, self.id_lo), min(hi, self.id_hi)
+        typ = self.typ
+        for i in range(lo, hi):
+            t = TYPES[i % 5]
+            if typ is not None and t != typ:
+                continue
+            yield (i, i % 97, t, ((i * 2654435761) % 1_000_000) / 1000.0)
+
+
+class SyntheticEventsDataSource(DataSource):
+    """``spark.read.format("synthetic_events")`` after
+    ``spark.dataSource.register(SyntheticEventsDataSource)``.
+
+    Options: ``n_rows`` (default 1000), ``n_partitions`` (default 8).
+    """
+
+    @classmethod
+    def name(cls):
+        return "synthetic_events"
+
+    def schema(self):
+        return "id bigint, bucket int, typ string, val double"
+
+    def reader(self, schema):
+        return SyntheticEventsReader(self.options)

@@ -496,3 +496,64 @@ def test_variant_null_field_round_trip(spark):
     ).collect()
     got = {r["uid"]: (r["v"], r["miss"]) for r in out}
     assert got == {1: (2.5, None), 2: (None, None)}
+
+
+def test_python_datasource_pushdown_consumed_and_correct(spark):
+    """Python Data Source API: pushed filters vanish from the
+    post-optimization Filter node (the source consumed them), the
+    unsupported residue (isnotnull) stays Spark-side, and the scan
+    yields exactly the pushed-down row set."""
+    from pyspark.sql import functions as F
+
+    from formula1_dataengineering_spark.sources.pydatasource import (
+        SyntheticEventsDataSource,
+    )
+
+    spark.dataSource.register(SyntheticEventsDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    df = (
+        spark.read.format("synthetic_events")
+        .option("n_rows", 100)
+        .option("n_partitions", 3)
+        .load()
+        .where((F.col("typ") == "view") & (F.col("id") >= 10))
+    )
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "view" not in opt and ">= 10" not in opt  # consumed
+    assert "isnotnull" in opt  # unsupported residue re-applied
+    rows = sorted(r["id"] for r in df.collect())
+    assert rows == [i for i in range(10, 100) if i % 5 == 1]
+
+
+def test_python_datasource_reader_filter_logic():
+    """Reader-level pushdown unit: id bounds tighten, contradictory
+    type equalities empty the scan, unsupported filters are yielded
+    back untouched."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThanOrEqual,
+        IsNotNull,
+        LessThan,
+    )
+
+    from formula1_dataengineering_spark.sources.pydatasource import (
+        SyntheticEventsReader,
+    )
+
+    r = SyntheticEventsReader({"n_rows": "1000"})
+    residual = list(
+        r.pushFilters(
+            [
+                GreaterThanOrEqual(("id",), 100),
+                GreaterThanOrEqual(("id",), 50),  # weaker, ignored
+                LessThan(("id",), 800),
+                EqualTo(("typ",), "click"),
+                IsNotNull(("typ",)),  # unsupported -> back to Spark
+            ]
+        )
+    )
+    assert (r.id_lo, r.id_hi, r.typ) == (100, 800, "click")
+    assert len(residual) == 1 and isinstance(residual[0], IsNotNull)
+    r2 = SyntheticEventsReader({"n_rows": "10"})
+    list(r2.pushFilters([EqualTo(("typ",), "a"), EqualTo(("typ",), "b")]))
+    assert r2.id_hi <= r2.id_lo  # contradictory equality: empty scan
