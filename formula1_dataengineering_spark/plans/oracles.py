@@ -826,6 +826,12 @@ FROM g WHERE typ = 'click' AND id >= 500
 GROUP BY bucket
 """
 
+ORACLE_SQL["python_stream_source_totals"] = """
+SELECT CAST(i % 7 AS INT) AS k, count(*) AS n,
+       round(sum(((i * 2654435761) % 1000) / 10.0), 2) AS sum_val
+FROM range(300) t(i) GROUP BY 1
+"""
+
 ORACLE_SQL["value_gini_by_type"] = """
 WITH v AS (
   SELECT event_type, value,

@@ -911,6 +911,65 @@ def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("python_stream_source_totals")
+def python_stream_source_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python STREAMING Data Source surface: a
+    ``SimpleDataSourceStreamReader`` generates 3 offset-managed
+    micro-batches (JSON-dict offsets, Kafka-shaped), a complete-mode
+    aggregation consumes them to end-of-stream (empty batch at a fixed
+    offset = caught up), and the per-key totals hash against the
+    closed-form oracle. ``readBetweenOffsets`` — the checkpoint's
+    crash-replay contract — is exercised directly by test.
+
+    Scale: fixed-cost like the other streaming gates; the offset
+    contract (advance / replay committed ranges deterministically) is
+    exactly what a production Python connector to an internal feed
+    must implement."""
+    import time
+    import uuid
+
+    from ..sources.pydatasource import (
+        STREAM_TOTAL,
+        SyntheticStreamDataSource,
+    )
+
+    spark.dataSource.register(SyntheticStreamDataSource)
+    sink = f"pystream_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("synthetic_stream")
+        .load()
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("val"), 2).alias("sum_val"),
+        )
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            got = spark.sql(
+                f"SELECT coalesce(sum(n), 0) FROM {sink}"
+            ).first()[0]
+            if got == STREAM_TOTAL:
+                break
+            time.sleep(0.2)
+        else:
+            raise TimeoutError(
+                f"python stream source never reached {STREAM_TOTAL} rows"
+            )
+    finally:
+        q.stop()
+    # ≤7 rows: materialize so the sink view can be dropped.
+    rows = [tuple(r) for r in spark.sql(f"SELECT * FROM {sink}").collect()]
+    spark.catalog.dropTempView(sink)
+    return spark.createDataFrame(rows, "k int, n bigint, sum_val double")
+
+
 @query("value_gini_by_type")
 def value_gini_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDAF surface (GROUPED_AGG pandas_udf, the Series→scalar

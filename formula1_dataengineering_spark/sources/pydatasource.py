@@ -34,6 +34,7 @@ from pyspark.sql.datasource import (
     GreaterThanOrEqual,
     InputPartition,
     LessThan,
+    SimpleDataSourceStreamReader,
 )
 
 #: Event-type cycle; index = i % 5.
@@ -103,3 +104,57 @@ class SyntheticEventsDataSource(DataSource):
 
     def reader(self, schema):
         return SyntheticEventsReader(self.options)
+
+
+#: Streaming generator geometry (fixed, mirrored by the gate oracle).
+STREAM_BATCH = 100
+STREAM_TOTAL = 300
+
+
+def _stream_rows(lo: int, hi: int):
+    # A LIST iterator, not a generator: the simple-reader prefetch
+    # cache copy.copy()s the iterator when serving read() results and
+    # replays, and generators are not copyable (TypeError at runtime).
+    return iter(
+        [(j, j % 7, ((j * 2654435761) % 1000) / 10.0) for j in range(lo, hi)]
+    )
+
+
+class SyntheticStreamReader(SimpleDataSourceStreamReader):
+    """Python STREAMING source: offset-managed micro-batch generation.
+
+    ``read(start)`` advances the offset by one batch (empty batch at
+    end-of-stream keeps the offset fixed — the bounded-stream idiom);
+    ``readBetweenOffsets`` deterministically REPLAYS any committed
+    offset range, which is the recovery contract the checkpoint relies
+    on after a crash. Offsets are plain JSON dicts, exactly like a
+    Kafka (topic, partition) → position map.
+    """
+
+    def initialOffset(self):
+        return {"i": 0}
+
+    def read(self, start):
+        i = start["i"]
+        if i >= STREAM_TOTAL:
+            return iter([]), {"i": i}
+        hi = min(i + STREAM_BATCH, STREAM_TOTAL)
+        return _stream_rows(i, hi), {"i": hi}
+
+    def readBetweenOffsets(self, start, end):
+        return _stream_rows(start["i"], end["i"])
+
+
+class SyntheticStreamDataSource(DataSource):
+    """``spark.readStream.format("synthetic_stream")`` — the streaming
+    half of the Python Data Source API (batch half above)."""
+
+    @classmethod
+    def name(cls):
+        return "synthetic_stream"
+
+    def schema(self):
+        return "id bigint, k int, val double"
+
+    def simpleStreamReader(self, schema):
+        return SyntheticStreamReader()

@@ -372,3 +372,34 @@ def test_restart_from_checkpoint_carries_state_exactly_once(spark, tmp_path):
     assert set(run1) == set(want)
     for t, n1 in run1.items():
         assert 0 < n1 < rows[t]["n_events"], (t, n1)
+
+
+def test_python_stream_reader_replay_contract():
+    """SimpleDataSourceStreamReader recovery contract:
+    readBetweenOffsets replays exactly the rows read() produced for
+    the same committed range, iterators are copyable (the prefetch
+    cache copy.copy()s them), and end-of-stream holds the offset."""
+    import copy
+
+    from formula1_dataengineering_spark.sources.pydatasource import (
+        STREAM_TOTAL,
+        SyntheticStreamReader,
+    )
+
+    r = SyntheticStreamReader()
+    off = r.initialOffset()
+    seen = []
+    while True:
+        it, nxt = r.read(off)
+        it2 = copy.copy(it)  # must not raise (generator would)
+        rows = list(it)
+        assert rows == list(it2)
+        if not rows:
+            assert nxt == off  # caught up: offset pinned
+            break
+        replay = list(r.readBetweenOffsets(off, nxt))
+        assert replay == rows
+        seen.extend(rows)
+        off = nxt
+    assert len(seen) == STREAM_TOTAL
+    assert len({t[0] for t in seen}) == STREAM_TOTAL  # no dup ids
