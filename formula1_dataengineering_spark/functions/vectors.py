@@ -66,3 +66,46 @@ def l2_norm_pandas(a: pd.Series) -> pd.Series:
         return pd.Series([], dtype="float64")
     A = np.stack(a.to_numpy()).astype(np.float64, copy=False)
     return pd.Series(np.sqrt(np.einsum("ij,ij->i", A, A)))
+
+
+def norms_map_in_arrow(df, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """L2 norms via ``mapInArrow`` — the pyarrow-native batch mode
+    (no pandas materialization at all): each RecordBatch's list column
+    is reduced with zero-copy numpy over the Arrow value/offset
+    buffers. Completes the Arrow execution inventory next to
+    pandas_udf / Arrow UDF / UDTF / applyInPandas.
+
+    Elements upcast to float64 BEFORE squaring (float32 arithmetic
+    would diverge from the double oracle); per-row segment sums via
+    ``np.add.reduceat`` (sequential within segment, matching a SQL
+    fold), with a loop fallback when any row is empty (reduceat
+    returns the element at a repeated offset instead of 0).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    def kernel(batches):
+        for b in batches:
+            ids = b.column(0)
+            emb = b.column(1)
+            off = emb.offsets.to_numpy()
+            vals = emb.values.to_numpy(zero_copy_only=False).astype(
+                np.float64
+            )
+            sq = vals * vals
+            if len(off) <= 1:
+                sums = np.array([], dtype=np.float64)
+            elif (off[1:] == off[:-1]).any():
+                sums = np.array(
+                    [sq[a:z].sum() for a, z in zip(off[:-1], off[1:])]
+                )
+            else:
+                sums = np.add.reduceat(sq, off[:-1])
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(np.sqrt(sums), type=pa.float64())],
+                ["vec_id", "norm"],
+            )
+
+    return df.select(id_col, vec_col).mapInArrow(
+        kernel, "vec_id long, norm double"
+    )

@@ -826,6 +826,19 @@ FROM g WHERE typ = 'click' AND id >= 500
 GROUP BY bucket
 """
 
+ORACLE_SQL["arrow_embedding_norms"] = """
+SELECT vec_id,
+       round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))), 6) AS norm
+FROM embeddings
+"""
+
+ORACLE_SQL["python_sink_roundtrip"] = """
+SELECT source, count(*) AS n_docs,
+       (SELECT count(*) FROM documents) AS manifest_total
+FROM documents GROUP BY source
+"""
+
 ORACLE_SQL["python_stream_source_totals"] = """
 SELECT CAST(i % 7 AS INT) AS k, count(*) AS n,
        round(sum(((i * 2654435761) % 1000) / 10.0), 2) AS sum_val

@@ -911,6 +911,72 @@ def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("arrow_embedding_norms")
+def arrow_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow surface — pyarrow-native batch processing with NO
+    pandas materialization: L2 norms reduced zero-copy over the Arrow
+    value/offset buffers (functions/vectors.py norms_map_in_arrow).
+    Scale: pure scan-stage narrow transform, one Arrow round trip per
+    batch."""
+    from ..functions.vectors import norms_map_in_arrow
+
+    e = load(spark, sf_dir, "embeddings")
+    return norms_map_in_arrow(e).select(
+        "vec_id", F.round("norm", 6).alias("norm")
+    )
+
+
+@query("python_sink_roundtrip")
+def python_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python Data Source WRITER surface: the documents projection is
+    written through the custom ``jsonl_manifest`` sink (two-phase
+    commit: tasks stage temp files → driver commit publishes parts +
+    manifest; see sources/pydatasource.py JsonlManifestWriter), read
+    BACK from the manifest-listed part files with a declared schema,
+    and aggregated per source. The hash match proves write → commit →
+    publish → read fidelity end-to-end; ``manifest_total`` (the
+    committed row count from the manifest itself, not the data) rides
+    every hashed row.
+
+    Scale: one staged file per task, O(#tasks) driver commit — the
+    Hadoop/Iceberg-shaped batch-commit contract for connector-less
+    sinks."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.pydatasource import JsonlManifestDataSource
+
+    spark.dataSource.register(JsonlManifestDataSource)
+    out = tempfile.mkdtemp(prefix="spark_graft_pysink_")
+    try:
+        (
+            load(spark, sf_dir, "documents")
+            .select("doc_id", "source")
+            .write.format("jsonl_manifest")
+            .option("path", out)
+            .mode("append")
+            .save()
+        )
+        with open(os.path.join(out, "_MANIFEST.json")) as fh:
+            manifest_total = sum(p["rows"] for p in json.load(fh)["parts"])
+        back = spark.read.schema("doc_id long, source string").json(
+            os.path.join(out, "part-*.jsonl")
+        )
+        rows = [
+            (r["source"], r["n_docs"], manifest_total)
+            for r in back.groupBy("source")
+            .agg(F.count("*").alias("n_docs"))
+            .collect()
+        ]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "source string, n_docs bigint, manifest_total bigint"
+    )
+
+
 @query("python_stream_source_totals")
 def python_stream_source_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python STREAMING Data Source surface: a

@@ -32,9 +32,11 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     EqualTo,
     GreaterThanOrEqual,
+    DataSourceWriter,
     InputPartition,
     LessThan,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 #: Event-type cycle; index = i % 5.
@@ -158,3 +160,80 @@ class SyntheticStreamDataSource(DataSource):
 
     def simpleStreamReader(self, schema):
         return SyntheticStreamReader()
+
+
+class _SinkCommit(WriterCommitMessage):
+    """Per-task commit message: the temp file the task staged + count."""
+
+    def __init__(self, path: str, n_rows: int):
+        self.path = path
+        self.n_rows = n_rows
+
+
+class JsonlManifestWriter(DataSourceWriter):
+    """Python Data Source WRITER with the two-phase commit protocol:
+    each task stages its rows to a uniquely-named temp file and
+    returns a commit message; only the driver-side ``commit()`` —
+    which runs iff every task succeeded — publishes the temp files as
+    part files and writes the ``_MANIFEST.json`` making the output
+    visible. ``abort()`` removes staged temps, so a failed job leaves
+    no manifest and no part files: readers keyed on the manifest never
+    see partial output. This is the exactly-once batch-sink contract
+    (same shape as Hadoop commit protocols / Iceberg snapshot commit),
+    here for a sink Spark has no JVM connector for.
+    """
+
+    def __init__(self, options):
+        self.path = options["path"]
+        self.fail = options.get("fail_in_write") == "true"
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f"_tmp-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w") as fh:
+            for row in iterator:
+                if self.fail:
+                    raise RuntimeError("injected write failure")
+                fh.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _SinkCommit(tmp, n)
+
+    def commit(self, messages):
+        import json
+        import os
+
+        parts = []
+        for i, m in enumerate(messages):
+            final = os.path.join(self.path, f"part-{i:05d}.jsonl")
+            os.replace(m.path, final)
+            parts.append(
+                {"file": os.path.basename(final), "rows": m.n_rows}
+            )
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as fh:
+            json.dump({"parts": parts}, fh)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages or []:
+            if m is not None:
+                try:
+                    os.remove(m.path)
+                except OSError:
+                    pass
+
+
+class JsonlManifestDataSource(DataSource):
+    """``df.write.format("jsonl_manifest").option("path", p).save()``."""
+
+    @classmethod
+    def name(cls):
+        return "jsonl_manifest"
+
+    def writer(self, schema, overwrite):
+        return JsonlManifestWriter(self.options)

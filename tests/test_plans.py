@@ -557,3 +557,62 @@ def test_python_datasource_reader_filter_logic():
     r2 = SyntheticEventsReader({"n_rows": "10"})
     list(r2.pushFilters([EqualTo(("typ",), "a"), EqualTo(("typ",), "b")]))
     assert r2.id_hi <= r2.id_lo  # contradictory equality: empty scan
+
+
+def test_python_sink_commit_protocol_atomicity(spark, tmp_path):
+    """Custom Python sink two-phase commit: a successful job publishes
+    part files + manifest whose counts equal the data; a job with an
+    injected task failure leaves NO manifest and no part files (abort
+    removed the staged temps) — readers keyed on the manifest never
+    observe partial output."""
+    import json
+    import os
+
+    from formula1_dataengineering_spark.sources.pydatasource import (
+        JsonlManifestDataSource,
+    )
+
+    spark.dataSource.register(JsonlManifestDataSource)
+    ok_dir = str(tmp_path / "ok")
+    df = spark.range(100).selectExpr("id", "id % 3 AS k")
+    df.write.format("jsonl_manifest").option("path", ok_dir).mode(
+        "append"
+    ).save()
+    manifest = json.load(open(os.path.join(ok_dir, "_MANIFEST.json")))
+    assert sum(p["rows"] for p in manifest["parts"]) == 100
+    for p in manifest["parts"]:
+        n = sum(1 for _ in open(os.path.join(ok_dir, p["file"])))
+        assert n == p["rows"]
+
+    bad_dir = str(tmp_path / "bad")
+    import pytest
+
+    with pytest.raises(Exception):
+        df.write.format("jsonl_manifest").option("path", bad_dir).option(
+            "fail_in_write", "true"
+        ).mode("append").save()
+    left = os.listdir(bad_dir) if os.path.isdir(bad_dir) else []
+    assert "_MANIFEST.json" not in left
+    assert not [f for f in left if f.startswith("part-")]
+
+
+def test_map_in_arrow_norms_handles_empty_rows(spark):
+    """mapInArrow norm kernel: empty embedding rows get norm 0 (the
+    reduceat repeated-offset hazard), values upcast before squaring."""
+    from pyspark.sql import functions as F
+
+    from formula1_dataengineering_spark.functions.vectors import (
+        norms_map_in_arrow,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, []), (3, [0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: r["norm"]
+        for r in norms_map_in_arrow(df)
+        .select("vec_id", F.round("norm", 6).alias("norm"))
+        .collect()
+    }
+    assert got == {1: 5.0, 2: 0.0, 3: 0.5}
