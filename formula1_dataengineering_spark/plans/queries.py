@@ -5587,31 +5587,42 @@ def statestore_reader_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the reader scans only the latest state snapshot — one row
     per group key, partition-parallel over state-store shards; the
-    same audit works unchanged on a production HDFS/S3 checkpoint."""
-    import shutil
-    import tempfile
+    same audit works unchanged on a production HDFS/S3 checkpoint.
 
+    The checkpoint is a cached per-sf artifact (layout_artifact, the
+    derived-layout gates' idiom): the two-run pipeline executes once
+    per (sf, events-mtime) and later invocations audit the SAME
+    persisted state — which is the point: state files on disk, not a
+    fresh pipeline, are what's being verified. The restart gate above
+    always runs the pipeline fresh."""
+    import os
+    import shutil
+
+    from ..sources.catalog import layout_artifact
     from ..streaming.events import restart_recovery_totals
 
-    work = tempfile.mkdtemp(prefix="spark_graft_statestore_gate_")
-    try:
-        # Drive the two-run checkpointed pipeline to completion; its
-        # sink result is ignored here — the gate reads the state files.
-        restart_recovery_totals(spark, sf_dir, work).collect()
-        state = (
-            spark.read.format("statestore")
-            .load(work + "/checkpoint")
-            .select(
-                F.col("key.event_type").alias("event_type"),
-                F.col("value.count").alias("n_events"),
-                F.col("value.sum").alias("sum_uid"),
-            )
-        )
-        # ≤ #event-type rows; materialize so the scratch checkpoint
-        # can be reclaimed (bounded presentation-edge collect).
-        rows = [tuple(r) for r in state.collect()]
-    finally:
+    work, fresh = layout_artifact(
+        sf_dir, "spark_graft_restart_ckpt_v1", "events"
+    )
+    if not fresh:
         shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, "event_type string, n_events bigint, sum_uid bigint"
+        os.makedirs(work, exist_ok=True)
+        # Drive the two-run checkpointed pipeline to completion; its
+        # sink result is ignored — the gate reads the state files.
+        restart_recovery_totals(spark, sf_dir, work).collect()
+        open(os.path.join(work, "_SUCCESS"), "w").close()
+    # The statestore reader resolves the StateStoreCoordinator RPC
+    # endpoint, which only exists once a StreamingQueryManager has
+    # been instantiated — on a fresh session reading a CACHED
+    # checkpoint (no stream started yet) the read would fail with
+    # RpcEndpointNotFoundException. Touching spark.streams creates it.
+    _ = spark.streams.active
+    return (
+        spark.read.format("statestore")
+        .load(os.path.join(work, "checkpoint"))
+        .select(
+            F.col("key.event_type").alias("event_type"),
+            F.col("value.count").alias("n_events"),
+            F.col("value.sum").alias("sum_uid"),
+        )
     )
