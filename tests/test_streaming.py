@@ -403,3 +403,81 @@ def test_python_stream_reader_replay_contract():
         off = nxt
     assert len(seen) == STREAM_TOTAL
     assert len({t[0] for t in seen}) == STREAM_TOTAL  # no dup ids
+
+
+def test_python_stream_source_checkpointed_restart(spark, tmp_path):
+    """REAL restart through the Python stream source: a checkpointed
+    append-sink query is stopped mid-stream (slow test-local source so
+    the stop lands between micro-batches), then a NEW query resumes
+    from the checkpoint. Exactly-once: every id lands exactly once —
+    lost offsets would duplicate the replayed range
+    (readBetweenOffsets), lost progress would gap it."""
+    import os
+    import time
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        SimpleDataSourceStreamReader,
+    )
+
+    class SlowReader(SimpleDataSourceStreamReader):
+        TOTAL, BATCH = 60, 20
+
+        def initialOffset(self):
+            return {"i": 0}
+
+        def read(self, start):
+            i = start["i"]
+            if i >= self.TOTAL:
+                return iter([]), {"i": i}
+            time.sleep(0.8)  # stretch batches so stop lands between
+            hi = min(i + self.BATCH, self.TOTAL)
+            return iter([(j,) for j in range(i, hi)]), {"i": hi}
+
+        def readBetweenOffsets(self, start, end):
+            return iter([(j,) for j in range(start["i"], end["i"])])
+
+    class SlowSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "slow_stream_t"
+
+        def schema(self):
+            return "id bigint"
+
+        def simpleStreamReader(self, schema):
+            return SlowReader()
+
+    spark.dataSource.register(SlowSource)
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    def run(min_rows):
+        q = (
+            spark.readStream.format("slow_stream_t")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            try:
+                n = spark.read.parquet(sink).count()
+            except Exception:
+                n = 0
+            if n >= min_rows:
+                break
+            time.sleep(0.2)
+        q.stop()
+        return spark.read.parquet(sink).count()
+
+    n1 = run(1)  # stop after the first committed batch lands
+    assert 0 < n1 < SlowReader.TOTAL, n1
+    n2 = run(SlowReader.TOTAL)  # restart from checkpoint, finish
+    assert n2 == SlowReader.TOTAL
+    ids = sorted(r["id"] for r in spark.read.parquet(sink).collect())
+    assert ids == list(range(SlowReader.TOTAL))  # exactly once, no gaps
