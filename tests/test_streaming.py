@@ -481,3 +481,50 @@ def test_python_stream_source_checkpointed_restart(spark, tmp_path):
     assert n2 == SlowReader.TOTAL
     ids = sorted(r["id"] for r in spark.read.parquet(sink).collect())
     assert ids == list(range(SlowReader.TOTAL))  # exactly once, no gaps
+
+
+def test_statestore_time_travel_pins_partial_then_final_state(spark, tmp_path):
+    """State-store TIME TRAVEL (batchId option): version 0 of the
+    restart checkpoint must hold exactly run 1's half-A aggregate —
+    the partial state that persisted across the crash — and the final
+    version the full aggregate, strictly larger per key."""
+    from formula1_dataengineering_spark.streaming.events import (
+        restart_recovery_totals,
+    )
+
+    work = str(tmp_path / "work")
+    restart_recovery_totals(spark, SF, work).collect()
+    _ = spark.streams.active
+    ck = work + "/checkpoint"
+
+    def state_at(**opts):
+        r = spark.read.format("statestore")
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return {
+            row["key"]["event_type"]: (
+                row["value"]["count"],
+                row["value"]["sum"],
+            )
+            for row in r.load(ck).collect()
+        }
+
+    v0, vfin = state_at(batchId=0), state_at()
+    ev = load(spark, SF, "events")
+    half_a = {
+        r["event_type"]: (r["n"], r["s"])
+        for r in ev.where(F.expr("pmod(xxhash64(event_id), 2)") == 0)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("user_id").alias("s"))
+        .collect()
+    }
+    full = {
+        r["event_type"]: (r["n"], r["s"])
+        for r in ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("user_id").alias("s"))
+        .collect()
+    }
+    assert v0 == half_a  # exactly run 1's persisted partial state
+    assert vfin == full
+    for t in full:
+        assert v0[t][0] < vfin[t][0]  # strictly partial per key
