@@ -278,6 +278,19 @@ def _tid(expr: str) -> str:
 # the alnum-run variant (mirrors text.alnum_tokens).
 _TOKS = "list_filter(string_split_regex(text, '\\s+'), t -> t != '')"
 _TOKSL = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')"
+#: heuristic lang-ID: stopword-hit columns + argmax CASE — one
+#: definition shared by the per-doc and confusion-matrix oracles
+#: (mirrors functions/text.py STOPWORDS exactly).
+_LANGID_HITS = """len(list_filter(string_split_regex(lower(text), '\\s+'),
+        t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS en,
+    len(list_filter(string_split_regex(lower(text), '\\s+'),
+        t -> t IN ('der', 'die', 'das', 'und', 'nicht'))) AS de,
+    len(list_filter(string_split_regex(lower(text), '\\s+'),
+        t -> t IN ('le', 'la', 'les', 'et', 'pas'))) AS fr"""
+_LANGID_CASE = """CASE WHEN en >= de AND en >= fr AND en > 0 THEN 'en'
+            WHEN de >= fr AND de > 0 THEN 'de'
+            WHEN fr > 0 THEN 'fr'
+            ELSE 'und' END"""
 #: packing-family running prefix sum (tokens BEFORE this doc) — one
 #: definition per accumulation contract; ``over`` is the window scope.
 _CUM_PREV = (
@@ -574,22 +587,14 @@ SELECT doc_id,
 FROM toks
 """
 
-ORACLE_SQL["doc_language_id"] = """
+ORACLE_SQL["doc_language_id"] = f"""
 WITH hits AS (
   SELECT doc_id, lang,
-    len(list_filter(string_split_regex(lower(text), '\\s+'),
-        t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS en,
-    len(list_filter(string_split_regex(lower(text), '\\s+'),
-        t -> t IN ('der', 'die', 'das', 'und', 'nicht'))) AS de,
-    len(list_filter(string_split_regex(lower(text), '\\s+'),
-        t -> t IN ('le', 'la', 'les', 'et', 'pas'))) AS fr
+    {_LANGID_HITS}
   FROM documents
 )
 SELECT doc_id, lang,
-       CASE WHEN en >= de AND en >= fr AND en > 0 THEN 'en'
-            WHEN de >= fr AND de > 0 THEN 'de'
-            WHEN fr > 0 THEN 'fr'
-            ELSE 'und' END AS pred_lang,
+       {_LANGID_CASE} AS pred_lang,
        CAST(en AS INTEGER) AS en_hits
 FROM hits
 """
@@ -1553,13 +1558,16 @@ SELECT doc_id,
 FROM s
 """
 
-ORACLE_SQL["sequence_packing"] = f"""
+def _packing_sql(cum_prev: str) -> str:
+    """The two packing oracles differ ONLY in the prefix-sum window
+    scope (per-source vs global doc order)."""
+    return f"""
 WITH n AS (
   SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
   FROM documents
 ), c AS (
   SELECT doc_id, source, n_tokens,
-         {_CUM_PREV_SRC}
+         {cum_prev}
   FROM n
 )
 SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
@@ -1568,6 +1576,9 @@ SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
        (cum_prev % 512 + n_tokens > 512) AS crosses_boundary
 FROM c
 """
+
+
+ORACLE_SQL["sequence_packing"] = _packing_sql(_CUM_PREV_SRC)
 
 ORACLE_SQL["decontamination_overlap"] = f"""
 WITH toks AS (
@@ -1621,21 +1632,7 @@ SELECT source,
 FROM f GROUP BY source
 """
 
-ORACLE_SQL["sequence_packing_global"] = f"""
-WITH n AS (
-  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
-  FROM documents
-), c AS (
-  SELECT doc_id, source, n_tokens,
-         {_CUM_PREV_GLOBAL}
-  FROM n
-)
-SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
-       CAST(cum_prev // 512 AS BIGINT) AS bin_id,
-       CAST(cum_prev % 512 AS INT) AS bin_offset,
-       (cum_prev % 512 + n_tokens > 512) AS crosses_boundary
-FROM c
-"""
+ORACLE_SQL["sequence_packing_global"] = _packing_sql(_CUM_PREV_GLOBAL)
 
 # --- kmeans_ivf_training: 3 unrolled Lloyd iterations, mirroring
 # operators/clustering.py bit-for-bit (ordered-fold distances via
@@ -2891,22 +2888,14 @@ FROM hashed GROUP BY source
 
 # langid_confusion_matrix: the doc_language_id predicate aggregated
 # into an (actual, predicted) confusion matrix with per-actual shares.
-ORACLE_SQL["langid_confusion_matrix"] = """
+ORACLE_SQL["langid_confusion_matrix"] = f"""
 WITH hits AS (
   SELECT lang,
-    len(list_filter(string_split_regex(lower(text), '\\s+'),
-        t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS en,
-    len(list_filter(string_split_regex(lower(text), '\\s+'),
-        t -> t IN ('der', 'die', 'das', 'und', 'nicht'))) AS de,
-    len(list_filter(string_split_regex(lower(text), '\\s+'),
-        t -> t IN ('le', 'la', 'les', 'et', 'pas'))) AS fr
+    {_LANGID_HITS}
   FROM documents
 ), cells AS (
   SELECT lang AS actual,
-         CASE WHEN en >= de AND en >= fr AND en > 0 THEN 'en'
-              WHEN de >= fr AND de > 0 THEN 'de'
-              WHEN fr > 0 THEN 'fr'
-              ELSE 'und' END AS predicted
+         {_LANGID_CASE} AS predicted
   FROM hits
 ), m AS (
   SELECT actual, predicted, count(*) AS n_docs FROM cells GROUP BY 1, 2
