@@ -1325,6 +1325,8 @@ FROM pos
 """
 
 ORACLE_SQL["events_tumbling_5min_streamed"] = ORACLE_SQL["events_tumbling_5min"]
+# RocksDB provider must produce identical results — same oracle.
+ORACLE_SQL["events_rocksdb_tumbling"] = ORACLE_SQL["events_tumbling_5min"]
 
 ORACLE_SQL["minhash_lsh_fast_dup_recall"] = """
 WITH d AS (

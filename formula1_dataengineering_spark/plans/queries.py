@@ -1942,6 +1942,50 @@ def events_tumbling_5min_streamed(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@query("events_rocksdb_tumbling")
+def events_rocksdb_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tumbling-window aggregation executed on the ROCKSDB state
+    store provider with changelog checkpointing — the 100 TB state
+    backend (state spills to disk instead of bounding itself by
+    executor heap; changelog checkpoints upload deltas, not full
+    snapshots). Identical results to the HDFS-backed default — the
+    same oracle hashes both — so the provider swap is proven to be a
+    pure physical-layer choice.
+
+    Scale: RocksDB is the provider for state cardinalities beyond
+    memory (sessionization over millions of users); local SST reads,
+    compaction amortized, changelog keeps checkpoint upload O(delta).
+    """
+    from ..streaming.events import (
+        read_events_stream,
+        run_to_completion,
+        tumbling_event_counts,
+    )
+
+    agg = tumbling_event_counts(read_events_stream(spark, sf_dir))
+    res = run_to_completion(
+        agg,
+        "gate_rocksdb_tumbling",
+        output_mode="complete",
+        start_conf={
+            "spark.sql.streaming.stateStore.providerClass": (
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider"
+            ),
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled": "true",
+        },
+    )
+    return res.select(
+        (F.unix_micros("window_start") / F.lit(1_000_000)).cast("bigint").alias(
+            "window_start_s"
+        ),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
 @query("minhash_lsh_fast_dup_recall")
 def minhash_lsh_fast_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FAST dedup path (xxhash64 term ids — the mode a 100-TB run

@@ -78,6 +78,16 @@ SENSITIVE = [
     "l_diversity_profile",
     "doc_skyline_frontier",
     "mergeable_profile_check",
+    # Round-7 additions with partition-sensitive shapes: per-cell GEMM
+    # top-k + float rank ties (triangles), whole-group UDAF float
+    # reduction (gini), zero-copy Arrow segment sums (norms), and the
+    # partition-planned Python source (generation split across
+    # InputPartitions must not leak into results).
+    "embedding_knn_triangles",
+    "value_gini_by_type",
+    "arrow_embedding_norms",
+    "python_datasource_scan",
+    "udtf_window_chunks",
 ]
 
 
