@@ -528,3 +528,22 @@ def test_statestore_time_travel_pins_partial_then_final_state(spark, tmp_path):
     assert vfin == full
     for t in full:
         assert v0[t][0] < vfin[t][0]  # strictly partial per key
+    # Change feed: per key, exactly one update per micro-batch across
+    # the restart, carrying the same partial-then-final progression.
+    feed = (
+        spark.read.format("statestore")
+        .option("readChangeFeed", "true")
+        .option("changeStartBatchId", 0)
+        .load(ck)
+        .collect()
+    )
+    changes = {}
+    for row in feed:
+        assert row["change_type"] == "update"
+        changes.setdefault(row["key"]["event_type"], {})[row["batch_id"]] = (
+            row["value"]["count"],
+            row["value"]["sum"],
+        )
+    assert all(sorted(b) == [0, 1] for b in changes.values())
+    assert {t: b[0] for t, b in changes.items()} == half_a
+    assert {t: b[1] for t, b in changes.items()} == full
