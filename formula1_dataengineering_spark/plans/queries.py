@@ -999,22 +999,32 @@ def python_stream_source_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         SyntheticStreamDataSource,
     )
 
+    from ..session import int_conf, scoped_conf
+
     spark.dataSource.register(SyntheticStreamDataSource)
     sink = f"pystream_{uuid.uuid4().hex[:8]}"
-    q = (
-        spark.readStream.format("synthetic_stream")
-        .load()
-        .groupBy("k")
-        .agg(
-            F.count("*").alias("n"),
-            F.round(F.sum("val"), 2).alias("sum_val"),
+    # Cap state partitions at stream START (the run_to_completion
+    # idiom): 7 keys through 32 state stores per micro-batch is pure
+    # fixed cost — measured 4.3 s -> ~2 s in the bench session.
+    confs = {}
+    cur = int_conf(spark, "spark.sql.shuffle.partitions")
+    if cur is not None:
+        confs["spark.sql.shuffle.partitions"] = str(min(cur, 4))
+    with scoped_conf(spark, confs):
+        q = (
+            spark.readStream.format("synthetic_stream")
+            .load()
+            .groupBy("k")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("val"), 2).alias("sum_val"),
+            )
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(processingTime="0 seconds")
+            .start()
         )
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(processingTime="0 seconds")
-        .start()
-    )
     try:
         deadline = time.time() + 120
         while time.time() < deadline:
@@ -1023,7 +1033,7 @@ def python_stream_source_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).first()[0]
             if got == STREAM_TOTAL:
                 break
-            time.sleep(0.2)
+            time.sleep(0.05)
         else:
             raise TimeoutError(
                 f"python stream source never reached {STREAM_TOTAL} rows"
