@@ -547,3 +547,73 @@ def test_statestore_time_travel_pins_partial_then_final_state(spark, tmp_path):
     assert all(sorted(b) == [0, 1] for b in changes.values())
     assert {t: b[0] for t, b in changes.items()} == half_a
     assert {t: b[1] for t, b in changes.items()} == full
+
+
+def test_statestore_join_sides_hold_exact_source_rows(spark, tmp_path):
+    """Stream-stream JOIN state audit: spark.read.format('statestore')
+    with joinSide exposes each side's buffered rows. Every retained
+    state row must equal its source event field-for-field (buffered
+    join state is data, not engine opacity), sides must carry their
+    own schemas, and retention must respect the watermark horizon
+    (nothing older than final watermark minus the join range)."""
+    import os
+
+    from formula1_dataengineering_spark.streaming.events import (
+        read_events_stream,
+        stream_view_purchase_join,
+    )
+
+    ck = str(tmp_path / "ck")
+    j = stream_view_purchase_join(read_events_stream(spark, SF))
+    q = (
+        j.writeStream.format("memory")
+        .queryName("ssj_state_t")
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    ev = load(spark, SF, "events")
+    views = {
+        r["event_id"]: (r["user_id"], r["ts"])
+        for r in ev.where(F.col("event_type") == "view").collect()
+    }
+    purchases = {
+        r["event_id"]: (r["user_id"], r["ts"], r["value"])
+        for r in ev.where(F.col("event_type") == "purchase").collect()
+    }
+    max_ts = ev.agg(F.max("ts")).first()[0]
+
+    left = spark.read.format("statestore").option("joinSide", "left").load(ck)
+    lrows = left.collect()
+    assert lrows, "left join state empty — nothing audited"
+    for r in lrows:
+        v = r["value"]
+        assert views[v["view_id"]] == (v["user_id"], v["view_ts"])
+    right = (
+        spark.read.format("statestore").option("joinSide", "right").load(ck)
+    )
+    rrows = right.collect()
+    assert rrows, "right join state empty — nothing audited"
+    for r in rrows:
+        v = r["value"]
+        assert purchases[v["purchase_id"]] == (
+            v["p_user_id"], v["purchase_ts"], v["purchase_value"],
+        )
+    # watermark eviction happened: state retains only the horizon tail
+    # (eviction is lazy — the LAST batch doesn't re-clean — so assert
+    # a generous bound, not the exact cutoff: ≤10% of each side kept,
+    # and nothing older than 2 hours before the stream's max event
+    # time, vs a multi-day source span).
+    import datetime
+
+    assert len(lrows) <= max(1, len(views) // 10)
+    assert len(rrows) <= max(1, len(purchases) // 10)
+    cutoff = max_ts - datetime.timedelta(hours=2)
+    for r in lrows:
+        assert r["value"]["view_ts"] >= cutoff
+    for r in rrows:
+        assert r["value"]["purchase_ts"] >= cutoff
