@@ -1326,6 +1326,15 @@ FROM pos
 
 ORACLE_SQL["events_tumbling_5min_streamed"] = ORACLE_SQL["events_tumbling_5min"]
 # RocksDB provider must produce identical results — same oracle.
+ORACLE_SQL["schema_evolution_read"] = """
+SELECT source,
+       count(*) AS n_docs,
+       count(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS n_with_chars,
+       CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT)
+         AS sum_chars
+FROM documents GROUP BY source
+"""
+
 ORACLE_SQL["events_rocksdb_tumbling"] = ORACLE_SQL["events_tumbling_5min"]
 
 ORACLE_SQL["minhash_lsh_fast_dup_recall"] = """

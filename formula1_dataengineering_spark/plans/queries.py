@@ -1952,6 +1952,48 @@ def events_tumbling_5min_streamed(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@query("schema_evolution_read")
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema EVOLUTION over a parquet dataset — the lakehouse reality
+    that a 100 TB table's early files lack columns added later: batch
+    1 (even doc_ids) is written WITHOUT ``n_chars``, batch 2 (odd)
+    with it; a ``mergeSchema`` read unions the file schemas and old
+    rows surface NULL for the late column. The aggregate pins the
+    null-fill semantics per source (count vs count-non-null vs sum).
+
+    Scale: mergeSchema pays one footer read per file at planning —
+    fine for a layout build, but production tables pin the schema in a
+    catalog (the note the gate's artifact docstring carries); column
+    pruning and pushdown still work on the merged schema.
+
+    Layout artifact: built once per (sf, documents-mtime), like the
+    partitioned/bucketed/Z-order gates."""
+    import os
+
+    from ..sources.catalog import layout_artifact
+
+    path, fresh = layout_artifact(
+        sf_dir, "spark_graft_schema_evo_v1", "documents"
+    )
+    if not fresh:
+        docs = load(spark, sf_dir, "documents")
+        docs.where(F.col("doc_id") % 2 == 0).select(
+            "doc_id", "source"
+        ).write.mode("overwrite").parquet(os.path.join(path, "batch1"))
+        docs.where(F.col("doc_id") % 2 == 1).select(
+            "doc_id", "source", "n_chars"
+        ).write.mode("overwrite").parquet(os.path.join(path, "batch2"))
+        open(os.path.join(path, "_SUCCESS"), "w").close()
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(path, "batch1"), os.path.join(path, "batch2")
+    )
+    return merged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count("n_chars").alias("n_with_chars"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
 @query("events_rocksdb_tumbling")
 def events_rocksdb_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The tumbling-window aggregation executed on the ROCKSDB state

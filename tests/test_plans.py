@@ -616,3 +616,38 @@ def test_map_in_arrow_norms_handles_empty_rows(spark):
         .collect()
     }
     assert got == {1: 5.0, 2: 0.0, 3: 0.5}
+
+
+def test_jsonl_corrupt_record_handling(spark, tmp_path):
+    """Ingest robustness: PERMISSIVE mode surfaces corrupt JSONL lines
+    in _corrupt_record (good rows parse, bad rows null-fill),
+    DROPMALFORMED silently drops them, FAILFAST raises — the three
+    contracts a 100 TB dirty-dump ingest chooses between."""
+    import pytest
+
+    p = tmp_path / "dirty.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "ok one"}\n'
+        "{not json at all\n"
+        '{"doc_id": 2, "text": "ok two"}\n'
+        '{"doc_id": "NaN-ish", "text": 3}\n'
+    )
+    schema = (
+        "doc_id long, text string, _corrupt_record string"
+    )
+    df = spark.read.schema(schema).json(str(p))
+    rows = df.collect()
+    good = {r["doc_id"] for r in rows if r["_corrupt_record"] is None}
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert good == {1, 2}
+    assert len(bad) == 2  # the unparseable line and the type mismatch
+    dropped = (
+        spark.read.schema("doc_id long, text string")
+        .option("mode", "DROPMALFORMED")
+        .json(str(p))
+    )
+    assert {r["doc_id"] for r in dropped.collect()} == {1, 2}
+    with pytest.raises(Exception):
+        spark.read.schema("doc_id long, text string").option(
+            "mode", "FAILFAST"
+        ).json(str(p)).collect()

@@ -318,3 +318,41 @@ def test_kmv_exact_below_k(spark, ids):
     ).collect()[0]
     assert row["kmv_distinct_ids"] == float(len(set(ids)))
     assert row["n_rows"] == len(ids)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)), max_size=25
+    ),
+)
+@_SETTINGS
+def test_triangle_count_matches_bruteforce(spark, edges):
+    """Degree-oriented enumeration == brute-force triple check on
+    random multigraphs (self-loops, duplicates, both directions):
+    same triangle SET, each emitted exactly once, in (deg,id)
+    orientation order."""
+    from itertools import combinations
+
+    from formula1_dataengineering_spark.operators.graph import triangle_count
+
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nodes = sorted({n for e in und for n in e})
+    want = {
+        tuple(sorted(t))
+        for t in combinations(nodes, 3)
+        if {(t[0], t[1]), (t[0], t[2]), (t[1], t[2])} <= und
+    }
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = [tuple(r) for r in triangle_count(df).collect()]
+    assert {tuple(sorted(t)) for t in got} == want
+    assert len(got) == len(want)  # exactly once each
+    # orientation order: a precedes b precedes c under (deg, id)
+    deg = {}
+    for u, v in und:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    for a, b, c in got:
+        ka, kb, kc = (deg[a], a), (deg[b], b), (deg[c], c)
+        assert ka < kb < kc
