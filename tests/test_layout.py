@@ -201,3 +201,45 @@ def test_jsonl_roundtrip_and_declared_schema(spark, tmp_path):
     rows = read_jsonl(spark, str(bad), schema).collect()
     assert len(rows) == 2  # corrupt line kept as nulls, job survives
     assert {r["doc_id"] for r in rows} == {1, None}
+
+
+def test_max_records_per_file_bounds_file_sizes(spark, tmp_path):
+    """Small-files control: maxRecordsPerFile splits a partition's
+    output into bounded files (the knob that keeps 100 TB writes from
+    emitting multi-GB part files), and the rows round-trip exactly."""
+    import glob
+
+    out = str(tmp_path / "bounded")
+    df = spark.range(1000).repartition(2)
+    df.write.option("maxRecordsPerFile", 100).mode("overwrite").parquet(out)
+    parts = glob.glob(out + "/part-*.parquet")
+    assert len(parts) >= 10  # 1000 rows / 100 cap
+    for p in parts:
+        n = spark.read.parquet(p).count()
+        assert n <= 100
+    assert spark.read.parquet(out).count() == 1000
+
+
+def test_merge_schema_still_prunes_columns(spark, tmp_path):
+    """mergeSchema unions file schemas at planning, but a projection
+    over the merged schema must still PRUNE to the requested columns
+    in the scan (ReadSchema) — schema evolution doesn't forfeit
+    column pruning."""
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    spark.range(10).selectExpr("id", "id * 2 AS x").write.parquet(a)
+    spark.range(10, 20).selectExpr(
+        "id", "id * 2 AS x", "id * 3 AS y"
+    ).write.parquet(b)
+    df = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(a, b)
+        .select("id")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert rs
+    schema = rs[0].split("ReadSchema:")[1]
+    assert "x" not in schema and "y" not in schema
+    assert "id" in schema
+    assert df.count() == 20

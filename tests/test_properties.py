@@ -356,3 +356,97 @@ def test_triangle_count_matches_bruteforce(spark, edges):
     for a, b, c in got:
         ka, kb, kc = (deg[a], a), (deg[b], b), (deg[c], c)
         assert ka < kb < kc
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab \t\n"), max_size=40
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    size=st.integers(1, 5),
+)
+@_SETTINGS
+def test_udtf_chunker_matches_python_reference(spark, texts, size):
+    """Arrow UDTF chunker == pure-Python reference on random
+    whitespace-heavy strings: same rows, same chunk numbering, full
+    token coverage, no empty chunks."""
+    from formula1_dataengineering_spark.operators.curation import (
+        make_window_chunks_udtf,
+    )
+
+    spark.udtf.register("wc_prop", make_window_chunks_udtf())
+    spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    ).createOrReplaceTempView("wc_prop_docs")
+    got = sorted(
+        tuple(r)
+        for r in spark.sql(
+            f"SELECT d.doc_id, c.chunk_no, c.start_token, c.chunk_text, "
+            f"c.n_tokens FROM wc_prop_docs d, "
+            f"LATERAL wc_prop(d.text, {size}) c"
+        ).collect()
+    )
+    want = []
+    for doc_id, t in enumerate(texts):
+        toks = t.split()
+        for i in range(0, len(toks), size):
+            w = toks[i : i + size]
+            want.append(
+                (doc_id, i // size + 1, i, " ".join(w), len(w))
+            )
+    assert got == sorted(want)
+
+
+@given(
+    vecs=st.lists(
+        st.tuples(
+            st.integers(-3, 3), st.integers(-3, 3), st.integers(-3, 3)
+        ),
+        min_size=2,
+        max_size=10,
+        unique=True,
+    ),
+)
+@_SETTINGS
+def test_mutual_knn_matches_numpy_reference(spark, vecs):
+    """Per-cell GEMM mutual-kNN == a numpy brute-force reference:
+    same undirected edge set (reciprocal top-k under cos desc, id asc;
+    zero vectors excluded)."""
+    import numpy as np
+
+    from formula1_dataengineering_spark.operators.similarity import (
+        mutual_knn_edges,
+    )
+
+    k = 2
+    rows = [
+        (i, [float(x) for x in v], "c") for i, v in enumerate(vecs)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+    got = sorted(tuple(r) for r in mutual_knn_edges(emb, k=k).collect())
+
+    M = np.array([v for _, v in enumerate(vecs)], dtype=np.float64)
+    n = len(vecs)
+    norms = np.sqrt((M * M).sum(axis=1))
+    topk = {}
+    for i in range(n):
+        cands = []
+        for j in range(n):
+            if j == i or norms[i] == 0 or norms[j] == 0:
+                continue
+            cos = float(M[i] @ M[j] / (norms[i] * norms[j]))
+            cands.append((-cos, j))
+        cands.sort()
+        topk[i] = {j for _, j in cands[:k]}
+    want = sorted(
+        (i, j)
+        for i in range(n)
+        for j in topk.get(i, ())
+        if i < j and i in topk.get(j, set())
+    )
+    assert got == want
