@@ -101,3 +101,42 @@ def test_salted_join_bounds_shuffle_partitions(spark):
     got = salted_join(fact, dim, ["k"], n_salt=n_part).groupBy("grp").count()
     want = fact.join(dim, ["k"]).groupBy("grp").count()
     assert sorted(got.collect()) == sorted(want.collect())
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE skew-join actually ENGAGES on a hot key: 90% of the left
+    rows hash to one shuffle partition; with broadcast disabled and
+    thresholds sized to the data, the FINAL adaptive plan must carry
+    SortMergeJoin(skew=true) — the runtime split the operators/skew.py
+    docstring defers to — and the join result stays exact."""
+    from pyspark.sql import functions as F
+
+    from formula1_dataengineering_spark.session import scoped_conf
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": (
+            "16KB"
+        ),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    with scoped_conf(spark, confs):
+        left = spark.range(30000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(2000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("rv")
+        )
+        j = left.join(right, "k")
+        rows = j.collect()  # executes THIS QueryExecution (AQE final)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "SortMergeJoin(skew=true)" in plan
+    # exact: 27000 hot-key pairs + the 200 non-hot ids < 2000
+    assert len(rows) == 27000 + 200
