@@ -196,9 +196,15 @@ def main():
     import __spark_entry__ as E
 
     con = duckdb.connect()
+    import os
+
     for t in TABLES:
+        # testdata ships single files; Spark-built replica dirs (the
+        # 10x correctness drives) are DIRECTORIES of part files.
+        p = f"{SF_DIR}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
         )
 
     queries = E.queries()
