@@ -169,8 +169,14 @@ ORACLE_SQL["asof_backward_purchase"] = """
 WITH views AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
 ), purchases AS (
-  SELECT user_id, ts, event_id AS purchase_id, value AS purchase_value
-  FROM events WHERE event_type = 'purchase'
+  -- greatest-payload dedup per (user, ts): DuckDB's ASOF JOIN is
+  -- tie-ambiguous when several right rows share a timestamp; the
+  -- Spark operator's documented winner is the greatest payload tuple
+  -- (here: max purchase_id). No-op on tie-free data, deterministic
+  -- under replication (the 10x/100x correctness drives).
+  SELECT user_id, ts, max(event_id) AS purchase_id,
+         arg_max(value, event_id) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
 )
 SELECT v.event_id, v.user_id, epoch_us(v.ts) AS ts_us,
        p.purchase_id, round(p.purchase_value, 2) AS purchase_value,
@@ -183,7 +189,9 @@ ORACLE_SQL["asof_nearest_error"] = """
 WITH clicks AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
 ), errors AS (
-  SELECT user_id, ts, event_id AS error_id FROM events WHERE event_type = 'error'
+  -- greatest-payload tie dedup (see asof_backward_purchase note)
+  SELECT user_id, ts, max(event_id) AS error_id
+  FROM events WHERE event_type = 'error' GROUP BY user_id, ts
 ), bwd AS (
   SELECT c.event_id, c.user_id, c.ts, e.error_id AS b_id, e.ts AS b_ts
   FROM clicks c ASOF LEFT JOIN errors e ON c.user_id = e.user_id AND c.ts >= e.ts
@@ -1179,7 +1187,9 @@ ORACLE_SQL["asof_forward_error"] = """
 WITH purchases AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
 ), errors AS (
-  SELECT user_id, ts, event_id AS error_id FROM events WHERE event_type = 'error'
+  -- greatest-payload tie dedup (see asof_backward_purchase note)
+  SELECT user_id, ts, max(event_id) AS error_id
+  FROM events WHERE event_type = 'error' GROUP BY user_id, ts
 )
 SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
        e.error_id, epoch_us(e.ts) AS error_ts_us
@@ -1435,8 +1445,9 @@ ORACLE_SQL["asof_tolerance_purchase"] = """
 WITH views AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
 ), purchases AS (
-  SELECT user_id, ts, event_id AS purchase_id
-  FROM events WHERE event_type = 'purchase'
+  -- greatest-payload tie dedup (see asof_backward_purchase note)
+  SELECT user_id, ts, max(event_id) AS purchase_id
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
 )
 SELECT v.event_id, v.user_id, epoch_us(v.ts) AS ts_us,
        CASE WHEN epoch_us(v.ts) - epoch_us(p.ts) <= 1800000000
