@@ -63,6 +63,32 @@ def main() -> None:
         gc.collect()
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Durable per-query artifact: the driver's stdout capture keeps only
+    # a bounded tail, which truncates the full per-query line below to
+    # ~63 entries (VERDICT r7 item 5) — round-over-round per-query
+    # diffs need the complete map, so persist it beside the repo.
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "bench_per_query.json",
+            ),
+            "w",
+        ) as fh:
+            json.dump(
+                {
+                    "metric": "catalog_total_runtime",
+                    "value": round(total, 3),
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": sf_val,
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
+    except OSError:
+        pass  # read-only checkout: stdout line still carries the data
     print(
         json.dumps(
             {

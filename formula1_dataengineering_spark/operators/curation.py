@@ -100,9 +100,14 @@ def make_window_chunks_udtf():
     Python-execution inventory next to pandas_udf / mapInPandas /
     applyInPandas(WithState).
 
-    Tokenization is Python ``str.split()`` — identical semantics to
-    the catalog's ``\\s+``-split-and-drop-empties contract (the DuckDB
-    ``_TOKS`` fragment), so the oracle is exact.
+    Tokenization splits on the explicit ASCII whitespace class
+    ``[ \\t\\n\\r\\f\\v]+`` with empties dropped — exactly the catalog's
+    Spark-side ``F.split(text, "\\s+")`` contract (Java ``\\s``). NOT
+    ``str.split()``: that splits on all Unicode whitespace (NBSP,
+    U+2028, …), which would silently diverge from the oracle on any
+    non-ASCII whitespace (ADVICE r7). Residual catalog-wide nuance:
+    DuckDB's RE2 ``\\s`` excludes ``\\v`` where Java's includes it —
+    moot on this ASCII corpus and documented here rather than hidden.
 
     Returned class is registered per-session::
 
@@ -129,9 +134,12 @@ def make_window_chunks_udtf():
     )
     class WindowChunks:
         def eval(self, text, size):
+            import re
+
             if text is None or size is None or size <= 0:
                 return
-            toks = text.split()
+            # ASCII whitespace only — see the tokenization note above.
+            toks = [t for t in re.split(r"[ \t\n\r\f\v]+", text) if t]
             for i in range(0, len(toks), size):
                 w = toks[i : i + size]
                 yield (i // size + 1, i, " ".join(w), len(w))

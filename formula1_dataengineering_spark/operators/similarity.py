@@ -425,6 +425,13 @@ def mutual_knn_edges(
         norms = np.sqrt((M * M).sum(axis=1))
         norms[norms == 0] = np.nan
         C = (M @ M.T) / np.outer(norms, norms)
+        # Rank on QUANTIZED cosines: GEMM float64 summation order
+        # differs from the oracle's sequential dot-product fold in the
+        # last ulp, which can flip top-k membership for near-tied
+        # cosines before any rounding (ADVICE r7). Both sides round to
+        # 12 dp before the rank, making selection divergence-proof —
+        # the same discipline as the kmeans/PQ ordered folds.
+        C = np.round(C, 12)
         np.fill_diagonal(C, np.nan)  # self-matches never rank
         qa, qb = [], []
         for i in range(len(ids)):

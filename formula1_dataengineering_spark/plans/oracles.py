@@ -548,8 +548,13 @@ WITH e AS (
   SELECT a.vec_id AS qa, b.vec_id AS qb, {_COS} AS cos
   FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
 ), ranked AS (
+  -- rank on the QUANTIZED cosine (12 dp), mirroring mutual_knn_edges:
+  -- raw BLAS GEMM float64 sums and DuckDB's sequential fold can differ
+  -- in the last ulp, which would flip top-k membership for near-tied
+  -- cosines before any output rounding (ADVICE r7). 12 dp is far
+  -- below any real similarity gap and far above double ulp at |cos|≤1.
   SELECT qa, qb, row_number() OVER (
-    PARTITION BY qa ORDER BY cos DESC, qb ASC) AS rk
+    PARTITION BY qa ORDER BY round(cos, 12) DESC, qb ASC) AS rk
   FROM scored
 ), knn AS (
   SELECT qa, qb FROM ranked WHERE rk <= 3
@@ -866,7 +871,12 @@ WITH v AS (
   FROM events WHERE value IS NOT NULL
 )
 SELECT event_type,
-       round(sum((2 * i - n - 1) * value) / (max(n) * sum(value)), 6) AS gini,
+       -- zero-sum guard mirrors gini_pandas's empty/zero contract
+       -- (ADVICE r7): a group summing to 0 is defined as G = 0, not
+       -- NULL/div-by-zero.
+       CASE WHEN sum(value) = 0 THEN 0.0
+            ELSE round(sum((2 * i - n - 1) * value) / (max(n) * sum(value)), 6)
+       END AS gini,
        CAST(max(n) AS BIGINT) AS n_values
 FROM v GROUP BY event_type
 """

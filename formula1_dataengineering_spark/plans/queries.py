@@ -889,26 +889,33 @@ def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushdown shrinks the generated range server-side — the same two
     contracts a production custom connector (internal service, bespoke
     format) needs."""
+    from ..session import scoped_conf
     from ..sources.pydatasource import SyntheticEventsDataSource
 
     spark.dataSource.register(SyntheticEventsDataSource)
-    # NOT scoped: the returned frame is lazy and the caller collects
-    # after this function returns — planning must still see the flag,
-    # and a reader that implements pushFilters() hard-errors when it's
-    # off. Benign to leave on: it only affects Python data sources.
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    df = (
-        spark.read.format("synthetic_events")
-        .option("n_rows", 20_000)
-        .option("n_partitions", 8)
-        .load()
-        .where((F.col("typ") == "click") & (F.col("id") >= 500))
-    )
-    return df.groupBy("bucket").agg(
-        F.count("*").alias("n"),
-        F.round(F.sum("val"), 3).alias("sum_val"),
-        F.max("id").alias("max_id"),
-    )
+    # pushFilters() needs the flag at COLLECT time, so a lazily-returned
+    # frame would force leaving it set on the shared session (ADVICE r7:
+    # every later gate then runs under a conf this gate changed). The
+    # aggregate is bounded (#buckets rows), so materialize it inside the
+    # scoped conf and return a local frame — the flag is restored before
+    # the gate returns, and the pushdown path still executes for real.
+    lazy = None
+    with scoped_conf(spark, {"spark.sql.python.filterPushdown.enabled": "true"}):
+        lazy = (
+            spark.read.format("synthetic_events")
+            .option("n_rows", 20_000)
+            .option("n_partitions", 8)
+            .load()
+            .where((F.col("typ") == "click") & (F.col("id") >= 500))
+            .groupBy("bucket")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("val"), 3).alias("sum_val"),
+                F.max("id").alias("max_id"),
+            )
+        )
+        rows = lazy.collect()
+    return spark.createDataFrame(rows, schema=lazy.schema)
 
 
 @query("arrow_embedding_norms")

@@ -56,6 +56,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Python Data Source pushdown is a session capability flag, not
+        # a per-query toggle (pushFilters() needs it at COLLECT time,
+        # so a gate-scoped set/restore around a lazy frame breaks) —
+        # pin it at bootstrap so no gate has to mutate shared state.
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         # Deterministic float formatting across JVM locales.

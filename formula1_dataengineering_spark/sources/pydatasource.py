@@ -218,6 +218,7 @@ class JsonlManifestWriter(DataSourceWriter):
             json.dump({"parts": parts}, fh)
 
     def abort(self, messages):
+        import glob
         import os
 
         for m in messages or []:
@@ -226,6 +227,16 @@ class JsonlManifestWriter(DataSourceWriter):
                     os.remove(m.path)
                 except OSError:
                     pass
+        # A task that raised inside write() never returned a commit
+        # message, so its staged temp is not in `messages` — sweep all
+        # remaining temps. Safe: temps are uuid-named, live only under
+        # this sink's path, and are only ever published by commit()'s
+        # os.replace, which removes the temp name atomically.
+        for orphan in glob.glob(os.path.join(self.path, "_tmp-*.jsonl")):
+            try:
+                os.remove(orphan)
+            except OSError:
+                pass
 
 
 class JsonlManifestDataSource(DataSource):

@@ -509,19 +509,23 @@ def test_python_datasource_pushdown_consumed_and_correct(spark):
         SyntheticEventsDataSource,
     )
 
+    from formula1_dataengineering_spark.session import scoped_conf
+
     spark.dataSource.register(SyntheticEventsDataSource)
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    df = (
-        spark.read.format("synthetic_events")
-        .option("n_rows", 100)
-        .option("n_partitions", 3)
-        .load()
-        .where((F.col("typ") == "view") & (F.col("id") >= 10))
-    )
-    opt = df._jdf.queryExecution().optimizedPlan().toString()
-    assert "view" not in opt and ">= 10" not in opt  # consumed
-    assert "isnotnull" in opt  # unsupported residue re-applied
-    rows = sorted(r["id"] for r in df.collect())
+    with scoped_conf(
+        spark, {"spark.sql.python.filterPushdown.enabled": "true"}
+    ):
+        df = (
+            spark.read.format("synthetic_events")
+            .option("n_rows", 100)
+            .option("n_partitions", 3)
+            .load()
+            .where((F.col("typ") == "view") & (F.col("id") >= 10))
+        )
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "view" not in opt and ">= 10" not in opt  # consumed
+        assert "isnotnull" in opt  # unsupported residue re-applied
+        rows = sorted(r["id"] for r in df.collect())
     assert rows == [i for i in range(10, 100) if i % 5 == 1]
 
 
@@ -594,6 +598,10 @@ def test_python_sink_commit_protocol_atomicity(spark, tmp_path):
     left = os.listdir(bad_dir) if os.path.isdir(bad_dir) else []
     assert "_MANIFEST.json" not in left
     assert not [f for f in left if f.startswith("part-")]
+    # A task that raised inside write() never returned a commit message,
+    # so abort() must sweep its staged temp too (ADVICE r7): the output
+    # directory is left with NO residue at all.
+    assert not [f for f in left if f.startswith("_tmp-")]
 
 
 def test_map_in_arrow_norms_handles_empty_rows(spark):
