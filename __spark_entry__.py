@@ -32,10 +32,12 @@ from formula1_dataengineering_spark.plans import ORACLE_SQL, QUERIES
 #: queue (per round-4 advice). Keep this list current — add any query
 #: whose Spark plan or oracle changed since its last green row.
 _PRIORITY: list[str] = [
-    # round 7: no rewrites pending yet — doc_skyline_frontier earned
-    # its post-rewrite green row in CORRECTNESS_r06, so the rotation
-    # is pure staleness this round (the ~50 r3-era curation/recipe
-    # gates sort first automatically below, per VERDICT r6 item 1).
+    # round 8: the money-sum family was rewritten to order-independent
+    # quantized sums (functions/exactsum.py, VERDICT r7 item 6). Six of
+    # the seven rewritten gates are r4-stale and sort into the block
+    # anyway; salted_user_event_totals is r5-stale and alphabetically
+    # late, so pin it (it still counts as an r5-stale re-green).
+    "salted_user_event_totals",
 ]
 
 

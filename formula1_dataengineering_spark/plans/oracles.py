@@ -16,12 +16,27 @@ from __future__ import annotations
 
 ORACLE_SQL: dict[str, str] = {}
 
-ORACLE_SQL["pricing_summary"] = """
+
+def _qsum(expr: str, in_dp: int, out_dp: int = 2) -> str:
+    """Order-independent ``round(sum(expr), out_dp)`` for fixed-point
+    money expressions carrying ``in_dp`` decimal places — the oracle
+    half of functions/exactsum.py (round-7 cent-flip rule): quantize
+    each row to its exact integer unit count, sum as HUGEINT (exact in
+    any order), divide back once. Keep ``expr`` textually parallel to
+    the DataFrame expression so the per-row doubles are bit-identical.
+    """
+    s = 10**in_dp
+    return (
+        f"round(CAST(sum(CAST(round(({expr}) * {s}) AS HUGEINT)) "
+        f"AS DOUBLE) / {s}, {out_dp})"
+    )
+
+ORACLE_SQL["pricing_summary"] = f"""
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2)                                        AS sum_qty,
-       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       {_qsum("l_extendedprice", 2)}                                   AS sum_base_price,
+       {_qsum("l_extendedprice * (1 - l_discount)", 4)}                AS sum_disc_price,
+       {_qsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)}  AS sum_charge,
        round(avg(l_quantity), 4)                                        AS avg_qty,
        round(avg(l_extendedprice), 4)                                   AS avg_price,
        round(avg(l_discount), 4)                                        AS avg_disc,
@@ -31,9 +46,9 @@ WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 """
 
-ORACLE_SQL["revenue_by_nation"] = """
+ORACLE_SQL["revenue_by_nation"] = f"""
 SELECT r_name, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       {_qsum("l_extendedprice * (1 - l_discount)", 4)} AS revenue,
        count(*) AS n_items
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
@@ -42,13 +57,13 @@ JOIN region   ON n_regionkey = r_regionkey
 GROUP BY r_name, n_name
 """
 
-ORACLE_SQL["order_priority_buckets"] = """
+ORACLE_SQL["order_priority_buckets"] = f"""
 SELECT o_orderpriority,
        CASE WHEN o_totalprice < 50000 THEN 'low'
             WHEN o_totalprice < 150000 THEN 'mid'
             ELSE 'high' END AS price_bucket,
        count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS total_price
+       {_qsum("o_totalprice", 2)} AS total_price
 FROM orders
 GROUP BY 1, 2
 """
@@ -57,10 +72,10 @@ ORACLE_SQL["distinct_flag_status"] = """
 SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
 """
 
-ORACLE_SQL["rollup_priority_status"] = """
+ORACLE_SQL["rollup_priority_status"] = f"""
 SELECT o_orderpriority, o_orderstatus,
        count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS total_price
+       {_qsum("o_totalprice", 2)} AS total_price
 FROM orders
 GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 """
@@ -124,9 +139,9 @@ FROM ranked JOIN offsets USING (o_orderpriority)
 
 ORACLE_SQL["running_revenue_per_supplier"] = """
 SELECT l_suppkey, l_orderkey, l_linenumber,
-       round(sum(l_extendedprice) OVER (
+       round(CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT)) OVER (
          PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_revenue
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100, 2) AS running_revenue
 FROM lineitem
 WHERE l_suppkey <= 3
 """
@@ -782,9 +797,9 @@ FROM both_windows
 GROUP BY 1, 2
 """
 
-ORACLE_SQL["salted_user_event_totals"] = """
+ORACLE_SQL["salted_user_event_totals"] = f"""
 SELECT c_mktsegment, count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS total_price
+       {_qsum("o_totalprice", 2)} AS total_price
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY 1
 """
@@ -2506,10 +2521,10 @@ SELECT * FROM scored ORDER BY mean_surprisal DESC, doc_id LIMIT 20
 # Round 4: layout-backed execution. The engine runs this over a
 # ship_year hive-partitioned rewrite of lineitem (partition pruning in
 # the scan); values must equal the same aggregate over the raw table.
-ORACLE_SQL["pricing_summary_partitioned"] = """
+ORACLE_SQL["pricing_summary_partitioned"] = f"""
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2)                         AS sum_qty,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       {_qsum("l_extendedprice * (1 - l_discount)", 4)} AS sum_disc_price,
        round(avg(l_quantity), 4)                         AS avg_qty,
        count(*)                                          AS count_order
 FROM lineitem

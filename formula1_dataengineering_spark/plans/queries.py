@@ -31,6 +31,7 @@ from ..functions.text import (
     token_count,
     weighted_char_fingerprint_fast,
 )
+from ..functions.exactsum import dequantize, quantize, quantized_sum
 from ..functions.timefmt import format_lap_time
 from ..operators.asof import asof_join
 from ..operators.dedup import (
@@ -81,17 +82,15 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            quantized_sum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            quantized_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
             ).alias("sum_disc_price"),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ),
-                2,
+            quantized_sum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax")),
+                6,
             ).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
@@ -119,8 +118,8 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            quantized_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
             ).alias("revenue"),
             F.count("*").alias("n_items"),
         )
@@ -141,7 +140,7 @@ def order_priority_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority", "price_bucket")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            quantized_sum(F.col("o_totalprice"), 2).alias("total_price"),
         )
     )
 
@@ -160,7 +159,7 @@ def rollup_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     return o.rollup("o_orderpriority", "o_orderstatus").agg(
         F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        quantized_sum(F.col("o_totalprice"), 2).alias("total_price"),
     )
 
 
@@ -257,7 +256,9 @@ def running_revenue_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         "l_orderkey",
         "l_linenumber",
-        F.round(F.sum("l_extendedprice").over(w), 2).alias("running_revenue"),
+        dequantize(
+            F.sum(quantize(F.col("l_extendedprice"), 2)).over(w), 2
+        ).alias("running_revenue"),
     )
 
 
@@ -760,7 +761,7 @@ def salted_user_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        quantized_sum(F.col("o_totalprice"), 2).alias("total_price"),
     )
 
 
@@ -3626,8 +3627,8 @@ def pricing_summary_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            quantized_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
             ).alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.count("*").alias("count_order"),
