@@ -923,7 +923,7 @@ WHERE g.i <= len(embedding) AND n > 0
 ORACLE_SQL["sql_top_revenue_nations"] = """
 WITH rev AS (
   SELECT n.n_name,
-         round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+         round(CAST(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)) * 10000) AS HUGEINT)) AS DOUBLE) / 10000, 2) AS revenue
   FROM lineitem l
   JOIN supplier s ON l.l_suppkey = s.s_suppkey
   JOIN nation n   ON s.s_nationkey = n.n_nationkey
@@ -961,11 +961,11 @@ FROM scaled CROSS JOIN generate_series(1, 64) AS g(i)
 WHERE g.i <= len(embedding) AND s > 0
 """
 
-ORACLE_SQL["shipping_priority_top10"] = """
+ORACLE_SQL["shipping_priority_top10"] = f"""
 SELECT l_orderkey,
        epoch_us(o_orderdate) AS o_orderdate_us,
        o_orderpriority,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       {_qsum("l_extendedprice * (1 - l_discount)", 4)} AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -977,16 +977,15 @@ ORDER BY revenue DESC, l_orderkey ASC
 LIMIT 10
 """
 
-ORACLE_SQL["nation_market_share"] = """
-SELECT CAST(year(o_orderdate) AS INT) AS o_year,
-       round(sum(CASE WHEN n_name = 'NATION_3'
+_NMS_NUM = """CASE WHEN n_name = 'NATION_3'
                       THEN l_extendedprice * (1 - l_discount)
-                      ELSE 0.0 END), 2) AS nation_rev,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev,
-       round(round(sum(CASE WHEN n_name = 'NATION_3'
-                            THEN l_extendedprice * (1 - l_discount)
-                            ELSE 0.0 END), 2)
-             / round(sum(l_extendedprice * (1 - l_discount)), 2), 6) AS share
+                      ELSE 0.0 END"""
+ORACLE_SQL["nation_market_share"] = f"""
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       {_qsum(_NMS_NUM, 4)} AS nation_rev,
+       {_qsum("l_extendedprice * (1 - l_discount)", 4)} AS total_rev,
+       round({_qsum(_NMS_NUM, 4)}
+             / {_qsum("l_extendedprice * (1 - l_discount)", 4)}, 6) AS share
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -994,10 +993,10 @@ JOIN nation   ON s_nationkey = n_nationkey
 GROUP BY 1
 """
 
-ORACLE_SQL["grouping_sets_revenue"] = """
+ORACLE_SQL["grouping_sets_revenue"] = f"""
 SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
        coalesce(l_linestatus, 'ALL') AS linestatus,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       {_qsum("l_extendedprice * (1 - l_discount)", 4)} AS revenue,
        count(*) AS n_items
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
@@ -1050,10 +1049,10 @@ FROM events
 GROUP BY user_id
 """
 
-ORACLE_SQL["monthly_revenue_trend"] = """
+ORACLE_SQL["monthly_revenue_trend"] = f"""
 WITH m AS (
   SELECT date_trunc('month', o_orderdate) AS month,
-         round(sum(o_totalprice), 2) AS revenue,
+         {_qsum("o_totalprice", 2)} AS revenue,
          count(*) AS n_orders
   FROM orders GROUP BY 1
 )
@@ -1243,13 +1242,14 @@ FROM lineitem
 GROUP BY l_returnflag
 """
 
-ORACLE_SQL["promo_revenue_share"] = """
+_PRS_NUM = """CASE WHEN p_type = 'PROMO'
+                        THEN l_extendedprice * (1 - l_discount)
+                        ELSE 0.0 END"""
+ORACLE_SQL["promo_revenue_share"] = f"""
 WITH m AS (
   SELECT date_trunc('month', l_shipdate) AS ship_month,
-         round(sum(CASE WHEN p_type = 'PROMO'
-                        THEN l_extendedprice * (1 - l_discount)
-                        ELSE 0.0 END), 2) AS promo_rev,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+         {_qsum(_PRS_NUM, 4)} AS promo_rev,
+         {_qsum("l_extendedprice * (1 - l_discount)", 4)} AS total_rev
   FROM lineitem JOIN part ON l_partkey = p_partkey
   GROUP BY 1
 )
@@ -2026,9 +2026,9 @@ FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY 1
 """
 
-ORACLE_SQL["disjunctive_part_revenue"] = """
+ORACLE_SQL["disjunctive_part_revenue"] = f"""
 SELECT p.p_brand, count(*) AS n_lines,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       {_qsum("l.l_extendedprice * (1 - l.l_discount)", 4)} AS revenue
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
        AND l.l_quantity BETWEEN 1 AND 20)

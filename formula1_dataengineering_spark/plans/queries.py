@@ -1166,7 +1166,7 @@ def sql_top_revenue_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         WITH rev AS (
           SELECT n.n_name,
-                 round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+                 round(CAST(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)) * 10000) AS DECIMAL(27,0))) AS DOUBLE) / 10000, 2) AS revenue
           FROM v_lineitem l
           JOIN v_supplier s ON l.l_suppkey = s.s_suppkey
           JOIN v_nation n   ON s.s_nationkey = n.n_nationkey
@@ -1256,8 +1256,8 @@ def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust.select("c_custkey"), orders.o_custkey == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            quantized_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
             ).alias("revenue")
         )
         .select(
@@ -1295,8 +1295,8 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
         .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(
-            F.round(F.sum(target), 2).alias("nation_rev"),
-            F.round(F.sum(rev), 2).alias("total_rev"),
+            quantized_sum(target, 4).alias("nation_rev"),
+            quantized_sum(rev, 4).alias("total_rev"),
         )
         .withColumn(
             "share", F.round(F.col("nation_rev") / F.col("total_rev"), 6)
@@ -1318,7 +1318,7 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
                coalesce(l_linestatus, 'ALL') AS linestatus,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS DECIMAL(27,0))) AS DOUBLE) / 10000, 2) AS revenue,
                count(*) AS n_items
         FROM {li}
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
@@ -1442,7 +1442,7 @@ def monthly_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     month = F.date_trunc("month", F.col("o_orderdate"))
     agg = orders.groupBy(month.alias("month")).agg(
-        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        quantized_sum(F.col("o_totalprice"), 2).alias("revenue"),
         F.count("*").alias("n_orders"),
     )
     w = Window.orderBy("month")
@@ -1774,8 +1774,8 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy(month.alias("ship_month"))
         .agg(
-            F.round(F.sum(promo), 2).alias("promo_rev"),
-            F.round(F.sum(rev), 2).alias("total_rev"),
+            quantized_sum(promo, 4).alias("promo_rev"),
+            quantized_sum(rev, 4).alias("total_rev"),
         )
         .select(
             F.unix_micros("ship_month").alias("ship_month_us"),
@@ -2952,7 +2952,7 @@ def disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.count("*").alias("n_lines"),
-            F.round(F.sum(rev), 2).alias("revenue"),
+            quantized_sum(rev, 4).alias("revenue"),
         )
     )
 
