@@ -756,3 +756,104 @@ def ppjoin_exact_jaccard(
         inter.where(jac >= threshold)
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+def substring_match_pairs(
+    docs: DataFrame,
+    k: int = 12,
+    max_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring dedup, suffix-array family (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): for
+    every unordered document pair sharing at least one exact run of
+    ``k`` whitespace tokens, emit the length (in tokens) of the LONGEST
+    exact shared substring plus the total number of shared k-gram
+    occurrences. Completes the dedup ladder between span_dedup's
+    line-level and cdc_chunk_dedup's chunk-level matching: this is the
+    ≥k-token *contiguous overlap* detector used to strip verbatim
+    cross-document duplication from training corpora.
+
+    Spark-first plan — NEVER a global suffix sort on one task:
+
+    1. k-gram postings: one narrow scan-stage pass tokenizes each doc
+       (the catalog's ``\\s+``-and-drop-empties contract) and explodes
+       its ``n-k+1`` k-grams with 1-based positions — all built-in
+       higher-order functions (``sequence``/``transform``/``slice``),
+       zero Python. Linear in corpus token count, like the MinHash
+       shingle stage.
+    2. Optional document-frequency cap (``max_df``): anchors appearing
+       in more than ``max_df`` documents (boilerplate headers, license
+       text) are dropped via a broadcast anti-join on the tiny hot-
+       anchor set — the same postings bound Lee et al. apply, and the
+       reason the candidate join below cannot quadratically blow up on
+       a hub k-gram. The cap is SEMANTIC (part of the operator's
+       contract), so the oracle mirrors it exactly.
+    3. Candidate matches: one equi-shuffle self-join on the k-gram
+       string (``doc_a < doc_b``). Exactness needs no verify step —
+       the join key IS the full k-gram text. (At 100 TB you would
+       bucket both sides by ``xxhash64(g)`` to co-locate the shuffle
+       and dictionary-encode the gram; the join stays an equi-join.)
+    4. Maximal runs without re-scanning text: two k-gram matches at
+       positions (pa, pb) and (pa+1, pb+1) belong to the same maximal
+       shared substring iff they lie on the same DIAGONAL
+       ``pa - pb``; classic gaps-and-islands (``pa - row_number``)
+       inside each (pair, diagonal) groups consecutive matches, and a
+       run of ``r`` k-grams is a shared substring of ``r + k - 1``
+       tokens. The window partitions by (pair, diagonal) — bounded by
+       each pair's shared-gram count, never a global sort.
+
+    Output: ``doc_a, doc_b, longest_match_tokens, n_shared_kgrams``,
+    one row per pair with ``longest_match_tokens >= k``. Deterministic:
+    counts and maxima only — no float, no tie.
+    """
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), toks.alias("ts")
+    ).where(F.size(F.col("ts")) >= k)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("ts")) - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(F.col("ts"), i, k)),
+    )
+    kg = base.select(
+        "doc_id", F.posexplode(grams).alias("pos0", "g")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
+    if max_df is not None:
+        hot = (
+            kg.groupBy("g")
+            .agg(F.countDistinct("doc_id").alias("df"))
+            .where(F.col("df") > max_df)
+            .select("g")
+        )
+        kg = kg.join(F.broadcast(hot), "g", "left_anti")
+    a, b = kg.alias("a"), kg.alias("b")
+    m = a.join(
+        b,
+        (F.col("a.g") == F.col("b.g"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("da"),
+        F.col("b.doc_id").alias("db"),
+        F.col("a.pos").alias("pa"),
+        F.col("b.pos").alias("pb"),
+    )
+    diag = F.col("pa") - F.col("pb")
+    runs = m.select(
+        "da",
+        "db",
+        "pa",
+        diag.alias("diag"),
+        (F.col("pa") - F.row_number().over(
+            Window.partitionBy("da", "db", (F.col("pa") - F.col("pb"))).orderBy("pa")
+        )).alias("island"),
+    )
+    islands = runs.groupBy("da", "db", "diag", "island").agg(
+        F.count("*").alias("cnt")
+    )
+    return islands.groupBy(
+        F.col("da").alias("doc_a"), F.col("db").alias("doc_b")
+    ).agg(
+        (F.max("cnt") + (k - 1)).cast("int").alias("longest_match_tokens"),
+        F.sum("cnt").cast("bigint").alias("n_shared_kgrams"),
+    )

@@ -3780,3 +3780,38 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """
+
+# Exact-substring dedup (suffix-array family): k-gram postings with a
+# df<=50 anchor cap (mirrored from the operator contract), candidate
+# matches on the full gram text, maximal runs via diagonal
+# gaps-and-islands — a run of r k-grams is a shared substring of
+# r + k - 1 tokens (k = 12).
+ORACLE_SQL["substring_dedup_pairs"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS ts FROM documents
+), pos AS (
+  SELECT doc_id, ts, generate_subscripts(ts, 1) AS i
+  FROM toks WHERE len(ts) >= 12
+), kg AS (
+  SELECT doc_id, i AS pos, array_to_string(ts[i:i+11], ' ') AS g
+  FROM pos WHERE i <= len(ts) - 11
+), keep AS (
+  SELECT g FROM kg GROUP BY g HAVING count(DISTINCT doc_id) <= 50
+), kgf AS (
+  SELECT kg.doc_id, kg.pos, kg.g FROM kg JOIN keep USING (g)
+), m AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+  FROM kgf a JOIN kgf b ON a.g = b.g AND a.doc_id < b.doc_id
+), runs AS (
+  SELECT da, db, pa - pb AS diag,
+         pa - row_number() OVER (
+           PARTITION BY da, db, pa - pb ORDER BY pa) AS island
+  FROM m
+), isl AS (
+  SELECT da, db, count(*) AS cnt FROM runs GROUP BY da, db, diag, island
+)
+SELECT da AS doc_a, db AS doc_b,
+       CAST(max(cnt) + 11 AS INT) AS longest_match_tokens,
+       CAST(sum(cnt) AS BIGINT) AS n_shared_kgrams
+FROM isl GROUP BY 1, 2
+"""

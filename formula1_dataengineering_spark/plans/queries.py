@@ -2751,6 +2751,27 @@ def span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("substring_dedup_pairs")
+def substring_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup, suffix-array family (Lee et al. 2021):
+    document pairs sharing an exact run of ≥12 whitespace tokens, with
+    the longest shared substring length (tokens) and the shared-k-gram
+    occurrence count. Fills the one rung the dedup ladder lacked —
+    contiguous verbatim overlap — between span_dedup's line/span level
+    and cdc_chunk_dedup's chunk level (operators/dedup.py
+    substring_match_pairs has the full scale argument: k-gram postings
+    → df-capped anchor join → diagonal gaps-and-islands; no global
+    suffix sort ever).
+
+    max_df=50 exercises the boilerplate-anchor cap in-gate (it is part
+    of the operator contract and the oracle mirrors it — under 100x
+    replication hub anchors really do get dropped on both sides)."""
+    from ..operators.dedup import substring_match_pairs
+
+    d = load(spark, sf_dir, "documents")
+    return substring_match_pairs(d, k=12, max_df=50)
+
+
 @query("bloom_decontamination_stats")
 def bloom_decontamination_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter decontamination audit (the no-corpus-shuffle scale

@@ -480,3 +480,69 @@ def test_udtf_window_chunks_variable_rows_and_edges(spark):
         (5, 1, 0, "w0 w1 w2", 3),
         (5, 2, 3, "w3 w4 w5", 3),  # exact multiple: no empty tail
     ]
+
+
+def test_substring_match_pairs_known_runs(spark):
+    """Hand-computed exact-substring matches: a 6-token verbatim run
+    shared by docs 1 and 2 (k=4 → 3 consecutive k-gram matches on one
+    diagonal → longest = 3 + 4 - 1 = 6), a disjoint 4-token run shared
+    by docs 1 and 3, and no pair for doc 4."""
+    from formula1_dataengineering_spark.operators.dedup import (
+        substring_match_pairs,
+    )
+
+    run6 = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro {run6} outro one two"),
+            (2, f"completely different start {run6}"),
+            (3, "x y alpha beta gamma delta q r s t u v"),
+            (4, "nothing shared here at all with anyone else ok"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_a"], r["doc_b"]): (
+            r["longest_match_tokens"],
+            r["n_shared_kgrams"],
+        )
+        for r in substring_match_pairs(docs, k=4).collect()
+    }
+    # doc1/doc2 share the 6-token run: 3 k-grams, longest 6
+    # doc1/doc3 share "alpha beta gamma delta": 1 k-gram, longest 4
+    # doc2/doc3 share it too (it is a prefix of run6)
+    assert out[(1, 2)] == (6, 3)
+    assert out[(1, 3)] == (4, 1)
+    assert out[(2, 3)] == (4, 1)
+    assert len(out) == 3
+
+
+def test_substring_match_pairs_df_cap(spark):
+    """The max_df anchor cap drops boilerplate k-grams: a 4-gram
+    present in all 4 docs disappears at max_df=3, so only the pair
+    sharing a rarer run survives."""
+    from formula1_dataengineering_spark.operators.dedup import (
+        substring_match_pairs,
+    )
+
+    boiler = "all rights reserved worldwide"
+    rare = "unique quarterly revenue statement"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} a b c"),
+            (2, f"{boiler} d e f"),
+            (3, f"{boiler} {rare}"),
+            (4, f"{boiler} junk {rare}"),
+        ],
+        "doc_id long, text string",
+    )
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in substring_match_pairs(docs, k=4, max_df=3).collect()
+    }
+    assert capped == {(3, 4)}
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in substring_match_pairs(docs, k=4).collect()
+    }
+    assert uncapped == {(i, j) for i in range(1, 5) for j in range(i + 1, 5)}
