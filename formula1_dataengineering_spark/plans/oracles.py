@@ -3815,3 +3815,12 @@ SELECT da AS doc_a, db AS doc_b,
        CAST(sum(cnt) AS BIGINT) AS n_shared_kgrams
 FROM isl GROUP BY 1, 2
 """
+
+# Polymorphic-UDTF gate: the serialize → parse_fields(analyze) →
+# re-aggregate round trip must equal the raw-column aggregate.
+ORACLE_SQL["udtf_analyze_parse"] = """
+SELECT source, lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY 1, 2
+"""

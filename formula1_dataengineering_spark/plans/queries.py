@@ -2549,6 +2549,39 @@ def udtf_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("udtf_analyze_parse")
+def udtf_analyze_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic UDTF surface (Spark 4 ``analyze()``, VERDICT r7
+    item 3): documents' metadata is serialized to a delimited line,
+    then parsed BACK through ``parse_fields`` — whose output columns
+    (src, lng, nc) exist only because ``analyze()`` derived them from
+    the constant names argument at plan time — and re-aggregated. The
+    hash match proves the analyze-derived schema carries real data
+    end-to-end (round trip == the raw columns), not just that the plan
+    compiles; operators/curation.py make_parse_fields_udtf pins the
+    plan-time/NULL/pad-truncate contracts.
+
+    Scale: narrow scan-stage lateral + one small aggregate shuffle."""
+    from ..operators.curation import make_parse_fields_udtf
+
+    spark.udtf.register("parse_fields", make_parse_fields_udtf())
+    d = load(spark, sf_dir, "documents").select(
+        F.concat_ws(
+            "|", "source", "lang", F.col("n_chars").cast("string")
+        ).alias("line")
+    )
+    d.createOrReplaceTempView("v_doc_lines")
+    return spark.sql(
+        """
+        SELECT p.src AS source, p.lng AS lang,
+               count(*) AS n_docs,
+               sum(CAST(p.nc AS BIGINT)) AS total_chars
+        FROM v_doc_lines t, LATERAL parse_fields(t.line, 'src,lng,nc') p
+        GROUP BY 1, 2
+        """
+    )
+
+
 @query("sequence_packing")
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-512-token sequence packing in deterministic doc_id order

@@ -546,3 +546,48 @@ def test_substring_match_pairs_df_cap(spark):
         for r in substring_match_pairs(docs, k=4).collect()
     }
     assert uncapped == {(i, j) for i in range(1, 5) for j in range(i + 1, 5)}
+
+
+def test_parse_fields_udtf_analyze_contracts(spark):
+    """analyze()-UDTF contracts: schema derives from the constant
+    names argument (polymorphic across invocations), short rows pad
+    with NULL, long rows truncate, NULL lines emit nothing, and a
+    NON-constant names argument fails at PLAN time."""
+    from pyspark.sql.utils import AnalysisException
+
+    from formula1_dataengineering_spark.operators.curation import (
+        make_parse_fields_udtf,
+    )
+
+    spark.udtf.register("parse_fields", make_parse_fields_udtf())
+    spark.createDataFrame(
+        [("a|b|c",), ("x|y",), ("p|q|r|s",), (None,)], "line string"
+    ).createOrReplaceTempView("v_pf_lines")
+
+    df3 = spark.sql(
+        "SELECT p.* FROM v_pf_lines t, "
+        "LATERAL parse_fields(t.line, 'c1,c2,c3') p"
+    )
+    assert df3.columns == ["c1", "c2", "c3"]
+    rows = sorted(
+        (tuple(r) for r in df3.collect()), key=lambda t: str(t)
+    )
+    assert ("a", "b", "c") in rows
+    assert ("x", "y", None) in rows  # short row pads
+    assert ("p", "q", "r") in rows  # long row truncates
+    assert len(rows) == 3  # NULL line emitted nothing
+
+    df2 = spark.sql(
+        "SELECT p.* FROM v_pf_lines t, "
+        "LATERAL parse_fields(t.line, 'k1,k2') p"
+    )
+    assert df2.columns == ["k1", "k2"]  # same UDTF, new schema
+
+    import pytest
+
+    with pytest.raises(AnalysisException):
+        # non-constant names: analyze() raises at plan time
+        spark.sql(
+            "SELECT p.* FROM v_pf_lines t, "
+            "LATERAL parse_fields(t.line, t.line) p"
+        ).collect()
