@@ -1006,3 +1006,66 @@ def content_defined_chunks(
             )
         ).alias("chunk_hash"),
     )
+
+
+def make_partition_stats_udtf():
+    """UDTF over a TABLE ARGUMENT with PARTITION BY / ORDER BY — the
+    third member of the table-function surface (static returnType →
+    ``make_window_chunks_udtf``; plan-time polymorphic schema →
+    ``make_parse_fields_udtf``; THIS: whole-partition sequential state
+    with ``terminate()`` emission). Spark routes every row of each
+    ``PARTITION BY`` group, in ``ORDER BY`` order, through ONE UDTF
+    instance; per-row ``eval`` accumulates, ``terminate`` emits the
+    group's summary when the partition ends — the SQL-standard
+    table-function analog of ``applyInPandas`` without materializing
+    the group as a pandas frame.
+
+    The statistic is deliberately ORDER-DEPENDENT (longest strictly-
+    increasing ``n_chars`` run in ``doc_id`` order) so the gate proves
+    the ordered-routing contract, not just row delivery; a plain
+    aggregate could not fake it.
+
+    Scale: one shuffle on the PARTITION BY key (exactly a groupBy);
+    state per instance is O(1) — the partition never materializes.
+
+    Usage::
+
+        spark.udtf.register("partition_stats", make_partition_stats_udtf())
+        spark.sql("SELECT * FROM partition_stats("
+                  "TABLE(v_docs) PARTITION BY source ORDER BY doc_id)")
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType=(
+            "source string, n_docs bigint, total_chars bigint, "
+            "longest_increasing_run int"
+        )
+    )
+    class PartitionStats:
+        def __init__(self):
+            self.src = None
+            self.n = 0
+            self.total = 0
+            self.prev = None
+            self.run = 0
+            self.best = 0
+
+        def eval(self, row):
+            self.src = row["source"]
+            self.n += 1
+            c = int(row["n_chars"] or 0)
+            self.total += c
+            if self.prev is not None and c > self.prev:
+                self.run += 1
+            else:
+                self.run = 1
+            if self.run > self.best:
+                self.best = self.run
+            self.prev = c
+
+        def terminate(self):
+            if self.n:
+                yield (self.src, self.n, self.total, self.best)
+
+    return PartitionStats

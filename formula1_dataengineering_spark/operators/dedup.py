@@ -758,6 +758,57 @@ def ppjoin_exact_jaccard(
     )
 
 
+def _substring_tokens(
+    docs: DataFrame, k: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(doc_id, ts) for docs with ≥k tokens — catalog ``\\s+`` split."""
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    return docs.select(
+        F.col(id_col).alias("doc_id"), toks.alias("ts")
+    ).where(F.size(F.col("ts")) >= k)
+
+
+def _substring_kgram_matches(
+    docs: DataFrame,
+    k: int,
+    max_df: int | None,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Shared stage 1-3 of the exact-substring family: k-gram postings
+    (1-based positions), optional df-capped anchors, and the candidate
+    equi-join — one row (da, db, pa, pb) per cross-document k-gram
+    occurrence match with da < db. See substring_match_pairs for the
+    scale argument."""
+    base = _substring_tokens(docs, k, id_col, text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("ts")) - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(F.col("ts"), i, k)),
+    )
+    kg = base.select(
+        "doc_id", F.posexplode(grams).alias("pos0", "g")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
+    if max_df is not None:
+        hot = (
+            kg.groupBy("g")
+            .agg(F.countDistinct("doc_id").alias("df"))
+            .where(F.col("df") > max_df)
+            .select("g")
+        )
+        kg = kg.join(F.broadcast(hot), "g", "left_anti")
+    a, b = kg.alias("a"), kg.alias("b")
+    return a.join(
+        b,
+        (F.col("a.g") == F.col("b.g"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("da"),
+        F.col("b.doc_id").alias("db"),
+        F.col("a.pos").alias("pa"),
+        F.col("b.pos").alias("pb"),
+    )
+
+
 def substring_match_pairs(
     docs: DataFrame,
     k: int = 12,
@@ -808,36 +859,7 @@ def substring_match_pairs(
     one row per pair with ``longest_match_tokens >= k``. Deterministic:
     counts and maxima only — no float, no tie.
     """
-    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
-    base = docs.select(
-        F.col(id_col).alias("doc_id"), toks.alias("ts")
-    ).where(F.size(F.col("ts")) >= k)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(F.col("ts")) - (k - 1)),
-        lambda i: F.concat_ws(" ", F.slice(F.col("ts"), i, k)),
-    )
-    kg = base.select(
-        "doc_id", F.posexplode(grams).alias("pos0", "g")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
-    if max_df is not None:
-        hot = (
-            kg.groupBy("g")
-            .agg(F.countDistinct("doc_id").alias("df"))
-            .where(F.col("df") > max_df)
-            .select("g")
-        )
-        kg = kg.join(F.broadcast(hot), "g", "left_anti")
-    a, b = kg.alias("a"), kg.alias("b")
-    m = a.join(
-        b,
-        (F.col("a.g") == F.col("b.g"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(
-        F.col("a.doc_id").alias("da"),
-        F.col("b.doc_id").alias("db"),
-        F.col("a.pos").alias("pa"),
-        F.col("b.pos").alias("pb"),
-    )
+    m = _substring_kgram_matches(docs, k, max_df, id_col, text_col)
     diag = F.col("pa") - F.col("pb")
     runs = m.select(
         "da",
@@ -856,4 +878,70 @@ def substring_match_pairs(
     ).agg(
         (F.max("cnt") + (k - 1)).cast("int").alias("longest_match_tokens"),
         F.sum("cnt").cast("bigint").alias("n_shared_kgrams"),
+    )
+
+
+def substring_duplicate_coverage(
+    docs: DataFrame,
+    k: int = 12,
+    max_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document duplicated-token coverage from the exact-substring
+    family — the metric Lee et al.'s dedup actually acts on: for every
+    document, how many of its tokens are covered by at least one exact
+    ≥k-token run shared with ANOTHER document, and what fraction of the
+    document that is.
+
+    Reuses the k-gram match stage (``_substring_kgram_matches``), then:
+    covered k-gram START positions per doc (both sides of each match,
+    distinct), one ascending window per doc, and gaps-and-islands with
+    a THRESHOLD of k — two starts p1 < p2 belong to one covered
+    interval iff ``p2 - p1 <= k`` (their [p, p+k-1] spans overlap or
+    touch), and an island spanning starts [first, last] covers exactly
+    ``last - first + k`` tokens. Window partitions by doc_id (bounded
+    by per-doc match starts); no global sort.
+
+    Output: ``doc_id, n_tokens, dup_tokens, dup_coverage`` (coverage
+    rounded to 6 dp; int/int division — cross-engine exact). Only docs
+    with at least one shared run appear.
+    """
+    m = _substring_kgram_matches(docs, k, max_df, id_col, text_col)
+    starts = (
+        m.select(F.col("da").alias("doc_id"), F.col("pa").alias("pos"))
+        .unionByName(
+            m.select(F.col("db").alias("doc_id"), F.col("pb").alias("pos"))
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(
+        F.lag("pos").over(w).isNull()
+        | (F.col("pos") - F.lag("pos").over(w) > k),
+        1,
+    ).otherwise(0)
+    grouped = starts.select(
+        "doc_id",
+        "pos",
+        F.sum(brk).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("grp"),
+    )
+    per_doc = (
+        grouped.groupBy("doc_id", "grp")
+        .agg((F.max("pos") - F.min("pos") + k).alias("covered"))
+        .groupBy("doc_id")
+        .agg(F.sum("covered").cast("bigint").alias("dup_tokens"))
+    )
+    n_tok = _substring_tokens(docs, k, id_col, text_col).select(
+        "doc_id", F.size("ts").cast("bigint").alias("n_tokens")
+    )
+    return per_doc.join(n_tok, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "dup_tokens",
+        F.round(F.col("dup_tokens") / F.col("n_tokens"), 6).alias(
+            "dup_coverage"
+        ),
     )

@@ -3824,3 +3824,73 @@ SELECT source, lang, count(*) AS n_docs,
 FROM documents
 GROUP BY 1, 2
 """
+
+# Coverage variant of the exact-substring family: distinct covered
+# start positions per doc (both match sides), islands with threshold
+# k=12 (starts p1 < p2 share an interval iff p2 - p1 <= 12), covered
+# tokens per island = last - first + 12.
+ORACLE_SQL["substring_dup_coverage"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS ts FROM documents
+), pos AS (
+  SELECT doc_id, ts, generate_subscripts(ts, 1) AS i
+  FROM toks WHERE len(ts) >= 12
+), kg AS (
+  SELECT doc_id, i AS pos, array_to_string(ts[i:i+11], ' ') AS g
+  FROM pos WHERE i <= len(ts) - 11
+), keep AS (
+  SELECT g FROM kg GROUP BY g HAVING count(DISTINCT doc_id) <= 50
+), kgf AS (
+  SELECT kg.doc_id, kg.pos, kg.g FROM kg JOIN keep USING (g)
+), m AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+  FROM kgf a JOIN kgf b ON a.g = b.g AND a.doc_id < b.doc_id
+), starts AS (
+  SELECT DISTINCT doc_id, pos FROM (
+    SELECT da AS doc_id, pa AS pos FROM m
+    UNION ALL SELECT db, pb FROM m
+  )
+), grouped AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN prev IS NULL OR pos - prev > 12 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM (
+    SELECT doc_id, pos,
+           lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+    FROM starts
+  )
+), per_doc AS (
+  SELECT doc_id, CAST(sum(covered) AS BIGINT) AS dup_tokens
+  FROM (
+    SELECT doc_id, grp, max(pos) - min(pos) + 12 AS covered
+    FROM grouped GROUP BY 1, 2
+  ) GROUP BY 1
+)
+SELECT p.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens, p.dup_tokens,
+       round(p.dup_tokens / CAST(len(t.ts) AS BIGINT), 6) AS dup_coverage
+FROM per_doc p JOIN toks t USING (doc_id)
+"""
+
+# TABLE-argument UDTF gate: the order-dependent statistic (longest
+# strictly-increasing n_chars run in doc_id order) is replayed with
+# gaps-and-islands over the same ordering.
+ORACLE_SQL["udtf_table_arg_stats"] = """
+WITH s AS (
+  SELECT source, doc_id, n_chars,
+         CASE WHEN n_chars > lag(n_chars) OVER w THEN 0 ELSE 1 END AS brk
+  FROM documents
+  WINDOW w AS (PARTITION BY source ORDER BY doc_id)
+), g AS (
+  SELECT source, doc_id, n_chars,
+         sum(brk) OVER (PARTITION BY source ORDER BY doc_id) AS grp
+  FROM s
+), runs AS (
+  SELECT source, grp, count(*) AS rl FROM g GROUP BY 1, 2
+)
+SELECT d.source,
+       count(*) AS n_docs,
+       CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
+       CAST((SELECT max(rl) FROM runs r WHERE r.source = d.source) AS INT)
+         AS longest_increasing_run
+FROM documents d GROUP BY d.source
+"""

@@ -2582,6 +2582,31 @@ def udtf_analyze_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("udtf_table_arg_stats")
+def udtf_table_arg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF TABLE-argument surface: documents routed per-source
+    through one UDTF instance each (``PARTITION BY source ORDER BY
+    doc_id``), per-row eval state + terminate() emission. The hashed
+    statistic (longest strictly-increasing n_chars run in doc_id
+    order) is order-dependent, so the gate proves Spark delivers each
+    partition's rows to one instance IN ORDER — see
+    operators/curation.py make_partition_stats_udtf.
+
+    Scale: one shuffle on the partition key; O(1) state per group."""
+    from ..operators.curation import make_partition_stats_udtf
+
+    spark.udtf.register("partition_stats", make_partition_stats_udtf())
+    load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    ).createOrReplaceTempView("v_docs_partarg")
+    return spark.sql(
+        """
+        SELECT * FROM partition_stats(
+          TABLE(v_docs_partarg) PARTITION BY source ORDER BY doc_id)
+        """
+    )
+
+
 @query("sequence_packing")
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-512-token sequence packing in deterministic doc_id order
@@ -2803,6 +2828,21 @@ def substring_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return substring_match_pairs(d, k=12, max_df=50)
+
+
+@query("substring_dup_coverage")
+def substring_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-token coverage (the quantity Lee et
+    al.'s exact-substring dedup removes): tokens covered by any exact
+    ≥12-token run shared with another document, absolute and as a
+    fraction. Reuses the substring match stage; interval union via
+    threshold-k gaps-and-islands per doc (operators/dedup.py
+    substring_duplicate_coverage). Windows partition by doc — bounded
+    by per-doc match counts, never global."""
+    from ..operators.dedup import substring_duplicate_coverage
+
+    d = load(spark, sf_dir, "documents")
+    return substring_duplicate_coverage(d, k=12, max_df=50)
 
 
 @query("bloom_decontamination_stats")

@@ -591,3 +591,66 @@ def test_parse_fields_udtf_analyze_contracts(spark):
             "SELECT p.* FROM v_pf_lines t, "
             "LATERAL parse_fields(t.line, t.line) p"
         ).collect()
+
+
+def test_substring_duplicate_coverage_known(spark):
+    """Hand-computed coverage: docs 1/2 share a 6-token run (k=4 →
+    covered = 6 tokens each); doc 1 additionally shares a disjoint
+    4-token run with doc 3. Interval union must not double-count
+    overlapping starts."""
+    from formula1_dataengineering_spark.operators.dedup import (
+        substring_duplicate_coverage,
+    )
+
+    run6 = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro {run6} unique1 mid omega psi chi phi tail1"),
+            (2, f"start2 begin2 {run6} tail2 x2 y2"),
+            (3, "a3 b3 omega psi chi phi c3 d3 e3 f3"),
+            (4, "no shared content at all in this document four"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["dup_coverage"])
+        for r in substring_duplicate_coverage(docs, k=4).collect()
+    }
+    # doc 1: 14 tokens; covered = run6 (6) + "omega psi chi phi" (4)
+    assert out[1] == (14, 10, round(10 / 14, 6))
+    # doc 2: 11 tokens; covered = run6 only
+    assert out[2] == (11, 6, round(6 / 11, 6))
+    # doc 3: 10 tokens; covered = the 4-token run
+    assert out[3] == (10, 4, 0.4)
+    assert 4 not in out
+
+
+def test_partition_stats_udtf_ordered_routing(spark):
+    """TABLE-argument UDTF: PARTITION BY routes each group to one
+    instance, ORDER BY feeds rows in order — the longest-increasing-run
+    statistic detects any misordering."""
+    from formula1_dataengineering_spark.operators.curation import (
+        make_partition_stats_udtf,
+    )
+
+    spark.udtf.register("partition_stats_t", make_partition_stats_udtf())
+    spark.createDataFrame(
+        [
+            ("a", 1, 10), ("a", 2, 20), ("a", 3, 15),
+            ("a", 4, 16), ("a", 5, 30),
+            ("b", 1, 5), ("b", 2, 5),
+        ],
+        "source string, doc_id long, n_chars long",
+    ).createOrReplaceTempView("v_ps_docs")
+    rows = {
+        r["source"]: (
+            r["n_docs"], r["total_chars"], r["longest_increasing_run"]
+        )
+        for r in spark.sql(
+            "SELECT * FROM partition_stats_t("
+            "TABLE(v_ps_docs) PARTITION BY source ORDER BY doc_id)"
+        ).collect()
+    }
+    # a: runs are [10,20], [15,16,30] → longest 3; b: ties reset → 1
+    assert rows["a"] == (5, 91, 3)
+    assert rows["b"] == (2, 10, 1)
