@@ -1002,14 +1002,14 @@ FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 """
 
-ORACLE_SQL["nation_activity_full_outer"] = """
+ORACLE_SQL["nation_activity_full_outer"] = f"""
 WITH c AS (
   SELECT c_nationkey AS nationkey, count(*) AS n_customers,
-         round(sum(c_acctbal), 2) AS cust_balance
+         {_qsum("c_acctbal", 2)} AS cust_balance
   FROM customer WHERE c_mktsegment = 'MACHINERY' GROUP BY 1
 ), s AS (
   SELECT s_nationkey AS nationkey, count(*) AS n_suppliers,
-         round(sum(s_acctbal), 2) AS supp_balance
+         {_qsum("s_acctbal", 2)} AS supp_balance
   FROM supplier WHERE s_acctbal > 5000 GROUP BY 1
 )
 SELECT CAST(coalesce(c.nationkey, s.nationkey) AS INT) AS nationkey,
@@ -2039,12 +2039,12 @@ WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
 GROUP BY 1
 """
 
-ORACLE_SQL["idle_rich_customers"] = """
+ORACLE_SQL["idle_rich_customers"] = f"""
 WITH thr AS (
   SELECT avg(c_acctbal) AS t FROM customer WHERE c_acctbal > 0
 )
 SELECT c.c_nationkey, count(*) AS n_custs,
-       round(sum(c.c_acctbal), 2) AS total_balance
+       {_qsum("c.c_acctbal", 2)} AS total_balance
 FROM customer c CROSS JOIN thr
 WHERE c.c_acctbal > thr.t
   AND NOT EXISTS (SELECT 1 FROM orders o
@@ -2955,9 +2955,9 @@ FROM m
 
 # bucketed_colocated_revenue: plain join+aggregate over the raw tables
 # (the bucketed layout changes the PLAN, never the values).
-ORACLE_SQL["bucketed_colocated_revenue"] = """
+ORACLE_SQL["bucketed_colocated_revenue"] = f"""
 SELECT c_mktsegment AS segment,
-       round(sum(o_totalprice), 2) AS total_revenue,
+       {_qsum("o_totalprice", 2)} AS total_revenue,
        count(*) AS n_orders,
        count(DISTINCT o_custkey) AS n_customers
 FROM orders JOIN customer ON o_custkey = c_custkey
@@ -3401,11 +3401,11 @@ GROUP BY source, lang
 # zorder_box_scan: the same 2-D box aggregate from the RAW table (the
 # Z-ordered layout changes the PLAN and file-touch count, never the
 # values).
-ORACLE_SQL["zorder_box_scan"] = """
+ORACLE_SQL["zorder_box_scan"] = f"""
 SELECT count(*) AS n_items,
        count(DISTINCT l_partkey) AS n_parts,
        count(DISTINCT l_suppkey) AS n_supps,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       {_qsum("l_extendedprice * (1 - l_discount)", 4)} AS revenue,
        round(sum(l_quantity), 2) AS total_qty
 FROM lineitem
 WHERE l_partkey BETWEEN 100 AND 400 AND l_suppkey BETWEEN 10 AND 60

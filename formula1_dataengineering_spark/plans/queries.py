@@ -1343,7 +1343,7 @@ def nation_activity_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_nationkey").alias("nationkey"))
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("cust_balance"),
+            quantized_sum(F.col("c_acctbal"), 2).alias("cust_balance"),
         )
     )
     sup = (
@@ -1352,7 +1352,7 @@ def nation_activity_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("s_nationkey").alias("nationkey"))
         .agg(
             F.count("*").alias("n_suppliers"),
-            F.round(F.sum("s_acctbal"), 2).alias("supp_balance"),
+            quantized_sum(F.col("s_acctbal"), 2).alias("supp_balance"),
         )
     )
     return cust.join(sup, "nationkey", "full_outer").select(
@@ -3080,7 +3080,7 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count("*").alias("n_custs"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+            quantized_sum(F.col("c_acctbal"), 2).alias("total_balance"),
         )
     )
 
@@ -4306,7 +4306,7 @@ def bucketed_colocated_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         j.groupBy("c_mktsegment")
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+            quantized_sum(F.col("o_totalprice"), 2).alias("total_revenue"),
             F.count("*").alias("n_orders"),
             F.countDistinct("o_custkey").alias("n_customers"),
         )
@@ -5098,8 +5098,8 @@ def zorder_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_items"),
         F.countDistinct("l_partkey").alias("n_parts"),
         F.countDistinct("l_suppkey").alias("n_supps"),
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        quantized_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
         ).alias("revenue"),
         F.round(F.sum("l_quantity"), 2).alias("total_qty"),
     )
