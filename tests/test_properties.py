@@ -450,3 +450,103 @@ def test_mutual_knn_matches_numpy_reference(spark, vecs):
         if i < j and i in topk.get(j, set())
     )
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c"]), min_size=0, max_size=15
+        ),
+        min_size=2,
+        max_size=6,
+    ),
+    k=st.integers(2, 4),
+    cap=st.one_of(st.none(), st.integers(1, 4)),
+)
+@_SETTINGS
+def test_substring_family_matches_bruteforce(spark, docs, k, cap):
+    """substring_match_pairs / substring_duplicate_coverage == pure-
+    Python all-pairs references on random tiny-alphabet corpora (dense
+    shared runs, repeated k-grams, df-cap both binding and not):
+    identical pair sets, longest-run lengths, shared-gram counts, and
+    per-doc interval-union coverage."""
+    from collections import defaultdict
+
+    from formula1_dataengineering_spark.operators.dedup import (
+        substring_duplicate_coverage,
+        substring_match_pairs,
+    )
+
+    toks = {i + 1: list(ts) for i, ts in enumerate(docs)}
+    grams = {
+        d: [(" ".join(ts[i : i + k]), i + 1) for i in range(len(ts) - k + 1)]
+        for d, ts in toks.items()
+        if len(ts) >= k
+    }
+    if cap is not None:
+        dfc = defaultdict(set)
+        for d, gs in grams.items():
+            for g, _ in gs:
+                dfc[g].add(d)
+        hot = {g for g, s in dfc.items() if len(s) > cap}
+        grams = {
+            d: [(g, p) for g, p in gs if g not in hot]
+            for d, gs in grams.items()
+        }
+    want_pairs: dict = {}
+    starts = defaultdict(set)
+    ids = sorted(grams)
+    for i, da in enumerate(ids):
+        for db in ids[i + 1 :]:
+            matches = [
+                (pa, pb)
+                for g, pa in grams[da]
+                for g2, pb in grams[db]
+                if g == g2
+            ]
+            if not matches:
+                continue
+            diags = defaultdict(list)
+            for pa, pb in matches:
+                diags[pa - pb].append(pa)
+                starts[da].add(pa)
+                starts[db].add(pb)
+            longest = 0
+            for ps in diags.values():
+                ps.sort()
+                run = 1
+                for x, y in zip(ps, ps[1:]):
+                    run = run + 1 if y == x + 1 else 1
+                    longest = max(longest, run)
+                longest = max(longest, 1 if len(ps) else 0, run)
+            want_pairs[(da, db)] = (longest + k - 1, len(matches))
+    want_cov = {}
+    for d, ps in starts.items():
+        ps = sorted(ps)
+        covered = 0
+        first = last = ps[0]
+        for p in ps[1:]:
+            if p - last > k:
+                covered += last - first + k
+                first = p
+            last = p
+        covered += last - first + k
+        want_cov[d] = covered
+
+    rows = [(d, " ".join(ts)) for d, ts in toks.items()]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got_pairs = {
+        (r["doc_a"], r["doc_b"]): (
+            r["longest_match_tokens"],
+            r["n_shared_kgrams"],
+        )
+        for r in substring_match_pairs(df, k=k, max_df=cap).collect()
+    }
+    assert got_pairs == want_pairs
+    got_cov = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"])
+        for r in substring_duplicate_coverage(df, k=k, max_df=cap).collect()
+    }
+    assert got_cov == {
+        d: (len(toks[d]), c) for d, c in want_cov.items()
+    }
