@@ -88,6 +88,13 @@ SENSITIVE = [
     "arrow_embedding_norms",
     "python_datasource_scan",
     "udtf_window_chunks",
+    # Round-8 additions: the substring family's df-cap anti-join and
+    # islands windows, and the TABLE-argument UDTF (partition routing
+    # must not depend on the physical shuffle layout).
+    "substring_dedup_pairs",
+    "substring_dup_coverage",
+    "udtf_table_arg_stats",
+    "udtf_analyze_parse",
 ]
 
 
