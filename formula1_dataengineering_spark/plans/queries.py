@@ -1166,7 +1166,7 @@ def sql_top_revenue_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         WITH rev AS (
           SELECT n.n_name,
-                 round(CAST(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)) * 10000) AS DECIMAL(27,0))) AS DOUBLE) / 10000, 2) AS revenue
+                 round(CAST(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)) * 10000) AS BIGINT)) AS DOUBLE) / 10000, 2) AS revenue
           FROM v_lineitem l
           JOIN v_supplier s ON l.l_suppkey = s.s_suppkey
           JOIN v_nation n   ON s.s_nationkey = n.n_nationkey
@@ -1318,7 +1318,7 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
                coalesce(l_linestatus, 'ALL') AS linestatus,
-               round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS DECIMAL(27,0))) AS DOUBLE) / 10000, 2) AS revenue,
+               round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS DOUBLE) / 10000, 2) AS revenue,
                count(*) AS n_items
         FROM {li}
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
