@@ -63,6 +63,13 @@ def main() -> None:
         gc.collect()
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    payload = {
+        "metric": "catalog_total_runtime",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
     # Durable per-query artifact: the driver's stdout capture keeps only
     # a bounded tail, which truncates the full per-query line below to
     # ~63 entries (VERDICT r7 item 5) — round-over-round per-query
@@ -75,31 +82,10 @@ def main() -> None:
             ),
             "w",
         ) as fh:
-            json.dump(
-                {
-                    "metric": "catalog_total_runtime",
-                    "value": round(total, 3),
-                    "unit": "sec",
-                    "queries": timings,
-                    "sf": sf_val,
-                },
-                fh,
-                indent=1,
-                sort_keys=True,
-            )
+            json.dump(payload, fh, indent=1, sort_keys=True)
     except OSError:
         pass  # read-only checkout: stdout line still carries the data
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_total_runtime",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        )
-    )
+    print(json.dumps(payload))
     # Compact summary printed LAST: the full per-query line above is
     # ~5 KiB and the driver's stdout capture keeps only a bounded tail,
     # so rounds 1-4 recorded "parsed": null. A short final line always

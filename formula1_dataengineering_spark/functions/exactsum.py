@@ -65,6 +65,23 @@ def dequantize(sum_col: Column, in_dp: int, out_dp: int = 2) -> Column:
     return F.round(sum_col.cast("double") / F.lit(scale), out_dp)
 
 
+def qsum_sql(
+    expr: str, in_dp: int, out_dp: int = 2, acc: str = "BIGINT"
+) -> str:
+    """SQL-text twin of :func:`quantized_sum` — the single source of
+    truth for every string-inlined quantized sum: the catalog's
+    Spark-SQL gates use the default ``BIGINT`` accumulator and the
+    DuckDB oracles delegate here with ``HUGEINT``
+    (plans.oracles._qsum), so a scale/accumulator policy change
+    propagates everywhere at once. Keep ``expr`` textually parallel to
+    the DataFrame expression (module docstring)."""
+    s = 10**in_dp
+    return (
+        f"round(CAST(sum(CAST(round(({expr}) * {s}) AS {acc})) "
+        f"AS DOUBLE) / {s}, {out_dp})"
+    )
+
+
 def quantized_sum(col: Column, in_dp: int, out_dp: int = 2) -> Column:
     """``round(sum(col), out_dp)`` computed order-independently: see the
     module docstring. Use inside ``agg``; for window sums compose

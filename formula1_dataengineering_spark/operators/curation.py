@@ -123,7 +123,12 @@ def make_window_chunks_udtf():
     ``chunk_documents`` (pure JVM) for production chunking; this is
     the table-function API surface with the same contract.
     """
+    import re
+
     from pyspark.sql.functions import udtf
+
+    # compiled once per worker, not once per row (the eval hot path)
+    ascii_ws = re.compile(r"[ \t\n\r\f\v]+")
 
     @udtf(
         returnType=(
@@ -134,12 +139,10 @@ def make_window_chunks_udtf():
     )
     class WindowChunks:
         def eval(self, text, size):
-            import re
-
             if text is None or size is None or size <= 0:
                 return
             # ASCII whitespace only — see the tokenization note above.
-            toks = [t for t in re.split(r"[ \t\n\r\f\v]+", text) if t]
+            toks = [t for t in ascii_ws.split(text) if t]
             for i in range(0, len(toks), size):
                 w = toks[i : i + size]
                 yield (i // size + 1, i, " ".join(w), len(w))
@@ -1059,15 +1062,24 @@ def make_partition_stats_udtf():
         def eval(self, row):
             self.src = row["source"]
             self.n += 1
-            c = int(row["n_chars"] or 0)
-            self.total += c
-            if self.prev is not None and c > self.prev:
-                self.run += 1
-            else:
+            c = row["n_chars"]
+            # NULL mirrors the oracle's CASE: the NULL row breaks the
+            # run (island of 1) and the NEXT row breaks again (x > NULL
+            # is NULL). NOT coerced to 0 — that would let the next row
+            # silently continue a run the oracle ends.
+            if c is None:
                 self.run = 1
+                self.prev = None
+            else:
+                c = int(c)
+                self.total += c
+                if self.prev is not None and c > self.prev:
+                    self.run += 1
+                else:
+                    self.run = 1
+                self.prev = c
             if self.run > self.best:
                 self.best = self.run
-            self.prev = c
 
         def terminate(self):
             if self.n:

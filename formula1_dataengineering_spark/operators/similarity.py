@@ -425,13 +425,17 @@ def mutual_knn_edges(
         norms = np.sqrt((M * M).sum(axis=1))
         norms[norms == 0] = np.nan
         C = (M @ M.T) / np.outer(norms, norms)
-        # Rank on QUANTIZED cosines: GEMM float64 summation order
-        # differs from the oracle's sequential dot-product fold in the
-        # last ulp, which can flip top-k membership for near-tied
-        # cosines before any rounding (ADVICE r7). Both sides round to
-        # 12 dp before the rank, making selection divergence-proof —
-        # the same discipline as the kmeans/PQ ordered folds.
-        C = np.round(C, 12)
+        # Rank on FLOOR-quantized cosines (1e-12 grid): GEMM float64
+        # summation order differs from the oracle's sequential
+        # dot-product fold in the last ulp, which can flip top-k
+        # membership for near-tied cosines before any rounding
+        # (ADVICE r7). floor rather than round: round would reintroduce
+        # a tie-rule divergence (numpy half-to-even vs DuckDB
+        # half-away-from-zero on exact .5 products); floor has no tie
+        # rule at all, so both sides agree whenever their raw cosines
+        # fall in the same 1e-12 cell — the same discipline as the
+        # kmeans/PQ ordered folds.
+        C = np.floor(C * 1e12)
         np.fill_diagonal(C, np.nan)  # self-matches never rank
         qa, qb = [], []
         for i in range(len(ids)):

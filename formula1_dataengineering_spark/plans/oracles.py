@@ -22,14 +22,14 @@ def _qsum(expr: str, in_dp: int, out_dp: int = 2) -> str:
     money expressions carrying ``in_dp`` decimal places — the oracle
     half of functions/exactsum.py (round-7 cent-flip rule): quantize
     each row to its exact integer unit count, sum as HUGEINT (exact in
-    any order), divide back once. Keep ``expr`` textually parallel to
-    the DataFrame expression so the per-row doubles are bit-identical.
+    any order), divide back once. Delegates to the shared
+    ``exactsum.qsum_sql`` emitter so the Spark-SQL gates and the
+    oracles can never drift. Keep ``expr`` textually parallel to the
+    DataFrame expression so the per-row doubles are bit-identical.
     """
-    s = 10**in_dp
-    return (
-        f"round(CAST(sum(CAST(round(({expr}) * {s}) AS HUGEINT)) "
-        f"AS DOUBLE) / {s}, {out_dp})"
-    )
+    from ..functions.exactsum import qsum_sql
+
+    return qsum_sql(expr, in_dp, out_dp, acc="HUGEINT")
 
 ORACLE_SQL["pricing_summary"] = f"""
 SELECT l_returnflag, l_linestatus,
@@ -563,13 +563,14 @@ WITH e AS (
   SELECT a.vec_id AS qa, b.vec_id AS qb, {_COS} AS cos
   FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
 ), ranked AS (
-  -- rank on the QUANTIZED cosine (12 dp), mirroring mutual_knn_edges:
-  -- raw BLAS GEMM float64 sums and DuckDB's sequential fold can differ
-  -- in the last ulp, which would flip top-k membership for near-tied
-  -- cosines before any output rounding (ADVICE r7). 12 dp is far
-  -- below any real similarity gap and far above double ulp at |cos|≤1.
+  -- rank on the FLOOR-quantized cosine (1e-12 grid), mirroring
+  -- mutual_knn_edges: raw BLAS GEMM float64 sums and DuckDB's
+  -- sequential fold can differ in the last ulp, which would flip
+  -- top-k membership for near-tied cosines (ADVICE r7). floor, not
+  -- round — round has a tie rule (numpy half-to-even vs DuckDB
+  -- half-away-from-zero); floor has none.
   SELECT qa, qb, row_number() OVER (
-    PARTITION BY qa ORDER BY round(cos, 12) DESC, qb ASC) AS rk
+    PARTITION BY qa ORDER BY floor(cos * 1e12) DESC, qb ASC) AS rk
   FROM scored
 ), knn AS (
   SELECT qa, qb FROM ranked WHERE rk <= 3
@@ -3822,6 +3823,8 @@ ORACLE_SQL["udtf_analyze_parse"] = """
 SELECT source, lang, count(*) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents
+WHERE source IS NOT NULL AND lang IS NOT NULL AND n_chars IS NOT NULL
+  AND NOT contains(source, '|') AND NOT contains(lang, '|')
 GROUP BY 1, 2
 """
 

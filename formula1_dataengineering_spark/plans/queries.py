@@ -31,7 +31,12 @@ from ..functions.text import (
     token_count,
     weighted_char_fingerprint_fast,
 )
-from ..functions.exactsum import dequantize, quantize, quantized_sum
+from ..functions.exactsum import (
+    dequantize,
+    qsum_sql,
+    quantize,
+    quantized_sum,
+)
 from ..functions.timefmt import format_lap_time
 from ..operators.asof import asof_join
 from ..operators.dedup import (
@@ -900,6 +905,11 @@ def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate is bounded (#buckets rows), so materialize it inside the
     # scoped conf and return a local frame — the flag is restored before
     # the gate returns, and the pushdown path still executes for real.
+    # This is NOT redundant with the get_spark bootstrap pin: the
+    # external driver (and verify_drive) build PLAIN sessions where the
+    # flag defaults to false, so the gate must be self-contained there;
+    # the bootstrap pin covers repo-built sessions so the restore here
+    # is a no-op for them.
     lazy = None
     with scoped_conf(spark, {"spark.sql.python.filterPushdown.enabled": "true"}):
         lazy = (
@@ -1163,10 +1173,10 @@ def sql_top_revenue_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "supplier").createOrReplaceTempView("v_supplier")
     load(spark, sf_dir, "nation").createOrReplaceTempView("v_nation")
     return spark.sql(
-        """
+        f"""
         WITH rev AS (
           SELECT n.n_name,
-                 round(CAST(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)) * 10000) AS BIGINT)) AS DOUBLE) / 10000, 2) AS revenue
+                 {qsum_sql("l.l_extendedprice * (1 - l.l_discount)", 4)} AS revenue
           FROM v_lineitem l
           JOIN v_supplier s ON l.l_suppkey = s.s_suppkey
           JOIN v_nation n   ON s.s_nationkey = n.n_nationkey
@@ -1315,12 +1325,12 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load(spark, sf_dir, "lineitem")
     return spark.sql(
-        """
+        f"""
         SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
                coalesce(l_linestatus, 'ALL') AS linestatus,
-               round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS DOUBLE) / 10000, 2) AS revenue,
+               {qsum_sql("l_extendedprice * (1 - l_discount)", 4)} AS revenue,
                count(*) AS n_items
-        FROM {li}
+        FROM {{li}}
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """,
         li=li,
@@ -2565,10 +2575,25 @@ def udtf_analyze_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.curation import make_parse_fields_udtf
 
     spark.udtf.register("parse_fields", make_parse_fields_udtf())
-    d = load(spark, sf_dir, "documents").select(
-        F.concat_ws(
-            "|", "source", "lang", F.col("n_chars").cast("string")
-        ).alias("line")
+    # Serialization contract, enforced not assumed (review r8): rows
+    # with a NULL field or a delimiter collision are EXCLUDED on both
+    # sides — concat_ws silently skips NULLs, which would shift fields
+    # and group under phantom values. The oracle applies the identical
+    # predicate, so the contract is part of the hashed semantics.
+    d = (
+        load(spark, sf_dir, "documents")
+        .where(
+            F.col("source").isNotNull()
+            & F.col("lang").isNotNull()
+            & F.col("n_chars").isNotNull()
+            & ~F.col("source").contains("|")
+            & ~F.col("lang").contains("|")
+        )
+        .select(
+            F.concat_ws(
+                "|", "source", "lang", F.col("n_chars").cast("string")
+            ).alias("line")
+        )
     )
     d.createOrReplaceTempView("v_doc_lines")
     return spark.sql(

@@ -232,7 +232,11 @@ class JsonlManifestWriter(DataSourceWriter):
         # remaining temps. Safe: temps are uuid-named, live only under
         # this sink's path, and are only ever published by commit()'s
         # os.replace, which removes the temp name atomically.
-        for orphan in glob.glob(os.path.join(self.path, "_tmp-*.jsonl")):
+        # glob.escape: a sink path containing glob metacharacters
+        # ([, ?, *) must not silently match nothing.
+        for orphan in glob.glob(
+            os.path.join(glob.escape(self.path), "_tmp-*.jsonl")
+        ):
             try:
                 os.remove(orphan)
             except OSError:
