@@ -65,16 +65,30 @@ def _gemm_batch_topk(
     ``query_groups`` maps cell → (qids, Q, qnorms); ``None`` cell means
     every corpus row scores against every query. One ``M @ Q.T`` per
     Arrow batch (BLAS), then a batch-local exact top-k per query under
-    the same tie-free total order the final window uses (cosine desc,
-    neighbor_id asc) — so only k × batches × queries candidate rows
-    ever leave the scan stage, and the corpus itself never shuffles.
+    the same tie-free total order the final window uses — the rank key
+    is the NEAREST-GRID-QUANTIZED cosine (1e-12 grid, ``qcos``), not
+    the raw float: GEMM summation order differs from the oracle's
+    sequential fold in the last ulp, which flips top-k membership under
+    dense near-ties (surfaced for real by the 100x replica drive, where
+    duplicate embeddings make distinct vectors score ulp-apart around
+    EXACTLY 1.0). round-to-nearest, NOT floor: exact duplicates produce
+    grid-ALIGNED cosines (1.0 → 1e12), and ±ulp noise straddles a floor
+    boundary there (measured: spark 0.99999999999999 vs duck
+    1.0000000000000002 landed in different floor cells at 100x), while
+    both snap to the same nearest grid point. round's residual hazard —
+    a raw cosine landing EXACTLY on a half-grid double — is
+    measure-zero, not structural. Only
+    k × batches × queries candidate rows ever leave the scan stage,
+    and the corpus itself never shuffles.
     The query set must fit driver/executor memory: that is the
     brute-force contract (|Q| small, |corpus| huge).
     """
     import numpy as np
     import pandas as pd
 
-    out_schema = "query_id long, neighbor_id long, cosine double"
+    out_schema = (
+        "query_id long, neighbor_id long, cosine double, qcos long"
+    )
 
     def score(batches):
         for pdf in batches:
@@ -104,14 +118,19 @@ def _gemm_batch_topk(
                     valid = np.flatnonzero(~np.isnan(col))
                     if valid.size == 0:
                         continue
-                    # exact batch-local top-k, (cosine desc, id asc) order
-                    order = valid[np.lexsort((ids[valid], -col[valid]))][:k]
+                    # exact batch-local top-k on (qcos desc, id asc) —
+                    # the quantized key, see the docstring (np.round is
+                    # half-even; the half-grid tie is measure-zero)
+                    q = np.round(col[valid] * 1e12).astype(np.int64)
+                    order_ix = np.lexsort((ids[valid], -q))[:k]
+                    order = valid[order_ix]
                     frames.append(
                         pd.DataFrame(
                             {
                                 "query_id": np.full(order.size, qid, dtype=np.int64),
                                 "neighbor_id": ids[order].astype(np.int64),
                                 "cosine": col[order],
+                                "qcos": q[order_ix],
                             }
                         )
                     )
@@ -122,10 +141,12 @@ def _gemm_batch_topk(
 
 
 def _finalize_topk(scored: DataFrame, k: int) -> DataFrame:
+    # rank on the quantized key (qcos), display the rounded raw cosine —
+    # selection is divergence-proof; see _gemm_batch_topk.
     return topk_per_group(
         scored,
         "query_id",
-        [F.col("cosine").desc(), F.col("neighbor_id").asc()],
+        [F.col("qcos").desc(), F.col("neighbor_id").asc()],
         k,
         keep_rank="rank",
     ).select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
@@ -425,17 +446,17 @@ def mutual_knn_edges(
         norms = np.sqrt((M * M).sum(axis=1))
         norms[norms == 0] = np.nan
         C = (M @ M.T) / np.outer(norms, norms)
-        # Rank on FLOOR-quantized cosines (1e-12 grid): GEMM float64
-        # summation order differs from the oracle's sequential
+        # Rank on NEAREST-GRID-quantized cosines (1e-12 grid): GEMM
+        # float64 summation order differs from the oracle's sequential
         # dot-product fold in the last ulp, which can flip top-k
         # membership for near-tied cosines before any rounding
-        # (ADVICE r7). floor rather than round: round would reintroduce
-        # a tie-rule divergence (numpy half-to-even vs DuckDB
-        # half-away-from-zero on exact .5 products); floor has no tie
-        # rule at all, so both sides agree whenever their raw cosines
-        # fall in the same 1e-12 cell — the same discipline as the
+        # (ADVICE r7). round-to-nearest, not floor: exact-duplicate
+        # vectors produce grid-ALIGNED cosines (exactly 1.0) where ±ulp
+        # noise straddles a floor boundary but snaps to the same
+        # nearest point (the 100x knn_srp_bucket finding); the residual
+        # exact-half-grid tie is measure-zero. Same discipline as the
         # kmeans/PQ ordered folds.
-        C = np.floor(C * 1e12)
+        C = np.round(C * 1e12)
         np.fill_diagonal(C, np.nan)  # self-matches never rank
         qa, qb = [], []
         for i in range(len(ids)):

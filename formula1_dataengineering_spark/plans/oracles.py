@@ -496,8 +496,12 @@ WITH e AS (
   FROM e a JOIN e b
     ON {join_on}
 ), ranked AS (
+  -- rank on the nearest-grid-quantized cosine (1e-12), mirroring
+  -- _gemm_batch_topk: raw GEMM and fold cosines differ in the last
+  -- ulp under dense near-ties, and exact duplicates sit grid-ALIGNED
+  -- at 1.0 where floor would split them (100x replica finding)
   SELECT query_id, neighbor_id, cos, row_number() OVER (
-    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+    PARTITION BY query_id ORDER BY round(cos * 1e12) DESC, neighbor_id ASC) AS rank
   FROM scored
 )
 SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
@@ -563,14 +567,14 @@ WITH e AS (
   SELECT a.vec_id AS qa, b.vec_id AS qb, {_COS} AS cos
   FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
 ), ranked AS (
-  -- rank on the FLOOR-quantized cosine (1e-12 grid), mirroring
+  -- rank on the nearest-grid-quantized cosine (1e-12), mirroring
   -- mutual_knn_edges: raw BLAS GEMM float64 sums and DuckDB's
   -- sequential fold can differ in the last ulp, which would flip
-  -- top-k membership for near-tied cosines (ADVICE r7). floor, not
-  -- round — round has a tie rule (numpy half-to-even vs DuckDB
-  -- half-away-from-zero); floor has none.
+  -- top-k membership for near-tied cosines (ADVICE r7); nearest-grid
+  -- (not floor) so exact-duplicate cosines aligned at 1.0 snap to
+  -- one cell.
   SELECT qa, qb, row_number() OVER (
-    PARTITION BY qa ORDER BY floor(cos * 1e12) DESC, qb ASC) AS rk
+    PARTITION BY qa ORDER BY round(cos * 1e12) DESC, qb ASC) AS rk
   FROM scored
 ), knn AS (
   SELECT qa, qb FROM ranked WHERE rk <= 3
@@ -3326,7 +3330,8 @@ WITH e AS (
 ), brute AS (
   SELECT query_id, neighbor_id FROM (
     SELECT query_id, neighbor_id, row_number() OVER (
-      PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+      PARTITION BY query_id
+      ORDER BY round(cos * 1e12) DESC, neighbor_id ASC) AS rank
     FROM bscored
   ) WHERE rank <= 5
 ), iscored AS (
@@ -3336,7 +3341,8 @@ WITH e AS (
 ), ivf AS (
   SELECT query_id, neighbor_id FROM (
     SELECT query_id, neighbor_id, row_number() OVER (
-      PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+      PARTITION BY query_id
+      ORDER BY round(cos * 1e12) DESC, neighbor_id ASC) AS rank
     FROM iscored
   ) WHERE rank <= 5
 )
@@ -3555,7 +3561,8 @@ WITH q(query, term) AS (
 ), dense AS (
   SELECT query, doc_id, rank FROM (
     SELECT query, doc_id, row_number() OVER (
-      PARTITION BY query ORDER BY cos DESC, doc_id ASC) AS rank
+      PARTITION BY query
+      ORDER BY round(cos * 1e12) DESC, doc_id ASC) AS rank
     FROM d_scored
   ) WHERE rank <= 10
 ), fused AS (
