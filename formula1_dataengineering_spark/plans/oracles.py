@@ -2817,7 +2817,7 @@ WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5
 
 # snapshot_cdc_diff: the same derived second snapshot and full-outer
 # classification in SQL.
-ORACLE_SQL["snapshot_cdc_diff"] = """
+ORACLE_SQL["snapshot_cdc_diff"] = f"""
 WITH old AS (
   SELECT o_orderkey AS k, o_totalprice AS old_p FROM orders
 ), new AS (
@@ -2837,8 +2837,8 @@ SELECT CASE WHEN old_p IS NULL THEN 'inserted'
             WHEN old_p != new_p THEN 'updated'
             ELSE 'unchanged' END AS status,
        count(*) AS n_keys,
-       round(sum(COALESCE(old_p, 0.0)), 2) AS total_old_price,
-       round(sum(COALESCE(new_p, 0.0)), 2) AS total_new_price
+       {_qsum("COALESCE(old_p, 0.0)", 4)} AS total_old_price,
+       {_qsum("COALESCE(new_p, 0.0)", 4)} AS total_new_price
 FROM j GROUP BY 1
 """
 

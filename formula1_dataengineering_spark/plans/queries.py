@@ -4154,12 +4154,16 @@ def snapshot_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("old_p") != F.col("new_p"), F.lit("updated"))
         .otherwise(F.lit("unchanged"))
     )
+    # quantized at 4 dp: old_p is 2-dp, new_p is exactly 3-dp
+    # (2-dp × 1.1), so 1e4-unit counts are exact integers — the
+    # round-8 money-sum rule (a cent flipped here at 3.3e11 during the
+    # full-catalog 100x drive before this).
     return j.groupBy(status.alias("status")).agg(
         F.count("*").alias("n_keys"),
-        F.round(F.sum(F.coalesce(F.col("old_p"), F.lit(0.0))), 2).alias(
+        quantized_sum(F.coalesce(F.col("old_p"), F.lit(0.0)), 4).alias(
             "total_old_price"
         ),
-        F.round(F.sum(F.coalesce(F.col("new_p"), F.lit(0.0))), 2).alias(
+        quantized_sum(F.coalesce(F.col("new_p"), F.lit(0.0)), 4).alias(
             "total_new_price"
         ),
     )
