@@ -32,12 +32,14 @@ from formula1_dataengineering_spark.plans import ORACLE_SQL, QUERIES
 #: queue (per round-4 advice). Keep this list current — add any query
 #: whose Spark plan or oracle changed since its last green row.
 _PRIORITY: list[str] = [
-    # round 8: the money-sum family was rewritten to order-independent
-    # quantized sums (functions/exactsum.py, VERDICT r7 item 6). Six of
-    # the seven rewritten gates are r4-stale and sort into the block
-    # anyway; salted_user_event_totals is r5-stale and alphabetically
-    # late, so pin it (it still counts as an r5-stale re-green).
-    "salted_user_event_totals",
+    # round 9: the exact-substring family's candidate join was
+    # dictionary-encoded (dual-xxhash64 keys, gram text never shuffles
+    # — VERDICT r8 item 3); their r8 green rows hashed the string-join
+    # plan, so the rewritten plans re-hash first. Everything else in
+    # the 50-block is the natural staleness order: the 38 r5-era rows
+    # plus the oldest r6 rows (VERDICT r8 item 1).
+    "substring_dedup_pairs",
+    "substring_dup_coverage",
 ]
 
 

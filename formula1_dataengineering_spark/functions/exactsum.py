@@ -60,7 +60,17 @@ def quantize(col: Column, in_dp: int) -> Column:
 
 
 def dequantize(sum_col: Column, in_dp: int, out_dp: int = 2) -> Column:
-    """Exact integer sum → presentation double rounded to ``out_dp``."""
+    """Exact integer sum → presentation double rounded to ``out_dp``.
+
+    Presentation-precision ceiling (ADVICE r8): the cast to double is
+    exact only while the integer unit sum is < 2^53 (~$9e13 at cents) —
+    above that the double nearest-rounds the integer, so the PRINTED
+    value can drift from the true total even though the accumulated sum
+    itself is exact. Cross-engine hash identity is unaffected (both
+    engines nearest-round the same exact integer to the same double);
+    callers needing end-to-end exactness past 2^53 units should emit
+    the integer unit sum itself (or a decimal division) instead.
+    """
     scale = float(10**in_dp)
     return F.round(sum_col.cast("double") / F.lit(scale), out_dp)
 

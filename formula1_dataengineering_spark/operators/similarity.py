@@ -52,6 +52,18 @@ def _collect_queries(queries: DataFrame, cols: list[str], max_rows: int):
     return pdf
 
 
+def _qgrid_1e12(np, x):
+    """Nearest-grid quantization of cosines at the 1e-12 grid, rounding
+    exact halves AWAY FROM ZERO to match DuckDB's ``round()`` (the
+    oracle side of every kNN rank key). ``np.round`` is half-to-EVEN,
+    so a raw cosine landing exactly on a half-grid double would be
+    binned differently by construction, not just by ulp noise
+    (ADVICE r8) — measure-zero in practice, aligned by policy here.
+    NaN propagates (sign/floor of NaN is NaN), matching np.round."""
+    scaled = x * 1e12
+    return np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)
+
+
 def _gemm_batch_topk(
     corpus: DataFrame,
     query_groups: dict,
@@ -119,9 +131,9 @@ def _gemm_batch_topk(
                     if valid.size == 0:
                         continue
                     # exact batch-local top-k on (qcos desc, id asc) —
-                    # the quantized key, see the docstring (np.round is
-                    # half-even; the half-grid tie is measure-zero)
-                    q = np.round(col[valid] * 1e12).astype(np.int64)
+                    # the quantized key, see the docstring (half-away
+                    # grid, matching DuckDB round(); _qgrid_1e12)
+                    q = _qgrid_1e12(np, col[valid]).astype(np.int64)
                     order_ix = np.lexsort((ids[valid], -q))[:k]
                     order = valid[order_ix]
                     frames.append(
@@ -454,9 +466,10 @@ def mutual_knn_edges(
         # vectors produce grid-ALIGNED cosines (exactly 1.0) where ±ulp
         # noise straddles a floor boundary but snaps to the same
         # nearest point (the 100x knn_srp_bucket finding); the residual
-        # exact-half-grid tie is measure-zero. Same discipline as the
+        # exact-half-grid tie is measure-zero (and binned half-AWAY to
+        # match DuckDB — _qgrid_1e12). Same discipline as the
         # kmeans/PQ ordered folds.
-        C = np.round(C * 1e12)
+        C = _qgrid_1e12(np, C)
         np.fill_diagonal(C, np.nan)  # self-matches never rank
         qa, qb = [], []
         for i in range(len(ids)):

@@ -3900,7 +3900,12 @@ WITH s AS (
 SELECT d.source,
        count(*) AS n_docs,
        CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
-       CAST((SELECT max(rl) FROM runs r WHERE r.source = d.source) AS INT)
+       -- IS NOT DISTINCT FROM: a correlated `=` would yield NULL for a
+       -- NULL-source group while the Spark UDTF (which partitions by
+       -- source, NULLs forming their own group) emits a real value.
+       -- Latent on current data (no NULL sources) — ADVICE r8.
+       CAST((SELECT max(rl) FROM runs r
+             WHERE r.source IS NOT DISTINCT FROM d.source) AS INT)
          AS longest_increasing_run
 FROM documents d GROUP BY d.source
 """

@@ -548,6 +548,47 @@ def test_substring_match_pairs_df_cap(spark):
     assert uncapped == {(i, j) for i in range(1, 5) for j in range(i + 1, 5)}
 
 
+def test_substring_family_verify_text_mode_agrees(spark):
+    """The dictionary-encoded (dual-xxhash64) candidate join and the
+    fully-exact ``verify_text=True`` audit mode (gram text carried
+    through the shuffle and string-compared post-join) produce
+    IDENTICAL output on a real corpus slice — the collision-bound
+    argument made observable. Runs both public operators, with and
+    without the df cap, over sf0.001 documents."""
+    from formula1_dataengineering_spark.operators.dedup import (
+        substring_duplicate_coverage,
+        substring_match_pairs,
+    )
+    from formula1_dataengineering_spark.sources.catalog import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    for cap in (None, 20):
+        fast = sorted(
+            map(tuple, substring_match_pairs(docs, k=8, max_df=cap).collect())
+        )
+        exact = sorted(
+            map(
+                tuple,
+                substring_match_pairs(
+                    docs, k=8, max_df=cap, verify_text=True
+                ).collect(),
+            )
+        )
+        assert fast == exact and len(fast) > 0
+    fast_cov = sorted(
+        map(tuple, substring_duplicate_coverage(docs, k=8).collect())
+    )
+    exact_cov = sorted(
+        map(
+            tuple,
+            substring_duplicate_coverage(
+                docs, k=8, verify_text=True
+            ).collect(),
+        )
+    )
+    assert fast_cov == exact_cov and len(fast_cov) > 0
+
+
 def test_parse_fields_udtf_analyze_contracts(spark):
     """analyze()-UDTF contracts: schema derives from the constant
     names argument (polymorphic across invocations), short rows pad
