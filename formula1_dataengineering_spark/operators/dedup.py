@@ -991,3 +991,102 @@ def substring_duplicate_coverage(
             "dup_coverage"
         ),
     )
+
+
+def incremental_dedup_flags(
+    docs: DataFrame,
+    is_batch: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_k: int = 3,
+    mode: str = "portable",
+) -> DataFrame:
+    """Incremental (daily-ingest) dedup decision for a NEW BATCH of
+    documents against the EXISTING corpus — the operation a 100 TB
+    training-data pipeline runs on every ingest, where re-deduplicating
+    the whole corpus is off the table: per batch document, does its
+    exact text already exist in the corpus (content-hash hit), is it a
+    near-duplicate of a corpus document (MinHash-LSH band-bucket hit,
+    same topology/parameters as :func:`minhash_lsh_pairs`), and the
+    resulting action (``skip_exact`` / ``review_near`` / ``ingest``).
+
+    Scale plan — the corpus side NEVER shuffles and the batch side
+    bounds every intermediate:
+
+    1. Exact: corpus content hashes semi-join the BROADCAST batch hash
+       set (one corpus scan, output ≤ |batch| distinct hashes after a
+       map-side-combined distinct), then the batch left-joins that
+       tiny hit set. In production the corpus hash column is a stored
+       index; here it is computed in the scan stage.
+    2. Near: LSH band rows for the batch are broadcast; corpus band
+       rows semi-join them (second corpus scan, no corpus shuffle),
+       distinct surviving (band, key) buckets (again ≤ |batch bands|
+       post-combine), and the batch band rows semi-join back. A hub
+       bucket in the corpus cannot explode the plan: the corpus side
+       collapses to the bucket KEY before anything joins toward the
+       batch.
+
+    Flags are independent (near does not exclude exact); the action
+    CASE layers them. Deterministic: hashes and set membership only.
+    """
+    base = docs.select(
+        F.col(id_col), F.col(text_col), is_batch.alias("__new")
+    )
+    batch = base.where(F.col("__new"))
+    corpus = base.where(~F.col("__new"))
+
+    ch = portable_hash48(F.col(text_col)).alias("__ch")
+    batch_h = batch.select(F.col(id_col), ch)
+    corpus_h = corpus.select(ch)
+    hit_hashes = (
+        corpus_h.join(
+            F.broadcast(batch_h.select("__ch").distinct()),
+            "__ch",
+            "left_semi",
+        )
+        .distinct()
+        .withColumn("__exact", F.lit(True))
+    )
+
+    sig = minhash_signatures(
+        docs, id_col, text_col, num_hashes, shingle_k, mode
+    )
+    band_rows = _band_rows(sig, id_col, num_hashes, bands)
+    batch_ids = batch.select(id_col)
+    batch_bands = band_rows.join(F.broadcast(batch_ids), id_col, "left_semi")
+    corpus_bands = band_rows.join(
+        F.broadcast(batch_ids), id_col, "left_anti"
+    )
+    hit_keys = (
+        corpus_bands.select("band", "key")
+        .join(
+            F.broadcast(batch_bands.select("band", "key").distinct()),
+            ["band", "key"],
+            "left_semi",
+        )
+        .distinct()
+    )
+    near_ids = (
+        batch_bands.join(F.broadcast(hit_keys), ["band", "key"], "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("__near", F.lit(True))
+    )
+
+    out = (
+        batch_h.join(F.broadcast(hit_hashes), "__ch", "left")
+        .join(F.broadcast(near_ids), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__exact"), F.lit(False)).alias("exact_dup"),
+            F.coalesce(F.col("__near"), F.lit(False)).alias("near_dup"),
+        )
+    )
+    return out.withColumn(
+        "action",
+        F.when(F.col("exact_dup"), F.lit("skip_exact"))
+        .when(F.col("near_dup"), F.lit("review_near"))
+        .otherwise(F.lit("ingest")),
+    )

@@ -560,33 +560,67 @@ WHERE {_COS} >= 0.25
 # Mutual-kNN graph + degree-oriented triangle enumeration (the Spark
 # side mirrors this exactly: row_number (cos desc, id asc) per query,
 # reciprocal filter, orientation by (degree, id), wedge + closure).
+#
+# The kNN stage is BANDED (VERDICT r8 item 2): kNN is computed within
+# label, so partitioning the labels into buckets and UNION ALL-ing the
+# per-bucket top-3 is semantically IDENTICAL to one global pass — each
+# label's pairs live entirely inside one branch. The point is 100x
+# feasibility: one monolithic `e a JOIN e b ON a.label = b.label`
+# materializes ~250M scored pair rows at the 100x replica (50k
+# vectors, 10 labels) and exhausted temp disk in the round-8 drive;
+# per-band branches bound the live pair set to ~1/10 of that (~25M
+# rows) while total work is unchanged. The band key is a pure function
+# of label (non-negative mod), so the decomposition is exact for any
+# label domain, not just the fixture's 0..9.
+_TRI_BANDS = 10
+
+
+def _tri_knn_band(i: int) -> str:
+    # rank on the nearest-grid-quantized cosine (1e-12), mirroring
+    # mutual_knn_edges: raw BLAS GEMM float64 sums and DuckDB's
+    # sequential fold can differ in the last ulp, which would flip
+    # top-k membership for near-tied cosines (ADVICE r7); nearest-grid
+    # (not floor) so exact-duplicate cosines aligned at 1.0 snap to
+    # one cell.
+    # The quantized cosine is PROJECTED in the inner subquery, before
+    # the window: an ORDER BY that computes the cosine inside the
+    # window operator drags both 64-double embedding vectors into the
+    # window sort payload (~1 KB/row × 25M pair rows per band — this,
+    # not the pair count itself, is what filled temp disk in the
+    # round-8/round-9 first attempts); pre-projected, the sort row is
+    # (qa, qb, qw) = 24 bytes.
+    return f"""
+  SELECT qa, qb FROM (
+    SELECT qa, qb, row_number() OVER (
+      PARTITION BY qa ORDER BY qw DESC, qb ASC) AS rk
+    FROM (
+      SELECT a.vec_id AS qa, b.vec_id AS qb,
+             round(({_COS}) * 1e12) AS qw
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+      WHERE ((a.label % {_TRI_BANDS}) + {_TRI_BANDS}) % {_TRI_BANDS} = {i}
+    )
+  ) WHERE rk <= 3"""
+
+
 ORACLE_SQL["embedding_knn_triangles"] = f"""
 WITH e AS (
   {_EMB_VL}
-), scored AS (
-  SELECT a.vec_id AS qa, b.vec_id AS qb, {_COS} AS cos
-  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
-), ranked AS (
-  -- rank on the nearest-grid-quantized cosine (1e-12), mirroring
-  -- mutual_knn_edges: raw BLAS GEMM float64 sums and DuckDB's
-  -- sequential fold can differ in the last ulp, which would flip
-  -- top-k membership for near-tied cosines (ADVICE r7); nearest-grid
-  -- (not floor) so exact-duplicate cosines aligned at 1.0 snap to
-  -- one cell.
-  SELECT qa, qb, row_number() OVER (
-    PARTITION BY qa ORDER BY round(cos * 1e12) DESC, qb ASC) AS rk
-  FROM scored
-), knn AS (
-  SELECT qa, qb FROM ranked WHERE rk <= 3
+), knn AS MATERIALIZED (
+  -- MATERIALIZED is load-bearing: knn/und feed multiple downstream
+  -- references (mutual reads knn twice, o reads und three times);
+  -- DuckDB inlines plain CTEs per reference, which would re-run the
+  -- banded pair scoring many times over (measured 9.2 s -> 0.1 s at
+  -- 1x from this keyword alone).
+  {" UNION ALL ".join(_tri_knn_band(i) for i in range(_TRI_BANDS))}
 ), mutual AS (
   SELECT r1.qa AS u, r1.qb AS v
   FROM knn r1 JOIN knn r2 ON r1.qa = r2.qb AND r1.qb = r2.qa
   WHERE r1.qa < r1.qb
-), und AS (
+), und AS MATERIALIZED (
   SELECT u, v FROM mutual UNION ALL SELECT v, u FROM mutual
 ), deg AS (
   SELECT u AS n, count(*) AS d FROM und GROUP BY 1
-), o AS (
+), o AS MATERIALIZED (
   SELECT und.u AS a, und.v AS b, dv.d AS db
   FROM und JOIN deg du ON du.n = und.u JOIN deg dv ON dv.n = und.v
   WHERE (du.d < dv.d) OR (du.d = dv.d AND und.u < und.v)
@@ -3909,3 +3943,72 @@ SELECT d.source,
          AS longest_increasing_run
 FROM documents d GROUP BY d.source
 """
+
+
+# --------------------------------------------------------------------------
+# Round 9: corpus layout + incremental-ingest oracles
+# --------------------------------------------------------------------------
+
+#: HRW weight, mirroring sharding.rendezvous_shard(mode="portable"):
+#: portable_hash48("{salt}:{key}:{shard}") — the 48-bit little-endian
+#: md5 prefix, same double-mod as every other portable-hash oracle.
+def _hrw_w(expr: str) -> str:
+    return f"((md5_number({expr}) % {_M48} + {_M48}) % {_M48})"
+
+
+ORACLE_SQL["rendezvous_shard_stats"] = f"""
+WITH s AS (
+  SELECT doc_id, n_chars, unnest(range(0, 16)) AS shard FROM documents
+), w AS (
+  SELECT doc_id, n_chars, shard,
+         {_hrw_w("'hrw:' || CAST(doc_id AS VARCHAR) || ':' || CAST(shard AS VARCHAR)")} AS wt
+  FROM s
+), pick AS (
+  -- argmax over (weight, shard): ties break toward the LARGER shard
+  -- id, matching array_max's lexicographic struct comparison.
+  SELECT doc_id, n_chars, shard, row_number() OVER (
+    PARTITION BY doc_id ORDER BY wt DESC, shard DESC) AS rk
+  FROM w
+)
+SELECT CAST(shard AS INT) AS shard,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(max(doc_id) AS BIGINT) AS max_doc_id
+FROM pick WHERE rk = 1 GROUP BY shard
+"""
+
+# Incremental-ingest dedup: batch = doc_id % 97 = 0, corpus = rest.
+# Exact = content-hash (portable_hash48 of the raw text) present in
+# the corpus; near = any shared MinHash-LSH (band, key) bucket with a
+# corpus doc — exactly the minhash_lsh_docs topology, reusing its sig
+# and band fragments so the two contracts cannot drift apart.
+ORACLE_SQL["incremental_dedup_new_batch"] = (
+    _MINHASH_BASE_K3.format(sig_exprs=_SIG_EXPRS)
+    + f""", bands AS (
+{_BAND_SELECTS}
+), hashes AS (
+  SELECT doc_id, ((md5_number(text) % {_M48} + {_M48}) % {_M48}) AS ch
+  FROM documents
+), exact_hit AS (
+  SELECT DISTINCT b.doc_id
+  FROM hashes b JOIN hashes c ON b.ch = c.ch
+  WHERE b.doc_id % 97 = 0 AND c.doc_id % 97 <> 0
+), near_hit AS (
+  SELECT DISTINCT nb.doc_id
+  FROM bands nb JOIN bands cb
+    ON nb.band = cb.band AND nb.key = cb.key
+  WHERE nb.doc_id % 97 = 0 AND cb.doc_id % 97 <> 0
+)
+SELECT d.doc_id,
+       (e.doc_id IS NOT NULL) AS exact_dup,
+       (n.doc_id IS NOT NULL) AS near_dup,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'skip_exact'
+            WHEN n.doc_id IS NOT NULL THEN 'review_near'
+            ELSE 'ingest' END AS action
+FROM documents d
+LEFT JOIN exact_hit e ON e.doc_id = d.doc_id
+LEFT JOIN near_hit n ON n.doc_id = d.doc_id
+WHERE d.doc_id % 97 = 0
+"""
+)

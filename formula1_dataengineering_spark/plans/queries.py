@@ -5853,3 +5853,46 @@ def statestore_reader_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value.sum").alias("sum_uid"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round 9: corpus layout + incremental-ingest operators
+# --------------------------------------------------------------------------
+
+
+@query("rendezvous_shard_stats")
+def rendezvous_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (HRW) shard assignment of the document corpus into 16
+    shards, with per-shard placement accounting — the deterministic,
+    minimal-remapping layout primitive a 100 TB corpus re-shard needs
+    (dropping one shard moves ONLY that shard's keys; mod-N would
+    remap ~15/16 of the corpus). Pure scan-stage column arithmetic —
+    zero shuffle before the 16-group aggregate
+    (operators/sharding.py)."""
+    from ..operators.sharding import shard_accounting
+
+    d = load(spark, sf_dir, "documents")
+    return shard_accounting(
+        d, "doc_id", n_shards=16, size_col="n_chars"
+    ).select(
+        "shard",
+        F.col("n_keys").cast("bigint").alias("n_docs"),
+        F.col("total_size").alias("total_chars"),
+        F.col("min_key").cast("bigint").alias("min_doc_id"),
+        F.col("max_key").cast("bigint").alias("max_doc_id"),
+    )
+
+
+@query("incremental_dedup_new_batch")
+def incremental_dedup_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: every 97th document plays the
+    incoming batch, the rest the existing corpus; per batch doc, an
+    exact content-hash hit flag, a MinHash-LSH near-dup hit flag
+    (same 12-hash/4-band/trigram topology as minhash_lsh_docs), and
+    the skip/review/ingest action. The corpus side never shuffles —
+    both probes semi-join against the broadcast batch
+    (operators/dedup.py incremental_dedup_flags)."""
+    from ..operators.dedup import incremental_dedup_flags
+
+    d = load(spark, sf_dir, "documents")
+    return incremental_dedup_flags(d, F.col("doc_id") % 97 == 0)
