@@ -18,10 +18,16 @@ the source becomes Kafka with the same downstream plan.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+#: (applicationId, sf_dir, events mtime) → resolved raw ts DataType;
+#: see read_events_stream.
+_TS_TYPE_CACHE: dict[tuple, T.DataType] = {}
 
 def _events_stream_schema(ts_type: T.DataType) -> T.StructType:
     return T.StructType(
@@ -60,13 +66,27 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (TIMESTAMP/TIMESTAMP_NTZ) rather than the testdata's INT64
     # nanos, and the session conf alone cannot distinguish them
     # (code-review finding, round 4).
-    load(spark, sf_dir, "events")
-    raw_type = (
-        spark.read.option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .schema["ts"]
-        .dataType
+    # Per-(session, dir, mtime) probe cache (VERDICT r8 item 5): the
+    # conf probe + two footer reads cost ~0.15-0.3 s and every one of
+    # the ~18 streaming gates pays it per run (stream-stream joins
+    # twice). The FIRST call per session still runs the full probe —
+    # which is what sets any legacy conf the session needs — so a hit
+    # can only occur on a session whose confs are already settled.
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        os.stat(os.path.join(sf_dir, "events.parquet")).st_mtime_ns,
     )
+    raw_type = _TS_TYPE_CACHE.get(key)
+    if raw_type is None:
+        load(spark, sf_dir, "events")
+        raw_type = (
+            spark.read.option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .schema["ts"]
+            .dataType
+        )
+        _TS_TYPE_CACHE[key] = raw_type
     # The file-stream source monitors a DIRECTORY; select the single
     # table file with a glob filter.
     reader = spark.readStream.format("parquet").option(
@@ -257,18 +277,36 @@ def run_to_completion(
         confs["spark.sql.shuffle.partitions"] = str(
             min(current, state_partitions)
         )
+    # Throwaway checkpoint on tmpfs when available (VERDICT r8 item 5):
+    # this helper's checkpoint is BY DESIGN single-use (memory sink,
+    # fresh query each call — no restart semantics to preserve; the
+    # restart/recovery gates manage their own on-disk checkpoints and
+    # are untouched), so the offset/commit log writes might as well hit
+    # RAM. Measured ~0.15 s/run off the streaming gates at sf0.1. The
+    # dir is removed on exit; the default engine-managed temp dir is
+    # the fallback.
+    import shutil
+    import uuid
+
+    ckpt = None
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        ckpt = f"/dev/shm/f1spark_rtc_{uuid.uuid4().hex}"
     with scoped_conf(spark, confs):
-        q = (
+        writer = (
             stream_df.writeStream.outputMode(output_mode)
             .format("memory")
             .queryName(query_name)
             .trigger(availableNow=True)
-            .start()
         )
+        if ckpt is not None:
+            writer = writer.option("checkpointLocation", ckpt)
+        q = writer.start()
     try:
         q.processAllAvailable()
     finally:
         q.stop()
+        if ckpt is not None:
+            shutil.rmtree(ckpt, ignore_errors=True)
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
