@@ -95,6 +95,11 @@ SENSITIVE = [
     "substring_dup_coverage",
     "udtf_table_arg_stats",
     "udtf_analyze_parse",
+    # Round-9 additions: HRW argmax must be layout-independent (pure
+    # column arithmetic), and the incremental-dedup semi-join ladder
+    # must not depend on how batch/corpus rows are partitioned.
+    "rendezvous_shard_stats",
+    "incremental_dedup_new_batch",
 ]
 
 
