@@ -8,6 +8,8 @@ empty sides. Deadlines are disabled — JVM warmup would trip them.
 
 from __future__ import annotations
 
+import math
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -440,7 +442,20 @@ def test_mutual_knn_matches_numpy_reference(spark, vecs):
             if j == i or norms[i] == 0 or norms[j] == 0:
                 continue
             cos = float(M[i] @ M[j] / (norms[i] * norms[j]))
-            cands.append((-cos, j))
+            # Rank on the OPERATOR'S contract key: the nearest-grid
+            # (half-away) quantized cosine, ties by id asc — NOT the
+            # raw float. Integer-lattice vectors reach the same
+            # geometric cosine (e.g. 1/sqrt(2)) via different
+            # arithmetic paths that differ in the last ulp; a raw
+            # reference would tie-break on that noise, which is
+            # exactly the divergence class qcos exists to kill
+            # (hypothesis found such a lattice: three 1/sqrt(2) pairs
+            # ulp-apart).
+            scaled = cos * 1e12
+            q = int(math.floor(abs(scaled) + 0.5)) * (
+                1 if scaled >= 0 else -1
+            )
+            cands.append((-q, j))
         cands.sort()
         topk[i] = {j for _, j in cands[:k]}
     want = sorted(
