@@ -1030,9 +1030,18 @@ def incremental_dedup_flags(
 
     Flags are independent (near does not exclude exact); the action
     CASE layers them. Deterministic: hashes and set membership only.
+
+    A NULL ``is_batch`` value means CORPUS (coalesced to false up
+    front): a document the predicate cannot identify as incoming is
+    existing corpus, and the rule is applied once so the exact and
+    near probes always agree on the corpus/batch split (a raw NULL
+    would be dropped by ``where(~flag)`` on the exact path but kept by
+    the anti-join on the near path — code-review r9).
     """
     base = docs.select(
-        F.col(id_col), F.col(text_col), is_batch.alias("__new")
+        F.col(id_col),
+        F.col(text_col),
+        F.coalesce(is_batch, F.lit(False)).alias("__new"),
     )
     batch = base.where(F.col("__new"))
     corpus = base.where(~F.col("__new"))
@@ -1050,9 +1059,13 @@ def incremental_dedup_flags(
         .withColumn("__exact", F.lit(True))
     )
 
+    # Cache the signatures (the minhash_lsh_pairs idiom): band_rows is
+    # consumed three times below (batch bands twice, corpus bands
+    # once); uncached, the full-corpus shingle→hash→groupBy-min
+    # pipeline would execute three times.
     sig = minhash_signatures(
         docs, id_col, text_col, num_hashes, shingle_k, mode
-    )
+    ).cache()
     band_rows = _band_rows(sig, id_col, num_hashes, bands)
     batch_ids = batch.select(id_col)
     batch_bands = band_rows.join(F.broadcast(batch_ids), id_col, "left_semi")

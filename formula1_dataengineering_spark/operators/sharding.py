@@ -44,6 +44,12 @@ def rendezvous_shard(
     Weight = hash("{salt}:{key}:{shard}"); winner = max (weight,
     shard) struct, so ties (astronomically unlikely with 48/64-bit
     weights) break toward the larger shard id deterministically.
+
+    A NULL key yields a NULL shard (no silent placement: concat_ws
+    would otherwise SKIP the null component and hash the degenerate
+    tag "{salt}:{shard}", assigning every null key one arbitrary but
+    real shard while SQL twins with null-propagating ``||`` disagree —
+    code-review r9). Callers route null keys explicitly.
     """
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
@@ -63,7 +69,7 @@ def rendezvous_shard(
     scores = F.transform(
         F.sequence(F.lit(0), F.lit(n_shards - 1)), weigh
     )
-    return F.array_max(scores)["shard"]
+    return F.when(key.isNotNull(), F.array_max(scores)["shard"])
 
 
 def shard_accounting(

@@ -25,9 +25,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: (applicationId, sf_dir, events mtime) → resolved raw ts DataType;
-#: see read_events_stream.
-_TS_TYPE_CACHE: dict[tuple, T.DataType] = {}
+#: (applicationId, sf_dir, events mtime) → (resolved raw ts DataType,
+#: recorded nanosAsLong conf value); see read_events_stream.
+_TS_TYPE_CACHE: dict[tuple, tuple[T.DataType, str]] = {}
 
 def _events_stream_schema(ts_type: T.DataType) -> T.StructType:
     return T.StructType(
@@ -77,8 +77,8 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.abspath(sf_dir),
         os.stat(os.path.join(sf_dir, "events.parquet")).st_mtime_ns,
     )
-    raw_type = _TS_TYPE_CACHE.get(key)
-    if raw_type is None:
+    cached = _TS_TYPE_CACHE.get(key)
+    if cached is None:
         load(spark, sf_dir, "events")
         raw_type = (
             spark.read.option("pathGlobFilter", "events.parquet")
@@ -86,7 +86,22 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .schema["ts"]
             .dataType
         )
-        _TS_TYPE_CACHE[key] = raw_type
+        _TS_TYPE_CACHE[key] = (
+            raw_type,
+            spark.conf.get(
+                "spark.sql.legacy.parquet.nanosAsLong", "false"
+            ),
+        )
+    else:
+        raw_type, legacy = cached
+        # applicationId is CONTEXT-scoped but the nanosAsLong conf the
+        # probe may have set is SESSION-scoped: a sibling session
+        # (spark.newSession()) sharing the context would hit the cache
+        # with fresh confs. Re-assert the recorded conf — an idempotent
+        # ms-scale RPC — so the hit never skips the probe's side effect
+        # (code-review r9).
+        if legacy == "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # The file-stream source monitors a DIRECTORY; select the single
     # table file with a glob filter.
     reader = spark.readStream.format("parquet").option(
@@ -291,20 +306,26 @@ def run_to_completion(
     ckpt = None
     if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
         ckpt = f"/dev/shm/f1spark_rtc_{uuid.uuid4().hex}"
-    with scoped_conf(spark, confs):
-        writer = (
-            stream_df.writeStream.outputMode(output_mode)
-            .format("memory")
-            .queryName(query_name)
-            .trigger(availableNow=True)
-        )
-        if ckpt is not None:
-            writer = writer.option("checkpointLocation", ckpt)
-        q = writer.start()
+    # Cleanup must cover every exit: a failing start() has already had
+    # its checkpoint dir created by Spark, and a raising stop() must
+    # not skip the rmtree (tmpfs dirs eat RAM until reboot —
+    # code-review r9).
     try:
-        q.processAllAvailable()
+        with scoped_conf(spark, confs):
+            writer = (
+                stream_df.writeStream.outputMode(output_mode)
+                .format("memory")
+                .queryName(query_name)
+                .trigger(availableNow=True)
+            )
+            if ckpt is not None:
+                writer = writer.option("checkpointLocation", ckpt)
+            q = writer.start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
         if ckpt is not None:
             shutil.rmtree(ckpt, ignore_errors=True)
     return spark.sql(f"SELECT * FROM {query_name}")

@@ -39,6 +39,7 @@ sys.path.insert(
 from pyspark.sql import functions as F
 
 from formula1_dataengineering_spark.operators.dedup import (
+    _KGRAM_H2_SALT,
     _substring_tokens,
 )
 from formula1_dataengineering_spark.session import get_spark
@@ -50,7 +51,10 @@ MAX_DF = 50
 
 def build_docs_replica(spark, n: int, out_dir: str) -> str:
     path = f"{out_dir}/documents.parquet"
-    if os.path.exists(path):
+    # _SUCCESS gates the cache: a bare exists() would reuse a partial
+    # directory left by an interrupted write and silently compute the
+    # accounting over a truncated corpus (code-review r9).
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     stride = docs.agg(F.max("doc_id")).first()[0] + 1
@@ -92,7 +96,7 @@ def main() -> None:
         "doc_id",
         (F.col("pos0") + 1).alias("pos"),
         F.xxhash64("g").alias("h"),
-        F.xxhash64(F.lit("substring-dedup-h2"), F.col("g")).alias("h2"),
+        F.xxhash64(F.lit(_KGRAM_H2_SALT), F.col("g")).alias("h2"),
     )
     kg = kg.persist()
     t0 = time.perf_counter()
@@ -114,20 +118,25 @@ def main() -> None:
     cold = kg.join(F.broadcast(hot), ["h", "h2"], "left_anti").persist()
     n_cold_postings = cold.count()
     a, b = cold.alias("a"), cold.alias("b")
-    cand = a.join(
-        b,
-        (F.col("a.h") == F.col("b.h"))
-        & (F.col("a.h2") == F.col("b.h2"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    )
-    n_candidates = cand.count()
-    n_cand_pairs = (
-        cand.select(
-            F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
+    # Both counts in ONE aggregation over one execution of the join —
+    # separate count()/distinct().count() actions would run the
+    # probe's slowest stage twice and double-report t_join
+    # (code-review r9).
+    row = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.h2") == F.col("b.h2"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .distinct()
-        .count()
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("da", "db").alias("n_pairs"),
+        )
+        .collect()[0]
     )
+    n_candidates, n_cand_pairs = row["n_rows"], row["n_pairs"]
     t_join = time.perf_counter() - t0
 
     naive_pairs = n_docs * (n_docs - 1) // 2

@@ -83,3 +83,49 @@ def test_incremental_dedup_flags_known(spark):
     assert out[97][0] is False and out[97][1] is True
     assert out[97][2] == "review_near"
     assert out[194] == (False, False, "ingest")
+
+
+def test_hrw_null_key_yields_null_shard(spark):
+    """NULL keys get a NULL shard, never a silent placement: concat_ws
+    would drop the null component and hash 'salt:shard', landing every
+    null key on one arbitrary real shard (and diverging from
+    null-propagating SQL twins)."""
+    from formula1_dataengineering_spark.operators.sharding import (
+        rendezvous_shard,
+    )
+
+    df = spark.createDataFrame([(1,), (None,)], "k long")
+    out = {
+        r["k"]: r["s"]
+        for r in df.select(
+            "k", rendezvous_shard(F.col("k"), 8).alias("s")
+        ).collect()
+    }
+    assert out[1] is not None and 0 <= out[1] < 8
+    assert out[None] is None
+
+
+def test_incremental_dedup_null_predicate_is_corpus(spark):
+    """A NULL is_batch value means CORPUS on BOTH probes: a batch doc
+    whose only exact duplicate carries a NULL flag must still come
+    back exact_dup=True (the raw-NULL split would drop it from the
+    exact probe's corpus but keep its LSH bands — the two flags would
+    disagree about what the corpus is)."""
+    from formula1_dataengineering_spark.operators.dedup import (
+        incremental_dedup_flags,
+    )
+
+    text = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india "
+        "juliet kilo lima"
+    )
+    docs = spark.createDataFrame(
+        [(1, text, True), (2, text, None), (3, "other words here", False)],
+        "doc_id long, text string, flag boolean",
+    )
+    out = {
+        r["doc_id"]: (r["exact_dup"], r["near_dup"], r["action"])
+        for r in incremental_dedup_flags(docs, F.col("flag")).collect()
+    }
+    assert set(out) == {1}
+    assert out[1] == (True, True, "skip_exact")
