@@ -565,3 +565,62 @@ def test_substring_family_matches_bruteforce(spark, docs, k, cap):
     assert got_cov == {
         d: (len(toks[d]), c) for d, c in want_cov.items()
     }
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.lists(
+                st.sampled_from(["p", "q", "r", "s"]), min_size=3, max_size=8
+            ),
+            st.booleans(),
+        ),
+        min_size=2,
+        max_size=8,
+    ),
+)
+@_SETTINGS
+def test_incremental_dedup_matches_set_reference(spark, docs):
+    """The semi-join ladder of incremental_dedup_flags == plain set
+    logic over the SAME signature/band frames: exact_dup iff the batch
+    doc's text literally appears in the corpus, near_dup iff it shares
+    any (band, key) bucket with a corpus doc. The reference reimplements
+    only the LADDER (collect + set intersection) — the hash pipeline
+    itself is oracle-verified elsewhere; this pins that the
+    broadcast/semi-join plumbing loses or invents nothing, including
+    duplicate-text batches and all-batch / all-corpus corners."""
+    from formula1_dataengineering_spark.operators.dedup import (
+        _band_rows,
+        incremental_dedup_flags,
+        minhash_signatures,
+    )
+
+    rows = [
+        (i, " ".join(toks), bool(flag))
+        for i, (toks, flag) in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, flag boolean")
+    got = {
+        r["doc_id"]: (r["exact_dup"], r["near_dup"])
+        for r in incremental_dedup_flags(df, F.col("flag")).collect()
+    }
+
+    batch = {i for i, (_, fl) in enumerate(docs) if fl}
+    corpus_texts = {
+        " ".join(toks) for i, (toks, fl) in enumerate(docs) if not fl
+    }
+    sig = minhash_signatures(df, num_hashes=12, shingle_k=3)
+    bands = {}
+    for r in _band_rows(sig, "doc_id", 12, 4).collect():
+        bands.setdefault(r["doc_id"], set()).add((r["band"], r["key"]))
+    want = {}
+    for i, (toks, fl) in enumerate(docs):
+        if not fl:
+            continue
+        near = any(
+            bands.get(i, set()) & bands.get(j, set())
+            for j in range(len(docs))
+            if j not in batch
+        )
+        want[i] = (" ".join(toks) in corpus_texts, near)
+    assert got == want
