@@ -820,6 +820,15 @@ def _substring_kgram_matches(
         F.xxhash64(F.lit(_KGRAM_H2_SALT), F.col("g")).alias("h2"),
         *([F.col("g")] if verify_text else []),
     )
+    # Cache the postings: downstream they feed the df-cap aggregate,
+    # the anti-join, and BOTH sides of the candidate self-join —
+    # uncached, the tokenize+explode pipeline executes 4× per query
+    # (8× in the coverage operator; measured by Generate-node count in
+    # the executed plan). One materialization of the slim (doc_id,
+    # pos, h, h2) rows replaces them all. At 100 TB the equivalent
+    # move is writing the postings table once (bucketed by h) before
+    # the join — either way the explode runs once.
+    kg = kg.cache()
     if max_df is not None:
         hot = (
             kg.groupBy("h", "h2")
@@ -954,11 +963,25 @@ def substring_duplicate_coverage(
     m = _substring_kgram_matches(
         docs, k, max_df, id_col, text_col, verify_text
     )
+    # Both sides of each match in ONE pass over m (explode of a 2-array
+    # of structs): a unionByName of two projections would execute the
+    # whole candidate-join subtree twice (code-review r9 follow-up;
+    # the postings cache bounds it, but the join itself is the
+    # operator's most expensive stage).
     starts = (
-        m.select(F.col("da").alias("doc_id"), F.col("pa").alias("pos"))
-        .unionByName(
-            m.select(F.col("db").alias("doc_id"), F.col("pb").alias("pos"))
+        m.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("da").alias("doc_id"), F.col("pa").alias("pos")
+                    ),
+                    F.struct(
+                        F.col("db").alias("doc_id"), F.col("pb").alias("pos")
+                    ),
+                )
+            ).alias("s")
         )
+        .select("s.doc_id", "s.pos")
         .distinct()
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
