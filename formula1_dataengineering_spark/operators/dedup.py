@@ -656,6 +656,12 @@ def ppjoin_exact_jaccard(
     exceeds the budget. Costs one small aggregate job on the prefix
     relation, so it is opt-in.
     """
+    # Cache the shingle relation: it feeds sizes, frequencies, the
+    # ranked prefix build, and BOTH sides of the intersection count —
+    # uncached, the Arrow-batched shingler (the query's most expensive
+    # scan stage) executes five times per query (Generate-node count
+    # in the executed plan; same finding as the substring-postings
+    # cache, code-review r9 follow-up).
     ts = (
         docs.where(F.col(text_col).isNotNull())
         .select(
@@ -664,6 +670,7 @@ def ppjoin_exact_jaccard(
                 F.array_distinct(_shingle_col(F.col(text_col), shingle_k))
             ).alias("t"),
         )
+        .cache()
     )
     sizes = ts.groupBy("id").agg(F.count("*").alias("sz"))
     freq = ts.groupBy("t").agg(F.count("*").alias("df"))
@@ -679,10 +686,13 @@ def ppjoin_exact_jaccard(
         )
         .join(sizes, "id")
     )
+    # Cached for the same reason: both sides of the candidate
+    # self-join (plus the optional budget pre-count) would otherwise
+    # re-run the frequency join + ranking window.
     prefix = ranked.where(
         F.col("rn")
         <= F.col("sz") - _ceil_tight(F.lit(threshold) * F.col("sz")) + 1
-    ).select("id", "t", "sz", "rn")
+    ).select("id", "t", "sz", "rn").cache()
     if candidate_budget is not None:
         est_row = (
             prefix.groupBy("t")
