@@ -588,9 +588,16 @@ def semantic_dedup_drops(
     from .similarity import neardup_pairs
     from ..operators.clustering import kmeans_assignments
 
-    assign = kmeans_assignments(
-        embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col
-    ).select(id_col, "cluster")
+    # Cached: assign feeds the clustered join AND the final cluster
+    # lookup — uncached, the whole fixed-iteration k-means dataflow
+    # executes twice per query (plan audit, code-review r9 follow-up).
+    assign = (
+        kmeans_assignments(
+            embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+        )
+        .select(id_col, "cluster")
+        .cache()
+    )
     clustered = embeddings.select(id_col, vec_col).join(assign, id_col)
     pairs = neardup_pairs(
         clustered,
