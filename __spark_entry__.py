@@ -35,11 +35,15 @@ _PRIORITY: list[str] = [
     # round 9: the exact-substring family's candidate join was
     # dictionary-encoded (dual-xxhash64 keys, gram text never shuffles
     # — VERDICT r8 item 3); their r8 green rows hashed the string-join
-    # plan, so the rewritten plans re-hash first. Everything else in
-    # the 50-block is the natural staleness order: the 38 r5-era rows
-    # plus the oldest r6 rows (VERDICT r8 item 1).
+    # plan, so the rewritten plans re-hash first. The triangles gate's
+    # ORACLE was rewritten (banded per-label kNN for 100x feasibility,
+    # VERDICT r8 item 2) — same values, but no driver row has hashed
+    # the new oracle text yet. Everything else in the 50-block is the
+    # natural staleness order: the 38 r5-era rows plus the oldest r6
+    # rows (VERDICT r8 item 1; 45 r5/r6 re-greens, bar ≥45).
     "substring_dedup_pairs",
     "substring_dup_coverage",
+    "embedding_knn_triangles",
 ]
 
 
