@@ -343,6 +343,13 @@ def pq_encode(
     )
     assign = None
     for i in range(iters):
+        if i == iters - 1 and _with_codebook:
+            # The final codebook feeds BOTH this last assignment pass
+            # and the caller's ADC lookup table (pq_adc_topk /
+            # ivf_pq_topk) — cached, the whole training chain executes
+            # once instead of once per consumer (plan audit,
+            # code-review r9 follow-up). m·k rows — always cacheable.
+            cents = cents.cache()
         scored = subs.join(F.broadcast(cents), "sub_id").select(
             id_col,
             "sub_id",

@@ -373,7 +373,14 @@ def triangle_count(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .where(F.col("u") != F.col("v"))
     )
-    und = e.union(e.select(F.col("v"), F.col("u"))).distinct()
+    # Cache the undirected edge list: it feeds the degree count and
+    # the orientation join, and everything upstream of it (for the
+    # mutual-kNN gate: the per-cell GEMM applyInPandas pipeline) would
+    # otherwise re-execute once per downstream consumer — the plan
+    # audit counted the GEMM stage 36 times in the uncached triangles
+    # plan (code-review r9 follow-up). The edge list is k·n rows at
+    # most for a mutual-kNN graph — always cacheable.
+    und = e.union(e.select(F.col("v"), F.col("u"))).distinct().cache()
     deg = und.groupBy("u").agg(F.count("*").alias("d")).withColumnRenamed("u", "n")
     lower = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
@@ -386,6 +393,8 @@ def triangle_count(
         .where(lower)
         # keep the out-endpoint's (deg, id) rank key for wedge ordering
         .select(F.col("u").alias("a"), F.col("v").alias("b"), F.col("dv").alias("db"))
+        # cached: consumed by both wedge sides and the closure probe
+        .cache()
     )
     x, y = o.alias("x"), o.alias("y")
     wedge_order = (F.col("x.db") < F.col("y.db")) | (
