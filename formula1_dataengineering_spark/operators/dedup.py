@@ -712,6 +712,13 @@ def ppjoin_exact_jaccard(
         )
         est = int(est_row[0]["pairs"] or 0)
         if est > candidate_budget:
+            # The pre-count just materialized the cached shingle and
+            # prefix relations — in exactly the dense regime where
+            # they are largest. Release them before aborting; the
+            # raise means no returned frame holds a handle
+            # (code-review r9).
+            ts.unpersist()
+            prefix.unpersist()
             raise ValueError(
                 f"ppjoin_exact_jaccard: prefix-token candidate bound "
                 f"{est:,} pairs exceeds candidate_budget="

@@ -380,7 +380,25 @@ def triangle_count(
     # audit counted the GEMM stage 36 times in the uncached triangles
     # plan (code-review r9 follow-up). The edge list is k·n rows at
     # most for a mutual-kNN graph — always cacheable.
-    und = e.union(e.select(F.col("v"), F.col("u"))).distinct().cache()
+    # Both directions in ONE pass over e (explode of a 2-struct array,
+    # the substring-coverage idiom) — a union of two selects would
+    # execute the input plan once per branch even while materializing
+    # the cache (ReuseExchange dedupes shuffle writes, not a pandas
+    # GEMM stage above them): for the mutual-kNN gate that halves the
+    # remaining 2 GEMM executions to 1 (code-review r9).
+    und = (
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u"), F.col("v")),
+                    F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+                )
+            ).alias("__d")
+        )
+        .select("__d.u", "__d.v")
+        .distinct()
+        .cache()
+    )
     deg = und.groupBy("u").agg(F.count("*").alias("d")).withColumnRenamed("u", "n")
     lower = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))

@@ -56,7 +56,10 @@ BANDS = 4
 def main() -> None:
     n = 1000
     if "--replicas" in sys.argv:
-        n = int(sys.argv[sys.argv.index("--replicas") + 1])
+        i = sys.argv.index("--replicas")
+        if i + 1 >= len(sys.argv):
+            sys.exit("--replicas needs a value, e.g. --replicas 100")
+        n = int(sys.argv[i + 1])
     spark = get_spark(app_name="lsh-bucket-probe")
     path = build_docs_replica(spark, n, f"/tmp/graft_docs{n}x_sf001")
     docs = spark.read.parquet(path)
@@ -75,6 +78,8 @@ def main() -> None:
         .agg(F.count("*").alias("s"))
         .persist()
     )
+    if n_docs == 0:
+        sys.exit(f"empty corpus at {path} — rebuild the replica")
     stats = buckets.agg(
         F.count("*").alias("n_buckets"),
         F.sum("s").alias("n_band_rows"),

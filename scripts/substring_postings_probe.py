@@ -73,7 +73,10 @@ def build_docs_replica(spark, n: int, out_dir: str) -> str:
 def main() -> None:
     n = 1000
     if "--replicas" in sys.argv:
-        n = int(sys.argv[sys.argv.index("--replicas") + 1])
+        i = sys.argv.index("--replicas")
+        if i + 1 >= len(sys.argv):
+            sys.exit("--replicas needs a value, e.g. --replicas 100")
+        n = int(sys.argv[i + 1])
     spark = get_spark(app_name="substring-postings-probe")
     out_dir = f"/tmp/graft_docs{n}x_sf001"
     t0 = time.perf_counter()

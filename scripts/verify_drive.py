@@ -227,6 +227,14 @@ def main():
             print(f"FAIL {name}: spark raised {type(e).__name__}: {e}")
             n_fail += 1
             continue
+        finally:
+            # The dedup/clustering/graph operators cache their reused
+            # intermediates (postings, shingles, edge lists) and return
+            # lazy frames with no unpersist handle; a 190-query drive
+            # on one session would otherwise pin every corpus-scale
+            # cached block until session end (code-review r9 —
+            # bench.py already does this between queries).
+            spark.catalog.clearCache()
         sql = oracles.get(name)
         if sql is None:
             print(f"noor {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
