@@ -82,7 +82,14 @@ def shard_accounting(
 ) -> DataFrame:
     """Per-shard placement accounting (the layout-audit view a corpus
     re-shard ships with): shard id, key count, optional byte/char
-    total, and the key range — one row per non-empty shard."""
+    total, and the key range — one row per non-empty shard.
+
+    NULL keys are excluded up front: ``rendezvous_shard`` maps them to
+    a NULL shard by contract (callers route null keys explicitly), so
+    a null-keyed row would otherwise surface as a ``shard = NULL``
+    accounting row — contradicting "one row per non-empty shard" and
+    diverging from oracles that count only keyed rows (ADVICE r9)."""
+    df = df.where(F.col(key_col).isNotNull())
     shard = rendezvous_shard(F.col(key_col), n_shards, salt, mode)
     aggs = [
         F.count("*").alias("n_keys"),

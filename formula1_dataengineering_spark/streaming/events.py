@@ -72,12 +72,16 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # twice). The FIRST call per session still runs the full probe —
     # which is what sets any legacy conf the session needs — so a hit
     # can only occur on a session whose confs are already settled.
-    key = (
-        spark.sparkContext.applicationId,
-        os.path.abspath(sf_dir),
-        os.stat(os.path.join(sf_dir, "events.parquet")).st_mtime_ns,
-    )
-    cached = _TS_TYPE_CACHE.get(key)
+    try:
+        mtime = os.stat(os.path.join(sf_dir, "events.parquet")).st_mtime_ns
+    except OSError:
+        # Missing/renamed events file: there is no stable cache key,
+        # so fall through to the uncached probe — load() owns the
+        # clear table-not-found error path (ADVICE r9: a bare
+        # FileNotFoundError from the stat pre-empted it).
+        mtime = None
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), mtime)
+    cached = None if mtime is None else _TS_TYPE_CACHE.get(key)
     if cached is None:
         load(spark, sf_dir, "events")
         raw_type = (
@@ -86,22 +90,24 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .schema["ts"]
             .dataType
         )
-        _TS_TYPE_CACHE[key] = (
-            raw_type,
-            spark.conf.get(
-                "spark.sql.legacy.parquet.nanosAsLong", "false"
-            ),
-        )
+        if mtime is not None:
+            _TS_TYPE_CACHE[key] = (
+                raw_type,
+                spark.conf.get(
+                    "spark.sql.legacy.parquet.nanosAsLong", "false"
+                ),
+            )
     else:
         raw_type, legacy = cached
         # applicationId is CONTEXT-scoped but the nanosAsLong conf the
         # probe may have set is SESSION-scoped: a sibling session
         # (spark.newSession()) sharing the context would hit the cache
-        # with fresh confs. Re-assert the recorded conf — an idempotent
-        # ms-scale RPC — so the hit never skips the probe's side effect
-        # (code-review r9).
-        if legacy == "true":
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # with fresh confs. Re-assert the recorded value BOTH WAYS — an
+        # idempotent ms-scale RPC — so a hit never skips the probe's
+        # side effect, and a recorded 'false' overrides a sibling
+        # session's stray 'true' (ADVICE r9: a one-sided re-assert let
+        # a stale 'true' leak into a session probed as 'false').
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", legacy)
     # The file-stream source monitors a DIRECTORY; select the single
     # table file with a glob filter.
     reader = spark.readStream.format("parquet").option(

@@ -129,3 +129,21 @@ def test_incremental_dedup_null_predicate_is_corpus(spark):
     }
     assert set(out) == {1}
     assert out[1] == (True, True, "skip_exact")
+
+
+def test_shard_accounting_excludes_null_keys(spark):
+    """rendezvous_shard maps NULL keys to a NULL shard by contract
+    (callers route them explicitly); shard_accounting must therefore
+    NOT emit a shard=NULL accounting row for them (ADVICE r9 — the
+    docstring promises one row per non-empty shard)."""
+    from formula1_dataengineering_spark.operators.sharding import (
+        shard_accounting,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (None, 30)], "k long, sz long"
+    )
+    rows = shard_accounting(df, "k", 4, size_col="sz").collect()
+    assert all(r["shard"] is not None for r in rows)
+    assert sum(r["n_keys"] for r in rows) == 2
+    assert sum(r["total_size"] for r in rows) == 30

@@ -617,3 +617,32 @@ def test_statestore_join_sides_hold_exact_source_rows(spark, tmp_path):
         assert r["value"]["view_ts"] >= cutoff
     for r in rrows:
         assert r["value"]["purchase_ts"] >= cutoff
+
+
+def test_read_events_stream_missing_file_reaches_load_error(spark):
+    """A missing/renamed events file must surface load()'s clear
+    analysis error, not a bare FileNotFoundError from the cache-key
+    stat (ADVICE r9)."""
+    import pytest
+
+    with pytest.raises(Exception) as exc:
+        read_events_stream(spark, "/tmp/definitely_missing_sf_dir")
+    assert not isinstance(exc.value, FileNotFoundError)
+
+
+def test_ts_type_cache_hit_reasserts_recorded_conf(spark):
+    """On a cache hit the recorded nanosAsLong value is re-asserted in
+    BOTH directions: a sibling session that flipped the conf since the
+    probe must get the recorded value back, including recorded='false'
+    overriding a stray 'true' (ADVICE r9)."""
+    conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+    before = spark.conf.get(conf_key, "false")
+    try:
+        read_events_stream(spark, SF)  # populate the probe cache
+        recorded = spark.conf.get(conf_key, "false")
+        flipped = "false" if recorded == "true" else "true"
+        spark.conf.set(conf_key, flipped)
+        read_events_stream(spark, SF)  # cache hit
+        assert spark.conf.get(conf_key, "false") == recorded
+    finally:
+        spark.conf.set(conf_key, before)
