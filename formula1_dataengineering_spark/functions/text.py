@@ -14,6 +14,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import managed_cache
+
 #: Tiny deterministic stopword lists for n-gram-free heuristic lang-ID.
 STOPWORDS = {
     "en": ["the", "a", "of", "and", "to"],
@@ -355,7 +357,7 @@ def bpe_merge_symbol_stats(
             "freq",
         )
     )
-    wf = wf0 = wf.cache()  # each merge round re-reads the vocab table
+    wf = wf0 = managed_cache(wf)  # each merge round re-reads the vocab table
     symbols = F.filter(F.split(F.col("s"), sep), lambda x: x != "")
     for _ in range(n_merges):
         # sequence(1, 0) DESCENDS in Spark — guard single-symbol words

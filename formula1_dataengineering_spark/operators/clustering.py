@@ -23,12 +23,20 @@ collapses it back to one row per vector before the only shuffle), and
 the update is a (k × dims)-group aggregate. Nothing is ever collected;
 iterations chain lazily. Empty clusters drop out (documented
 semantics; both engines agree because assignments agree).
+
+Cache lifecycle: operators here cache reused intermediates via
+``caching.managed_cache`` — wrap build+collect in
+``caching.cache_scope()`` (or call ``caching.release_caches()`` at a
+quiesce point) and every internal cache releases deterministically;
+see caching.py for the contract.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..caching import managed_cache
 
 
 def _sq_dist(vec: str, cent: str):
@@ -349,7 +357,7 @@ def pq_encode(
             # ivf_pq_topk) — cached, the whole training chain executes
             # once instead of once per consumer (plan audit,
             # code-review r9 follow-up). m·k rows — always cacheable.
-            cents = cents.cache()
+            cents = managed_cache(cents)
         scored = subs.join(F.broadcast(cents), "sub_id").select(
             id_col,
             "sub_id",

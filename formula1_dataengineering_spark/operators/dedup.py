@@ -21,6 +21,12 @@ Scale notes: with inline ids, MinHash is explode → hash → groupBy-min
 (ONE shuffle); the LSH band join shuffles on (band, key) which is
 uniformly distributed by construction; the candidate-pair space never
 materializes beyond matching buckets.
+
+Cache lifecycle: operators here cache reused intermediates via
+``caching.managed_cache`` — wrap build+collect in
+``caching.cache_scope()`` (or call ``caching.release_caches()`` at a
+quiesce point) and every internal cache releases deterministically;
+see caching.py for the contract.
 """
 
 from __future__ import annotations
@@ -29,6 +35,8 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from ..caching import managed_cache
 
 MERSENNE_P = 2147483647  # 2^31 - 1
 
@@ -258,9 +266,9 @@ def lsh_candidates(
         raise ValueError("num_hashes must divide evenly into bands")
     # Cache: the band self-join consumes the signature plan twice —
     # uncached, the whole shingle→hash pipeline would execute twice.
-    sig = minhash_signatures(
+    sig = managed_cache(minhash_signatures(
         docs, id_col, text_col, num_hashes, shingle_k, mode
-    ).cache()
+    ))
     band_rows = _band_rows(sig, id_col, num_hashes, bands)
     a = band_rows.alias("a")
     b = band_rows.alias("b")
@@ -307,9 +315,9 @@ def ngram_jaccard_lsh(
     )
     # Cache: both sides of the candidate join read the gram table; the
     # cache also gives the planner exact sizes for its join strategy.
-    grams = docs.select(
+    grams = managed_cache(docs.select(
         F.col(id_col), _shingle_col(F.col(text_col), n).alias("__grams")
-    ).cache()
+    ))
     ga = grams.select(
         F.col(id_col).alias("id_a"), F.col("__grams").alias("__ga")
     )
@@ -346,7 +354,9 @@ def minhash_lsh_pairs(
         raise ValueError("num_hashes must divide evenly into bands")
     # Cache the signatures: the band self-join consumes them twice, and
     # without the cache the whole dictionary+explode pipeline runs twice.
-    sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k, mode).cache()
+    sig = managed_cache(
+        minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k, mode)
+    )
 
     # Slim band rows: only (id, band, key) enter the self-join, so the
     # pair explosion (up to bands× the distinct pair count before dedup)
@@ -591,12 +601,10 @@ def semantic_dedup_drops(
     # Cached: assign feeds the clustered join AND the final cluster
     # lookup — uncached, the whole fixed-iteration k-means dataflow
     # executes twice per query (plan audit, code-review r9 follow-up).
-    assign = (
+    assign = managed_cache(
         kmeans_assignments(
             embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col
-        )
-        .select(id_col, "cluster")
-        .cache()
+        ).select(id_col, "cluster")
     )
     clustered = embeddings.select(id_col, vec_col).join(assign, id_col)
     pairs = neardup_pairs(
@@ -669,15 +677,13 @@ def ppjoin_exact_jaccard(
     # scan stage) executes five times per query (Generate-node count
     # in the executed plan; same finding as the substring-postings
     # cache, code-review r9 follow-up).
-    ts = (
-        docs.where(F.col(text_col).isNotNull())
-        .select(
+    ts = managed_cache(
+        docs.where(F.col(text_col).isNotNull()).select(
             F.col(id_col).alias("id"),
             F.explode(
                 F.array_distinct(_shingle_col(F.col(text_col), shingle_k))
             ).alias("t"),
         )
-        .cache()
     )
     sizes = ts.groupBy("id").agg(F.count("*").alias("sz"))
     freq = ts.groupBy("t").agg(F.count("*").alias("df"))
@@ -699,7 +705,8 @@ def ppjoin_exact_jaccard(
     prefix = ranked.where(
         F.col("rn")
         <= F.col("sz") - _ceil_tight(F.lit(threshold) * F.col("sz")) + 1
-    ).select("id", "t", "sz", "rn").cache()
+    ).select("id", "t", "sz", "rn")
+    prefix = managed_cache(prefix)
     if candidate_budget is not None:
         est_row = (
             prefix.groupBy("t")
@@ -852,7 +859,7 @@ def _substring_kgram_matches(
     # pos, h, h2) rows replaces them all. At 100 TB the equivalent
     # move is writing the postings table once (bucketed by h) before
     # the join — either way the explode runs once.
-    kg = kg.cache()
+    kg = managed_cache(kg)
     if max_df is not None:
         hot = (
             kg.groupBy("h", "h2")
@@ -1110,9 +1117,9 @@ def incremental_dedup_flags(
     # consumed three times below (batch bands twice, corpus bands
     # once); uncached, the full-corpus shingle→hash→groupBy-min
     # pipeline would execute three times.
-    sig = minhash_signatures(
+    sig = managed_cache(minhash_signatures(
         docs, id_col, text_col, num_hashes, shingle_k, mode
-    ).cache()
+    ))
     band_rows = _band_rows(sig, id_col, num_hashes, bands)
     batch_ids = batch.select(id_col)
     batch_bands = band_rows.join(F.broadcast(batch_ids), id_col, "left_semi")

@@ -19,12 +19,20 @@ cut every round with ``localCheckpoint`` so the plan doesn't grow
 unboundedly (on a real cluster, set a checkpoint dir and use
 ``checkpoint`` for fault tolerance). Edges are cached: every round and
 the convergence check re-consume them.
+
+Cache lifecycle: operators here cache reused intermediates via
+``caching.managed_cache`` — wrap build+collect in
+``caching.cache_scope()`` (or call ``caching.release_caches()`` at a
+quiesce point) and every internal cache releases deterministically;
+see caching.py for the contract.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..caching import managed_cache
 
 
 #: Below this many edges the graph is union-found on the driver in one
@@ -397,8 +405,8 @@ def triangle_count(
         )
         .select("__d.u", "__d.v")
         .distinct()
-        .cache()
     )
+    und = managed_cache(und)
     deg = und.groupBy("u").agg(F.count("*").alias("d")).withColumnRenamed("u", "n")
     lower = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
@@ -412,8 +420,8 @@ def triangle_count(
         # keep the out-endpoint's (deg, id) rank key for wedge ordering
         .select(F.col("u").alias("a"), F.col("v").alias("b"), F.col("dv").alias("db"))
         # cached: consumed by both wedge sides and the closure probe
-        .cache()
     )
+    o = managed_cache(o)
     x, y = o.alias("x"), o.alias("y")
     wedge_order = (F.col("x.db") < F.col("y.db")) | (
         (F.col("x.db") == F.col("y.db")) & (F.col("x.b") < F.col("y.b"))

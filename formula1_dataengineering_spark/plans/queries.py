@@ -37,6 +37,7 @@ from ..functions.exactsum import (
     quantize,
     quantized_sum,
 )
+from ..caching import managed_cache
 from ..functions.timefmt import format_lap_time
 from ..operators.asof import asof_join
 from ..operators.dedup import (
@@ -3675,8 +3676,8 @@ def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
         .groupBy("doc_id", "w1", "w2")
         .agg(F.count("*").alias("k"))
-        .persist()
     )
+    dbc = managed_cache(dbc)
     bc = dbc.groupBy("w1", "w2").agg(F.sum("k").alias("bn"))
     uc = bc.groupBy("w1").agg(
         F.sum("bn").alias("un"), F.count("*").alias("vocab")
@@ -3800,8 +3801,8 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", F.explode(tokens(F.col("text"))).alias("t"))
         .groupBy("doc_id", "lang", "t")
         .agg(F.count("*").alias("k"))
-        .persist()
     )
+    dtc = managed_cache(dtc)
     term = dtc.groupBy("t").agg(
         F.sum("k").alias("raw_n"),
         F.sum(F.when(F.col("lang") == "en", F.col("k")).otherwise(0)).alias(
@@ -3975,8 +3976,8 @@ def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", F.explode(tokens(F.col("text"))).alias("t"))
         .groupBy("source", "t")
         .agg(F.count("*").alias("k"))
-        .persist()
     )
+    tc = managed_cache(tc)
     corpus = tc.groupBy("t").agg(F.sum("k").alias("kc"))
     v_nc = corpus.agg(
         F.count("*").alias("v"), F.sum("kc").alias("nc")
@@ -5308,7 +5309,7 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the lexical side) — without it the whole BM25 subtree executes
     # twice. Bounded like the other shared frames (CacheManager dedups
     # on analyzed-plan identity; ≤ #queries×k rows per sf).
-    bm25 = _bm25_rankings(spark, sf_dir, k=10).persist()
+    bm25 = managed_cache(_bm25_rankings(spark, sf_dir, k=10))
     emb = load(spark, sf_dir, "embeddings")
     # the GEMM path's output schema types query ids as long — map the
     # string query names onto stable ints for the dense leg and back.
