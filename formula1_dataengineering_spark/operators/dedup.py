@@ -1157,3 +1157,209 @@ def incremental_dedup_flags(
         .when(F.col("near_dup"), F.lit("review_near"))
         .otherwise(F.lit("ingest")),
     )
+
+
+def build_dedup_index(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_k: int = 3,
+    mode: str = "portable",
+) -> tuple[DataFrame, DataFrame]:
+    """The two probe-index frames of the production incremental-dedup
+    shape (VERDICT r9 item 4): ``(content_hashes, band_rows)`` for an
+    existing corpus, computed once and maintained as tables, so every
+    daily ingest probes stored indexes instead of re-hashing 100 TB
+    of corpus text (:func:`incremental_dedup_flags` recomputes both
+    per batch — correct, but a full corpus scan per ingest).
+
+    - ``content_hashes``: (id, content_hash) — the exact-duplicate
+      probe key, same ``portable_hash48`` the recompute path uses.
+    - ``band_rows``: (id, band, key) — the MinHash-LSH bucket rows,
+      identical topology/parameters to :func:`minhash_lsh_pairs`;
+      per-doc signatures are corpus-independent, so an index built
+      incrementally (new batches appended after ingest) equals one
+      built from scratch.
+    """
+    hashes = corpus.select(
+        F.col(id_col),
+        portable_hash48(F.col(text_col)).alias("content_hash"),
+    )
+    sig = minhash_signatures(
+        corpus, id_col, text_col, num_hashes, shingle_k, mode
+    )
+    return hashes, _band_rows(sig, id_col, num_hashes, bands)
+
+
+#: Writer/prober contract for the sharded index layout: both sides
+#: must derive the partition column with the same (n_shards, salt,
+#: mode) rendezvous assignment or probes would scan the wrong shards.
+_INDEX_SHARD_SALT = "dedup-index"
+
+
+def _index_shard(key: Column, n_shards: int) -> Column:
+    from .sharding import rendezvous_shard
+
+    return rendezvous_shard(
+        key, n_shards, salt=_INDEX_SHARD_SALT, mode="fast"
+    )
+
+
+def write_dedup_index(
+    corpus: DataFrame,
+    path: str,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_k: int = 3,
+    mode: str = "portable",
+) -> None:
+    """Write (or refresh — ``overwrite``, so re-runs are idempotent)
+    the two incremental-dedup index tables under ``path``:
+
+    - ``content_hashes/`` partitioned by ``shard`` =
+      HRW(content_hash), and
+    - ``band_rows/`` partitioned by ``shard`` = HRW(band:key),
+
+    both via :func:`operators.sharding.rendezvous_shard` (the
+    re-shard-safe assignment: growing ``n_shards`` later only moves
+    1/n of the index — the point of pairing the index layout with HRW).
+    Partitioning by the PROBE key's shard is what makes a batch probe
+    prune: :func:`incremental_dedup_from_index` computes the same
+    shard on the batch side and joins on (shard, key), so dynamic
+    partition pruning skips every index shard the batch does not
+    touch — a small batch against a 100 TB index reads a handful of
+    shard directories, not the index. A ``_SUCCESS`` marker lands
+    last so readers (and the layout_artifact freshness check) never
+    see a half-written index.
+    """
+    import os
+
+    hashes, band_rows = build_dedup_index(
+        corpus, id_col, text_col, num_hashes, bands, shingle_k, mode
+    )
+    hashes.withColumn(
+        "shard", _index_shard(F.col("content_hash"), n_shards)
+    ).write.mode("overwrite").partitionBy("shard").parquet(
+        os.path.join(path, "content_hashes")
+    )
+    band_rows.withColumn(
+        "shard",
+        _index_shard(
+            F.concat_ws(":", F.col("band"), F.col("key")), n_shards
+        ),
+    ).write.mode("overwrite").partitionBy("shard").parquet(
+        os.path.join(path, "band_rows")
+    )
+    open(os.path.join(path, "_SUCCESS"), "w").close()
+
+
+def incremental_dedup_from_index(
+    batch: DataFrame,
+    corpus_hashes: DataFrame,
+    corpus_bands: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_k: int = 3,
+    mode: str = "portable",
+) -> DataFrame:
+    """:func:`incremental_dedup_flags` against a PRECOMPUTED corpus
+    index (the daily-ingest production shape): identical output
+    contract — (id, exact_dup, near_dup, action) per batch doc — but
+    the corpus side is the stored ``(content_hashes, band_rows)``
+    index from :func:`build_dedup_index` / :func:`write_dedup_index`,
+    so only the BATCH is hashed and shingled per ingest.
+
+    Scale plan: both probes are index-side semi-joins against the
+    BROADCAST batch keys (the corpus index never shuffles), and when
+    the index frames carry the writer's ``shard`` partition column the
+    joins include it — computed batch-side with the same HRW
+    assignment — so dynamic partition pruning restricts the probe to
+    the index shards the batch actually hits. Every intermediate is
+    bounded by batch size before it moves, exactly like the recompute
+    path; per-doc MinHash signatures are corpus-independent, so the
+    two paths return identical flags (tests assert equality; the gate
+    hashes against the same DuckDB oracle as the recompute gate).
+    """
+    ch = portable_hash48(F.col(text_col)).alias("__ch")
+    batch_h = batch.select(F.col(id_col), ch)
+
+    exact_on = ["__ch"]
+    probe_h = corpus_hashes.select(F.col("content_hash").alias("__ch"))
+    batch_probe_h = batch_h.select("__ch").distinct()
+    if "shard" in corpus_hashes.columns:
+        probe_h = corpus_hashes.select(
+            F.col("content_hash").alias("__ch"), "shard"
+        )
+        batch_probe_h = batch_probe_h.withColumn(
+            "shard", _index_shard(F.col("__ch"), n_shards)
+        )
+        exact_on = ["shard", "__ch"]
+    hit_hashes = (
+        probe_h.join(F.broadcast(batch_probe_h), exact_on, "left_semi")
+        .select("__ch")
+        .distinct()
+        .withColumn("__exact", F.lit(True))
+    )
+
+    # Cache the BATCH band rows (bounded by batch size): they feed the
+    # bucket probe AND the final near-id semi-join — uncached, the
+    # batch shingle→hash→groupBy-min pipeline would run twice.
+    batch_bands = managed_cache(
+        _band_rows(
+            minhash_signatures(
+                batch, id_col, text_col, num_hashes, shingle_k, mode
+            ),
+            id_col,
+            num_hashes,
+            bands,
+        )
+    )
+    near_on = ["band", "key"]
+    probe_b = corpus_bands.select("band", "key")
+    batch_probe_b = batch_bands.select("band", "key").distinct()
+    if "shard" in corpus_bands.columns:
+        probe_b = corpus_bands.select("band", "key", "shard")
+        batch_probe_b = batch_probe_b.withColumn(
+            "shard",
+            _index_shard(
+                F.concat_ws(":", F.col("band"), F.col("key")), n_shards
+            ),
+        )
+        near_on = ["shard", "band", "key"]
+    hit_keys = (
+        probe_b.join(F.broadcast(batch_probe_b), near_on, "left_semi")
+        .select("band", "key")
+        .distinct()
+    )
+    near_ids = (
+        batch_bands.join(
+            F.broadcast(hit_keys), ["band", "key"], "left_semi"
+        )
+        .select(id_col)
+        .distinct()
+        .withColumn("__near", F.lit(True))
+    )
+
+    out = (
+        batch_h.join(F.broadcast(hit_hashes), "__ch", "left")
+        .join(F.broadcast(near_ids), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__exact"), F.lit(False)).alias("exact_dup"),
+            F.coalesce(F.col("__near"), F.lit(False)).alias("near_dup"),
+        )
+    )
+    return out.withColumn(
+        "action",
+        F.when(F.col("exact_dup"), F.lit("skip_exact"))
+        .when(F.col("near_dup"), F.lit("review_near"))
+        .otherwise(F.lit("ingest")),
+    )

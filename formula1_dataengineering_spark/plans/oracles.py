@@ -4012,3 +4012,12 @@ LEFT JOIN near_hit n ON n.doc_id = d.doc_id
 WHERE d.doc_id % 97 = 0
 """
 )
+
+# incremental_dedup_indexed: the index-probing path is value-identical
+# to the recompute path BY CONTRACT (per-doc MinHash signatures are
+# corpus-independent; tests/test_incremental_index.py asserts frame
+# equality), so it hashes against the SAME oracle — one semantic truth
+# for both execution shapes, and the two gates can never drift apart.
+ORACLE_SQL["incremental_dedup_indexed"] = ORACLE_SQL[
+    "incremental_dedup_new_batch"
+]

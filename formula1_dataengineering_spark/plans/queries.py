@@ -5897,3 +5897,42 @@ def incremental_dedup_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return incremental_dedup_flags(d, F.col("doc_id") % 97 == 0)
+
+
+@query("incremental_dedup_indexed")
+def incremental_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION shape of incremental ingest dedup (VERDICT r9
+    item 4): the corpus's content-hash and MinHash band-row indexes
+    are MAINTAINED AS TABLES — written once per corpus state, HRW-
+    sharded by probe key (operators/dedup.py write_dedup_index) — and
+    each batch probes the stored index instead of re-hashing the
+    corpus (incremental_dedup_from_index). Same batch split, same
+    flags, same oracle as incremental_dedup_new_batch; per-doc MinHash
+    signatures are corpus-independent, so the two paths are
+    value-identical while this one's per-ingest cost is
+    O(batch + index probe) rather than O(corpus). The probe joins
+    carry the writer's shard partition column (computed batch-side
+    with the same rendezvous assignment), so partition pruning
+    restricts the index scan to the shards the batch touches.
+
+    Layout artifact: the index is (re)built once per (sf,
+    documents-mtime), like the partitioned/bucketed/Z-order gates."""
+    import os
+
+    from ..operators.dedup import (
+        incremental_dedup_from_index,
+        write_dedup_index,
+    )
+    from ..sources.catalog import layout_artifact
+
+    d = load(spark, sf_dir, "documents")
+    path, fresh = layout_artifact(
+        sf_dir, "spark_graft_dedup_index_v1", "documents"
+    )
+    if not fresh:
+        write_dedup_index(d.where(F.col("doc_id") % 97 != 0), path)
+    hashes = spark.read.parquet(os.path.join(path, "content_hashes"))
+    bands = spark.read.parquet(os.path.join(path, "band_rows"))
+    return incremental_dedup_from_index(
+        d.where(F.col("doc_id") % 97 == 0), hashes, bands
+    )
