@@ -301,6 +301,12 @@ def pack_sequences(
     one sort task; the within-partition prefix across shards is a
     one-row-per-shard aggregate broadcast back. Bins stay
     partition-scoped, which is why packing parallelizes at all.
+
+    Token accounting is WHITESPACE tokens (the catalog contract). For
+    an encoded-token budget, compute per-doc counts with
+    ``functions.text.bpe_encode_token_counts`` (the applied-BPE
+    tokenizer) and pre-join them as the length source — the packing
+    math is length-agnostic; only the per-doc count column changes.
     """
     return _packed_bins(
         docs,

@@ -4021,3 +4021,86 @@ WHERE d.doc_id % 97 = 0
 ORACLE_SQL["incremental_dedup_indexed"] = ORACLE_SQL[
     "incremental_dedup_new_batch"
 ]
+
+
+def _bpe_train_ctes(n_merges: int) -> str:
+    """Training-CTE chain for the BPE oracles, generated for any round
+    count with the exact textual pattern of the (hand-written, r7)
+    bpe_merge_symbol_stats literal above: wf{i}/sym{i}/pc{i}/best{i}
+    per round, fixpoint double-replace per merge, coalesce(chr(2))
+    guards so an empty best (no pairs) is a no-op rather than an
+    annihilator. sym/best CTEs are MATERIALIZED — each is read twice
+    (training continuation + the encode fold), and DuckDB inlines
+    plain CTEs per reference."""
+    parts = ["""WITH w AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\\s+'), x -> x != ''))
+         AS w
+  FROM documents WHERE text IS NOT NULL
+), wf0 AS (
+  SELECT chr(1) || array_to_string(regexp_extract_all(w, '.'), chr(1)) || chr(1) AS s,
+         CAST(count(*) AS BIGINT) AS freq
+  FROM w GROUP BY 1
+)"""]
+    for i in range(n_merges):
+        rep = (
+            "replace(replace(s,\n"
+            "           coalesce(chr(1) || a || chr(1) || b || chr(1), chr(2)),\n"
+            "           coalesce(chr(1) || a || b || chr(1), chr(2))),\n"
+            "         coalesce(chr(1) || a || chr(1) || b || chr(1), chr(2)),\n"
+            "         coalesce(chr(1) || a || b || chr(1), chr(2)))"
+        )
+        parts.append(f""", sym{i} AS MATERIALIZED (
+  SELECT s, freq, list_filter(string_split(s, chr(1)), x -> x != '') AS q
+  FROM wf{i}
+), pc{i} AS (
+  SELECT q[i] AS a, q[i + 1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM (SELECT freq, q, unnest(range(1, len(q))) AS i FROM sym{i})
+  GROUP BY 1, 2
+), best{i} AS MATERIALIZED (
+  SELECT a, b FROM pc{i} ORDER BY cnt DESC, a, b LIMIT 1
+), wf{i + 1} AS (
+  SELECT {rep} AS s, freq
+  FROM sym{i} LEFT JOIN best{i} ON true
+)""")
+    return "".join(parts)
+
+
+# bpe_encode_token_counts: train the 3-merge tokenizer (identical fold
+# to bpe_merge_symbol_stats), then ENCODE — apply the merges to the
+# distinct vocabulary (v0..v3 replace fold over the best{i} CTEs) and
+# sum per-doc encoded symbol counts over one corpus word explode.
+_BPE_N = 3
+_BPE_ENCODE_FOLD = "".join(
+    f""", v{i + 1} AS (
+  SELECT w, replace(replace(s,
+           coalesce(chr(1) || a || chr(1) || b || chr(1), chr(2)),
+           coalesce(chr(1) || a || b || chr(1), chr(2))),
+         coalesce(chr(1) || a || chr(1) || b || chr(1), chr(2)),
+         coalesce(chr(1) || a || b || chr(1), chr(2))) AS s
+  FROM v{i} LEFT JOIN best{i} ON true
+)"""
+    for i in range(_BPE_N)
+)
+ORACLE_SQL["bpe_encode_token_counts"] = (
+    _bpe_train_ctes(_BPE_N)
+    + """, vocab AS (
+  SELECT DISTINCT w FROM w
+), v0 AS (
+  SELECT w, chr(1) || array_to_string(regexp_extract_all(w, '.'), chr(1)) || chr(1) AS s
+  FROM vocab
+)"""
+    + _BPE_ENCODE_FOLD
+    + f""", venc AS MATERIALIZED (
+  SELECT w,
+         CAST(len(list_filter(string_split(s, chr(1)), x -> x != '')) AS BIGINT)
+         AS n_sym
+  FROM v{_BPE_N}
+)
+SELECT w.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(v.n_sym) AS BIGINT) AS bpe_tokens
+FROM w JOIN venc v ON v.w = w.w
+GROUP BY w.doc_id
+"""
+)

@@ -5936,3 +5936,19 @@ def incremental_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_dedup_from_index(
         d.where(F.col("doc_id") % 97 == 0), hashes, bands
     )
+
+
+@query("bpe_encode_token_counts")
+def bpe_encode_token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained BPE merges (VERDICT r9 item 5): train the
+    3-merge tokenizer on the corpus (the bpe_merge_symbol_stats
+    trainer — one shared trainer, functions/text._bpe_train), then
+    encode every document with the fixed merge list and emit per-doc
+    whitespace word counts vs encoded BPE token counts. Encoding runs
+    over the DISTINCT VOCABULARY (nested scan-stage replace fold, zero
+    Python), then broadcast-joins back to one corpus explode — words
+    are encoded once each, not once per occurrence."""
+    from ..functions.text import bpe_encode_token_counts
+
+    d = load(spark, sf_dir, "documents")
+    return bpe_encode_token_counts(d, n_merges=3)
