@@ -32,18 +32,16 @@ from formula1_dataengineering_spark.plans import ORACLE_SQL, QUERIES
 #: queue (per round-4 advice). Keep this list current — add any query
 #: whose Spark plan or oracle changed since its last green row.
 _PRIORITY: list[str] = [
-    # round 9: the exact-substring family's candidate join was
-    # dictionary-encoded (dual-xxhash64 keys, gram text never shuffles
-    # — VERDICT r8 item 3); their r8 green rows hashed the string-join
-    # plan, so the rewritten plans re-hash first. The triangles gate's
-    # ORACLE was rewritten (banded per-label kNN for 100x feasibility,
-    # VERDICT r8 item 2) — same values, but no driver row has hashed
-    # the new oracle text yet. Everything else in the 50-block is the
-    # natural staleness order: the 38 r5-era rows plus the oldest r6
-    # rows (VERDICT r8 item 1; 45 r5/r6 re-greens, bar ≥45).
-    "substring_dedup_pairs",
-    "substring_dup_coverage",
-    "embedding_knn_triangles",
+    # round 10: shard_accounting now filters NULL keys before the
+    # groupBy (ADVICE r9) — the gate's values are unchanged at the
+    # driver fixture (doc_id is non-null) but its PLAN gained a
+    # filter, so the r9 green row hashed a different plan and this
+    # one re-hashes first. The two round-10 gates
+    # (incremental_dedup_indexed, bpe_encode_token_counts) are
+    # never-green and sort ahead automatically; the remaining 47
+    # slots are the natural staleness order — all 43 r6-era rows plus
+    # the 4 oldest r7 rows (VERDICT r9 item 1, bar: ≥43 r6 re-greens).
+    "rendezvous_shard_stats",
 ]
 
 
