@@ -110,8 +110,14 @@ def connected_components(
             ).alias("e")
         )
         .select("e.a", "e.b")
-        .cache()
     )
+    # managed_cache IN ADDITION to the explicit per-path unpersists
+    # below: connected components already releases on every success
+    # and failure path, but registering with the active cache_scope
+    # keeps the package-wide "no bare cache" hygiene contract
+    # (unpersist is idempotent, so the scope's second release is a
+    # no-op).
+    sym = managed_cache(sym)
     try:
         # One scan of the upstream edge plan fills the cache and yields
         # the exact edge count the strategy choice needs (2 rows/edge).
@@ -207,7 +213,7 @@ def _propagate(sym: DataFrame, max_iter: int) -> DataFrame:
     pending_unpersist: list[DataFrame] = []
 
     def materialize(df: DataFrame) -> tuple[DataFrame, bool]:
-        c = df.cache()
+        c = managed_cache(df)
         # Job 1 (the only one this round): fill the cache + convergence
         # aggregate. The checkpoint is taken AFTER materialization so
         # its origin stats are the exact in-memory size — that is what
