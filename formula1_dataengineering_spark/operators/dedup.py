@@ -1363,3 +1363,37 @@ def incremental_dedup_from_index(
         .when(F.col("near_dup"), F.lit("review_near"))
         .otherwise(F.lit("ingest")),
     )
+
+
+def canonical_keep(
+    clusters: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Canonical-document selection — the step that turns near-dup
+    CLUSTERS into the actual keep/drop list a dedup pipeline executes:
+    per cluster, keep the highest-``quality_col`` document (ties break
+    to the smallest id — a deterministic total order, the W1 rule) and
+    drop the rest.
+
+    Output: (id, cluster, canonical_id, keep) for EVERY clustered
+    document. ONE window over the cluster key — ``first(id)`` under
+    ``ORDER BY quality DESC, id`` is the canonical for every row of
+    its cluster (the ordered frame always contains row 1), so no
+    rank-filter-join-back round trip; at 100 TB this is a single
+    cluster-partitioned shuffle over the (id, cluster, quality)
+    projection, never the documents."""
+    j = clusters.join(quality.select(id_col, quality_col), id_col)
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        j.select(
+            F.col(id_col),
+            F.col(cluster_col),
+            F.first(id_col).over(w).alias("canonical_id"),
+        )
+        .withColumn("keep", F.col(id_col) == F.col("canonical_id"))
+    )

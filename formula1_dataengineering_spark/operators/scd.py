@@ -1,0 +1,64 @@
+"""Type-2 slowly-changing-dimension (SCD2) history build from a
+change feed — the dimension-maintenance operation every warehouse-
+scale pipeline runs on CDC streams: turn (key, ts, value) change
+events into validity intervals ``[effective_from, effective_to)`` with
+a current-row flag, compressing no-op changes.
+
+Spark-first plan — ONE shuffle, three window passes over it:
+
+1. tie-dedup: multiple changes at the same (key, ts) keep the max
+   value (deterministic total order, no arbitrary "last writer");
+   detected with ``lag(ts)`` under ``ORDER BY ts, value DESC`` — the
+   first row of each ts group survives.
+2. change-compress: a change to the SAME value as the previous state
+   is a no-op and is dropped (``lag(value)`` comparison, null-safe).
+3. intervals: ``effective_to = lead(ts)`` over the compressed rows;
+   the open row (``effective_to IS NULL``) is current.
+
+All three windows partition by the key, so Catalyst plans one
+exchange and reuses it (the sort keys are prefix-compatible); at
+100 TB the history build is a single key-partitioned pass, and an
+incremental refresh re-runs it on (changed keys ⋈ feed) only.
+Timestamps leave as epoch-microsecond bigints (the catalog contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2_history(
+    changes: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """SCD2 validity intervals for ``changes``: one row per effective
+    state change, columns ``(key, value, effective_from_us,
+    effective_to_us, is_current)``. Rows with a NULL key, ts, or value
+    are excluded up front (a NULL state is not representable as an
+    interval; route explicit deletions as a sentinel value)."""
+    base = changes.select(key_col, ts_col, value_col).where(
+        F.col(key_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    )
+    w_tie = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(value_col).desc()
+    )
+    tied = base.withColumn("__pts", F.lag(ts_col).over(w_tie)).where(
+        F.col("__pts").isNull() | (F.col("__pts") != F.col(ts_col))
+    )
+    w_key = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc())
+    compressed = tied.withColumn(
+        "__pv", F.lag(value_col).over(w_key)
+    ).where(~F.col("__pv").eqNullSafe(F.col(value_col)))
+    return compressed.select(
+        F.col(key_col),
+        F.col(value_col),
+        F.unix_micros(F.col(ts_col)).alias("effective_from_us"),
+        F.unix_micros(F.lead(ts_col).over(w_key)).alias(
+            "effective_to_us"
+        ),
+    ).withColumn("is_current", F.col("effective_to_us").isNull())

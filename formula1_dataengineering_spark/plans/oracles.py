@@ -4104,3 +4104,55 @@ FROM w JOIN venc v ON v.w = w.w
 GROUP BY w.doc_id
 """
 )
+
+
+# scd2_user_event_history: tie-dedup (max value per (key, ts)) →
+# null-safe change compression → lead() intervals; IS DISTINCT FROM is
+# the SQL twin of Spark's ~eqNullSafe (round-8 advice precedent).
+ORACLE_SQL["scd2_user_event_history"] = """
+WITH b AS (
+  SELECT user_id, ts, event_type FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+), t AS (
+  SELECT user_id, ts, event_type,
+         lag(ts) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_type DESC) AS pts
+  FROM b
+), d AS (
+  SELECT user_id, ts, event_type FROM t WHERE pts IS NULL OR pts <> ts
+), c0 AS (
+  SELECT user_id, ts, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS pv
+  FROM d
+), c AS (
+  SELECT user_id, ts, event_type FROM c0
+  WHERE pv IS DISTINCT FROM event_type
+)
+SELECT user_id, event_type,
+       epoch_us(ts) AS effective_from_us,
+       epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts))
+         AS effective_to_us,
+       (lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL)
+         AS is_current
+FROM c
+"""
+
+# neardup_canonical_keep: wraps the neardup_clusters oracle verbatim
+# (MATERIALIZED — the cluster table feeds the quality join AND the
+# window) and applies the same first_value canonical rule.
+ORACLE_SQL["neardup_canonical_keep"] = f"""
+WITH clusters AS MATERIALIZED (
+{ORACLE_SQL["neardup_clusters"]}
+), q AS (
+  SELECT c.doc_id, c.cluster_id, d.n_chars
+  FROM clusters c JOIN documents d USING (doc_id)
+)
+SELECT doc_id, cluster_id,
+       CAST(first_value(doc_id) OVER (
+         PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id
+       ) AS BIGINT) AS canonical_id,
+       (doc_id = first_value(doc_id) OVER (
+         PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id
+       )) AS keep
+FROM q
+"""

@@ -5952,3 +5952,32 @@ def bpe_encode_token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return bpe_encode_token_counts(d, n_merges=3)
+
+
+@query("scd2_user_event_history")
+def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension history from the events change feed: each
+    user's event_type stream becomes validity intervals
+    [effective_from, effective_to) with a current flag — same-ts ties
+    keep the max value deterministically, no-op changes compress out.
+    One key-partitioned exchange, three window passes over it
+    (operators/scd.py)."""
+    from ..operators.scd import scd2_history
+
+    e = load(spark, sf_dir, "events")
+    return scd2_history(e, "user_id", "ts", "event_type")
+
+
+@query("neardup_canonical_keep")
+def neardup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical selection over the near-dup clusters: per LSH/CC
+    cluster keep the longest document (n_chars desc, doc_id tie) and
+    drop the rest — the executable keep/drop list the cluster gate
+    stops short of. One cluster-partitioned window; first(id) over
+    the ordered frame is the canonical for every row (no
+    rank-filter-join-back)."""
+    from ..operators.dedup import canonical_keep, minhash_lsh_clusters
+
+    d = load(spark, sf_dir, "documents")
+    clusters = minhash_lsh_clusters(d, num_hashes=12, bands=4, shingle_k=3)
+    return canonical_keep(clusters, d.select("doc_id", "n_chars"))
