@@ -75,8 +75,10 @@ def main() -> None:
                 best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
         total += best
-        # Backstop slate-cleaner for caches outside the managed
-        # contract (f1 facade instances) + ContextCleaner nudge for
+        # Backstop slate-cleaner for session-scoped managed caches
+        # (f1 facade memos register scope="session", released by
+        # release_caches/owner, not by query scopes) + ContextCleaner
+        # nudge for
         # orphaned localCheckpoint RDDs, so each query is measured
         # from a clean executor-memory state instead of under 180
         # runs of accumulated cache+GC pressure.

@@ -90,17 +90,44 @@ def _session_key(df: DataFrame) -> str:
     return f"{spark.sparkContext.applicationId}:{id(spark._jsparkSession)}"
 
 
-def managed_cache(df: DataFrame) -> DataFrame:
+def _still_cached(df: DataFrame) -> bool:
+    try:
+        lvl = df.storageLevel
+        return bool(lvl.useMemory or lvl.useDisk)
+    except Exception:
+        # A stopped session cannot answer — nothing left to release.
+        return False
+
+
+def managed_cache(df: DataFrame, *, scope: str = "auto") -> DataFrame:
     """Cache ``df`` (MEMORY_AND_DISK, like ``DataFrame.cache``) and
     register it for release with the innermost active
-    :func:`cache_scope`, else the per-session fallback registry."""
+    :func:`cache_scope`, else the per-session fallback registry.
+
+    ``scope="session"`` bypasses any active scope and registers in the
+    fallback registry unconditionally — for caches whose lifetime is an
+    OBJECT's, not a query's (the f1 facade memoizes per instance; a
+    query-scoped release would silently degrade every later facade
+    call to full recompute, ADVICE r10). Such frames are released by
+    :func:`release_caches`, or by the owner unpersisting directly —
+    the registry prunes already-unpersisted entries on every touch, so
+    direct ``df.unpersist()`` does not leak a registry slot."""
+    if scope not in ("auto", "session"):
+        raise ValueError(f"scope must be 'auto' or 'session', got {scope!r}")
     out = df.cache()
     stack = _scope_stack()
-    if stack:
+    if scope == "auto" and stack:
         stack[-1].append(out)
     else:
         with _registry_lock:
-            _fallback.setdefault(_session_key(out), []).append(out)
+            key = _session_key(out)
+            bucket = _fallback.setdefault(key, [])
+            # Prune entries a caller already unpersisted directly (or
+            # a restarted context orphaned): keeps a long-lived
+            # unscoped session's registry bounded by its LIVE caches
+            # instead of growing monotonically (ADVICE r10).
+            bucket[:] = [f for f in bucket if _still_cached(f)]
+            bucket.append(out)
     return out
 
 

@@ -81,8 +81,24 @@ class F1Session:
             enriched = assign_tire_information(laps, self._t("stints")).join(
                 F.broadcast(drivers), ["session_key", "driver_number"], "left"
             )
-            self._laps_enriched = managed_cache(enriched)
+            # scope="session": the memo outlives any query-level
+            # cache_scope active at first access — a scope exit must
+            # not unpersist a handle the facade keeps serving
+            # (ADVICE r10). Released by release() or release_caches().
+            self._laps_enriched = managed_cache(enriched, scope="session")
         return self._laps_enriched
+
+    def release(self) -> None:
+        """Unpersist this facade's memoized laps cache and drop the
+        memo, so the next :meth:`laps` call rebuilds it. The explicit
+        owner-side release point for callers that do not want to drain
+        the whole session registry via ``release_caches``."""
+        if self._laps_enriched is not None:
+            try:
+                self._laps_enriched.unpersist(blocking=False)
+            except Exception:
+                pass
+            self._laps_enriched = None
 
     # -- rankings (so:156-174) -------------------------------------------
     def fastest_laps(self) -> DataFrame:

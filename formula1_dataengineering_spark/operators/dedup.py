@@ -1233,12 +1233,24 @@ def write_dedup_index(
     shard on the batch side and joins on (shard, key), so dynamic
     partition pruning skips every index shard the batch does not
     touch — a small batch against a 100 TB index reads a handful of
-    shard directories, not the index. A ``_SUCCESS`` marker lands
-    last so readers (and the layout_artifact freshness check) never
-    see a half-written index.
+    shard directories, not the index.
+
+    Layout contract (ADVICE r10): the writer's (n_shards, salt, mode,
+    num_hashes, bands, shingle_k) are persisted in ``_META.json``
+    beside the tables — a prober running with different params would
+    compute different shard/band keys and SILENTLY miss every hit, so
+    :func:`incremental_dedup_from_index` validates its params against
+    this file's values (via ``index_meta``) and fails loudly instead.
+    A stale ``_SUCCESS`` from a previous run is removed BEFORE the
+    overwrite starts and recreated last, so a crash mid-refresh leaves
+    no marker validating a half-overwritten index.
     """
+    import json
     import os
 
+    marker = os.path.join(path, "_SUCCESS")
+    if os.path.exists(marker):
+        os.remove(marker)
     hashes, band_rows = build_dedup_index(
         corpus, id_col, text_col, num_hashes, bands, shingle_k, mode
     )
@@ -1255,7 +1267,123 @@ def write_dedup_index(
     ).write.mode("overwrite").partitionBy("shard").parquet(
         os.path.join(path, "band_rows")
     )
-    open(os.path.join(path, "_SUCCESS"), "w").close()
+    with open(os.path.join(path, "_META.json"), "w") as fh:
+        json.dump(
+            {
+                "n_shards": n_shards,
+                "shard_salt": _INDEX_SHARD_SALT,
+                "shard_mode": "fast",
+                "num_hashes": num_hashes,
+                "bands": bands,
+                "shingle_k": shingle_k,
+                "mode": mode,
+            },
+            fh,
+        )
+    # Overwrites replace files under an already-listed path: drop the
+    # session's cached file listing so a reader opened before this
+    # refresh cannot serve deleted part files.
+    corpus.sparkSession.catalog.refreshByPath(path)
+    open(marker, "w").close()
+
+
+def read_dedup_index(
+    spark, path: str
+) -> tuple[DataFrame, DataFrame, dict]:
+    """Open a :func:`write_dedup_index` layout: returns
+    ``(content_hashes, band_rows, meta)``. Base tables are unioned
+    with any ``*_delta_<batch_id>`` directories a
+    :func:`refresh_dedup_index` ingest appended (each delta keeps the
+    same shard partition column, so probe-side pruning still applies
+    per scan). Refuses a layout with no ``_SUCCESS`` marker (a crashed
+    or in-flight write) or no ``_META.json`` (unknown layout params —
+    probing with guessed params silently returns wrong flags)."""
+    import glob as _glob
+    import json
+    import os
+
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        raise ValueError(
+            f"dedup index at {path!r} has no _SUCCESS marker "
+            "(half-written or missing index)"
+        )
+    meta_path = os.path.join(path, "_META.json")
+    if not os.path.exists(meta_path):
+        raise ValueError(
+            f"dedup index at {path!r} has no _META.json — layout "
+            "params unknown; rebuild with write_dedup_index"
+        )
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+
+    def _open(base: str) -> DataFrame:
+        dirs = [os.path.join(path, base)] + sorted(
+            _glob.glob(os.path.join(path, f"{base}_delta_*"))
+        )
+        out = spark.read.parquet(dirs[0])
+        for d in dirs[1:]:
+            out = out.unionByName(spark.read.parquet(d))
+        return out
+
+    return _open("content_hashes"), _open("band_rows"), meta
+
+
+def refresh_dedup_index(
+    new_docs: DataFrame,
+    path: str,
+    batch_id: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Append one accepted ingest batch to a stored dedup index as a
+    DELTA: ``content_hashes_delta_<batch_id>/`` and
+    ``band_rows_delta_<batch_id>/`` beside the base tables, sharded
+    with the layout's own ``_META.json`` params (never the caller's —
+    a param drift here is exactly the silent-miss bug the metadata
+    exists to prevent). Per-doc MinHash signatures are
+    corpus-independent, so base + deltas equals an index rebuilt from
+    scratch over the grown corpus (tests assert it).
+
+    Idempotent per (path, batch_id): each delta directory is written
+    with ``overwrite``, so re-running an ingest replaces its own delta
+    instead of duplicating rows — the crash-retry contract a daily
+    pipeline needs. Reader handles opened BEFORE a re-run of the same
+    batch_id are invalidated by it (overwrite replaces part files;
+    there is no transaction log) — re-open via
+    :func:`read_dedup_index` after a refresh. Cost is O(batch): the base tables are not read or
+    rewritten (at 100 TB that asymmetry — not the probe — is why the
+    index is maintainable at all)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_META.json")) as fh:
+        meta = json.load(fh)
+    n_shards = int(meta["n_shards"])
+    hashes, band_rows = build_dedup_index(
+        new_docs,
+        id_col,
+        text_col,
+        int(meta["num_hashes"]),
+        int(meta["bands"]),
+        int(meta["shingle_k"]),
+        meta["mode"],
+    )
+    hashes.withColumn(
+        "shard", _index_shard(F.col("content_hash"), n_shards)
+    ).write.mode("overwrite").partitionBy("shard").parquet(
+        os.path.join(path, f"content_hashes_delta_{batch_id}")
+    )
+    band_rows.withColumn(
+        "shard",
+        _index_shard(
+            F.concat_ws(":", F.col("band"), F.col("key")), n_shards
+        ),
+    ).write.mode("overwrite").partitionBy("shard").parquet(
+        os.path.join(path, f"band_rows_delta_{batch_id}")
+    )
+    # An idempotent re-run overwrote this batch's delta files: drop
+    # the cached listing so pre-refresh readers re-list, not 404.
+    new_docs.sparkSession.catalog.refreshByPath(path)
 
 
 def incremental_dedup_from_index(
@@ -1269,6 +1397,7 @@ def incremental_dedup_from_index(
     bands: int = 4,
     shingle_k: int = 3,
     mode: str = "portable",
+    index_meta: dict | None = None,
 ) -> DataFrame:
     """:func:`incremental_dedup_flags` against a PRECOMPUTED corpus
     index (the daily-ingest production shape): identical output
@@ -1287,7 +1416,35 @@ def incremental_dedup_from_index(
     path; per-doc MinHash signatures are corpus-independent, so the
     two paths return identical flags (tests assert equality; the gate
     hashes against the same DuckDB oracle as the recompute gate).
-    """
+
+    Pass the index's ``_META.json`` dict (from
+    :func:`read_dedup_index`) as ``index_meta``: a writer/prober
+    layout mismatch — different n_shards, shingle topology, or hash
+    mode — makes the (shard, key) equi-joins silently miss every hit
+    and flag real duplicates as 'ingest', so the prober FAILS LOUDLY
+    on any disagreement instead (ADVICE r10)."""
+    if index_meta is not None:
+        expected = {
+            "n_shards": n_shards,
+            "shard_salt": _INDEX_SHARD_SALT,
+            "shard_mode": "fast",
+            "num_hashes": num_hashes,
+            "bands": bands,
+            "shingle_k": shingle_k,
+            "mode": mode,
+        }
+        bad = {
+            k: (index_meta.get(k), v)
+            for k, v in expected.items()
+            if index_meta.get(k) != v
+        }
+        if bad:
+            raise ValueError(
+                "incremental_dedup_from_index: probe params disagree "
+                "with the index layout's _META.json (index, probe): "
+                f"{bad} — probing with mismatched params silently "
+                "misses hits; rebuild the index or match its params"
+            )
     ch = portable_hash48(F.col(text_col)).alias("__ch")
     batch_h = batch.select(F.col(id_col), ch)
 

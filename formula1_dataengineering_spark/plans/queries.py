@@ -5916,25 +5916,28 @@ def incremental_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     restricts the index scan to the shards the batch touches.
 
     Layout artifact: the index is (re)built once per (sf,
-    documents-mtime), like the partitioned/bucketed/Z-order gates."""
-    import os
-
+    documents-mtime), like the partitioned/bucketed/Z-order gates.
+    The probe validates its params against the index's ``_META.json``
+    (read_dedup_index) — a layout mismatch raises instead of silently
+    flagging duplicates as 'ingest' (ADVICE r10)."""
     from ..operators.dedup import (
         incremental_dedup_from_index,
+        read_dedup_index,
         write_dedup_index,
     )
     from ..sources.catalog import layout_artifact
 
     d = load(spark, sf_dir, "documents")
+    # v2: layouts carry _META.json (+ pre-removed _SUCCESS); v1 dirs
+    # predate the metadata contract and must not pass freshness.
     path, fresh = layout_artifact(
-        sf_dir, "spark_graft_dedup_index_v1", "documents"
+        sf_dir, "spark_graft_dedup_index_v2", "documents"
     )
     if not fresh:
         write_dedup_index(d.where(F.col("doc_id") % 97 != 0), path)
-    hashes = spark.read.parquet(os.path.join(path, "content_hashes"))
-    bands = spark.read.parquet(os.path.join(path, "band_rows"))
+    hashes, bands, meta = read_dedup_index(spark, path)
     return incremental_dedup_from_index(
-        d.where(F.col("doc_id") % 97 == 0), hashes, bands
+        d.where(F.col("doc_id") % 97 == 0), hashes, bands, index_meta=meta
     )
 
 

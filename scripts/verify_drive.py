@@ -237,8 +237,9 @@ def main():
             n_fail += 1
             continue
         finally:
-            # Backstop for session-scoped caches outside the managed
-            # contract (the f1 facade caches per instance by design).
+            # Backstop for scope="session" managed caches (the f1
+            # facade memoizes per instance by design; those release
+            # via release_caches/owner, not query scopes).
             spark.catalog.clearCache()
         sql = oracles.get(name)
         if sql is None:

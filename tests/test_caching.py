@@ -257,3 +257,96 @@ def test_no_bare_cache_or_persist_in_package():
                 if pat.search(line):
                     offenders.append(f"{path}:{line.strip()[:60]}")
     assert not offenders, offenders
+
+
+def test_session_scope_bypasses_active_scope(spark):
+    """scope="session" registrations survive the enclosing scope's
+    exit (the facade-memo lifetime, ADVICE r10) and drain only via
+    release_caches."""
+    spark.catalog.clearCache()
+    release_caches()
+    with cache_scope():
+        pinned = managed_cache(_docs(spark), scope="session")
+        pinned.collect()
+    # Scope exited; the session-scoped frame must still be cached.
+    lvl = pinned.storageLevel
+    assert lvl.useMemory or lvl.useDisk
+    assert release_caches(spark) >= 1
+    assert _cache_empty(spark)
+
+
+def test_facade_cache_survives_query_scope(spark, tmp_path):
+    """The f1 facade's laps memo registers scope="session": a query-
+    level cache_scope wrapping facade calls must not unpersist the
+    handle the facade keeps serving (ADVICE r10), and release() is
+    the owner-side cleanup."""
+    import os
+
+    from formula1_dataengineering_spark.f1.session_facade import F1Session
+
+    base = str(tmp_path / "f1")
+    os.makedirs(base)
+    laps = spark.createDataFrame(
+        [(1, 5, 2, "2024-01-01T00:00:00+00:00", 30.0, 31.0, 32.0, False)],
+        "session_key int, driver_number int, lap_number int, "
+        "date_start string, duration_sector_1 double, "
+        "duration_sector_2 double, duration_sector_3 double, "
+        "is_pit_out_lap boolean",
+    )
+    drivers = spark.createDataFrame(
+        [(1, 5, "VER", "3671C6")],
+        "session_key int, driver_number int, name_acronym string, "
+        "team_colour string",
+    )
+    stints = spark.createDataFrame(
+        [(1, 5, 1, 1, 10, "SOFT", 0)],
+        "session_key int, driver_number int, stint_number int, "
+        "lap_start int, lap_end int, compound string, "
+        "tyre_age_at_start int",
+    )
+    sessions = spark.createDataFrame(
+        [(1, "Race", "Spa", "Race")],
+        "session_key int, session_type string, circuit_short_name string, "
+        "session_name string",
+    )
+    tables = {
+        "laps": laps,
+        "drivers": drivers,
+        "stints": stints,
+        "sessions": sessions,
+    }
+    spark.catalog.clearCache()
+    release_caches()
+    sess = F1Session(spark, 1, tables)
+    with cache_scope():
+        handle = sess.laps()
+        handle.collect()
+    lvl = handle.storageLevel
+    assert lvl.useMemory or lvl.useDisk  # scope exit did NOT degrade it
+    sess.release()
+    assert sess._laps_enriched is None
+    release_caches(spark)
+    assert _cache_empty(spark)
+
+
+def test_fallback_registry_prunes_unpersisted_entries(spark):
+    """Direct df.unpersist() by a caller must not leak a registry
+    slot: the next managed_cache touch prunes dead entries
+    (ADVICE r10 — unbounded growth in long-lived unscoped sessions)."""
+    from formula1_dataengineering_spark import caching as C
+
+    spark.catalog.clearCache()
+    release_caches()
+    a = managed_cache(_docs(spark))
+    a.collect()
+    a.unpersist(blocking=True)  # owner released directly
+    b = managed_cache(_docs(spark).select("doc_id"))
+    b.collect()
+    key = C._session_key(b)
+    with C._registry_lock:
+        bucket = list(C._fallback.get(key, []))
+    # the dead `a` handle was pruned when `b` registered
+    assert all(f is not a for f in bucket)
+    assert any(f is b for f in bucket)
+    release_caches(spark)
+    assert _cache_empty(spark)

@@ -134,3 +134,145 @@ def test_incremental_index_appends_match_scratch_build(spark):
     assert sorted(map(tuple, ba.unionByName(bb).collect())) == sorted(
         map(tuple, b_all.collect())
     )
+
+
+def test_meta_json_written_and_validated(spark, tmp_path):
+    """The writer persists its layout params in _META.json and the
+    prober fails loudly when its params disagree (ADVICE r10: a
+    silent mismatch would flag real duplicates as 'ingest')."""
+    import json
+
+    import pytest
+
+    from formula1_dataengineering_spark.operators.dedup import (
+        incremental_dedup_flags,
+        incremental_dedup_from_index,
+        read_dedup_index,
+        write_dedup_index,
+    )
+
+    d = _docs(spark)
+    is_batch = F.col("doc_id") % 2 == 0
+    path = str(tmp_path / "idx")
+    write_dedup_index(d.where(~is_batch), path, n_shards=4)
+    with open(os.path.join(path, "_META.json")) as fh:
+        meta = json.load(fh)
+    assert meta["n_shards"] == 4 and meta["bands"] == 4
+
+    hashes, bands, rmeta = read_dedup_index(spark, path)
+    assert rmeta == meta
+    ok = incremental_dedup_from_index(
+        d.where(is_batch), hashes, bands, n_shards=4, index_meta=rmeta
+    )
+    assert _flags(ok) == _flags(incremental_dedup_flags(d, is_batch))
+
+    # The exact writer/prober drift the advice named: index written
+    # with n_shards=4, probe defaulting to 16 — must raise, not miss.
+    with pytest.raises(ValueError, match="n_shards"):
+        incremental_dedup_from_index(
+            d.where(is_batch), hashes, bands, index_meta=rmeta
+        )
+    with pytest.raises(ValueError, match="shingle_k"):
+        incremental_dedup_from_index(
+            d.where(is_batch),
+            hashes,
+            bands,
+            n_shards=4,
+            shingle_k=5,
+            index_meta=rmeta,
+        )
+
+
+def test_read_dedup_index_refuses_incomplete_layouts(spark, tmp_path):
+    """No _SUCCESS (crashed write) or no _META.json (unknown params)
+    is a loud error, never a silent wrong-flags probe."""
+    import pytest
+
+    from formula1_dataengineering_spark.operators.dedup import (
+        read_dedup_index,
+        write_dedup_index,
+    )
+
+    d = _docs(spark).where(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path / "idx")
+    write_dedup_index(d, path, n_shards=4)
+    os.remove(os.path.join(path, "_SUCCESS"))
+    with pytest.raises(ValueError, match="_SUCCESS"):
+        read_dedup_index(spark, path)
+    open(os.path.join(path, "_SUCCESS"), "w").close()
+    os.remove(os.path.join(path, "_META.json"))
+    with pytest.raises(ValueError, match="_META"):
+        read_dedup_index(spark, path)
+
+
+def test_stale_success_removed_before_overwrite(spark, tmp_path):
+    """A refresh that crashes mid-overwrite must not leave the
+    PREVIOUS run's _SUCCESS validating a corrupted index (ADVICE r10):
+    the marker is removed before any table write starts."""
+    import pytest
+
+    from formula1_dataengineering_spark.operators.dedup import (
+        write_dedup_index,
+    )
+
+    d = _docs(spark).where(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path / "idx")
+    write_dedup_index(d, path, n_shards=4)
+    marker = os.path.join(path, "_SUCCESS")
+    assert os.path.exists(marker)
+    # Crash the refresh at execution: assert_true raises mid-write.
+    bad = d.select(
+        "doc_id",
+        F.coalesce(
+            F.assert_true(F.length("text") < 0).cast("string"), F.col("text")
+        ).alias("text"),
+    )
+    with pytest.raises(Exception):
+        write_dedup_index(bad, path, n_shards=4)
+    assert not os.path.exists(marker)  # stale marker did not survive
+    write_dedup_index(d, path, n_shards=4)  # recovery re-run restores
+    assert os.path.exists(marker)
+
+
+def test_refresh_delta_equals_scratch_rebuild(spark, tmp_path):
+    """refresh_dedup_index(base, batch) read back through
+    read_dedup_index equals an index built from scratch over
+    corpus ∪ batch, and the same flags come out of a probe; re-running
+    the same batch_id is idempotent (overwrite, no duplicate rows)."""
+    from formula1_dataengineering_spark.operators.dedup import (
+        build_dedup_index,
+        incremental_dedup_from_index,
+        read_dedup_index,
+        refresh_dedup_index,
+        write_dedup_index,
+    )
+
+    d = _docs(spark)
+    corpus = d.where(F.col("doc_id") < 3)
+    batch = d.where(F.col("doc_id") >= 3)
+    path = str(tmp_path / "idx")
+    write_dedup_index(corpus, path, n_shards=4)
+    refresh_dedup_index(batch, path, batch_id="day1")
+    h, b, meta = read_dedup_index(spark, path)
+    h_all, b_all = build_dedup_index(d)
+    assert sorted(
+        (r["doc_id"], r["content_hash"]) for r in h.collect()
+    ) == sorted(map(tuple, h_all.collect()))
+    assert sorted(
+        (r["doc_id"], r["band"], r["key"]) for r in b.collect()
+    ) == sorted(map(tuple, b_all.collect()))
+
+    # Idempotence: same batch_id again -> identical index. Handles
+    # opened BEFORE a refresh are invalidated by it (overwrite
+    # replaces part files — the documented re-open contract), so
+    # capture counts first and re-open after.
+    n_h, n_b = h.count(), b.count()
+    refresh_dedup_index(batch, path, batch_id="day1")
+    h2, b2, _ = read_dedup_index(spark, path)
+    assert h2.count() == n_h and b2.count() == n_b
+
+    # A doc probing the refreshed index hits itself exactly.
+    probe = incremental_dedup_from_index(
+        batch, h2, b2, n_shards=4, index_meta=meta
+    )
+    assert all(r["exact_dup"] for r in probe.collect())
