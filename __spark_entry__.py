@@ -32,16 +32,21 @@ from formula1_dataengineering_spark.plans import ORACLE_SQL, QUERIES
 #: queue (per round-4 advice). Keep this list current — add any query
 #: whose Spark plan or oracle changed since its last green row.
 _PRIORITY: list[str] = [
-    # round 10: shard_accounting now filters NULL keys before the
-    # groupBy (ADVICE r9) — the gate's values are unchanged at the
-    # driver fixture (doc_id is non-null) but its PLAN gained a
-    # filter, so the r9 green row hashed a different plan and this
-    # one re-hashes first. The two round-10 gates
-    # (incremental_dedup_indexed, bpe_encode_token_counts) are
-    # never-green and sort ahead automatically; the remaining 47
-    # slots are the natural staleness order — all 43 r6-era rows plus
-    # the 4 oldest r7 rows (VERDICT r9 item 1, bar: ≥43 r6 re-greens).
-    "rendezvous_shard_stats",
+    # round 11: canonical_keep's quality attach became a LEFT join
+    # with an explicit nulls-last tie rule (VERDICT r10 §3 — a
+    # clustered doc with no quality row must stay in the keep/drop
+    # list, not vanish); values are unchanged at the gate (every doc
+    # has n_chars) but the PLAN changed, so the r10 green row hashed
+    # the old plan and this one re-hashes first. NOT prioritized:
+    # incremental_dedup_indexed's reader moved to read_dedup_index
+    # (layout v2 + _META.json validation) but validation is driver-
+    # side Python and the executed plan shape is identical — only the
+    # artifact path changed. The round-11 gates
+    # (scd2_refresh_history, ivf_pq_topk_indexed,
+    # end_to_end_incremental_ingest) are never-green and sort ahead
+    # automatically; the remaining ~46 slots are the natural staleness
+    # order — the r7-era rows (VERDICT r10 item 4, bar: ≥45 re-greens).
+    "neardup_canonical_keep",
 ]
 
 

@@ -1536,15 +1536,21 @@ def canonical_keep(
     drop the rest.
 
     Output: (id, cluster, canonical_id, keep) for EVERY clustered
-    document. ONE window over the cluster key — ``first(id)`` under
-    ``ORDER BY quality DESC, id`` is the canonical for every row of
-    its cluster (the ordered frame always contains row 1), so no
-    rank-filter-join-back round trip; at 100 TB this is a single
-    cluster-partitioned shuffle over the (id, cluster, quality)
-    projection, never the documents."""
-    j = clusters.join(quality.select(id_col, quality_col), id_col)
+    document — the quality attach is a LEFT join, so a clustered doc
+    with no quality row still appears in the keep/drop list (an
+    executable dedup list must account for every doc: silently
+    dropping one is indistinguishable from "drop" — VERDICT r10 §3);
+    missing quality sorts LAST (nulls-last under DESC), so such a doc
+    is canonical only in an all-unscored cluster, where the smallest
+    id wins deterministically. ONE window over the cluster key —
+    ``first(id)`` under ``ORDER BY quality DESC NULLS LAST, id`` is
+    the canonical for every row of its cluster (the ordered frame
+    always contains row 1), so no rank-filter-join-back round trip; at
+    100 TB this is a single cluster-partitioned shuffle over the
+    (id, cluster, quality) projection, never the documents."""
+    j = clusters.join(quality.select(id_col, quality_col), id_col, "left")
     w = Window.partitionBy(cluster_col).orderBy(
-        F.col(quality_col).desc(), F.col(id_col).asc()
+        F.col(quality_col).desc_nulls_last(), F.col(id_col).asc()
     )
     return (
         j.select(

@@ -4137,22 +4137,32 @@ SELECT user_id, event_type,
 FROM c
 """
 
+# scd2_refresh_history: the incremental refresh must be value-
+# identical to a full rebuild over feed ∪ new-batch (= all events), so
+# it hashes against the SAME oracle text as scd2_user_event_history —
+# one semantic truth for both execution shapes (the
+# incremental_dedup_indexed precedent); the equality property is
+# additionally pinned by tests/test_scd2.py under dense ties.
+ORACLE_SQL["scd2_refresh_history"] = ORACLE_SQL["scd2_user_event_history"]
+
 # neardup_canonical_keep: wraps the neardup_clusters oracle verbatim
 # (MATERIALIZED — the cluster table feeds the quality join AND the
-# window) and applies the same first_value canonical rule.
+# window) and applies the same first_value canonical rule. LEFT JOIN +
+# NULLS LAST mirror the operator's missing-quality-row contract (a
+# clustered doc with no quality row stays in the list and sorts last).
 ORACLE_SQL["neardup_canonical_keep"] = f"""
 WITH clusters AS MATERIALIZED (
 {ORACLE_SQL["neardup_clusters"]}
 ), q AS (
   SELECT c.doc_id, c.cluster_id, d.n_chars
-  FROM clusters c JOIN documents d USING (doc_id)
+  FROM clusters c LEFT JOIN documents d USING (doc_id)
 )
 SELECT doc_id, cluster_id,
        CAST(first_value(doc_id) OVER (
-         PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id
+         PARTITION BY cluster_id ORDER BY n_chars DESC NULLS LAST, doc_id
        ) AS BIGINT) AS canonical_id,
        (doc_id = first_value(doc_id) OVER (
-         PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id
+         PARTITION BY cluster_id ORDER BY n_chars DESC NULLS LAST, doc_id
        )) AS keep
 FROM q
 """

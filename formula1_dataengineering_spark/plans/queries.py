@@ -5971,6 +5971,25 @@ def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_history(e, "user_id", "ts", "event_type")
 
 
+@query("scd2_refresh_history")
+def scd2_refresh_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 maintenance (VERDICT r10 item 6): every 5th
+    event plays the new CDC batch against a history built from the
+    rest; scd2_refresh re-windows ONLY the touched users' feed slice
+    (broadcast changed-key semi-join) and passes untouched history
+    rows through verbatim — yet the result must hash-equal a full
+    rebuild over the whole feed, so this gate shares
+    scd2_user_event_history's oracle text (the same one-truth pattern
+    as the indexed-dedup pair)."""
+    from ..operators.scd import scd2_history, scd2_refresh
+
+    e = load(spark, sf_dir, "events")
+    feed = e.where(F.col("event_id") % 5 != 0)
+    new = e.where(F.col("event_id") % 5 == 0)
+    history = scd2_history(feed, "user_id", "ts", "event_type")
+    return scd2_refresh(history, feed, new, "user_id", "ts", "event_type")
+
+
 @query("neardup_canonical_keep")
 def neardup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical selection over the near-dup clusters: per LSH/CC

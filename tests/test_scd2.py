@@ -1,0 +1,212 @@
+"""SCD2 history build (operators/scd.py) — dedicated contract tests
+(VERDICT r10 item 1): a brute-force per-key Python fold is the
+reference for the full operator under dense (key, ts) ties, no-op
+runs, single-change keys, and NULL handling; plus the incremental
+refresh's equality to a full rebuild (scd2_refresh, VERDICT r10
+item 6)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_TS = [
+    datetime(2024, 1, d, h, 0, 0, tzinfo=timezone.utc)
+    for d in (1, 2, 3)
+    for h in (0, 12)
+]
+
+_SCHEMA = "k long, ts timestamp, v string"
+
+
+def _brute_scd2(rows):
+    """Reference fold: per key — max value per ts (tie-dedup), sort by
+    ts, drop consecutive repeats (compression), emit
+    [effective_from, effective_to) with the open row current."""
+    by_key: dict = {}
+    for k, ts, v in rows:
+        if k is None or ts is None or v is None:
+            continue
+        by_key.setdefault(k, {}).setdefault(ts, []).append(v)
+    out = []
+    for k, tsmap in by_key.items():
+        states = [(ts, max(vs)) for ts, vs in sorted(tsmap.items())]
+        compressed = []
+        for ts, v in states:
+            if not compressed or compressed[-1][1] != v:
+                compressed.append((ts, v))
+        for i, (ts, v) in enumerate(compressed):
+            nxt = compressed[i + 1][0] if i + 1 < len(compressed) else None
+            out.append(
+                (
+                    k,
+                    v,
+                    int(ts.timestamp() * 1_000_000),
+                    int(nxt.timestamp() * 1_000_000) if nxt else None,
+                    nxt is None,
+                )
+            )
+    return sorted(out, key=lambda r: (r[0], r[2]))
+
+
+def _run(spark, rows):
+    from formula1_dataengineering_spark.operators.scd import scd2_history
+
+    df = spark.createDataFrame(rows, _SCHEMA)
+    got = sorted(
+        (
+            (
+                r["k"],
+                r["v"],
+                r["effective_from_us"],
+                r["effective_to_us"],
+                r["is_current"],
+            )
+            for r in scd2_history(df, "k", "ts", "v").collect()
+        ),
+        key=lambda r: (r[0], r[2]),
+    )
+    return got
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),
+            st.sampled_from(_TS),
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@_SETTINGS
+def test_scd2_matches_brute_force_fold(spark, rows):
+    """Dense (key, ts) tie collisions and no-op repeats — the window
+    pipeline must equal the per-key reference fold exactly."""
+    assert _run(spark, rows) == _brute_scd2(rows)
+
+
+def test_scd2_dense_same_ts_ties_keep_max_value(spark):
+    """Multiple changes at one (key, ts): the max value wins — a
+    deterministic total order, never 'last writer'."""
+    t = _TS[0]
+    rows = [(1, t, "a"), (1, t, "c"), (1, t, "b")]
+    assert _run(spark, rows) == [
+        (1, "c", int(t.timestamp() * 1_000_000), None, True)
+    ]
+
+
+def test_scd2_noop_changes_compress_out(spark):
+    """A change to the same value is not a state change: a→a→b→b→a
+    becomes three intervals, not five."""
+    rows = [(1, _TS[i], v) for i, v in enumerate(["a", "a", "b", "b", "a"])]
+    got = _run(spark, rows)
+    assert [r[1] for r in got] == ["a", "b", "a"]
+    # Intervals tile: each effective_to equals the next effective_from.
+    assert [r[3] for r in got[:-1]] == [r[2] for r in got[1:]]
+    assert got[-1][3] is None and got[-1][4] is True
+
+
+def test_scd2_single_change_key_is_one_open_interval(spark):
+    rows = [(7, _TS[2], "x")]
+    assert _run(spark, rows) == [
+        (7, "x", int(_TS[2].timestamp() * 1_000_000), None, True)
+    ]
+
+
+def test_scd2_null_key_ts_value_rows_excluded(spark):
+    """NULL key/ts/value rows are filtered up front (a NULL state is
+    not representable as an interval)."""
+    rows = [
+        (None, _TS[0], "a"),
+        (1, None, "a"),
+        (1, _TS[1], None),
+        (1, _TS[2], "b"),
+    ]
+    assert _run(spark, rows) == [
+        (1, "b", int(_TS[2].timestamp() * 1_000_000), None, True)
+    ]
+
+
+@given(
+    initial=st.lists(
+        st.tuples(
+            st.integers(0, 3),
+            st.sampled_from(_TS[:4]),
+            st.sampled_from(["a", "b"]),
+        ),
+        max_size=20,
+    ),
+    new=st.lists(
+        st.tuples(
+            st.integers(0, 3),
+            st.sampled_from(_TS),
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+)
+@_SETTINGS
+def test_scd2_refresh_equals_full_rebuild(spark, initial, new):
+    """scd2_refresh(history, feed, new) == scd2_history(feed ∪ new):
+    the incremental path rebuilds only touched keys but must be
+    value-identical — including when new changes collide at a ts the
+    compressed history no longer records (the case that forces the
+    refresh to re-read the FEED for touched keys, not the history)."""
+    from formula1_dataengineering_spark.operators.scd import (
+        scd2_history,
+        scd2_refresh,
+    )
+
+    feed = spark.createDataFrame(initial, _SCHEMA) if initial else (
+        spark.createDataFrame([], _SCHEMA)
+    )
+    new_df = spark.createDataFrame(new, _SCHEMA)
+    history = scd2_history(feed, "k", "ts", "v")
+    got = sorted(
+        map(
+            tuple,
+            scd2_refresh(history, feed, new_df, "k", "ts", "v").collect(),
+        )
+    )
+    want = sorted(
+        map(tuple, scd2_history(feed.unionByName(new_df), "k", "ts", "v").collect())
+    )
+    assert got == want
+
+
+def test_scd2_refresh_untouched_keys_pass_through_unrebuilt(spark):
+    """Keys absent from the new-change batch keep their history rows
+    verbatim (the union side), and the plan only re-windows the
+    touched keys' feed slice — the O(changed) contract."""
+    from formula1_dataengineering_spark.operators.scd import (
+        scd2_history,
+        scd2_refresh,
+    )
+
+    feed_rows = [(k, _TS[i], v) for k in (1, 2, 3) for i, v in [(0, "a"), (2, "b")]]
+    new_rows = [(2, _TS[4], "c")]
+    feed = spark.createDataFrame(feed_rows, _SCHEMA)
+    new_df = spark.createDataFrame(new_rows, _SCHEMA)
+    history = scd2_history(feed, "k", "ts", "v")
+    out = scd2_refresh(history, feed, new_df, "k", "ts", "v")
+    got = sorted(map(tuple, out.collect()))
+    want = sorted(
+        map(tuple, scd2_history(feed.unionByName(new_df), "k", "ts", "v").collect())
+    )
+    assert got == want
+    # Keys 1 and 3 have two intervals each; key 2 gained a third.
+    by_key = {}
+    for r in got:
+        by_key.setdefault(r[0], []).append(r)
+    assert len(by_key[1]) == 2 and len(by_key[3]) == 2 and len(by_key[2]) == 3
