@@ -2336,6 +2336,15 @@ ORACLE_SQL["ivf_pq_topk"] = _PQ_TRAIN_SQL.replace(
 
 
 
+# ivf_pq_topk_indexed: the stored-index probe path is value-identical
+# to the recompute path BY CONSTRUCTION (deterministic pq_encode
+# training; array<double> centroids round-trip parquet bit-exactly;
+# tests/test_ann_index.py asserts frame equality), so it hashes
+# against the SAME oracle text — one semantic truth for both
+# execution shapes, the incremental_dedup_indexed precedent.
+ORACLE_SQL["ivf_pq_topk_indexed"] = ORACLE_SQL["ivf_pq_topk"]
+
+
 ORACLE_SQL["hourly_gap_filled_activity"] = """
 WITH e AS (
   SELECT user_id, epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr, value

@@ -3427,6 +3427,46 @@ def ivf_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ivf_pq_topk_indexed")
+def ivf_pq_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ivf_pq_topk against a PERSISTED index (VERDICT r10 item 3 —
+    the ANN analog of incremental_dedup_indexed): the PQ codes and
+    codebook are trained once per corpus state and stored as tables
+    (operators/clustering.py write_ann_index), codes PARTITIONED BY
+    the coarse IVF cell so a query probing its own cell prunes the
+    scan to that cell's directory; queries pay only the LUT build +
+    pruned code scan, never a training pass. pq_encode is
+    deterministic and array<double> centroids round-trip parquet
+    bit-exactly, so this gate is value-identical to ivf_pq_topk and
+    shares its oracle — one semantic truth for both execution shapes.
+    The probe validates its params against the index's _META.json and
+    raises on trainer/prober mismatch (the dedup-index rule)."""
+    from ..operators.clustering import (
+        ivf_pq_topk_from_index,
+        read_ann_index,
+        write_ann_index,
+    )
+    from ..sources.catalog import layout_artifact
+
+    e = load(spark, sf_dir, "embeddings")
+    path, fresh = layout_artifact(
+        sf_dir, "spark_graft_ann_index_v1", "embeddings"
+    )
+    if not fresh:
+        write_ann_index(e, path, m=8, k=4, iters=2)
+    codes, codebook, meta = read_ann_index(spark, path)
+    return ivf_pq_topk_from_index(
+        e.where(F.col("vec_id") < 10),
+        codes,
+        codebook,
+        m=8,
+        k=4,
+        iters=2,
+        topk=5,
+        index_meta=meta,
+    )
+
+
 @query("filter_cascade_stats")
 def filter_cascade_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Survivorship funnel of a 4-stage quality filter cascade

@@ -1,0 +1,154 @@
+"""Persisted IVF-PQ index (VERDICT r10 item 3): the stored-index
+query path must be value-identical to the per-query recompute path,
+the writer must be idempotent with crash-safe _SUCCESS handling, the
+metadata must be validated, and the codes layout must be partitioned
+by the coarse cell."""
+
+from __future__ import annotations
+
+import os
+import random
+
+import pytest
+
+_D = 16  # divisible by m=4
+
+
+def _emb(spark, n=40, cells=3):
+    rng = random.Random(7)
+    rows = [
+        (
+            i,
+            [round(rng.uniform(-1, 1), 3) for _ in range(_D)],
+            i % cells,
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    )
+
+
+def _topk(df):
+    return sorted(
+        (r["q_id"], r["vec_id"], r["adc_dist"], r["rk"]) for r in df.collect()
+    )
+
+
+def test_index_path_equals_recompute_path(spark, tmp_path):
+    """ivf_pq_topk_from_index over the stored layout returns exactly
+    ivf_pq_topk's output (deterministic training + bit-exact parquet
+    round-trip of the codebook)."""
+    from formula1_dataengineering_spark.operators.clustering import (
+        ivf_pq_topk,
+        ivf_pq_topk_from_index,
+        read_ann_index,
+        write_ann_index,
+    )
+    from pyspark.sql import functions as F
+
+    e = _emb(spark)
+    q = e.where(F.col("vec_id") < 5)
+    want = _topk(ivf_pq_topk(e, q, m=4, k=3, iters=2, topk=4))
+    path = str(tmp_path / "ann")
+    write_ann_index(e, path, m=4, k=3, iters=2)
+    codes, codebook, meta = read_ann_index(spark, path)
+    got = _topk(
+        ivf_pq_topk_from_index(
+            q, codes, codebook, m=4, k=3, iters=2, topk=4, index_meta=meta
+        )
+    )
+    assert got == want
+    assert got  # non-vacuous
+
+
+def test_codes_partitioned_by_cell_and_codebook_shape(spark, tmp_path):
+    """The on-disk codes table is partitioned by the cell column (the
+    IVF candidate cut as partition pruning) and the codebook holds
+    m·k rows."""
+    from formula1_dataengineering_spark.operators.clustering import (
+        write_ann_index,
+    )
+
+    e = _emb(spark, cells=3)
+    path = str(tmp_path / "ann")
+    write_ann_index(e, path, m=4, k=3, iters=2)
+    cell_dirs = [
+        d for d in os.listdir(os.path.join(path, "codes"))
+        if d.startswith("label=")
+    ]
+    assert sorted(cell_dirs) == ["label=0", "label=1", "label=2"]
+    cb = spark.read.parquet(os.path.join(path, "codebook"))
+    assert cb.count() == 4 * 3
+    assert set(cb.columns) == {"sub_id", "code", "centroid"}
+
+
+def test_meta_validated_and_incomplete_layouts_refused(spark, tmp_path):
+    """Trainer/prober param drift raises (wrong-m scoring returns
+    wrong neighbors silently otherwise); half-written or metadata-less
+    layouts are refused at read."""
+    from formula1_dataengineering_spark.operators.clustering import (
+        ivf_pq_topk_from_index,
+        read_ann_index,
+        write_ann_index,
+    )
+    from pyspark.sql import functions as F
+
+    e = _emb(spark)
+    path = str(tmp_path / "ann")
+    write_ann_index(e, path, m=4, k=3, iters=2)
+    codes, codebook, meta = read_ann_index(spark, path)
+    q = e.where(F.col("vec_id") < 3)
+    with pytest.raises(ValueError, match="'m'"):
+        ivf_pq_topk_from_index(
+            q, codes, codebook, m=8, k=3, iters=2, index_meta=meta
+        )
+    with pytest.raises(ValueError, match="iters"):
+        ivf_pq_topk_from_index(
+            q, codes, codebook, m=4, k=3, iters=1, index_meta=meta
+        )
+    os.remove(os.path.join(path, "_META.json"))
+    with pytest.raises(ValueError, match="_META"):
+        read_ann_index(spark, path)
+    os.remove(os.path.join(path, "_SUCCESS"))
+    with pytest.raises(ValueError, match="_SUCCESS"):
+        read_ann_index(spark, path)
+
+
+def test_writer_rerun_idempotent_and_success_removed_first(spark, tmp_path):
+    """Re-running the writer leaves an identical index; a crash
+    mid-overwrite cannot leave the previous _SUCCESS validating a
+    corrupted layout."""
+    from formula1_dataengineering_spark.operators.clustering import (
+        write_ann_index,
+    )
+    from pyspark.sql import functions as F
+
+    e = _emb(spark)
+    path = str(tmp_path / "ann")
+    write_ann_index(e, path, m=4, k=3, iters=2)
+    first = sorted(
+        map(tuple, spark.read.parquet(path + "/codes").collect())
+    )
+    write_ann_index(e, path, m=4, k=3, iters=2)
+    assert (
+        sorted(map(tuple, spark.read.parquet(path + "/codes").collect()))
+        == first
+    )
+    marker = os.path.join(path, "_SUCCESS")
+    assert os.path.exists(marker)
+    bad = e.select(
+        "vec_id",
+        F.coalesce(
+            F.assert_true(F.size("embedding") < 0).cast(
+                "array<double>"
+            ),
+            F.col("embedding"),
+        ).alias("embedding"),
+        "label",
+    )
+    with pytest.raises(Exception):
+        write_ann_index(bad, path, m=4, k=3, iters=2)
+    assert not os.path.exists(marker)
+    write_ann_index(e, path, m=4, k=3, iters=2)
+    assert os.path.exists(marker)
