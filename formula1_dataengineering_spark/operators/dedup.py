@@ -1288,16 +1288,21 @@ def write_dedup_index(
 
 
 def read_dedup_index(
-    spark, path: str
+    spark, path: str, include_deltas: bool = True
 ) -> tuple[DataFrame, DataFrame, dict]:
     """Open a :func:`write_dedup_index` layout: returns
     ``(content_hashes, band_rows, meta)``. Base tables are unioned
     with any ``*_delta_<batch_id>`` directories a
     :func:`refresh_dedup_index` ingest appended (each delta keeps the
     same shard partition column, so probe-side pruning still applies
-    per scan). Refuses a layout with no ``_SUCCESS`` marker (a crashed
-    or in-flight write) or no ``_META.json`` (unknown layout params —
-    probing with guessed params silently returns wrong flags)."""
+    per scan); ``include_deltas=False`` opens the BASE state only —
+    the day-N−1 view a re-run of day N's ingest must probe, so a
+    retried ingest recomputes the same flags instead of seeing its own
+    previous delta and rejecting everything (the e2e gate's
+    idempotence depends on this). Refuses a layout with no
+    ``_SUCCESS`` marker (a crashed or in-flight write) or no
+    ``_META.json`` (unknown layout params — probing with guessed
+    params silently returns wrong flags)."""
     import glob as _glob
     import json
     import os
@@ -1317,9 +1322,11 @@ def read_dedup_index(
         meta = json.load(fh)
 
     def _open(base: str) -> DataFrame:
-        dirs = [os.path.join(path, base)] + sorted(
-            _glob.glob(os.path.join(path, f"{base}_delta_*"))
-        )
+        dirs = [os.path.join(path, base)]
+        if include_deltas:
+            dirs += sorted(
+                _glob.glob(os.path.join(path, f"{base}_delta_*"))
+            )
         out = spark.read.parquet(dirs[0])
         for d in dirs[1:]:
             out = out.unionByName(spark.read.parquet(d))

@@ -4022,6 +4022,69 @@ WHERE d.doc_id % 97 = 0
 """
 )
 
+# end_to_end_incremental_ingest: replay the full daily-ingest chain —
+# day-N flags against the day-N−1 corpus (the incremental_dedup
+# topology verbatim), accept action='ingest', refresh the index with
+# the accepted docs (idx2 = corpus ∪ accepted), re-probe the batch
+# against the refreshed state (every accepted doc now hits its own
+# hash), and attach the membership interval (accepted docs become
+# current members at day1 = 1704153600000000 µs, the same instant the
+# Spark side's scd2_history emits). bands/hashes/flags/idx2 are each
+# read 2-4 times → AS MATERIALIZED (the round-9 CTE-inlining pitfall).
+ORACLE_SQL["end_to_end_incremental_ingest"] = (
+    _MINHASH_BASE_K3.format(sig_exprs=_SIG_EXPRS)
+    + f""", bands AS MATERIALIZED (
+{_BAND_SELECTS}
+), hashes AS MATERIALIZED (
+  SELECT doc_id, ((md5_number(text) % {_M48} + {_M48}) % {_M48}) AS ch
+  FROM documents
+), exact_hit AS (
+  SELECT DISTINCT b.doc_id
+  FROM hashes b JOIN hashes c ON b.ch = c.ch
+  WHERE b.doc_id % 97 = 0 AND c.doc_id % 97 <> 0
+), near_hit AS (
+  SELECT DISTINCT nb.doc_id
+  FROM bands nb JOIN bands cb
+    ON nb.band = cb.band AND nb.key = cb.key
+  WHERE nb.doc_id % 97 = 0 AND cb.doc_id % 97 <> 0
+), flags AS MATERIALIZED (
+  SELECT d.doc_id,
+         CASE WHEN e.doc_id IS NOT NULL THEN 'skip_exact'
+              WHEN n.doc_id IS NOT NULL THEN 'review_near'
+              ELSE 'ingest' END AS action
+  FROM documents d
+  LEFT JOIN exact_hit e ON e.doc_id = d.doc_id
+  LEFT JOIN near_hit n ON n.doc_id = d.doc_id
+  WHERE d.doc_id % 97 = 0
+), idx2 AS MATERIALIZED (
+  SELECT doc_id FROM documents WHERE doc_id % 97 <> 0
+  UNION ALL
+  SELECT doc_id FROM flags WHERE action = 'ingest'
+), exact2 AS (
+  SELECT DISTINCT b.doc_id
+  FROM hashes b JOIN hashes c ON b.ch = c.ch
+  JOIN idx2 i ON i.doc_id = c.doc_id
+  WHERE b.doc_id % 97 = 0
+), near2 AS (
+  SELECT DISTINCT nb.doc_id
+  FROM bands nb JOIN bands cb
+    ON nb.band = cb.band AND nb.key = cb.key
+  JOIN idx2 i ON i.doc_id = cb.doc_id
+  WHERE nb.doc_id % 97 = 0
+)
+SELECT f.doc_id, f.action,
+       CASE WHEN e2.doc_id IS NOT NULL THEN 'skip_exact'
+            WHEN n2.doc_id IS NOT NULL THEN 'review_near'
+            ELSE 'ingest' END AS reprobe_action,
+       CASE WHEN f.action = 'ingest'
+            THEN CAST(1704153600000000 AS BIGINT) END AS member_from_us,
+       (f.action = 'ingest') AS member_current
+FROM flags f
+LEFT JOIN exact2 e2 ON e2.doc_id = f.doc_id
+LEFT JOIN near2 n2 ON n2.doc_id = f.doc_id
+"""
+)
+
 # incremental_dedup_indexed: the index-probing path is value-identical
 # to the recompute path BY CONTRACT (per-doc MinHash signatures are
 # corpus-independent; tests/test_incremental_index.py asserts frame

@@ -6011,6 +6011,106 @@ def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_history(e, "user_id", "ts", "event_type")
 
 
+@query("end_to_end_incremental_ingest")
+def end_to_end_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE daily-ingest loop, composed end to end (VERDICT
+    r10 item 2 — the incremental-path analog of
+    end_to_end_curation_stats): day-N batch (every 97th doc) against
+    the day-N−1 corpus index:
+
+    1. FLAGS — probe the stored index (incremental_dedup_from_index,
+       base state only: a retried ingest must not see its own prior
+       delta and reject everything);
+    2. KEEP/DROP — accept action='ingest' docs;
+    3. INDEX REFRESH — refresh_dedup_index appends the accepted docs
+       as an O(batch) delta, idempotent per batch_id;
+    4. RE-PROBE — the same batch against the refreshed index: every
+       accepted doc must now hit itself (exact self-hash), proving
+       the refresh landed — and intra-batch duplicates of accepted
+       docs surface here;
+    5. MEMBERSHIP SCD2 — scd2_history over the ingest's membership
+       change feed (the accepted docs at day1 — an O(batch) window;
+       the corpus's prior membership is stored history maintained
+       with scd2_refresh, never re-windowed per ingest) yields each
+       accepted doc's validity interval.
+
+    Output grain: one row per batch doc — (action, reprobe_action,
+    member_from_us, member_current) — hash-matched against a DuckDB
+    oracle replaying the identical chain. Per-ingest cost is
+    O(batch + probe): the corpus is scanned once EVER (index build),
+    never per day."""
+    from ..caching import managed_cache
+    from ..operators.dedup import (
+        incremental_dedup_from_index,
+        read_dedup_index,
+        refresh_dedup_index,
+        write_dedup_index,
+    )
+    from ..operators.scd import scd2_history
+    from ..sources.catalog import layout_artifact
+
+    d = load(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") % 97 != 0)
+    batch = d.where(F.col("doc_id") % 97 == 0)
+    path, fresh = layout_artifact(
+        sf_dir, "spark_graft_ingest_e2e_v1", "documents"
+    )
+    if not fresh:
+        write_dedup_index(corpus, path)
+    hashes, bands, meta = read_dedup_index(
+        spark, path, include_deltas=False
+    )
+    # Flags feed the accept filter, the refresh write, the membership
+    # feed, AND the output — cache the batch-sized frame once.
+    flags = managed_cache(
+        incremental_dedup_from_index(batch, hashes, bands, index_meta=meta)
+    )
+    accepted = batch.join(
+        flags.where(F.col("action") == "ingest").select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    refresh_dedup_index(accepted, path, batch_id="day1")
+    h2, b2, meta2 = read_dedup_index(spark, path)
+    reflags = incremental_dedup_from_index(
+        batch, h2, b2, index_meta=meta2
+    )
+    # Membership feed: the day-N ingest's CHANGES are the accepted
+    # docs only — the corpus's day-N−1 membership is stored history a
+    # production pipeline maintains with scd2_refresh (gated
+    # separately), never re-windowed per ingest, so this stays
+    # O(batch). Instants via timestamp_seconds (tz-independent): the
+    # gate must hash identically under any session time zone.
+    day1 = F.timestamp_seconds(F.lit(1704153600))  # 2024-01-02 UTC
+    feed = accepted.select(
+        "doc_id", day1.alias("ts"), F.lit("member").alias("status")
+    )
+    membership = scd2_history(feed, "doc_id", "ts", "status").select(
+        "doc_id",
+        F.col("effective_from_us").alias("member_from_us"),
+        F.col("is_current").alias("member_current"),
+    )
+    return (
+        flags.select("doc_id", "action")
+        .join(
+            reflags.select(
+                "doc_id", F.col("action").alias("reprobe_action")
+            ),
+            "doc_id",
+        )
+        .join(membership, "doc_id", "left")
+        .select(
+            "doc_id",
+            "action",
+            "reprobe_action",
+            "member_from_us",
+            F.coalesce("member_current", F.lit(False)).alias(
+                "member_current"
+            ),
+        )
+    )
+
+
 @query("scd2_refresh_history")
 def scd2_refresh_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental SCD2 maintenance (VERDICT r10 item 6): every 5th
