@@ -1321,12 +1321,25 @@ def read_dedup_index(
     with open(meta_path) as fh:
         meta = json.load(fh)
 
+    def _has_parquet(d: str) -> bool:
+        # A day with zero accepted docs writes a part-file-less delta
+        # (legitimate: everything was a duplicate); it contributes no
+        # rows and must not break schema inference for the union.
+        for root, _dirs, files in os.walk(d):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
     def _open(base: str) -> DataFrame:
         dirs = [os.path.join(path, base)]
         if include_deltas:
-            dirs += sorted(
-                _glob.glob(os.path.join(path, f"{base}_delta_*"))
-            )
+            dirs += [
+                d
+                for d in sorted(
+                    _glob.glob(os.path.join(path, f"{base}_delta_*"))
+                )
+                if _has_parquet(d)
+            ]
         out = spark.read.parquet(dirs[0])
         for d in dirs[1:]:
             out = out.unionByName(spark.read.parquet(d))
