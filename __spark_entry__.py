@@ -37,16 +37,19 @@ _PRIORITY: list[str] = [
     # clustered doc with no quality row must stay in the keep/drop
     # list, not vanish); values are unchanged at the gate (every doc
     # has n_chars) but the PLAN changed, so the r10 green row hashed
-    # the old plan and this one re-hashes first. NOT prioritized:
-    # incremental_dedup_indexed's reader moved to read_dedup_index
-    # (layout v2 + _META.json validation) but validation is driver-
-    # side Python and the executed plan shape is identical — only the
-    # artifact path changed. The round-11 gates
+    # the old plan and this one re-hashes first.
+    # incremental_dedup_indexed's probe plan ALSO changed: the batch
+    # band-row cache was removed because an InMemoryRelation in the
+    # broadcast build side disables dynamic partition pruning on the
+    # index scan (round-11 finding) — the scan gained its
+    # dynamicpruningexpression back. The round-11 gates
     # (scd2_refresh_history, ivf_pq_topk_indexed,
     # end_to_end_incremental_ingest) are never-green and sort ahead
-    # automatically; the remaining ~46 slots are the natural staleness
-    # order — the r7-era rows (VERDICT r10 item 4, bar: ≥45 re-greens).
+    # automatically; the remaining 45 slots are the natural staleness
+    # order — the r7-era rows (VERDICT r10 item 4, bar ≥45 re-greens,
+    # met exactly).
     "neardup_canonical_keep",
+    "incremental_dedup_indexed",
 ]
 
 

@@ -635,9 +635,13 @@ def write_ann_index(
     coded, codebook = build_ann_index(
         emb, cell_col, m, k, iters, id_col, vec_col
     )
-    coded.write.mode("overwrite").partitionBy(cell_col).parquet(
-        os.path.join(path, "codes")
-    )
+    # repartition(cell) before partitionBy(cell): one file per cell
+    # instead of (tasks × cells) — probe reads open O(probed cells)
+    # files, not O(tasks × probed cells) (the dedup-index writer's
+    # small-files rule).
+    coded.repartition(cell_col).write.mode("overwrite").partitionBy(
+        cell_col
+    ).parquet(os.path.join(path, "codes"))
     codebook.write.mode("overwrite").parquet(
         os.path.join(path, "codebook")
     )

@@ -1254,19 +1254,25 @@ def write_dedup_index(
     hashes, band_rows = build_dedup_index(
         corpus, id_col, text_col, num_hashes, bands, shingle_k, mode
     )
+    # repartition("shard") before partitionBy("shard"): without it,
+    # EVERY upstream task opens a writer for every shard it has rows
+    # for — up to (tasks × shards) small files, and probe wall then
+    # grows with file-open count, not bytes (measured in
+    # scripts/ingest_probe.py). One write-time shuffle buys ~one file
+    # per shard, the layout health a 100 TB index needs.
     hashes.withColumn(
         "shard", _index_shard(F.col("content_hash"), n_shards)
-    ).write.mode("overwrite").partitionBy("shard").parquet(
-        os.path.join(path, "content_hashes")
-    )
+    ).repartition("shard").write.mode("overwrite").partitionBy(
+        "shard"
+    ).parquet(os.path.join(path, "content_hashes"))
     band_rows.withColumn(
         "shard",
         _index_shard(
             F.concat_ws(":", F.col("band"), F.col("key")), n_shards
         ),
-    ).write.mode("overwrite").partitionBy("shard").parquet(
-        os.path.join(path, "band_rows")
-    )
+    ).repartition("shard").write.mode("overwrite").partitionBy(
+        "shard"
+    ).parquet(os.path.join(path, "band_rows"))
     with open(os.path.join(path, "_META.json"), "w") as fh:
         json.dump(
             {
@@ -1388,19 +1394,22 @@ def refresh_dedup_index(
         int(meta["shingle_k"]),
         meta["mode"],
     )
+    # Same one-file-per-shard discipline as the base writer (deltas
+    # are small, but a year of ingests times (tasks × shards) files
+    # is exactly how index reads rot).
     hashes.withColumn(
         "shard", _index_shard(F.col("content_hash"), n_shards)
-    ).write.mode("overwrite").partitionBy("shard").parquet(
-        os.path.join(path, f"content_hashes_delta_{batch_id}")
-    )
+    ).repartition("shard").write.mode("overwrite").partitionBy(
+        "shard"
+    ).parquet(os.path.join(path, f"content_hashes_delta_{batch_id}"))
     band_rows.withColumn(
         "shard",
         _index_shard(
             F.concat_ws(":", F.col("band"), F.col("key")), n_shards
         ),
-    ).write.mode("overwrite").partitionBy("shard").parquet(
-        os.path.join(path, f"band_rows_delta_{batch_id}")
-    )
+    ).repartition("shard").write.mode("overwrite").partitionBy(
+        "shard"
+    ).parquet(os.path.join(path, f"band_rows_delta_{batch_id}"))
     # An idempotent re-run overwrote this batch's delta files: drop
     # the cached listing so pre-refresh readers re-list, not 404.
     new_docs.sparkSession.catalog.refreshByPath(path)
@@ -1486,18 +1495,22 @@ def incremental_dedup_from_index(
         .withColumn("__exact", F.lit(True))
     )
 
-    # Cache the BATCH band rows (bounded by batch size): they feed the
-    # bucket probe AND the final near-id semi-join — uncached, the
-    # batch shingle→hash→groupBy-min pipeline would run twice.
-    batch_bands = managed_cache(
-        _band_rows(
-            minhash_signatures(
-                batch, id_col, text_col, num_hashes, shingle_k, mode
-            ),
-            id_col,
-            num_hashes,
-            bands,
-        )
+    # The BATCH band rows feed the bucket probe AND the final near-id
+    # semi-join. They are deliberately NOT cached: an InMemoryRelation
+    # in the broadcast build side DISABLES dynamic partition pruning
+    # on the index scan (measured in round 11 — the band_rows scan
+    # lost its dynamicpruningexpression and read every shard), and
+    # pruning the O(corpus) index scan is worth far more than saving
+    # one O(batch) shingle recompute. The DPP subquery reuses the
+    # broadcast, so the batch pipeline runs twice total, both
+    # batch-sized.
+    batch_bands = _band_rows(
+        minhash_signatures(
+            batch, id_col, text_col, num_hashes, shingle_k, mode
+        ),
+        id_col,
+        num_hashes,
+        bands,
     )
     near_on = ["band", "key"]
     probe_b = corpus_bands.select("band", "key")
