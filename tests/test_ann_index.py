@@ -152,3 +152,32 @@ def test_writer_rerun_idempotent_and_success_removed_first(spark, tmp_path):
     assert not os.path.exists(marker)
     write_ann_index(e, path, m=4, k=3, iters=2)
     assert os.path.exists(marker)
+
+
+def test_indexed_probe_plan_keeps_dynamic_partition_pruning(spark, tmp_path):
+    """The stored codes scan must carry a dynamicpruningexpression on
+    the cell column (the IVF candidate cut as partition pruning) —
+    same regression class as the dedup probe: a cached frame in the
+    broadcast build side silently disables DPP."""
+    from formula1_dataengineering_spark.operators.clustering import (
+        ivf_pq_topk_from_index,
+        read_ann_index,
+        write_ann_index,
+    )
+    from pyspark.sql import functions as F
+
+    e = _emb(spark)
+    path = str(tmp_path / "ann")
+    write_ann_index(e, path, m=4, k=3, iters=2)
+    codes, codebook, meta = read_ann_index(spark, path)
+    out = ivf_pq_topk_from_index(
+        e.where(F.col("vec_id") < 3), codes, codebook,
+        m=4, k=3, iters=2, index_meta=meta,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # The codes table is the only partitioned FileScan in this plan
+    # (don't match on the path: Spark truncates long Location strings).
+    assert any(
+        "FileScan" in line and "dynamicpruningexpression" in line
+        for line in plan.splitlines()
+    )

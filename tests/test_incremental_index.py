@@ -276,3 +276,37 @@ def test_refresh_delta_equals_scratch_rebuild(spark, tmp_path):
         batch, h2, b2, n_shards=4, index_meta=meta
     )
     assert all(r["exact_dup"] for r in probe.collect())
+
+
+def test_probe_plan_keeps_dynamic_partition_pruning(spark, tmp_path):
+    """BOTH index scans must carry a dynamicpruningexpression — the
+    round-11 regression class: caching any frame inside the broadcast
+    build side (an InMemoryRelation) makes Spark plan NO DPP filter
+    and the probe silently scans every shard."""
+    from formula1_dataengineering_spark.operators.dedup import (
+        incremental_dedup_from_index,
+        read_dedup_index,
+        write_dedup_index,
+    )
+
+    d = _docs(spark)
+    is_batch = F.col("doc_id") % 2 == 0
+    path = str(tmp_path / "idx")
+    write_dedup_index(d.where(~is_batch), path, n_shards=4)
+    hashes, bands, meta = read_dedup_index(spark, path)
+    out = incremental_dedup_from_index(
+        d.where(is_batch), hashes, bands, n_shards=4, index_meta=meta
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # The index scans are the only partitioned FileScans in this plan
+    # (don't match on the path: Spark truncates long Location strings).
+    pruned_scans = [
+        line
+        for line in plan.splitlines()
+        if "FileScan" in line and "dynamicpruningexpression" in line
+    ]
+    assert len(pruned_scans) == 2, (
+        "expected DPP on both the content_hashes and band_rows scans; "
+        f"got {len(pruned_scans)} — an InMemoryRelation in the "
+        "broadcast build side disables it"
+    )
