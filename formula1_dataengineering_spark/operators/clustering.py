@@ -629,22 +629,31 @@ def write_ann_index(
     import json
     import os
 
+    from ..caching import cache_scope
+
     marker = os.path.join(path, "_SUCCESS")
     if os.path.exists(marker):
         os.remove(marker)
-    coded, codebook = build_ann_index(
-        emb, cell_col, m, k, iters, id_col, vec_col
-    )
-    # repartition(cell) before partitionBy(cell): one file per cell
-    # instead of (tasks × cells) — probe reads open O(probed cells)
-    # files, not O(tasks × probed cells) (the dedup-index writer's
-    # small-files rule).
-    coded.repartition(cell_col).write.mode("overwrite").partitionBy(
-        cell_col
-    ).parquet(os.path.join(path, "codes"))
-    codebook.write.mode("overwrite").parquet(
-        os.path.join(path, "codebook")
-    )
+    # The writer owns its cache lifecycle: pq_encode caches the final
+    # codebook lineage (reused by BOTH writes below), and nothing
+    # escapes this function lazily — an unscoped build would pin the
+    # training frames in the fallback registry for the rest of the
+    # session (and any later same-lineage baseline timing would
+    # silently hit them).
+    with cache_scope():
+        coded, codebook = build_ann_index(
+            emb, cell_col, m, k, iters, id_col, vec_col
+        )
+        # repartition(cell) before partitionBy(cell): one file per cell
+        # instead of (tasks × cells) — probe reads open O(probed cells)
+        # files, not O(tasks × probed cells) (the dedup-index writer's
+        # small-files rule).
+        coded.repartition(cell_col).write.mode("overwrite").partitionBy(
+            cell_col
+        ).parquet(os.path.join(path, "codes"))
+        codebook.write.mode("overwrite").parquet(
+            os.path.join(path, "codebook")
+        )
     with open(os.path.join(path, "_META.json"), "w") as fh:
         json.dump(
             {

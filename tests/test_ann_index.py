@@ -154,6 +154,24 @@ def test_writer_rerun_idempotent_and_success_removed_first(spark, tmp_path):
     assert os.path.exists(marker)
 
 
+def test_writer_owns_its_cache_lifecycle(spark, tmp_path):
+    """write_ann_index must leave the CacheManager empty even with NO
+    active cache_scope: pq_encode caches the codebook lineage, and an
+    unscoped build would pin it in the fallback registry for the rest
+    of the session (it also silently warms any later timing of a
+    same-lineage recompute baseline — the measurement trap documented
+    in BASELINE's ANN decade study)."""
+    from formula1_dataengineering_spark.operators.clustering import (
+        write_ann_index,
+    )
+
+    spark.catalog.clearCache()
+    write_ann_index(_emb(spark), str(tmp_path / "ann"), m=4, k=3, iters=2)
+    assert bool(
+        spark._jsparkSession.sharedState().cacheManager().isEmpty()
+    ), "write_ann_index left frames cached after returning"
+
+
 def test_indexed_probe_plan_keeps_dynamic_partition_pruning(spark, tmp_path):
     """The stored codes scan must carry a dynamicpruningexpression on
     the cell column (the IVF candidate cut as partition pruning) —
