@@ -170,6 +170,25 @@ class _SinkCommit(WriterCommitMessage):
         self.n_rows = n_rows
 
 
+def _sweep_stale_temps(path: str) -> None:
+    """Remove every staged ``_tmp-*.jsonl`` under ``path``. Safe:
+    temps are uuid-named, live only under this sink's path, and are
+    only ever published by ``commit()``'s ``os.replace``, which
+    removes the temp name atomically. ``glob.escape``: a sink path
+    containing glob metacharacters ([, ?, *) must not silently match
+    nothing."""
+    import glob
+    import os
+
+    for orphan in glob.glob(
+        os.path.join(glob.escape(path), "_tmp-*.jsonl")
+    ):
+        try:
+            os.remove(orphan)
+        except OSError:
+            pass
+
+
 class JsonlManifestWriter(DataSourceWriter):
     """Python Data Source WRITER with the two-phase commit protocol:
     each task stages its rows to a uniquely-named temp file and
@@ -218,7 +237,6 @@ class JsonlManifestWriter(DataSourceWriter):
             json.dump({"parts": parts}, fh)
 
     def abort(self, messages):
-        import glob
         import os
 
         for m in messages or []:
@@ -229,18 +247,15 @@ class JsonlManifestWriter(DataSourceWriter):
                     pass
         # A task that raised inside write() never returned a commit
         # message, so its staged temp is not in `messages` — sweep all
-        # remaining temps. Safe: temps are uuid-named, live only under
-        # this sink's path, and are only ever published by commit()'s
-        # os.replace, which removes the temp name atomically.
-        # glob.escape: a sink path containing glob metacharacters
-        # ([, ?, *) must not silently match nothing.
-        for orphan in glob.glob(
-            os.path.join(glob.escape(self.path), "_tmp-*.jsonl")
-        ):
-            try:
-                os.remove(orphan)
-            except OSError:
-                pass
+        # remaining temps. BEST EFFORT: Spark kills a failed job's
+        # still-running tasks asynchronously, so a straggler can open
+        # its temp AFTER this sweep and leave residue (observed under
+        # core contention). Harmless to readers — they key on the
+        # manifest — and the NEXT write job's setup sweep removes it
+        # (the Hadoop `_temporary`-cleanup shape: residue from an
+        # aborted attempt is owned by the next attempt, not by the
+        # abort that raced the zombies).
+        _sweep_stale_temps(self.path)
 
 
 class JsonlManifestDataSource(DataSource):
@@ -251,4 +266,15 @@ class JsonlManifestDataSource(DataSource):
         return "jsonl_manifest"
 
     def writer(self, schema, overwrite):
+        # Job-setup sweep (driver-side, before any task launches):
+        # remove staged temps a previous ABORTED job's zombie tasks
+        # left behind after racing abort()'s own sweep. A successful
+        # job therefore always publishes into a temp-free directory —
+        # exactly manifest + part files afterwards. Concurrent writers
+        # to one path are outside this sink's contract (commit()
+        # overwrites the manifest either way).
+        import os
+
+        if os.path.isdir(self.options["path"]):
+            _sweep_stale_temps(self.options["path"])
         return JsonlManifestWriter(self.options)

@@ -568,7 +568,13 @@ def test_python_sink_commit_protocol_atomicity(spark, tmp_path):
     part files + manifest whose counts equal the data; a job with an
     injected task failure leaves NO manifest and no part files (abort
     removed the staged temps) — readers keyed on the manifest never
-    observe partial output."""
+    observe partial output. Staged-temp residue after an abort is NOT
+    asserted zero: Spark kills a failed job's still-running tasks
+    asynchronously, so a straggler can stage its temp AFTER abort()'s
+    sweep (a real flake before the job-setup sweep existed). The
+    deterministic contract is that the NEXT write job's setup removes
+    stale temps — asserted below by re-writing the aborted directory
+    successfully and requiring it to contain exactly manifest + parts."""
     import json
     import os
 
@@ -587,6 +593,11 @@ def test_python_sink_commit_protocol_atomicity(spark, tmp_path):
     for p in manifest["parts"]:
         n = sum(1 for _ in open(os.path.join(ok_dir, p["file"])))
         assert n == p["rows"]
+    # A clean job never leaves temps (every task committed, abort
+    # never ran) — this one IS deterministic.
+    assert not [
+        f for f in os.listdir(ok_dir) if f.startswith("_tmp-")
+    ]
 
     bad_dir = str(tmp_path / "bad")
     import pytest
@@ -596,12 +607,22 @@ def test_python_sink_commit_protocol_atomicity(spark, tmp_path):
             "fail_in_write", "true"
         ).mode("append").save()
     left = os.listdir(bad_dir) if os.path.isdir(bad_dir) else []
+    # The atomicity contract: nothing a reader keys on exists.
     assert "_MANIFEST.json" not in left
     assert not [f for f in left if f.startswith("part-")]
-    # A task that raised inside write() never returned a commit message,
-    # so abort() must sweep its staged temp too (ADVICE r7): the output
-    # directory is left with NO residue at all.
-    assert not [f for f in left if f.startswith("_tmp-")]
+
+    # Recovery contract: writing the same directory again first sweeps
+    # any zombie-task residue (job-setup sweep), then publishes — the
+    # final state is exactly the manifest plus its part files.
+    df.write.format("jsonl_manifest").option("path", bad_dir).mode(
+        "append"
+    ).save()
+    after = sorted(os.listdir(bad_dir))
+    manifest = json.load(open(os.path.join(bad_dir, "_MANIFEST.json")))
+    assert sum(p["rows"] for p in manifest["parts"]) == 100
+    assert after == sorted(
+        ["_MANIFEST.json"] + [p["file"] for p in manifest["parts"]]
+    )
 
 
 def test_map_in_arrow_norms_handles_empty_rows(spark):
