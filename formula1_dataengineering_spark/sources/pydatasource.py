@@ -237,24 +237,17 @@ class JsonlManifestWriter(DataSourceWriter):
             json.dump({"parts": parts}, fh)
 
     def abort(self, messages):
-        import os
-
-        for m in messages or []:
-            if m is not None:
-                try:
-                    os.remove(m.path)
-                except OSError:
-                    pass
-        # A task that raised inside write() never returned a commit
-        # message, so its staged temp is not in `messages` — sweep all
-        # remaining temps. BEST EFFORT: Spark kills a failed job's
-        # still-running tasks asynchronously, so a straggler can open
-        # its temp AFTER this sweep and leave residue (observed under
-        # core contention). Harmless to readers — they key on the
-        # manifest — and the NEXT write job's setup sweep removes it
-        # (the Hadoop `_temporary`-cleanup shape: residue from an
-        # aborted attempt is owned by the next attempt, not by the
-        # abort that raced the zombies).
+        # The sweep covers `messages` too: every staged temp —
+        # committed-message paths and the temps of tasks that raised
+        # before returning one — lives under self.path with the _tmp-
+        # prefix, so one glob removes both kinds. BEST EFFORT: Spark
+        # kills a failed job's still-running tasks asynchronously, so
+        # a straggler can open its temp AFTER this sweep and leave
+        # residue (observed under core contention). Harmless to
+        # readers — they key on the manifest — and the NEXT write
+        # job's setup sweep removes it (the Hadoop `_temporary`-
+        # cleanup shape: residue from an aborted attempt is owned by
+        # the next attempt, not by the abort that raced the zombies).
         _sweep_stale_temps(self.path)
 
 

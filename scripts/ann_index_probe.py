@@ -15,8 +15,8 @@ time (fresh cache scope each run):
               best-of-3 at 2M+ vectors costs ~3× a multi-minute
               training pass per extra run
 
-Corpora: sf0.1 embeddings (20k vectors), the 100x replica (2M), and
-the 250x replica (5M) — built by scripts/ann_candidate_probe.py.
+Corpora: sf0.1 embeddings (2,000 vectors), the 1000x replica (2M),
+and the 2500x replica (5M) — built by scripts/ann_candidate_probe.py.
 
 Usage: python scripts/ann_index_probe.py [--build-only]
   --build-only: remove each probe index and time a fresh
@@ -48,7 +48,7 @@ from formula1_dataengineering_spark.session import get_spark  # noqa: E402
 from formula1_dataengineering_spark.sources.catalog import load  # noqa: E402
 
 CORPORA = [
-    ("20k", "/root/testdata/sf0.1"),
+    ("2k", "/root/testdata/sf0.1"),
     ("2M", "/tmp/graft_emb1000x_sf01"),
     ("5M", "/tmp/graft_emb2500x_sf01"),
 ]

@@ -572,9 +572,12 @@ def test_python_sink_commit_protocol_atomicity(spark, tmp_path):
     asserted zero: Spark kills a failed job's still-running tasks
     asynchronously, so a straggler can stage its temp AFTER abort()'s
     sweep (a real flake before the job-setup sweep existed). The
-    deterministic contract is that the NEXT write job's setup removes
-    stale temps — asserted below by re-writing the aborted directory
-    successfully and requiring it to contain exactly manifest + parts."""
+    recovery contract asserted below — the next write job's setup
+    removes stale temps, ending with exactly manifest + parts — still
+    needs job-1 zombies gone before job 2 PLANS, so the test polls
+    the directory to quiescence first (zombies here raise on their
+    first row, so the window is milliseconds; the poll makes it
+    practically zero rather than theoretically zero)."""
     import json
     import os
 
@@ -610,6 +613,19 @@ def test_python_sink_commit_protocol_atomicity(spark, tmp_path):
     # The atomicity contract: nothing a reader keys on exists.
     assert "_MANIFEST.json" not in left
     assert not [f for f in left if f.startswith("part-")]
+
+    # Wait out job-1 zombie stragglers: the directory listing must be
+    # stable for a beat before the recovery job plans (a zombie that
+    # staged its temp after abort's sweep has then already done so).
+    import time
+
+    prev = None
+    for _ in range(20):
+        cur = sorted(os.listdir(bad_dir)) if os.path.isdir(bad_dir) else []
+        if cur == prev:
+            break
+        prev = cur
+        time.sleep(0.25)
 
     # Recovery contract: writing the same directory again first sweeps
     # any zombie-task residue (job-setup sweep), then publishes — the
