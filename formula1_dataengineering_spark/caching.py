@@ -73,6 +73,14 @@ _registry_lock = threading.Lock()
 #: session JVM id string -> list of cached DataFrames (fallback,
 #: drained by release_caches). Entries are tiny plan handles.
 _fallback: dict[str, list[DataFrame]] = {}
+#: session key -> bucket length that triggers the next liveness
+#: prune. Pruning asks the JVM for each frame's storageLevel (a py4j
+#: roundtrip per entry), so it must not run on EVERY registration
+#: while _registry_lock is held — doubling the threshold after each
+#: prune keeps registration amortized O(1) while still bounding the
+#: bucket at ~2x its live caches.
+_prune_at: dict[str, int] = {}
+_PRUNE_MIN = 32
 
 
 def _scope_stack() -> list[list[DataFrame]]:
@@ -125,8 +133,14 @@ def managed_cache(df: DataFrame, *, scope: str = "auto") -> DataFrame:
             # Prune entries a caller already unpersisted directly (or
             # a restarted context orphaned): keeps a long-lived
             # unscoped session's registry bounded by its LIVE caches
-            # instead of growing monotonically (ADVICE r10).
-            bucket[:] = [f for f in bucket if _still_cached(f)]
+            # instead of growing monotonically (ADVICE r10) — but only
+            # once the bucket outgrows its threshold: each liveness
+            # check is a py4j roundtrip, and paying N of them under
+            # the global lock on every registration would serialize
+            # concurrent driver threads on JVM latency.
+            if len(bucket) >= _prune_at.get(key, _PRUNE_MIN):
+                bucket[:] = [f for f in bucket if _still_cached(f)]
+                _prune_at[key] = max(_PRUNE_MIN, 2 * len(bucket))
             bucket.append(out)
     return out
 
@@ -164,12 +178,14 @@ def release_caches(spark=None) -> int:
         if spark is None:
             buckets = list(_fallback.values())
             _fallback.clear()
+            _prune_at.clear()
         else:
             key = (
                 f"{spark.sparkContext.applicationId}:"
                 f"{id(spark._jsparkSession)}"
             )
             b = _fallback.pop(key, None)
+            _prune_at.pop(key, None)
             buckets = [b] if b else []
     n = sum(len(b) for b in buckets)
     for b in buckets:

@@ -630,7 +630,9 @@ def write_ann_index(
     import os
 
     from ..caching import cache_scope
+    from .dedup import validate_layout_path
 
+    validate_layout_path(path, "ANN index")
     marker = os.path.join(path, "_SUCCESS")
     if os.path.exists(marker):
         os.remove(marker)
@@ -678,6 +680,9 @@ def read_ann_index(spark, path: str):
     import json
     import os
 
+    from .dedup import validate_layout_path
+
+    validate_layout_path(path, "ANN index")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         raise ValueError(
             f"ANN index at {path!r} has no _SUCCESS marker "

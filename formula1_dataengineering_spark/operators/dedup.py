@@ -1198,6 +1198,27 @@ def build_dedup_index(
 #: mode) rendezvous assignment or probes would scan the wrong shards.
 _INDEX_SHARD_SALT = "dedup-index"
 
+#: Characters Hadoop's path globber interprets as pattern syntax.
+#: Spark's DataFrameReader treats EVERY read path as a glob, so a
+#: layout under e.g. /data/v[12]/idx either fails PATH_NOT_FOUND or —
+#: worse — silently reads a sibling directory the class matches.
+#: Index layouts reject such paths loudly at write AND read time.
+_GLOB_METACHARS = set("*?[]{}\\")
+
+
+def validate_layout_path(path: str, what: str = "index") -> None:
+    """Raise if ``path`` contains Hadoop glob metacharacters — the
+    layout would be unreadable (or read the WRONG directory) through
+    Spark's glob-interpreting reader paths."""
+    bad = sorted(set(path) & _GLOB_METACHARS)
+    if bad:
+        raise ValueError(
+            f"{what} path {path!r} contains glob metacharacters "
+            f"{bad}: Spark reads every path as a Hadoop glob, so this "
+            "layout could silently resolve to a different directory — "
+            "use a literal path"
+        )
+
 
 def _index_shard(key: Column, n_shards: int) -> Column:
     from .sharding import rendezvous_shard
@@ -1243,14 +1264,35 @@ def write_dedup_index(
     this file's values (via ``index_meta``) and fails loudly instead.
     A stale ``_SUCCESS`` from a previous run is removed BEFORE the
     overwrite starts and recreated last, so a crash mid-refresh leaves
-    no marker validating a half-overwritten index.
+    no marker validating a half-overwritten index. A REBUILD also
+    removes every existing ``*_delta_*`` directory and delta commit
+    marker: the new base supersedes all prior ingests by definition,
+    and a surviving stale delta would union removed/changed docs back
+    into the reader's view of a freshly corrected corpus.
     """
+    import glob as _glob
     import json
     import os
+    import shutil
 
+    validate_layout_path(path, "dedup index")
     marker = os.path.join(path, "_SUCCESS")
     if os.path.exists(marker):
         os.remove(marker)
+    for stale in _glob.glob(
+        os.path.join(_glob.escape(path), "_DELTA_*._SUCCESS")
+    ) + _glob.glob(
+        os.path.join(_glob.escape(path), "content_hashes_delta_*")
+    ) + _glob.glob(
+        os.path.join(_glob.escape(path), "band_rows_delta_*")
+    ):
+        if os.path.isdir(stale):
+            shutil.rmtree(stale, ignore_errors=True)
+        else:
+            try:
+                os.remove(stale)
+            except OSError:
+                pass
     hashes, band_rows = build_dedup_index(
         corpus, id_col, text_col, num_hashes, bands, shingle_k, mode
     )
@@ -1308,11 +1350,17 @@ def read_dedup_index(
     idempotence depends on this). Refuses a layout with no
     ``_SUCCESS`` marker (a crashed or in-flight write) or no
     ``_META.json`` (unknown layout params — probing with guessed
-    params silently returns wrong flags)."""
+    params silently returns wrong flags). Deltas are discovered via
+    their COMMIT MARKERS (``_DELTA_<batch_id>._SUCCESS``), written by
+    :func:`refresh_dedup_index` only after BOTH delta tables landed —
+    a crash between the two delta writes therefore leaves an ignored
+    (marker-less) pair, never a view whose content_hashes contain a
+    batch its band_rows lack."""
     import glob as _glob
     import json
     import os
 
+    validate_layout_path(path, "dedup index")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         raise ValueError(
             f"dedup index at {path!r} has no _SUCCESS marker "
@@ -1326,6 +1374,15 @@ def read_dedup_index(
         )
     with open(meta_path) as fh:
         meta = json.load(fh)
+
+    # glob.escape: an index path containing glob metacharacters
+    # ([, ?, *) must not silently match zero deltas.
+    committed = sorted(
+        os.path.basename(m)[len("_DELTA_") : -len("._SUCCESS")]
+        for m in _glob.glob(
+            os.path.join(_glob.escape(path), "_DELTA_*._SUCCESS")
+        )
+    )
 
     def _has_parquet(d: str) -> bool:
         # A day with zero accepted docs writes a part-file-less delta
@@ -1341,8 +1398,9 @@ def read_dedup_index(
         if include_deltas:
             dirs += [
                 d
-                for d in sorted(
-                    _glob.glob(os.path.join(path, f"{base}_delta_*"))
+                for d in (
+                    os.path.join(path, f"{base}_delta_{bid}")
+                    for bid in committed
                 )
                 if _has_parquet(d)
             ]
@@ -1378,13 +1436,55 @@ def refresh_dedup_index(
     there is no transaction log) — re-open via
     :func:`read_dedup_index` after a refresh. Cost is O(batch): the base tables are not read or
     rewritten (at 100 TB that asymmetry — not the probe — is why the
-    index is maintainable at all)."""
+    index is maintainable at all).
+
+    Atomicity across the TWO delta tables: the batch's commit marker
+    (``_DELTA_<batch_id>._SUCCESS``) is removed before any write and
+    recreated only after both tables landed; :func:`read_dedup_index`
+    unions marker-bearing deltas only, so a crash between the writes
+    (or mid-overwrite on a retry) leaves an ignored pair instead of a
+    view whose hashes contain a batch its band rows lack. Refuses a
+    layout with no base ``_SUCCESS`` (appending to a crashed base
+    write) and a metadata salt/mode this build of the library did not
+    write (delta rows sharded with a drifted salt land in shards the
+    prober — which validates against the same metadata — would never
+    probe: the silent-miss class again, failed loudly instead)."""
     import json
     import os
+    import re
 
+    if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]*", batch_id):
+        raise ValueError(
+            f"refresh_dedup_index: batch_id {batch_id!r} must match "
+            "[A-Za-z0-9][A-Za-z0-9._-]* — path separators or glob "
+            "metacharacters would escape the index layout or make the "
+            "delta undiscoverable by the reader"
+        )
+    validate_layout_path(path, "dedup index")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        raise ValueError(
+            f"dedup index at {path!r} has no _SUCCESS marker "
+            "(half-written or missing base) — refusing to append a "
+            "delta to a layout a reader would reject"
+        )
     with open(os.path.join(path, "_META.json")) as fh:
         meta = json.load(fh)
+    if (
+        meta.get("shard_salt") != _INDEX_SHARD_SALT
+        or meta.get("shard_mode") != "fast"
+    ):
+        raise ValueError(
+            "refresh_dedup_index: index metadata declares shard "
+            f"params (salt={meta.get('shard_salt')!r}, "
+            f"mode={meta.get('shard_mode')!r}) this build does not "
+            f"compute (salt={_INDEX_SHARD_SALT!r}, mode='fast') — "
+            "delta rows would land in shards probes never touch; "
+            "rebuild the index with this build instead"
+        )
     n_shards = int(meta["n_shards"])
+    commit_marker = os.path.join(path, f"_DELTA_{batch_id}._SUCCESS")
+    if os.path.exists(commit_marker):
+        os.remove(commit_marker)
     hashes, band_rows = build_dedup_index(
         new_docs,
         id_col,
@@ -1413,6 +1513,9 @@ def refresh_dedup_index(
     # An idempotent re-run overwrote this batch's delta files: drop
     # the cached listing so pre-refresh readers re-list, not 404.
     new_docs.sparkSession.catalog.refreshByPath(path)
+    # Commit marker LAST: the reader only unions this batch once both
+    # tables are fully on disk.
+    open(commit_marker, "w").close()
 
 
 def incremental_dedup_from_index(

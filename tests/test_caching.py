@@ -331,22 +331,38 @@ def test_facade_cache_survives_query_scope(spark, tmp_path):
 
 def test_fallback_registry_prunes_unpersisted_entries(spark):
     """Direct df.unpersist() by a caller must not leak a registry
-    slot: the next managed_cache touch prunes dead entries
-    (ADVICE r10 — unbounded growth in long-lived unscoped sessions)."""
+    slot forever: once the bucket reaches its prune threshold, the
+    next managed_cache registration drops dead entries and doubles
+    the threshold (AMORTIZED — each liveness check is a py4j
+    roundtrip under the global registry lock, so pruning on every
+    registration would serialize concurrent driver threads on JVM
+    latency; ADVICE r10 bounded growth + round-11 review)."""
     from formula1_dataengineering_spark import caching as C
 
     spark.catalog.clearCache()
     release_caches()
-    a = managed_cache(_docs(spark))
-    a.collect()
-    a.unpersist(blocking=True)  # owner released directly
-    b = managed_cache(_docs(spark).select("doc_id"))
-    b.collect()
-    key = C._session_key(b)
-    with C._registry_lock:
-        bucket = list(C._fallback.get(key, []))
-    # the dead `a` handle was pruned when `b` registered
-    assert all(f is not a for f in bucket)
-    assert any(f is b for f in bucket)
+    old_min = C._PRUNE_MIN
+    C._PRUNE_MIN = 2
+    try:
+        a = managed_cache(_docs(spark))
+        a.collect()
+        a.unpersist(blocking=True)  # owner released directly
+        b = managed_cache(_docs(spark).select("doc_id"))
+        b.collect()  # bucket now [dead a, b] — at the threshold
+        c = managed_cache(_docs(spark).select("text"))
+        c.collect()  # registration hits the threshold → prune runs
+        key = C._session_key(b)
+        with C._registry_lock:
+            bucket = list(C._fallback.get(key, []))
+            threshold = C._prune_at.get(key)
+        # the dead `a` handle was pruned when `c` registered; the
+        # live handles stay; the next prune point doubled away from
+        # the live count
+        assert all(f is not a for f in bucket)
+        assert any(f is b for f in bucket)
+        assert any(f is c for f in bucket)
+        assert threshold == max(C._PRUNE_MIN, 2 * (len(bucket) - 1))
+    finally:
+        C._PRUNE_MIN = old_min
     release_caches(spark)
     assert _cache_empty(spark)

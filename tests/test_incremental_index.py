@@ -310,3 +310,131 @@ def test_probe_plan_keeps_dynamic_partition_pruning(spark, tmp_path):
         f"got {len(pruned_scans)} — an InMemoryRelation in the "
         "broadcast build side disables it"
     )
+
+
+def test_rebuild_removes_stale_deltas(spark, tmp_path):
+    """A base REBUILD supersedes every prior ingest: write, refresh a
+    delta, rebuild over a corrected corpus — the reader must see the
+    new base only (a surviving stale delta would union removed docs
+    back into the view), and no delta dirs or commit markers remain."""
+    from formula1_dataengineering_spark.operators.dedup import (
+        read_dedup_index,
+        refresh_dedup_index,
+        write_dedup_index,
+    )
+
+    d = _docs(spark)
+    path = str(tmp_path / "idx")
+    write_dedup_index(d.where(F.col("doc_id") < 3), path, n_shards=4)
+    refresh_dedup_index(
+        d.where(F.col("doc_id") >= 3), path, batch_id="day1"
+    )
+    # Corrected corpus: doc 3+ were taken down; rebuild base only.
+    write_dedup_index(d.where(F.col("doc_id") < 3), path, n_shards=4)
+    h, b, _ = read_dedup_index(spark, path)
+    ids = {r["doc_id"] for r in h.select("doc_id").distinct().collect()}
+    assert ids == {0, 1, 2}, ids
+    left = os.listdir(path)
+    assert not [f for f in left if "_delta_" in f]
+    assert not [f for f in left if f.startswith("_DELTA_")]
+
+
+def test_delta_without_commit_marker_is_ignored(spark, tmp_path):
+    """read_dedup_index unions only marker-committed deltas: a crash
+    between the two delta-table writes leaves a marker-less pair the
+    reader must skip (hashes containing a batch its band rows lack is
+    the inconsistent view the marker exists to prevent)."""
+    from formula1_dataengineering_spark.operators.dedup import (
+        read_dedup_index,
+        refresh_dedup_index,
+        write_dedup_index,
+    )
+
+    d = _docs(spark)
+    path = str(tmp_path / "idx")
+    write_dedup_index(d.where(F.col("doc_id") < 3), path, n_shards=4)
+    refresh_dedup_index(
+        d.where(F.col("doc_id") >= 3), path, batch_id="day1"
+    )
+    marker = os.path.join(path, "_DELTA_day1._SUCCESS")
+    assert os.path.exists(marker)
+    os.remove(marker)  # simulate a crash before the marker landed
+    h, b, _ = read_dedup_index(spark, path)
+    ids = {r["doc_id"] for r in h.select("doc_id").distinct().collect()}
+    assert ids == {0, 1, 2}, ids
+    open(marker, "w").close()  # marker restored -> delta visible again
+    h2, _b2, _ = read_dedup_index(spark, path)
+    ids2 = {r["doc_id"] for r in h2.select("doc_id").distinct().collect()}
+    assert ids2 == set(range(len(TEXT))), ids2
+
+
+def test_refresh_validates_layout_and_batch_id(spark, tmp_path):
+    """refresh_dedup_index fails loudly on: a batch_id that could
+    escape the layout or dodge the reader's discovery; a base with no
+    _SUCCESS (crashed write); a metadata shard salt this build does
+    not compute (delta rows would land in shards probes never touch)."""
+    import json
+
+    import pytest
+
+    from formula1_dataengineering_spark.operators.dedup import (
+        refresh_dedup_index,
+        write_dedup_index,
+    )
+
+    d = _docs(spark)
+    batch = d.where(F.col("doc_id") >= 3)
+    path = str(tmp_path / "idx")
+    write_dedup_index(d.where(F.col("doc_id") < 3), path, n_shards=4)
+
+    for bad in ("day/1", "../x", "day*", "", ".hidden"):
+        with pytest.raises(ValueError, match="batch_id"):
+            refresh_dedup_index(batch, path, batch_id=bad)
+
+    os.remove(os.path.join(path, "_SUCCESS"))
+    with pytest.raises(ValueError, match="_SUCCESS"):
+        refresh_dedup_index(batch, path, batch_id="day1")
+    open(os.path.join(path, "_SUCCESS"), "w").close()
+
+    meta_path = os.path.join(path, "_META.json")
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    meta["shard_salt"] = "drifted-salt"
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh)
+    with pytest.raises(ValueError, match="salt"):
+        refresh_dedup_index(batch, path, batch_id="day1")
+
+
+def test_index_path_with_glob_metacharacters_rejected(spark, tmp_path):
+    """Spark reads every path as a Hadoop glob, so a layout under a
+    directory containing [ ] * ? either fails PATH_NOT_FOUND or
+    silently reads a SIBLING directory the pattern matches. Writers
+    and readers (dedup AND ann) reject such paths loudly instead of
+    producing an unreadable-or-wrong layout; python-side delta
+    discovery additionally glob.escapes, so the two glob layers can
+    never disagree."""
+    import pytest
+
+    from formula1_dataengineering_spark.operators.clustering import (
+        read_ann_index,
+        write_ann_index,
+    )
+    from formula1_dataengineering_spark.operators.dedup import (
+        read_dedup_index,
+        refresh_dedup_index,
+        write_dedup_index,
+    )
+
+    d = _docs(spark)
+    path = str(tmp_path / "runs" / "[prod]" / "idx")
+    os.makedirs(path, exist_ok=True)
+    for fn in (
+        lambda: write_dedup_index(d, path, n_shards=4),
+        lambda: read_dedup_index(spark, path),
+        lambda: refresh_dedup_index(d, path, batch_id="day1"),
+        lambda: write_ann_index(d, path),
+        lambda: read_ann_index(spark, path),
+    ):
+        with pytest.raises(ValueError, match="glob metacharacters"):
+            fn()
