@@ -664,6 +664,12 @@ def write_ann_index(
                 "k": k,
                 "iters": iters,
                 "vec_col": vec_col,
+                # Table schemas: an EMPTY corpus writes part-file-less
+                # dirs parquet cannot infer a schema from; the reader
+                # synthesizes empty frames from these instead (same
+                # bootstrap contract as the dedup index).
+                "codes_schema": coded.schema.jsonValue(),
+                "codebook_schema": codebook.schema.jsonValue(),
             },
             fh,
         )
@@ -696,9 +702,29 @@ def read_ann_index(spark, path: str):
         )
     with open(meta_path) as fh:
         meta = json.load(fh)
+
+    def _open(base: str, schema_key: str):
+        d = os.path.join(path, base)
+        for _root, _dirs, files in os.walk(d):
+            if any(f.endswith(".parquet") for f in files):
+                return spark.read.parquet(d)
+        # Part-file-less table (empty corpus at write time): parquet
+        # cannot infer a schema — synthesize the empty frame from the
+        # schema the writer recorded (bootstrap contract).
+        schema = meta.get(schema_key)
+        if schema is None:
+            raise ValueError(
+                f"ANN index at {path!r}: {base} holds no rows and its "
+                "_META.json predates recorded schemas — rebuild with "
+                "write_ann_index"
+            )
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame([], StructType.fromJson(schema))
+
     return (
-        spark.read.parquet(os.path.join(path, "codes")),
-        spark.read.parquet(os.path.join(path, "codebook")),
+        _open("codes", "codes_schema"),
+        _open("codebook", "codebook_schema"),
         meta,
     )
 

@@ -1203,7 +1203,10 @@ _INDEX_SHARD_SALT = "dedup-index"
 #: layout under e.g. /data/v[12]/idx either fails PATH_NOT_FOUND or —
 #: worse — silently reads a sibling directory the class matches.
 #: Index layouts reject such paths loudly at write AND read time.
-_GLOB_METACHARS = set("*?[]{}\\")
+#: (Backslash is deliberately NOT in the set: it is the globber's
+#: ESCAPE character, not pattern syntax, and rejecting it would ban
+#: every Windows absolute path.)
+_GLOB_METACHARS = set("*?[]{}")
 
 
 def validate_layout_path(path: str, what: str = "index") -> None:
@@ -1302,17 +1305,19 @@ def write_dedup_index(
     # grows with file-open count, not bytes (measured in
     # scripts/ingest_probe.py). One write-time shuffle buys ~one file
     # per shard, the layout health a 100 TB index needs.
-    hashes.withColumn(
+    h_sharded = hashes.withColumn(
         "shard", _index_shard(F.col("content_hash"), n_shards)
-    ).repartition("shard").write.mode("overwrite").partitionBy(
-        "shard"
-    ).parquet(os.path.join(path, "content_hashes"))
-    band_rows.withColumn(
+    )
+    b_sharded = band_rows.withColumn(
         "shard",
         _index_shard(
             F.concat_ws(":", F.col("band"), F.col("key")), n_shards
         ),
-    ).repartition("shard").write.mode("overwrite").partitionBy(
+    )
+    h_sharded.repartition("shard").write.mode("overwrite").partitionBy(
+        "shard"
+    ).parquet(os.path.join(path, "content_hashes"))
+    b_sharded.repartition("shard").write.mode("overwrite").partitionBy(
         "shard"
     ).parquet(os.path.join(path, "band_rows"))
     with open(os.path.join(path, "_META.json"), "w") as fh:
@@ -1325,6 +1330,13 @@ def write_dedup_index(
                 "bands": bands,
                 "shingle_k": shingle_k,
                 "mode": mode,
+                # Table schemas: an EMPTY corpus writes part-file-less
+                # dirs parquet cannot infer a schema from; the reader
+                # synthesizes empty frames from these instead, so a
+                # bootstrap flow (write empty -> refresh day batches)
+                # round-trips (round-11 review).
+                "hashes_schema": h_sharded.schema.jsonValue(),
+                "bands_schema": b_sharded.schema.jsonValue(),
             },
             fh,
         )
@@ -1393,23 +1405,39 @@ def read_dedup_index(
                 return True
         return False
 
-    def _open(base: str) -> DataFrame:
+    def _open(base: str, schema_key: str) -> DataFrame:
         dirs = [os.path.join(path, base)]
         if include_deltas:
             dirs += [
-                d
-                for d in (
-                    os.path.join(path, f"{base}_delta_{bid}")
-                    for bid in committed
-                )
-                if _has_parquet(d)
+                os.path.join(path, f"{base}_delta_{bid}")
+                for bid in committed
             ]
-        out = spark.read.parquet(dirs[0])
-        for d in dirs[1:]:
-            out = out.unionByName(spark.read.parquet(d))
+        # Part-file-less dirs (an EMPTY base from a bootstrap write,
+        # or a zero-accepted-docs delta day) carry no schema for
+        # parquet inference — skip them; if NOTHING has rows, return
+        # an empty frame from the schema the writer recorded.
+        frames = [spark.read.parquet(d) for d in dirs if _has_parquet(d)]
+        if not frames:
+            schema = meta.get(schema_key)
+            if schema is None:
+                raise ValueError(
+                    f"dedup index at {path!r}: {base} holds no rows "
+                    "and its _META.json predates recorded schemas — "
+                    "rebuild with write_dedup_index"
+                )
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame([], StructType.fromJson(schema))
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
         return out
 
-    return _open("content_hashes"), _open("band_rows"), meta
+    return (
+        _open("content_hashes", "hashes_schema"),
+        _open("band_rows", "bands_schema"),
+        meta,
+    )
 
 
 def refresh_dedup_index(

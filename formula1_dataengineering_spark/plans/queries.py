@@ -6039,7 +6039,6 @@ def end_to_end_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle replaying the identical chain. Per-ingest cost is
     O(batch + probe): the corpus is scanned once EVER (index build),
     never per day."""
-    from ..caching import managed_cache
     from ..operators.dedup import (
         incremental_dedup_from_index,
         read_dedup_index,
@@ -6061,10 +6060,15 @@ def end_to_end_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
         spark, path, include_deltas=False
     )
     # Flags feed the accept filter, the refresh write, the membership
-    # feed, AND the output — cache the batch-sized frame once.
-    flags = managed_cache(
-        incremental_dedup_from_index(batch, hashes, bands, index_meta=meta)
-    )
+    # feed, AND the output. NOT managed_cache: refresh_dedup_index
+    # below calls catalog.refreshByPath(path), which invalidates any
+    # cached plan reading that path — a cache here is silently dropped
+    # mid-gate and the whole first probe recomputes for the output
+    # join. localCheckpoint (eager) cuts the lineage to a
+    # batch-sized LogicalRDD that survives the refresh.
+    flags = incremental_dedup_from_index(
+        batch, hashes, bands, index_meta=meta
+    ).localCheckpoint(eager=True)
     accepted = batch.join(
         flags.where(F.col("action") == "ingest").select("doc_id"),
         "doc_id",

@@ -235,6 +235,13 @@ class JsonlManifestWriter(DataSourceWriter):
             )
         with open(os.path.join(self.path, "_MANIFEST.json"), "w") as fh:
             json.dump({"parts": parts}, fh)
+        # Task RETRIES (spark.task.maxFailures > 1) and speculation can
+        # leave a failed attempt's staged temp behind even though the
+        # JOB succeeded — abort() never runs then. Every committed temp
+        # was just renamed away, so anything still matching _tmp-* is
+        # attempt residue: sweep it so a successful job's directory is
+        # exactly manifest + parts on retry-enabled clusters too.
+        _sweep_stale_temps(self.path)
 
     def abort(self, messages):
         # The sweep covers `messages` too: every staged temp —

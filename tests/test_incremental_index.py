@@ -438,3 +438,59 @@ def test_index_path_with_glob_metacharacters_rejected(spark, tmp_path):
     ):
         with pytest.raises(ValueError, match="glob metacharacters"):
             fn()
+
+
+def test_empty_corpus_bootstrap_roundtrip(spark, tmp_path):
+    """The bootstrap flow must work: write an index over an EMPTY
+    corpus (day 0 of a new pipeline), refresh day-1 docs in, read,
+    and probe. A part-file-less base carries no schema for parquet
+    inference — the reader synthesizes empty frames from the schemas
+    the writer records in _META.json."""
+    from formula1_dataengineering_spark.operators.dedup import (
+        incremental_dedup_from_index,
+        read_dedup_index,
+        refresh_dedup_index,
+        write_dedup_index,
+    )
+
+    d = _docs(spark)
+    path = str(tmp_path / "idx")
+    write_dedup_index(d.where(F.lit(False)), path, n_shards=4)
+
+    # Readable while completely empty; probe flags everything ingest.
+    h0, b0, meta = read_dedup_index(spark, path)
+    assert h0.count() == 0 and b0.count() == 0
+    flags0 = incremental_dedup_from_index(
+        d, h0, b0, n_shards=4, index_meta=meta
+    )
+    assert all(r["action"] == "ingest" for r in flags0.collect())
+
+    # Day 1 refreshes the first real batch in; a re-probe hits it.
+    refresh_dedup_index(d.where(F.col("doc_id") < 3), path, batch_id="d1")
+    h1, b1, meta1 = read_dedup_index(spark, path)
+    probe = incremental_dedup_from_index(
+        d.where(F.col("doc_id") < 3), h1, b1, n_shards=4,
+        index_meta=meta1,
+    )
+    assert all(r["exact_dup"] for r in probe.collect())
+
+
+def test_empty_corpus_ann_index_roundtrip(spark, tmp_path):
+    """Same bootstrap contract for the ANN index: an empty-corpus
+    write must read back as empty frames, not an unreadable layout."""
+    from formula1_dataengineering_spark.operators.clustering import (
+        read_ann_index,
+        write_ann_index,
+    )
+
+    rows = [(i, [float(i), 0.0, 1.0, 2.0], "a") for i in range(6)]
+    e = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    path = str(tmp_path / "ann")
+    write_ann_index(e.where(F.lit(False)), path, m=4, k=3, iters=2)
+    codes, codebook, meta = read_ann_index(spark, path)
+    assert codes.count() == 0 and codebook.count() == 0
+    assert {f.name for f in codes.schema.fields} >= {
+        "vec_id", "sub_id", "code", "label",
+    }

@@ -596,8 +596,15 @@ def test_python_sink_commit_protocol_atomicity(spark, tmp_path):
     for p in manifest["parts"]:
         n = sum(1 for _ in open(os.path.join(ok_dir, p["file"])))
         assert n == p["rows"]
-    # A clean job never leaves temps (every task committed, abort
-    # never ran) — this one IS deterministic.
+    # A clean job never leaves temps: every committed temp was
+    # renamed away, and commit() sweeps failed-ATTEMPT residue (task
+    # retries under spark.task.maxFailures>1 stage a temp, die, and
+    # the retry succeeds — the job never aborts, so only commit can
+    # clean it). Simulate that residue directly:
+    open(os.path.join(ok_dir, "_tmp-failedattempt.jsonl"), "w").close()
+    df.write.format("jsonl_manifest").option("path", ok_dir).mode(
+        "append"
+    ).save()
     assert not [
         f for f in os.listdir(ok_dir) if f.startswith("_tmp-")
     ]
