@@ -1198,29 +1198,13 @@ def build_dedup_index(
 #: mode) rendezvous assignment or probes would scan the wrong shards.
 _INDEX_SHARD_SALT = "dedup-index"
 
-#: Characters Hadoop's path globber interprets as pattern syntax.
-#: Spark's DataFrameReader treats EVERY read path as a glob, so a
-#: layout under e.g. /data/v[12]/idx either fails PATH_NOT_FOUND or —
-#: worse — silently reads a sibling directory the class matches.
-#: Index layouts reject such paths loudly at write AND read time.
-#: (Backslash is deliberately NOT in the set: it is the globber's
-#: ESCAPE character, not pattern syntax, and rejecting it would ban
-#: every Windows absolute path.)
-_GLOB_METACHARS = set("*?[]{}")
-
-
-def validate_layout_path(path: str, what: str = "index") -> None:
-    """Raise if ``path`` contains Hadoop glob metacharacters — the
-    layout would be unreadable (or read the WRONG directory) through
-    Spark's glob-interpreting reader paths."""
-    bad = sorted(set(path) & _GLOB_METACHARS)
-    if bad:
-        raise ValueError(
-            f"{what} path {path!r} contains glob metacharacters "
-            f"{bad}: Spark reads every path as a Hadoop glob, so this "
-            "layout could silently resolve to a different directory — "
-            "use a literal path"
-        )
+# Layout-path validation and ALL marker/metadata IO moved to
+# ``fsutil`` in round 12 (VERDICT r11 item 3): the lifecycle below now
+# runs through the Hadoop FileSystem API, so the same code serves the
+# tested local default and an hdfs:/ / s3a:/ index a real cluster
+# keeps. Re-exported here because operators and tests import the
+# validator from this module (the historical home).
+from ..fsutil import _GLOB_METACHARS, validate_layout_path  # noqa: F401,E501  (re-export)
 
 
 def _index_shard(key: Column, n_shards: int) -> Column:
@@ -1265,37 +1249,33 @@ def write_dedup_index(
     compute different shard/band keys and SILENTLY miss every hit, so
     :func:`incremental_dedup_from_index` validates its params against
     this file's values (via ``index_meta``) and fails loudly instead.
-    A stale ``_SUCCESS`` from a previous run is removed BEFORE the
-    overwrite starts and recreated last, so a crash mid-refresh leaves
-    no marker validating a half-overwritten index. A REBUILD also
-    removes every existing ``*_delta_*`` directory and delta commit
-    marker: the new base supersedes all prior ingests by definition,
-    and a surviving stale delta would union removed/changed docs back
-    into the reader's view of a freshly corrected corpus.
+
+    Staged rebuild (ADVICE r11): the new tables are built under
+    ``<path>/_staging`` while the PREVIOUS index stays fully readable
+    (``_SUCCESS`` intact through the long build — a daily pipeline
+    keeps serving probes during a rebuild); only the short COMMIT
+    phase removes the marker, drops the old tables plus every
+    ``*_delta_*`` directory and delta commit marker (the new base
+    supersedes all prior ingests by definition — a surviving stale
+    delta would union removed docs back into a freshly corrected
+    corpus), renames the staged tables in, rewrites ``_META.json``,
+    and recreates ``_SUCCESS`` last. A crash during the build leaves
+    the old index valid (stale staging swept by the next writer); a
+    crash during the commit leaves a marker-less layout every reader
+    refuses — never a marker validating half-swapped tables. All
+    marker/metadata IO goes through the Hadoop FileSystem API
+    (``fsutil``), so the same lifecycle runs against a local path, a
+    ``file:/`` URI, or a cluster filesystem.
     """
-    import glob as _glob
     import json
     import os
-    import shutil
 
+    from .. import fsutil
+
+    spark = corpus.sparkSession
     validate_layout_path(path, "dedup index")
-    marker = os.path.join(path, "_SUCCESS")
-    if os.path.exists(marker):
-        os.remove(marker)
-    for stale in _glob.glob(
-        os.path.join(_glob.escape(path), "_DELTA_*._SUCCESS")
-    ) + _glob.glob(
-        os.path.join(_glob.escape(path), "content_hashes_delta_*")
-    ) + _glob.glob(
-        os.path.join(_glob.escape(path), "band_rows_delta_*")
-    ):
-        if os.path.isdir(stale):
-            shutil.rmtree(stale, ignore_errors=True)
-        else:
-            try:
-                os.remove(stale)
-            except OSError:
-                pass
+    staging = os.path.join(path, "_staging")
+    fsutil.delete(spark, staging)
     hashes, band_rows = build_dedup_index(
         corpus, id_col, text_col, num_hashes, bands, shingle_k, mode
     )
@@ -1316,35 +1296,53 @@ def write_dedup_index(
     )
     h_sharded.repartition("shard").write.mode("overwrite").partitionBy(
         "shard"
-    ).parquet(os.path.join(path, "content_hashes"))
+    ).parquet(os.path.join(staging, "content_hashes"))
     b_sharded.repartition("shard").write.mode("overwrite").partitionBy(
         "shard"
-    ).parquet(os.path.join(path, "band_rows"))
-    with open(os.path.join(path, "_META.json"), "w") as fh:
-        json.dump(
-            {
-                "n_shards": n_shards,
-                "shard_salt": _INDEX_SHARD_SALT,
-                "shard_mode": "fast",
-                "num_hashes": num_hashes,
-                "bands": bands,
-                "shingle_k": shingle_k,
-                "mode": mode,
-                # Table schemas: an EMPTY corpus writes part-file-less
-                # dirs parquet cannot infer a schema from; the reader
-                # synthesizes empty frames from these instead, so a
-                # bootstrap flow (write empty -> refresh day batches)
-                # round-trips (round-11 review).
-                "hashes_schema": h_sharded.schema.jsonValue(),
-                "bands_schema": b_sharded.schema.jsonValue(),
-            },
-            fh,
-        )
-    # Overwrites replace files under an already-listed path: drop the
+    ).parquet(os.path.join(staging, "band_rows"))
+    meta_text = json.dumps(
+        {
+            "n_shards": n_shards,
+            "shard_salt": _INDEX_SHARD_SALT,
+            "shard_mode": "fast",
+            "num_hashes": num_hashes,
+            "bands": bands,
+            "shingle_k": shingle_k,
+            "mode": mode,
+            # Table schemas: an EMPTY corpus writes part-file-less
+            # dirs parquet cannot infer a schema from; the reader
+            # synthesizes empty frames from these instead, so a
+            # bootstrap flow (write empty -> refresh day batches)
+            # round-trips (round-11 review).
+            "hashes_schema": h_sharded.schema.jsonValue(),
+            "bands_schema": b_sharded.schema.jsonValue(),
+        }
+    )
+    # COMMIT phase — the only window where the layout is unreadable,
+    # a handful of metadata ops instead of the full rebuild above.
+    fsutil.delete(spark, os.path.join(path, "_SUCCESS"))
+    for name in fsutil.list_names(spark, path):
+        if name == "_staging":
+            continue
+        if name.startswith(("content_hashes", "band_rows", "_DELTA_")):
+            fsutil.delete(spark, os.path.join(path, name))
+    fsutil.rename(
+        spark,
+        os.path.join(staging, "content_hashes"),
+        os.path.join(path, "content_hashes"),
+    )
+    fsutil.rename(
+        spark,
+        os.path.join(staging, "band_rows"),
+        os.path.join(path, "band_rows"),
+    )
+    fsutil.delete(spark, staging)
+    fsutil.write_text(spark, os.path.join(path, "_META.json"), meta_text)
+    # The swap replaces files under an already-listed path: drop the
     # session's cached file listing so a reader opened before this
-    # refresh cannot serve deleted part files.
-    corpus.sparkSession.catalog.refreshByPath(path)
-    open(marker, "w").close()
+    # rebuild cannot serve deleted part files.
+    spark.catalog.refreshByPath(path)
+    fsutil.touch(spark, os.path.join(path, "_SUCCESS"))
 
 
 def read_dedup_index(
@@ -1367,43 +1365,34 @@ def read_dedup_index(
     :func:`refresh_dedup_index` only after BOTH delta tables landed —
     a crash between the two delta writes therefore leaves an ignored
     (marker-less) pair, never a view whose content_hashes contain a
-    batch its band_rows lack."""
-    import glob as _glob
-    import json
+    batch its band_rows lack.
+
+    Missing-vs-empty (ADVICE r11): a table DIRECTORY that does not
+    exist is CORRUPTION, not bootstrap — the writer always creates the
+    directory (even for an empty corpus) and the delta commit marker
+    is written only after both delta tables landed, so a
+    marker-bearing layout whose directory vanished (partial delete,
+    wrong path restore) raises instead of probing as 'no rows' and
+    silently flagging every duplicate as 'ingest'. The
+    schema-synthesized empty frame is reserved for directories that
+    exist but hold no part files (a legitimately empty corpus or
+    zero-accepted-docs day)."""
     import os
 
-    validate_layout_path(path, "dedup index")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        raise ValueError(
-            f"dedup index at {path!r} has no _SUCCESS marker "
-            "(half-written or missing index)"
-        )
-    meta_path = os.path.join(path, "_META.json")
-    if not os.path.exists(meta_path):
-        raise ValueError(
-            f"dedup index at {path!r} has no _META.json — layout "
-            "params unknown; rebuild with write_dedup_index"
-        )
-    with open(meta_path) as fh:
-        meta = json.load(fh)
+    from .. import fsutil
 
-    # glob.escape: an index path containing glob metacharacters
-    # ([, ?, *) must not silently match zero deltas.
-    committed = sorted(
-        os.path.basename(m)[len("_DELTA_") : -len("._SUCCESS")]
-        for m in _glob.glob(
-            os.path.join(_glob.escape(path), "_DELTA_*._SUCCESS")
-        )
+    meta = fsutil.require_layout_meta(
+        spark, path, "dedup index", "write_dedup_index"
     )
 
-    def _has_parquet(d: str) -> bool:
-        # A day with zero accepted docs writes a part-file-less delta
-        # (legitimate: everything was a duplicate); it contributes no
-        # rows and must not break schema inference for the union.
-        for root, _dirs, files in os.walk(d):
-            if any(f.endswith(".parquet") for f in files):
-                return True
-        return False
+    # Marker discovery via a directory listing + Python name filter —
+    # no Hadoop glob, so metacharacters can never re-enter pattern
+    # syntax (and the listing works on any FileSystem scheme).
+    committed = sorted(
+        name[len("_DELTA_") : -len("._SUCCESS")]
+        for name in fsutil.list_names(spark, path)
+        if name.startswith("_DELTA_") and name.endswith("._SUCCESS")
+    )
 
     def _open(base: str, schema_key: str) -> DataFrame:
         dirs = [os.path.join(path, base)]
@@ -1412,11 +1401,25 @@ def read_dedup_index(
                 os.path.join(path, f"{base}_delta_{bid}")
                 for bid in committed
             ]
+        for d in dirs:
+            if not fsutil.is_dir(spark, d):
+                raise ValueError(
+                    f"dedup index at {path!r} is corrupt: "
+                    f"{os.path.basename(d)!r} is missing although the "
+                    "layout's commit markers are present — the writer "
+                    "always creates the table directory, so this is a "
+                    "partial delete, not an empty corpus; rebuild "
+                    "with write_dedup_index"
+                )
         # Part-file-less dirs (an EMPTY base from a bootstrap write,
         # or a zero-accepted-docs delta day) carry no schema for
         # parquet inference — skip them; if NOTHING has rows, return
         # an empty frame from the schema the writer recorded.
-        frames = [spark.read.parquet(d) for d in dirs if _has_parquet(d)]
+        frames = [
+            spark.read.parquet(d)
+            for d in dirs
+            if fsutil.has_parquet(spark, d)
+        ]
         if not frames:
             schema = meta.get(schema_key)
             if schema is None:
@@ -1473,13 +1476,16 @@ def refresh_dedup_index(
     (or mid-overwrite on a retry) leaves an ignored pair instead of a
     view whose hashes contain a batch its band rows lack. Refuses a
     layout with no base ``_SUCCESS`` (appending to a crashed base
-    write) and a metadata salt/mode this build of the library did not
+    write), no ``_META.json`` (a pre-metadata layout — the same
+    explanatory error :func:`read_dedup_index` gives, ADVICE r11),
+    and a metadata salt/mode this build of the library did not
     write (delta rows sharded with a drifted salt land in shards the
     prober — which validates against the same metadata — would never
     probe: the silent-miss class again, failed loudly instead)."""
-    import json
     import os
     import re
+
+    from .. import fsutil
 
     if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]*", batch_id):
         raise ValueError(
@@ -1488,15 +1494,10 @@ def refresh_dedup_index(
             "metacharacters would escape the index layout or make the "
             "delta undiscoverable by the reader"
         )
-    validate_layout_path(path, "dedup index")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        raise ValueError(
-            f"dedup index at {path!r} has no _SUCCESS marker "
-            "(half-written or missing base) — refusing to append a "
-            "delta to a layout a reader would reject"
-        )
-    with open(os.path.join(path, "_META.json")) as fh:
-        meta = json.load(fh)
+    spark = new_docs.sparkSession
+    meta = fsutil.require_layout_meta(
+        spark, path, "dedup index", "write_dedup_index"
+    )
     if (
         meta.get("shard_salt") != _INDEX_SHARD_SALT
         or meta.get("shard_mode") != "fast"
@@ -1511,8 +1512,7 @@ def refresh_dedup_index(
         )
     n_shards = int(meta["n_shards"])
     commit_marker = os.path.join(path, f"_DELTA_{batch_id}._SUCCESS")
-    if os.path.exists(commit_marker):
-        os.remove(commit_marker)
+    fsutil.delete(spark, commit_marker)
     hashes, band_rows = build_dedup_index(
         new_docs,
         id_col,
@@ -1540,10 +1540,10 @@ def refresh_dedup_index(
     ).parquet(os.path.join(path, f"band_rows_delta_{batch_id}"))
     # An idempotent re-run overwrote this batch's delta files: drop
     # the cached listing so pre-refresh readers re-list, not 404.
-    new_docs.sparkSession.catalog.refreshByPath(path)
+    spark.catalog.refreshByPath(path)
     # Commit marker LAST: the reader only unions this batch once both
     # tables are fully on disk.
-    open(commit_marker, "w").close()
+    fsutil.touch(spark, commit_marker)
 
 
 def incremental_dedup_from_index(

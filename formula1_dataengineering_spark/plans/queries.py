@@ -3449,12 +3449,14 @@ def ivf_pq_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.catalog import layout_artifact
 
     e = load(spark, sf_dir, "embeddings")
+    # v2: round-12 layouts add the cells/ coarse-centroid table
+    # (multiprobe) — a cached v1 artifact must not pass freshness.
     path, fresh = layout_artifact(
-        sf_dir, "spark_graft_ann_index_v1", "embeddings"
+        sf_dir, "spark_graft_ann_index_v2", "embeddings"
     )
     if not fresh:
         write_ann_index(e, path, m=8, k=4, iters=2)
-    codes, codebook, meta = read_ann_index(spark, path)
+    codes, codebook, _cells, meta = read_ann_index(spark, path)
     return ivf_pq_topk_from_index(
         e.where(F.col("vec_id") < 10),
         codes,

@@ -259,7 +259,16 @@ class JsonlManifestWriter(DataSourceWriter):
 
 
 class JsonlManifestDataSource(DataSource):
-    """``df.write.format("jsonl_manifest").option("path", p).save()``."""
+    """``df.write.format("jsonl_manifest").option("path", p).save()``.
+
+    CONCURRENT WRITERS to one path are outside this sink's contract —
+    and the job-setup sweep below makes the violation FAIL rather than
+    interleave (ADVICE r11, intentional): a second job starting while
+    another is mid-write deletes the first job's staged ``_tmp-*``
+    files, so the first job's commit() fails loudly at os.replace
+    instead of publishing a manifest built from a mix of two jobs'
+    parts. One writer at a time, externally serialized (the same
+    contract as a Hadoop FileOutputCommitter output directory)."""
 
     @classmethod
     def name(cls):

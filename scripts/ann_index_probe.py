@@ -90,7 +90,7 @@ def main() -> None:
                 b = min(b, time.perf_counter() - t)
             return b
 
-        codes, codebook, meta = read_ann_index(spark, path)
+        codes, codebook, cells, meta = read_ann_index(spark, path)
         indexed = best(
             lambda: ivf_pq_topk_from_index(
                 q, codes, codebook, m=8, k=4, iters=2, topk=5,

@@ -52,7 +52,7 @@ def test_index_path_equals_recompute_path(spark, tmp_path):
     want = _topk(ivf_pq_topk(e, q, m=4, k=3, iters=2, topk=4))
     path = str(tmp_path / "ann")
     write_ann_index(e, path, m=4, k=3, iters=2)
-    codes, codebook, meta = read_ann_index(spark, path)
+    codes, codebook, cells, meta = read_ann_index(spark, path)
     got = _topk(
         ivf_pq_topk_from_index(
             q, codes, codebook, m=4, k=3, iters=2, topk=4, index_meta=meta
@@ -97,7 +97,7 @@ def test_meta_validated_and_incomplete_layouts_refused(spark, tmp_path):
     e = _emb(spark)
     path = str(tmp_path / "ann")
     write_ann_index(e, path, m=4, k=3, iters=2)
-    codes, codebook, meta = read_ann_index(spark, path)
+    codes, codebook, cells, meta = read_ann_index(spark, path)
     q = e.where(F.col("vec_id") < 3)
     with pytest.raises(ValueError, match="'m'"):
         ivf_pq_topk_from_index(
@@ -115,11 +115,16 @@ def test_meta_validated_and_incomplete_layouts_refused(spark, tmp_path):
         read_ann_index(spark, path)
 
 
-def test_writer_rerun_idempotent_and_success_removed_first(spark, tmp_path):
-    """Re-running the writer leaves an identical index; a crash
-    mid-overwrite cannot leave the previous _SUCCESS validating a
-    corrupted layout."""
+def test_writer_rerun_idempotent_and_staged_rebuild_availability(
+    spark, tmp_path
+):
+    """Re-running the writer leaves an identical index — and since the
+    round-12 staged rebuild (ADVICE r11), a build that CRASHES leaves
+    the PREVIOUS index fully readable (_SUCCESS intact, old tables
+    untouched): the failure happens entirely under _staging, which the
+    next successful writer sweeps."""
     from formula1_dataengineering_spark.operators.clustering import (
+        read_ann_index,
         write_ann_index,
     )
     from pyspark.sql import functions as F
@@ -149,9 +154,134 @@ def test_writer_rerun_idempotent_and_success_removed_first(spark, tmp_path):
     )
     with pytest.raises(Exception):
         write_ann_index(bad, path, m=4, k=3, iters=2)
-    assert not os.path.exists(marker)
+    # Availability through a crashed rebuild: old index still valid.
+    assert os.path.exists(marker)
+    codes, _cb, _cells, _meta = read_ann_index(spark, path)
+    assert sorted(map(tuple, codes.collect())) == first
+    # A later successful rebuild sweeps the staging residue.
     write_ann_index(e, path, m=4, k=3, iters=2)
     assert os.path.exists(marker)
+    assert not os.path.exists(os.path.join(path, "_staging"))
+
+
+def test_missing_table_directory_is_corruption_not_bootstrap(
+    spark, tmp_path
+):
+    """A marker-bearing layout whose table directory vanished must
+    RAISE (ADVICE r11): the writer always creates all three
+    directories, so a missing one is a partial delete — synthesizing
+    an empty frame would return zero neighbors with no error."""
+    import shutil
+
+    from formula1_dataengineering_spark.operators.clustering import (
+        read_ann_index,
+        write_ann_index,
+    )
+
+    path = str(tmp_path / "ann")
+    write_ann_index(_emb(spark), path, m=4, k=3, iters=2)
+    shutil.rmtree(os.path.join(path, "codes"))
+    with pytest.raises(ValueError, match="corrupt"):
+        read_ann_index(spark, path)
+
+
+def test_ann_index_lifecycle_over_file_scheme_uri(spark, tmp_path):
+    """The whole lifecycle (write → read → probe) through an explicit
+    file:/-scheme URI — pins that marker/metadata IO goes through the
+    Hadoop FileSystem API, not POSIX (VERDICT r11 item 3: on a real
+    cluster the layout lives on HDFS/S3 and the driver cannot stat
+    it)."""
+    from formula1_dataengineering_spark.operators.clustering import (
+        ivf_pq_topk,
+        ivf_pq_topk_from_index,
+        read_ann_index,
+        write_ann_index,
+    )
+    from pyspark.sql import functions as F
+
+    e = _emb(spark)
+    q = e.where(F.col("vec_id") < 5)
+    uri = (tmp_path / "ann_uri").as_uri()  # file:///...
+    write_ann_index(e, uri, m=4, k=3, iters=2)
+    codes, codebook, cells, meta = read_ann_index(spark, uri)
+    got = _topk(
+        ivf_pq_topk_from_index(
+            q, codes, codebook, m=4, k=3, iters=2, topk=4, index_meta=meta
+        )
+    )
+    assert got == _topk(ivf_pq_topk(e, q, m=4, k=3, iters=2, topk=4))
+    assert got
+
+
+def test_multiprobe_widens_to_pure_adc_and_validates_inputs(
+    spark, tmp_path
+):
+    """nprobe semantics: probing ALL cells must equal the unrestricted
+    ADC ranking (pq_adc_topk — the same scorer with no cell keys), a
+    strictly-larger candidate set than nprobe=1; nprobe without the
+    cells table (or with cell_col=None) is refused loudly."""
+    from formula1_dataengineering_spark.operators.clustering import (
+        ivf_pq_topk_from_index,
+        pq_adc_topk,
+        read_ann_index,
+        write_ann_index,
+    )
+    from pyspark.sql import functions as F
+
+    e = _emb(spark, cells=3)
+    # Queries WITHOUT a label column: multiprobe assigns the probe set
+    # from the stored centroids (production query vectors carry no
+    # precomputed cell).
+    q = e.where(F.col("vec_id") < 5).select("vec_id", "embedding")
+    path = str(tmp_path / "ann")
+    write_ann_index(e, path, m=4, k=3, iters=2)
+    codes, codebook, cells, meta = read_ann_index(spark, path)
+    full = _topk(
+        ivf_pq_topk_from_index(
+            q, codes, codebook, m=4, k=3, iters=2, topk=4,
+            index_meta=meta, cells=cells, nprobe=3,
+        )
+    )
+    adc = _topk(pq_adc_topk(e, q, m=4, k=3, iters=2, topk=4))
+    assert full == adc and full
+    with pytest.raises(ValueError, match="cells"):
+        ivf_pq_topk_from_index(
+            q, codes, codebook, m=4, k=3, iters=2, index_meta=meta,
+            nprobe=2,
+        )
+    with pytest.raises(ValueError, match="nprobe"):
+        ivf_pq_topk_from_index(
+            q, codes, codebook, m=4, k=3, iters=2, index_meta=meta,
+            cells=cells, nprobe=0,
+        )
+
+
+def test_multiprobe_plan_keeps_dynamic_partition_pruning(spark, tmp_path):
+    """The WIDENED cell set must still reach the codes scan as dynamic
+    partition pruning — the broadcast LUT carries explicit cell
+    values, so nprobe>1 prunes to the probed cells' directories
+    instead of reading the whole code table."""
+    from formula1_dataengineering_spark.operators.clustering import (
+        ivf_pq_topk_from_index,
+        read_ann_index,
+        write_ann_index,
+    )
+    from pyspark.sql import functions as F
+
+    e = _emb(spark, cells=3)
+    path = str(tmp_path / "ann")
+    write_ann_index(e, path, m=4, k=3, iters=2)
+    codes, codebook, cells, meta = read_ann_index(spark, path)
+    out = ivf_pq_topk_from_index(
+        e.where(F.col("vec_id") < 3).select("vec_id", "embedding"),
+        codes, codebook, m=4, k=3, iters=2,
+        index_meta=meta, cells=cells, nprobe=2,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert any(
+        "FileScan" in line and "dynamicpruningexpression" in line
+        for line in plan.splitlines()
+    )
 
 
 def test_writer_owns_its_cache_lifecycle(spark, tmp_path):
@@ -187,7 +317,7 @@ def test_indexed_probe_plan_keeps_dynamic_partition_pruning(spark, tmp_path):
     e = _emb(spark)
     path = str(tmp_path / "ann")
     write_ann_index(e, path, m=4, k=3, iters=2)
-    codes, codebook, meta = read_ann_index(spark, path)
+    codes, codebook, cells, meta = read_ann_index(spark, path)
     out = ivf_pq_topk_from_index(
         e.where(F.col("vec_id") < 3), codes, codebook,
         m=4, k=3, iters=2, index_meta=meta,
