@@ -32,24 +32,21 @@ from formula1_dataengineering_spark.plans import ORACLE_SQL, QUERIES
 #: queue (per round-4 advice). Keep this list current — add any query
 #: whose Spark plan or oracle changed since its last green row.
 _PRIORITY: list[str] = [
-    # round 11: canonical_keep's quality attach became a LEFT join
-    # with an explicit nulls-last tie rule (VERDICT r10 §3 — a
-    # clustered doc with no quality row must stay in the keep/drop
-    # list, not vanish); values are unchanged at the gate (every doc
-    # has n_chars) but the PLAN changed, so the r10 green row hashed
-    # the old plan and this one re-hashes first.
-    # incremental_dedup_indexed's probe plan ALSO changed: the batch
-    # band-row cache was removed because an InMemoryRelation in the
-    # broadcast build side disables dynamic partition pruning on the
-    # index scan (round-11 finding) — the scan gained its
-    # dynamicpruningexpression back. The round-11 gates
-    # (scd2_refresh_history, ivf_pq_topk_indexed,
-    # end_to_end_incremental_ingest) are never-green and sort ahead
-    # automatically; the remaining 45 slots are the natural staleness
-    # order — the r7-era rows (VERDICT r10 item 4, bar ≥45 re-greens,
-    # met exactly).
-    "neardup_canonical_keep",
-    "incremental_dedup_indexed",
+    # round 12: the ADC scoring pipeline was folded into ONE
+    # implementation (VERDICT r11 item 1) — ivf_pq_topk is now
+    # literally build_ann_index → ivf_pq_topk_from_index and
+    # pq_adc_topk the same scorer with no cell restriction, so both
+    # gates' PLANS are re-derived through the shared scorer and their
+    # old green rows hashed the pre-fold plans. ivf_pq_topk_indexed
+    # stays out: it already executed the shared scorer in round 11
+    # (its green row covers the current plan; the v2 layout's cells/
+    # table is unused by that gate). The round-12 never-green gates
+    # (ann_multiprobe_recall, e2e near-dup resolution) sort ahead
+    # automatically; the remaining slots are the natural staleness
+    # order — the two r7 stragglers, then the r8 block (VERDICT r11
+    # item 5, bar >=45 re-greens).
+    "ivf_pq_topk",
+    "pq_adc_topk",
 ]
 
 

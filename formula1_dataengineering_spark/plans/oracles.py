@@ -2345,6 +2345,96 @@ ORACLE_SQL["ivf_pq_topk"] = _PQ_TRAIN_SQL.replace(
 ORACLE_SQL["ivf_pq_topk_indexed"] = ORACLE_SQL["ivf_pq_topk"]
 
 
+# ann_multiprobe_recall: replay the stored-index MULTIPROBE path —
+# PQ training (shared CTEs), coarse-cell centroids (round(avg,4), the
+# kmeans quantization recipe), per-query nearest-nprobe cells for
+# nprobe in {1,2,4}, cell-restricted ADC top-5 — and score each
+# against the exact squared-L2 top-5 (ordered folds, ties on the id;
+# self included on both sides). Window sort keys are pre-projected
+# below the windows (the round-9 wide-column pitfall).
+ORACLE_SQL["ann_multiprobe_recall"] = _PQ_TRAIN_SQL.replace(
+    "SELECT vec_id, list_transform",
+    "SELECT vec_id, label, list_transform",
+) + """, lc AS (
+  SELECT a.vec_id, a.sub_id, a.cluster, e.label
+  FROM a2 a JOIN e USING (vec_id)
+), cellc AS (
+  SELECT label, list(cv ORDER BY dim) AS c FROM (
+    SELECT label, d AS dim, round(avg(val), 4) AS cv FROM (
+      SELECT label, unnest(v) AS val, generate_subscripts(v, 1) AS d
+      FROM e
+    ) GROUP BY 1, 2
+  ) GROUP BY label
+), np(nprobe) AS (
+  SELECT * FROM (VALUES (1), (2), (4))
+), qcell AS (
+  SELECT q.vec_id AS q_id, c.label,
+         list_reduce(list_transform(list_zip(q.v, c.c),
+                     x -> (x[1] - x[2]) * (x[1] - x[2])),
+                     (acc, t) -> acc + t) AS cd
+  FROM e q CROSS JOIN cellc c WHERE q.vec_id < 10
+), qprobe AS (
+  SELECT n.nprobe, x.q_id, x.label FROM (
+    SELECT q_id, label, row_number() OVER (
+      PARTITION BY q_id ORDER BY cd, label) AS crk
+    FROM qcell
+  ) x JOIN np n ON x.crk <= n.nprobe
+), lut AS (
+  SELECT q.vec_id AS q_id, q.sub_id, c.cluster AS code,
+         list_reduce(list_transform(list_zip(q.sv, c.c),
+                     x -> (x[1] - x[2]) * (x[1] - x[2])),
+                     (acc, t) -> acc + t) AS ld
+  FROM sub q JOIN c1 c USING (sub_id)
+  WHERE q.vec_id < 10
+), scored AS (
+  SELECT p.nprobe, l.q_id, a.vec_id, round(sum(l.ld), 6) AS adc_dist
+  FROM qprobe p
+  JOIN lc a ON a.label = p.label
+  JOIN lut l ON l.q_id = p.q_id AND l.sub_id = a.sub_id
+            AND l.code = a.cluster
+  GROUP BY 1, 2, 3
+), approx AS (
+  SELECT nprobe, q_id, vec_id AS neighbor_id FROM (
+    SELECT s.*, row_number() OVER (
+      PARTITION BY nprobe, q_id ORDER BY adc_dist, vec_id) AS rk
+    FROM scored s
+  ) WHERE rk <= 5
+), ed AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+         list_reduce(list_transform(list_zip(a.v, b.v),
+                     x -> (x[1] - x[2]) * (x[1] - x[2])),
+                     (acc, t) -> acc + t) AS d
+  FROM e a JOIN e b ON a.vec_id < 10
+), exact AS (
+  SELECT q_id, neighbor_id FROM (
+    SELECT q_id, neighbor_id, row_number() OVER (
+      PARTITION BY q_id ORDER BY d, neighbor_id) AS rk
+    FROM ed
+  ) WHERE rk <= 5
+), nq AS (
+  SELECT count(DISTINCT q_id) AS n_queries FROM exact
+), hits AS (
+  SELECT ap.nprobe, count(*) AS n_hits
+  FROM approx ap
+  WHERE EXISTS (
+    SELECT 1 FROM exact x
+    WHERE x.q_id = ap.q_id AND x.neighbor_id = ap.neighbor_id
+  )
+  GROUP BY 1
+), rec AS (
+  SELECT CAST(h.nprobe AS INT) AS nprobe,
+         CAST(nq.n_queries AS BIGINT) AS n_queries,
+         CAST(h.n_hits AS BIGINT) AS n_hits,
+         round(h.n_hits * 1.0 / (nq.n_queries * 5), 4) AS recall_at_5
+  FROM hits h CROSS JOIN nq
+)
+SELECT nprobe, n_queries, n_hits, recall_at_5,
+       round(recall_at_5 - first_value(recall_at_5) OVER (
+         ORDER BY nprobe), 4) AS gain_vs_nprobe1
+FROM rec
+"""
+
+
 ORACLE_SQL["hourly_gap_filled_activity"] = """
 WITH e AS (
   SELECT user_id, epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr, value
