@@ -4184,6 +4184,61 @@ ORACLE_SQL["incremental_dedup_indexed"] = ORACLE_SQL[
     "incremental_dedup_new_batch"
 ]
 
+# e2e_ingest_neardup_resolution: the review_near decision — replay the
+# probe's flag topology, pull each review doc's colliding corpus
+# members through the SAME band join, then the canonical_keep window
+# ((n_chars DESC NULLS LAST, id) — the W1 total order) over
+# {review doc} ∪ colliders. bands is read three times, review/members
+# twice → AS MATERIALIZED (the round-9 CTE-inlining pitfall).
+ORACLE_SQL["e2e_ingest_neardup_resolution"] = (
+    _MINHASH_BASE_K3.format(sig_exprs=_SIG_EXPRS)
+    + f""", bands AS MATERIALIZED (
+{_BAND_SELECTS}
+), hashes AS (
+  SELECT doc_id, ((md5_number(text) % {_M48} + {_M48}) % {_M48}) AS ch
+  FROM documents
+), exact_hit AS (
+  SELECT DISTINCT b.doc_id
+  FROM hashes b JOIN hashes c ON b.ch = c.ch
+  WHERE b.doc_id % 97 = 0 AND c.doc_id % 97 <> 0
+), near_hit AS (
+  SELECT DISTINCT nb.doc_id
+  FROM bands nb JOIN bands cb
+    ON nb.band = cb.band AND nb.key = cb.key
+  WHERE nb.doc_id % 97 = 0 AND cb.doc_id % 97 <> 0
+), review AS MATERIALIZED (
+  SELECT doc_id FROM near_hit
+  WHERE doc_id NOT IN (SELECT doc_id FROM exact_hit)
+), colliders AS (
+  SELECT DISTINCT nb.doc_id AS cluster_id, cb.doc_id AS member_id
+  FROM bands nb
+  JOIN review r ON r.doc_id = nb.doc_id
+  JOIN bands cb ON nb.band = cb.band AND nb.key = cb.key
+  WHERE cb.doc_id % 97 <> 0
+), members AS MATERIALIZED (
+  SELECT doc_id AS cluster_id, doc_id AS member_id FROM review
+  UNION
+  SELECT cluster_id, member_id FROM colliders
+), ranked AS (
+  SELECT m.cluster_id, m.member_id,
+         first_value(m.member_id) OVER (
+           PARTITION BY m.cluster_id
+           ORDER BY d.n_chars DESC NULLS LAST, m.member_id ASC
+         ) AS canonical_id
+  FROM members m LEFT JOIN documents d ON d.doc_id = m.member_id
+)
+SELECT r.cluster_id AS doc_id,
+       CAST(c.n_members AS BIGINT) AS n_members,
+       r.canonical_id,
+       (r.member_id = r.canonical_id) AS keep
+FROM ranked r
+JOIN (
+  SELECT cluster_id, count(*) AS n_members FROM members GROUP BY 1
+) c ON c.cluster_id = r.cluster_id
+WHERE r.member_id = r.cluster_id
+"""
+)
+
 
 def _bpe_train_ctes(n_merges: int) -> str:
     """Training-CTE chain for the BPE oracles, generated for any round

@@ -6254,3 +6254,78 @@ def ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gain_vs_nprobe1"),
         )
     )
+
+
+@query("e2e_ingest_neardup_resolution")
+def e2e_ingest_neardup_resolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The decision the daily-ingest loop's ``review_near`` docs were
+    waiting for (VERDICT r11 item 4): for every batch doc the stored
+    index flagged as a NEAR duplicate (band-bucket hit, not exact),
+    pull its colliding corpus members from the index's band rows
+    (neardup_collisions_from_index — batch-side shard computation, DPP
+    on the index scan), form the cluster {review doc} ∪ colliders, and
+    run canonical_keep over it with n_chars quality — emitting an
+    EXECUTABLE keep/drop per review doc: keep=true means the batch doc
+    beats every stored collider (quality desc, id tie) and ingests as
+    the new canonical; keep=false names the corpus doc that wins.
+
+    Probes the BASE index state (a retried ingest must not see its own
+    delta), sharing the e2e gate's stored layout. Per-ingest cost is
+    O(batch + bucket collisions): the cluster membership comes from
+    the index's band rows, never a corpus re-scan."""
+    from ..operators.dedup import (
+        canonical_keep,
+        incremental_dedup_from_index,
+        neardup_collisions_from_index,
+        read_dedup_index,
+        write_dedup_index,
+    )
+    from ..sources.catalog import layout_artifact
+
+    d = load(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") % 97 != 0)
+    batch = d.where(F.col("doc_id") % 97 == 0)
+    path, fresh = layout_artifact(
+        sf_dir, "spark_graft_ingest_e2e_v1", "documents"
+    )
+    if not fresh:
+        write_dedup_index(corpus, path)
+    hashes, bands, meta = read_dedup_index(
+        spark, path, include_deltas=False
+    )
+    flags = incremental_dedup_from_index(
+        batch, hashes, bands, index_meta=meta
+    )
+    review = flags.where(F.col("action") == "review_near").select(
+        "doc_id"
+    )
+    review_docs = batch.join(review, "doc_id", "left_semi")
+    pairs = neardup_collisions_from_index(
+        review_docs, bands, index_meta=meta
+    )
+    members = (
+        review.select(
+            F.col("doc_id").alias("cluster_id"),
+            F.col("doc_id").alias("member_id"),
+        )
+        .unionByName(
+            pairs.select(
+                F.col("doc_id").alias("cluster_id"), "member_id"
+            )
+        )
+        .distinct()
+    )
+    decided = canonical_keep(
+        members.select(F.col("member_id").alias("doc_id"), "cluster_id"),
+        d.select("doc_id", "n_chars"),
+    )
+    counts = members.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members")
+    )
+    return (
+        decided.where(F.col("doc_id") == F.col("cluster_id"))
+        .join(counts, "cluster_id")
+        .select("doc_id", "n_members", "canonical_id", "keep")
+    )

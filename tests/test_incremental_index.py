@@ -566,3 +566,114 @@ def test_dedup_index_lifecycle_over_file_scheme_uri(spark, tmp_path):
     )
     rows = flags.collect()
     assert rows and all(r["exact_dup"] for r in rows)
+
+
+def test_neardup_collisions_and_canonical_resolution(spark, tmp_path):
+    """The review_near RESOLUTION chain (VERDICT r11 item 4):
+    neardup_collisions_from_index returns exactly the batch→corpus
+    band-bucket collision pairs, validates index metadata like the
+    prober, and composing canonical_keep over {review doc} ∪ colliders
+    yields the executable decision — the longer document wins, ids
+    break ties."""
+    import pytest
+
+    from formula1_dataengineering_spark.operators.dedup import (
+        canonical_keep,
+        incremental_dedup_from_index,
+        neardup_collisions_from_index,
+        read_dedup_index,
+        write_dedup_index,
+    )
+
+    # TEXT[2] is a one-word variant of TEXT[0]/TEXT[1]: with docs 0/1
+    # in the corpus and doc 2 in the batch, doc 2 band-collides but is
+    # not hash-equal -> review_near; doc 5 shares nothing -> ingest.
+    d = _docs(spark)
+    batch_ids = F.col("doc_id").isin(2, 5)
+    corpus = d.where(~batch_ids)
+    batch = d.where(batch_ids)
+    path = str(tmp_path / "idx")
+    write_dedup_index(corpus, path, n_shards=4)
+    hashes, bands, meta = read_dedup_index(spark, path)
+    flags = incremental_dedup_from_index(
+        batch, hashes, bands, n_shards=4, index_meta=meta
+    )
+    review = flags.where(F.col("action") == "review_near").select(
+        "doc_id"
+    )
+    review_ids = sorted(r["doc_id"] for r in review.collect())
+    assert review_ids  # the fixture must exercise the near path
+
+    pairs = neardup_collisions_from_index(
+        batch.join(review, "doc_id", "left_semi"), bands,
+        n_shards=4, index_meta=meta,
+    )
+    got = sorted(
+        (r["doc_id"], r["member_id"]) for r in pairs.collect()
+    )
+    # Recompute ground truth without the index: band-key equality.
+    from formula1_dataengineering_spark.operators.dedup import (
+        _band_rows,
+        minhash_signatures,
+    )
+
+    bb = _band_rows(
+        minhash_signatures(batch, "doc_id", "text", 12, 3, "portable"),
+        "doc_id", 12, 4,
+    )
+    cb = _band_rows(
+        minhash_signatures(corpus, "doc_id", "text", 12, 3, "portable"),
+        "doc_id", 12, 4,
+    )
+    want = sorted(
+        set(
+            (r["doc_id"], r["member_id"])
+            for r in bb.join(
+                cb.select(
+                    F.col("doc_id").alias("member_id"), "band", "key"
+                ),
+                ["band", "key"],
+            )
+            .join(review, "doc_id", "left_semi")
+            .select("doc_id", "member_id")
+            .collect()
+        )
+    )
+    assert got == want and got
+
+    with pytest.raises(ValueError, match="params disagree"):
+        neardup_collisions_from_index(
+            batch, bands, n_shards=4, shingle_k=5, index_meta=meta
+        )
+
+    # Composition: quality (text length) decides keep/drop.
+    members = (
+        review.select(
+            F.col("doc_id").alias("cluster_id"),
+            F.col("doc_id").alias("member_id"),
+        )
+        .unionByName(
+            pairs.select(F.col("doc_id").alias("cluster_id"), "member_id")
+        )
+        .distinct()
+    )
+    quality = d.select("doc_id", F.length("text").alias("n_chars"))
+    decided = canonical_keep(
+        members.select(F.col("member_id").alias("doc_id"), "cluster_id"),
+        quality,
+    )
+    rows = {
+        r["cluster_id"]: r
+        for r in decided.where(
+            F.col("doc_id") == F.col("cluster_id")
+        ).collect()
+    }
+    assert set(rows) == set(review_ids)
+    for rid, r in rows.items():
+        cluster = [m["member_id"] for m in members.where(
+            F.col("cluster_id") == rid
+        ).collect()]
+        lens = {q["doc_id"]: q["n_chars"] for q in quality.collect()}
+        best = sorted(cluster, key=lambda i: (-lens[i], i))[0]
+        assert r["canonical_id"] == best
+        assert r["keep"] == (rid == best)
