@@ -1,0 +1,197 @@
+#!/usr/bin/env python
+"""SCD2 keyed-feed-layout probe (round 12, VERDICT r11 item 6): the
+r11 study measured scd2_refresh at 2.1× a full rebuild on a 1M-key /
+6M-row feed with 1% of keys touched, and diagnosed the bound as the
+unpartitioned feed scan BOTH paths pay. This re-measures with the feed
+persisted through write_scd2_feed (feed_rows/ partitioned by
+shard = HRW(key)), where the refresh's changed-key semi-join runs on
+(shard, key) and dynamic partition pruning skips untouched shards.
+
+Pruning arithmetic the study must respect: with S shards and a batch
+touching b uniformly-hashed keys, the expected touched-shard fraction
+is 1 − (1 − 1/S)^b ≈ 1 − e^(−b/S). A 1%-of-1M-keys batch (b = 10,000)
+touches EVERY shard at any practical S — directory pruning cannot help
+that regime, and the honest claim is the trickle-CDC one: a daily
+dimension batch of ~100 changed keys against S = 256 reads ~83 shards
+(~32%), and at b = 32 reads ~30 shards (~12%). Both regimes are
+measured below; the gap the verdict asked to widen is the b ≪ S one.
+
+Paths measured per batch size (best-of-3 wall of a full noop-sink
+write, history/inputs pre-materialized to parquet so only the refresh
+is timed):
+  rebuild   — scd2_history(feed ∪ new), unpartitioned feed parquet;
+  refresh   — scd2_refresh on the unpartitioned feed (the r11 shape);
+  pruned    — scd2_refresh(feed_meta=...) on the sharded layout (DPP).
+
+Usage: python scripts/scd_refresh_probe.py [--keys 1000000]
+       [--rows-per-key 6] [--shards 256] [--batches 10000,100,32]
+Prints one table; paste into BASELINE.md §r12.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from formula1_dataengineering_spark.operators.scd import (  # noqa: E402
+    read_scd2_feed,
+    scd2_history,
+    scd2_refresh,
+    write_scd2_feed,
+)
+from formula1_dataengineering_spark.session import get_spark  # noqa: E402
+
+
+def _arg(name: str, default: str) -> str:
+    if name in sys.argv:
+        return sys.argv[sys.argv.index(name) + 1]
+    return default
+
+
+def _noop(df) -> float:
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def _best3(fn) -> float:
+    return min(_noop(fn()) for _ in range(3))
+
+
+def main() -> None:
+    n_keys = int(_arg("--keys", "1000000"))
+    rows_per_key = int(_arg("--rows-per-key", "6"))
+    n_shards = int(_arg("--shards", "256"))
+    batches = [int(b) for b in _arg("--batches", "10000,100,32").split(",")]
+
+    spark = get_spark(app_name="scd-refresh-probe")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"graft_scd_probe_{n_keys}x{rows_per_key}s{n_shards}"
+        if (n_keys, rows_per_key, n_shards) != (1000000, 6, 256)
+        else "graft_scd_probe",
+    )
+    feed_path = os.path.join(root, "feed_plain")
+    layout_path = os.path.join(root, "feed_layout")
+    hist_path = os.path.join(root, "history")
+
+    # Synthetic CDC feed: n_keys × rows_per_key changes, 8 states, ts
+    # spread over a year — deterministic (id arithmetic, no random).
+    if not os.path.exists(os.path.join(feed_path, "_SUCCESS")):
+        feed = (
+            spark.range(n_keys * rows_per_key)
+            .select(
+                (F.col("id") % n_keys).alias("k"),
+                F.timestamp_seconds(
+                    F.lit(1704067200)
+                    + (F.col("id") / n_keys).cast("long") * 86400
+                    + F.col("id") % 7919
+                ).alias("ts"),
+                F.concat(
+                    F.lit("state_"),
+                    (F.xxhash64("id") % 8).cast("string"),
+                ).alias("v"),
+            )
+        )
+        feed.write.mode("overwrite").parquet(feed_path)
+    feed = spark.read.parquet(feed_path)
+    if not os.path.exists(os.path.join(layout_path, "_SUCCESS")):
+        t0 = time.perf_counter()
+        write_scd2_feed(feed, layout_path, "k", "ts", "v", n_shards=n_shards)
+        print(f"layout write ({n_shards} shards): {time.perf_counter() - t0:.1f} s")
+    feed_sharded, meta = read_scd2_feed(spark, layout_path)
+    if not os.path.exists(os.path.join(hist_path, "_SUCCESS")):
+        scd2_history(feed, "k", "ts", "v").write.mode("overwrite").parquet(
+            hist_path
+        )
+    history = spark.read.parquet(hist_path)
+
+    print(
+        f"keys={n_keys} rows={n_keys * rows_per_key} shards={n_shards}\n"
+        "| batch keys | E[shards touched] | rebuild | refresh "
+        "(unpartitioned) | pruned (layout) | feed bytes read "
+        "pruned/full |\n"
+        "| --- | --- | --- | --- | --- | --- |"
+    )
+    for b in batches:
+        # New batch: first b keys get one more change after all ts.
+        new = (
+            spark.range(b)
+            .select(
+                (F.col("id") * (n_keys // max(b, 1))).alias("k"),
+                F.timestamp_seconds(F.lit(1767225600) + F.col("id")).alias(
+                    "ts"
+                ),
+                F.lit("state_new").alias("v"),
+            )
+        )
+        new.write.mode("overwrite").parquet(os.path.join(root, "new"))
+        new = spark.read.parquet(os.path.join(root, "new"))
+        import math
+
+        frac = 1 - math.exp(-b / n_shards)
+        # Bytes the pruned read actually touches: the static shard
+        # filter prunes at the FileIndex, so inputFiles() reflects it.
+        from formula1_dataengineering_spark.operators.scd import (
+            _feed_shard,
+        )
+
+        shards = [
+            r["shard"]
+            for r in new.select(
+                _feed_shard(F.col("k"), n_shards).alias("shard")
+            )
+            .distinct()
+            .collect()
+        ]
+        # Bytes accounting from the layout itself: execution reads
+        # only the touched shard directories (the static
+        # PartitionFilter is plan-pinned in tests/test_scd2.py), so
+        # the touched-dir size IS the read size. inputFiles() can't be
+        # used here — it lists the relation's files ignoring filters.
+        def _dir_bytes(d):
+            return sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(d)
+                for f in fs
+            )
+
+        rows_dir = os.path.join(layout_path, "feed_rows")
+        full_b = _dir_bytes(rows_dir)
+        pruned_b = sum(
+            _dir_bytes(os.path.join(rows_dir, f"shard={s}"))
+            for s in shards
+        )
+        t_rebuild = (
+            _best3(
+                lambda: scd2_history(feed.unionByName(new), "k", "ts", "v")
+            )
+            if "--skip-rebuild" not in sys.argv
+            else float("nan")
+        )
+        t_refresh = _best3(
+            lambda: scd2_refresh(history, feed, new, "k", "ts", "v")
+        )
+        t_pruned = _best3(
+            lambda: scd2_refresh(
+                history, feed_sharded, new, "k", "ts", "v", feed_meta=meta
+            )
+        )
+        print(
+            f"| {b} | {frac * 100:.0f}% ({frac * n_shards:.0f}/{n_shards}) "
+            f"| {t_rebuild:.2f} s | {t_refresh:.2f} s | {t_pruned:.2f} s "
+            f"| {pruned_b / 2**20:.0f} / {full_b / 2**20:.0f} MiB "
+            f"({pruned_b / max(full_b, 1) * 100:.0f}%) |"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -11,6 +11,7 @@ from datetime import datetime, timezone
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 _SETTINGS = settings(
     max_examples=8,
@@ -210,3 +211,192 @@ def test_scd2_refresh_untouched_keys_pass_through_unrebuilt(spark):
     for r in got:
         by_key.setdefault(r[0], []).append(r)
     assert len(by_key[1]) == 2 and len(by_key[3]) == 2 and len(by_key[2]) == 3
+
+
+# ---------------------------------------------------------------------------
+# Keyed feed layout (write_scd2_feed / read_scd2_feed, VERDICT r11
+# item 6): the pruned refresh must be value-identical to the plain
+# refresh AND the full rebuild, its plan must carry DPP on the feed
+# scan, and the layout contract must fail loudly on drift/corruption.
+# ---------------------------------------------------------------------------
+
+
+def _layout_roundtrip(spark, tmp_path, rows, new_rows, n_shards=4):
+    from formula1_dataengineering_spark.operators.scd import (
+        read_scd2_feed,
+        scd2_history,
+        scd2_refresh,
+        write_scd2_feed,
+    )
+
+    feed = spark.createDataFrame(rows, _SCHEMA)
+    new_df = spark.createDataFrame(new_rows, _SCHEMA)
+    path = str(tmp_path / "scd2_feed")
+    write_scd2_feed(feed, path, "k", "ts", "v", n_shards=n_shards)
+    feed_sharded, meta = read_scd2_feed(spark, path)
+    history = scd2_history(feed, "k", "ts", "v")
+    return (
+        scd2_refresh(
+            history, feed_sharded, new_df, "k", "ts", "v", feed_meta=meta
+        ),
+        scd2_history(feed.unionByName(new_df), "k", "ts", "v"),
+    )
+
+
+def test_scd2_pruned_refresh_equals_full_rebuild(spark, tmp_path):
+    rows = [(k, _TS[i], v) for k in range(8) for i, v in [(0, "a"), (2, "b"), (3, "b")]]
+    new_rows = [(2, _TS[4], "c"), (5, _TS[0], "c"), (99, _TS[1], "a")]
+    got_df, want_df = _layout_roundtrip(spark, tmp_path, rows, new_rows)
+    assert sorted(map(tuple, got_df.collect())) == sorted(
+        map(tuple, want_df.collect())
+    )
+
+
+def test_scd2_pruned_refresh_plan_has_static_shard_pruning(spark, tmp_path):
+    """The refresh against the partitioned feed layout must carry the
+    collected touched-shard set as a STATIC PartitionFilter on the
+    feed FileScan — the pruned-READ contract. Static, not DPP: Spark
+    only injects a dynamicpruning subquery when the batch side has a
+    likely-selective predicate, so a DPP-only plan silently rescans
+    the whole feed for batches without one (e.g. a raw in-memory
+    frame, exactly this test's shape)."""
+    rows = [(k, _TS[i], v) for k in range(16) for i, v in [(0, "a"), (2, "b")]]
+    new_rows = [(2, _TS[4], "c")]
+    got_df, _ = _layout_roundtrip(spark, tmp_path, rows, new_rows, n_shards=8)
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # The feed_rows scan is the only PARTITIONED FileScan in this plan
+    # (plan text truncates Location strings, so match on the filter,
+    # not the path).
+    pruned = [
+        line
+        for line in plan.splitlines()
+        if "FileScan" in line
+        and re.search(r"PartitionFilters: \[[^\]]*shard[^\]]*(IN|INSET|=)", line)
+    ]
+    assert len(pruned) == 1, (
+        "expected a static touched-shard PartitionFilter on the "
+        f"feed_rows scan; FileScan lines: "
+        + "\n".join(l[:300] for l in plan.splitlines() if "FileScan" in l)
+    )
+
+
+def test_scd2_feed_layout_key_mismatch_raises(spark, tmp_path):
+    """Refreshing with a key column the layout was not sharded by
+    would compute wrong shards and silently miss feed rows — the
+    contract raises instead."""
+    import pytest
+
+    from formula1_dataengineering_spark.operators.scd import (
+        read_scd2_feed,
+        scd2_history,
+        scd2_refresh,
+        write_scd2_feed,
+    )
+
+    rows = [(1, _TS[0], "a")]
+    feed = spark.createDataFrame(rows, _SCHEMA)
+    path = str(tmp_path / "scd2_feed")
+    write_scd2_feed(feed, path, "k", "ts", "v", n_shards=4)
+    feed_sharded, meta = read_scd2_feed(spark, path)
+    renamed = feed_sharded.withColumnRenamed("k", "k2")
+    history = scd2_history(feed, "k", "ts", "v").withColumnRenamed("k", "k2")
+    new_df = spark.createDataFrame(rows, _SCHEMA).withColumnRenamed("k", "k2")
+    with pytest.raises(ValueError, match="param mismatch"):
+        scd2_refresh(
+            history, renamed, new_df, "k2", "ts", "v", feed_meta=meta
+        )
+
+
+def test_scd2_feed_layout_missing_table_dir_is_corruption(spark, tmp_path):
+    """A marker-bearing layout whose feed_rows/ directory vanished is
+    corruption (raises), not an empty feed — the missing-vs-empty
+    contract shared with the index readers."""
+    import shutil
+
+    import pytest
+
+    from formula1_dataengineering_spark.operators.scd import (
+        read_scd2_feed,
+        write_scd2_feed,
+    )
+
+    feed = spark.createDataFrame([(1, _TS[0], "a")], _SCHEMA)
+    path = str(tmp_path / "scd2_feed")
+    write_scd2_feed(feed, path, "k", "ts", "v", n_shards=2)
+    shutil.rmtree(str(tmp_path / "scd2_feed" / "feed_rows"))
+    with pytest.raises(ValueError, match="corrupt"):
+        read_scd2_feed(spark, path)
+
+
+def test_scd2_feed_layout_refuses_markerless(spark, tmp_path):
+    import os
+    import pytest
+
+    from formula1_dataengineering_spark.operators.scd import (
+        read_scd2_feed,
+        write_scd2_feed,
+    )
+
+    feed = spark.createDataFrame([(1, _TS[0], "a")], _SCHEMA)
+    path = str(tmp_path / "scd2_feed")
+    write_scd2_feed(feed, path, "k", "ts", "v", n_shards=2)
+    os.remove(str(tmp_path / "scd2_feed" / "_SUCCESS"))
+    with pytest.raises(ValueError, match="_SUCCESS"):
+        read_scd2_feed(spark, path)
+
+
+def test_scd2_feed_layout_file_scheme_roundtrip(spark, tmp_path):
+    """The lifecycle runs through the Hadoop FS API: an explicit
+    file:/-scheme URI round-trips end to end (the cluster-portability
+    contract — the same code path serves hdfs:/ or s3a:/)."""
+    from formula1_dataengineering_spark.operators.scd import (
+        read_scd2_feed,
+        scd2_history,
+        scd2_refresh,
+        write_scd2_feed,
+    )
+
+    rows = [(k, _TS[i], v) for k in range(4) for i, v in [(0, "a"), (2, "b")]]
+    new_rows = [(1, _TS[4], "c")]
+    feed = spark.createDataFrame(rows, _SCHEMA)
+    new_df = spark.createDataFrame(new_rows, _SCHEMA)
+    path = "file://" + str(tmp_path / "scd2_feed_uri")
+    write_scd2_feed(feed, path, "k", "ts", "v", n_shards=2)
+    feed_sharded, meta = read_scd2_feed(spark, path)
+    history = scd2_history(feed, "k", "ts", "v")
+    got = scd2_refresh(
+        history, feed_sharded, new_df, "k", "ts", "v", feed_meta=meta
+    )
+    want = scd2_history(feed.unionByName(new_df), "k", "ts", "v")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_scd2_feed_layout_empty_feed_bootstrap(spark, tmp_path):
+    """An EMPTY feed layout (bootstrap: dimension starts empty, day
+    batches arrive later) round-trips via the recorded schema and the
+    refresh degenerates to scd2_history(new batch)."""
+    from formula1_dataengineering_spark.operators.scd import (
+        read_scd2_feed,
+        scd2_history,
+        scd2_refresh,
+        write_scd2_feed,
+    )
+
+    feed = spark.createDataFrame([], _SCHEMA)
+    new_rows = [(1, _TS[0], "a"), (1, _TS[2], "b")]
+    new_df = spark.createDataFrame(new_rows, _SCHEMA)
+    path = str(tmp_path / "scd2_feed_empty")
+    write_scd2_feed(feed, path, "k", "ts", "v", n_shards=2)
+    feed_sharded, meta = read_scd2_feed(spark, path)
+    history = scd2_history(feed, "k", "ts", "v")
+    got = scd2_refresh(
+        history, feed_sharded, new_df, "k", "ts", "v", feed_meta=meta
+    )
+    want = scd2_history(new_df, "k", "ts", "v")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
