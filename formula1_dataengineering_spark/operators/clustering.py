@@ -410,6 +410,121 @@ def pq_encode(
     return out
 
 
+def pq_encode_with_codebook(
+    emb: DataFrame,
+    codebook: DataFrame,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors against a STORED codebook — the no-training
+    half of :func:`pq_encode`, and the heart of the incremental index
+    refresh (:func:`refresh_ann_index`): new vectors get codes from
+    the codebook the base index was trained with, one broadcast join
+    and one map-side min_by over the (batch × m) subvector rows,
+    O(batch) always.
+
+    ``codebook`` is the stored-contract frame ``(sub_id, code,
+    centroid)``. The assignment rule (min squared distance, ties to
+    the smaller code) is IDENTICAL to :func:`pq_encode`'s final
+    pass, so re-encoding the training corpus with its own stored
+    codebook reproduces the stored codes exactly (tested) — base and
+    delta codes are mutually consistent by construction."""
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = emb.select(F.col(id_col), vec_d.alias("__v"))
+    d_sub = F.coalesce(
+        F.assert_true(
+            F.size("__v") % m == 0,
+            F.lit(f"pq: embedding length must be divisible by m={m}"),
+        ).cast("int"),
+        (F.size("__v") / m).cast("int"),
+    )
+    subs = base.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub_id"),
+        F.col("__v"),
+    ).select(
+        id_col,
+        "sub_id",
+        F.slice("__v", F.col("sub_id") * d_sub + 1, d_sub).alias("__sv"),
+    )
+    cb = codebook.select(
+        "sub_id",
+        F.col("code").alias("__cluster"),
+        F.col("centroid").alias("__c"),
+    )
+    scored = subs.join(F.broadcast(cb), "sub_id").select(
+        id_col,
+        "sub_id",
+        F.col("__cluster"),
+        _sq_dist("__sv", "__c").alias("__dist"),
+    )
+    return (
+        scored.groupBy(id_col, "sub_id")
+        .agg(
+            F.min_by(
+                F.struct("__cluster", "__dist"),
+                F.struct("__dist", "__cluster"),
+            ).alias("__m")
+        )
+        .select(
+            id_col,
+            F.col("sub_id").cast("int").alias("sub_id"),
+            F.col("__m.__cluster").alias("code"),
+            F.round("__m.__dist", 6).alias("sq_dist"),
+        )
+    )
+
+
+def assign_ivf_cells(
+    emb: DataFrame,
+    cells: DataFrame,
+    cell_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Coarse-cell assignment of new vectors against the STORED cell
+    centroids ``(cell, centroid)`` — the IVF insert step: nearest
+    centroid by squared distance, ties to the smaller cell id (the
+    same total order the multiprobe query ranking uses, so a new
+    vector's cell is exactly the first cell an nprobe≥1 query at its
+    position would probe). One broadcast join (#cells rows) and one
+    map-side min_by — O(batch)."""
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # Single-valued-key broadcast hash join (the kmeans_assignments
+    # fan-out shape): the catalog bans nested-loop joins, and a
+    # column-derived key keeps Catalyst from constant-folding this
+    # back into a cross join.
+    cc = cells.select(
+        F.col(cell_col).alias("__cell"),
+        F.col("centroid").alias("__c"),
+        F.pmod(F.crc32(F.col(cell_col).cast("string")), F.lit(1))
+        .cast("int")
+        .alias("__k"),
+    )
+    return (
+        emb.select(
+            F.col(id_col),
+            vec_d.alias("__v"),
+            F.pmod(F.col(id_col), F.lit(1)).cast("int").alias("__k"),
+        )
+        .join(F.broadcast(cc), "__k")
+        .select(
+            id_col,
+            "__cell",
+            _sq_dist("__v", "__c").alias("__dist"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.min_by(
+                F.col("__cell"), F.struct("__dist", "__cell")
+            ).alias(cell_col)
+        )
+    )
+
+
 def _codebook_frame(cents: DataFrame) -> DataFrame:
     """``pq_encode``'s internal codebook, renamed to the stored-index
     column contract ``(sub_id, code, centroid)`` — the shape
@@ -664,7 +779,13 @@ def write_ann_index(
             }
         )
     # COMMIT phase — the only unreadable window, a few metadata ops.
+    # A base REBUILD supersedes every prior ingest delta (the dedup
+    # writer's rule): a surviving stale delta would union removed
+    # vectors back into a freshly corrected corpus's view.
     fsutil.delete(spark, os.path.join(path, "_SUCCESS"))
+    for name in fsutil.list_names(spark, path):
+        if name.startswith(("codes_delta_", "_DELTA_")):
+            fsutil.delete(spark, os.path.join(path, name))
     for name in ("codes", "codebook", "cells"):
         fsutil.delete(spark, os.path.join(path, name))
         fsutil.rename(
@@ -679,12 +800,22 @@ def write_ann_index(
     fsutil.touch(spark, os.path.join(path, "_SUCCESS"))
 
 
-def read_ann_index(spark, path: str):
+def read_ann_index(spark, path: str, include_deltas: bool = True):
     """Open a :func:`write_ann_index` layout: ``(codes, codebook,
     cells, meta)``. Refuses a layout with no ``_SUCCESS`` (half-written)
     or no ``_META.json`` (unknown training params — probing a PQ index
     with the wrong m/k silently returns wrong neighbors, the same
     silent-miss class the dedup index metadata guards against).
+
+    ``codes`` unions any ``codes_delta_<batch_id>`` directories a
+    :func:`refresh_ann_index` ingest appended — discovered via their
+    commit markers (``_DELTA_<batch_id>._SUCCESS``, written only after
+    the delta landed), and each delta keeps the same cell partition
+    column, so probe-side pruning applies per scan.
+    ``include_deltas=False`` opens the BASE state only (the day-N−1
+    view a retried ingest must probe). The codebook and cell centroids
+    are base-trained and never change between rebuilds — see
+    :func:`refresh_ann_index` for the recall-drift contract.
 
     Missing-vs-empty (ADVICE r11): a table directory that does not
     exist under a marker-bearing layout is CORRUPTION — the writer
@@ -701,8 +832,13 @@ def read_ann_index(spark, path: str):
         spark, path, "ANN index", "write_ann_index"
     )
 
-    def _open(base: str, schema_key: str):
-        d = os.path.join(path, base)
+    committed = sorted(
+        name[len("_DELTA_") : -len("._SUCCESS")]
+        for name in fsutil.list_names(spark, path)
+        if name.startswith("_DELTA_") and name.endswith("._SUCCESS")
+    )
+
+    def _open_dir(d: str, schema_key: str, base: str):
         if not fsutil.is_dir(spark, d):
             raise ValueError(
                 f"ANN index at {path!r} is corrupt: {base!r} is "
@@ -728,12 +864,104 @@ def read_ann_index(spark, path: str):
 
         return spark.createDataFrame([], StructType.fromJson(schema))
 
+    def _open(base: str, schema_key: str):
+        return _open_dir(os.path.join(path, base), schema_key, base)
+
+    codes = _open("codes", "codes_schema")
+    if include_deltas:
+        for bid in committed:
+            codes = codes.unionByName(
+                _open_dir(
+                    os.path.join(path, f"codes_delta_{bid}"),
+                    "codes_schema",
+                    f"codes_delta_{bid}",
+                )
+            )
     return (
-        _open("codes", "codes_schema"),
+        codes,
         _open("codebook", "codebook_schema"),
         _open("cells", "cells_schema"),
         meta,
     )
+
+
+def refresh_ann_index(
+    new_vectors: DataFrame,
+    path: str,
+    batch_id: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append one ingest batch of vectors to a stored IVF-PQ index as
+    a DELTA — the production shape that makes the stored index
+    maintainable: ``codes_delta_<batch_id>/`` beside the base codes,
+    encoded with the layout's STORED codebook
+    (:func:`pq_encode_with_codebook`) and placed in the cell chosen by
+    the STORED coarse centroids (:func:`assign_ivf_cells` — the IVF
+    insert step), both O(batch): training never re-runs, the base
+    tables are never read or rewritten, and the delta keeps the cell
+    partition column so probe pruning applies to it like the base.
+
+    Recall-drift contract: codebooks and cell centroids stay frozen
+    between rebuilds, so quantization error grows only as far as the
+    ingested distribution drifts from the training corpus — the
+    standard IVF-PQ maintenance trade (FAISS's add-after-train shape).
+    Re-train by rebuilding (:func:`write_ann_index`), which purges all
+    deltas.
+
+    Protocol mirrors :func:`refresh_dedup_index`: idempotent per
+    (path, batch_id) (overwrite); the ``_DELTA_<batch_id>._SUCCESS``
+    commit marker is removed before the write and recreated only after
+    the delta landed, so readers never see a half-written batch;
+    refuses a marker-less base, a metadata-less (pre-v2) layout, and a
+    batch_id that could escape the layout or dodge marker discovery."""
+    import os
+    import re
+
+    from .. import fsutil
+
+    if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]*", batch_id):
+        raise ValueError(
+            f"refresh_ann_index: batch_id {batch_id!r} must match "
+            "[A-Za-z0-9][A-Za-z0-9._-]* — path separators or glob "
+            "metacharacters would escape the index layout or make the "
+            "delta undiscoverable by the reader"
+        )
+    spark = new_vectors.sparkSession
+    meta = fsutil.require_layout_meta(
+        spark, path, "ANN index", "write_ann_index"
+    )
+    if meta.get("vec_col") != vec_col:
+        raise ValueError(
+            f"refresh_ann_index: layout metadata declares "
+            f"vec_col={meta.get('vec_col')!r} but this refresh was "
+            f"called with {vec_col!r} — rebuild or pass the layout's "
+            "column"
+        )
+    cell_col = meta["cell_col"]
+    m = int(meta["m"])
+    _, codebook, cells, _ = read_ann_index(
+        spark, path, include_deltas=False
+    )
+    coded = pq_encode_with_codebook(
+        new_vectors, codebook, m=m, id_col=id_col, vec_col=vec_col
+    ).select(id_col, "sub_id", "code")
+    celled = assign_ivf_cells(
+        new_vectors, cells, cell_col=cell_col, id_col=id_col,
+        vec_col=vec_col,
+    )
+    delta = coded.join(celled, id_col)
+    commit_marker = os.path.join(path, f"_DELTA_{batch_id}._SUCCESS")
+    fsutil.delete(spark, commit_marker)
+    # Same one-file-per-cell discipline as the base writer.
+    delta.repartition(cell_col).write.mode("overwrite").partitionBy(
+        cell_col
+    ).parquet(os.path.join(path, f"codes_delta_{batch_id}"))
+    # An idempotent re-run overwrote this batch's delta files: drop
+    # the cached listing so pre-refresh readers re-list, not 404.
+    spark.catalog.refreshByPath(path)
+    # Commit marker LAST: the reader only unions a fully landed delta.
+    fsutil.touch(spark, commit_marker)
 
 
 def ivf_pq_topk_from_index(

@@ -352,3 +352,168 @@ def test_multiprobe_recall_gate_widens_with_nprobe(spark):
     assert rows[1]["gain_vs_nprobe1"] == 0.0
     assert rows[4]["gain_vs_nprobe1"] > 0.0
     assert rows[4]["recall_at_5"] > rows[1]["recall_at_5"]
+
+
+# ---------------------------------------------------------------------------
+# Incremental refresh (refresh_ann_index, round 12): delta appends
+# encoded with the STORED codebook, placed by the STORED coarse
+# centroids, committed atomically via per-batch markers; rebuilds
+# purge deltas.
+# ---------------------------------------------------------------------------
+
+
+def test_refresh_appends_delta_and_reader_unions_it(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from formula1_dataengineering_spark.operators.clustering import (
+        read_ann_index,
+        refresh_ann_index,
+        write_ann_index,
+    )
+
+    e = _emb(spark)
+    corpus = e.where(F.col("vec_id") % 5 != 0)
+    batch = e.where(F.col("vec_id") % 5 == 0)
+    path = str(tmp_path / "ann")
+    write_ann_index(corpus, path, m=4, k=3, iters=2)
+    codes0, _, _, _ = read_ann_index(spark, path)
+    n0 = codes0.count()
+    refresh_ann_index(batch, path, "day1")
+    codes1, _, _, _ = read_ann_index(spark, path)
+    assert codes1.count() == n0 + batch.count() * 4  # m=4 codes/vec
+    # Base-only view ignores the delta (the retried-ingest contract).
+    codes_base, _, _, _ = read_ann_index(spark, path, include_deltas=False)
+    assert codes_base.count() == n0
+    # Delta ids are exactly the batch ids.
+    got_ids = {
+        r["vec_id"]
+        for r in codes1.select("vec_id").distinct().collect()
+    }
+    want_ids = {r["vec_id"] for r in e.collect()}
+    assert got_ids == want_ids
+
+
+def test_stored_codebook_reencode_reproduces_base_codes(spark, tmp_path):
+    """pq_encode_with_codebook's assignment rule is identical to
+    training's final pass: re-encoding the training corpus with its
+    own stored codebook reproduces the stored codes exactly — base
+    and delta codes are mutually consistent by construction."""
+    from formula1_dataengineering_spark.operators.clustering import (
+        pq_encode_with_codebook,
+        read_ann_index,
+        write_ann_index,
+    )
+
+    e = _emb(spark)
+    path = str(tmp_path / "ann")
+    write_ann_index(e, path, m=4, k=3, iters=2)
+    codes, codebook, _, _ = read_ann_index(spark, path)
+    re_codes = pq_encode_with_codebook(e, codebook, m=4).select(
+        "vec_id", "sub_id", "code"
+    )
+    stored = codes.select("vec_id", "sub_id", "code")
+    assert (
+        re_codes.exceptAll(stored).count() == 0
+        and stored.exceptAll(re_codes).count() == 0
+    )
+
+
+def test_refresh_idempotent_and_markerless_delta_ignored(spark, tmp_path):
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from formula1_dataengineering_spark.operators.clustering import (
+        read_ann_index,
+        refresh_ann_index,
+        write_ann_index,
+    )
+
+    e = _emb(spark)
+    corpus = e.where(F.col("vec_id") % 5 != 0)
+    batch = e.where(F.col("vec_id") % 5 == 0)
+    path = str(tmp_path / "ann")
+    write_ann_index(corpus, path, m=4, k=3, iters=2)
+    refresh_ann_index(batch, path, "day1")
+    n1 = read_ann_index(spark, path)[0].count()
+    # Re-running the same batch_id overwrites its own delta.
+    refresh_ann_index(batch, path, "day1")
+    assert read_ann_index(spark, path)[0].count() == n1
+    # A delta whose commit marker is missing (crash between the table
+    # write and the marker) is invisible to readers.
+    _os.remove(_os.path.join(path, "_DELTA_day1._SUCCESS"))
+    spark.catalog.refreshByPath(path)
+    codes_nomarker, _, _, _ = read_ann_index(spark, path)
+    assert codes_nomarker.count() == n1 - batch.count() * 4
+
+
+def test_rebuild_purges_deltas_and_bad_batch_ids_refused(spark, tmp_path):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from formula1_dataengineering_spark.operators.clustering import (
+        read_ann_index,
+        refresh_ann_index,
+        write_ann_index,
+    )
+
+    e = _emb(spark)
+    corpus = e.where(F.col("vec_id") % 5 != 0)
+    batch = e.where(F.col("vec_id") % 5 == 0)
+    path = str(tmp_path / "ann")
+    write_ann_index(corpus, path, m=4, k=3, iters=2)
+    refresh_ann_index(batch, path, "day1")
+    with _pytest.raises(ValueError, match="batch_id"):
+        refresh_ann_index(batch, path, "../escape")
+    with _pytest.raises(ValueError, match="vec_col"):
+        refresh_ann_index(batch, path, "day2", vec_col="other")
+    # A base REBUILD supersedes every prior ingest.
+    write_ann_index(e, path, m=4, k=3, iters=2)
+    assert not any(
+        n.startswith(("codes_delta_", "_DELTA_"))
+        for n in os.listdir(path)
+    )
+    codes, _, _, _ = read_ann_index(spark, path)
+    assert codes.count() == e.count() * 4
+
+
+def test_delta_probe_returns_batch_vectors_as_neighbors(spark, tmp_path):
+    """Batch vectors exist ONLY in the delta: each batch vector
+    querying base ∪ delta at nprobe=2 must surface itself among its
+    neighbors (its insert cell is by construction the first cell its
+    own query probes, and its ADC self-distance is its quantization
+    error — minimal for its own code)."""
+    from pyspark.sql import functions as F
+
+    from formula1_dataengineering_spark.operators.clustering import (
+        ivf_pq_topk_from_index,
+        read_ann_index,
+        refresh_ann_index,
+        write_ann_index,
+    )
+
+    e = _emb(spark)
+    corpus = e.where(F.col("vec_id") % 5 != 0)
+    batch = e.where(F.col("vec_id") % 5 == 0)
+    path = str(tmp_path / "ann")
+    write_ann_index(corpus, path, m=4, k=3, iters=2)
+    refresh_ann_index(batch, path, "day1")
+    codes, codebook, cells, meta = read_ann_index(spark, path)
+    top = ivf_pq_topk_from_index(
+        batch.select("vec_id", "embedding"),
+        codes,
+        codebook,
+        m=4,
+        k=3,
+        iters=2,
+        topk=4,
+        index_meta=meta,
+        cells=cells,
+        nprobe=2,
+    )
+    batch_ids = {r["vec_id"] for r in batch.select("vec_id").collect()}
+    neighbors = {
+        r["vec_id"] for r in top.select("vec_id").distinct().collect()
+    }
+    # Delta rows are probed: batch ids appear as neighbors at all.
+    assert neighbors & batch_ids
