@@ -2263,8 +2263,13 @@ GROUP BY e.event_type
 # iterations) — ONE definition for both PQ gates, so a future fix to
 # seeding/tie-break/rounding cannot diverge between them
 # (code-review finding).
-_PQ_TRAIN_SQL = f"""WITH e AS (
-  {_EMB_LT}
+def _pq_train_sql(where: str = "") -> str:
+    """PQ-training replay (m=8, k=4, iters=2) over the embeddings
+    view, optionally restricted by ``where`` — the delta-refresh gate
+    trains on the corpus split only, everything else on the full
+    table (one copy of the training chain, not two drifting ones)."""
+    return f"""WITH e AS (
+  {_EMB_LT}{where}
 ), sub AS (
   SELECT vec_id, CAST(s.i AS INT) AS sub_id,
          v[(s.i * 8 + 1):(s.i * 8 + 8)] AS sv
@@ -2300,6 +2305,9 @@ _PQ_TRAIN_SQL = f"""WITH e AS (
     FROM sc2 x
   ) WHERE rn = 1
 )"""
+
+
+_PQ_TRAIN_SQL = _pq_train_sql()
 
 # pq_encode_embeddings: codes + quantization error per subspace.
 ORACLE_SQL["pq_encode_embeddings"] = _PQ_TRAIN_SQL + """
@@ -2432,6 +2440,92 @@ SELECT nprobe, n_queries, n_hits, recall_at_5,
        round(recall_at_5 - first_value(recall_at_5) OVER (
          ORDER BY nprobe), 4) AS gain_vs_nprobe1
 FROM rec
+"""
+
+
+# ann_index_delta_topk: the INCREMENTAL index-maintenance replay —
+# PQ codebooks and coarse-cell centroids train on the CORPUS split
+# only (every 97th vector held out as the ingest batch); the batch is
+# then encoded with the STORED codebook (nearest centroid per
+# subspace, ties to the smaller code — identical to the final
+# training assignment rule) and placed in the nearest stored cell
+# (ties to the smaller cell — the IVF insert), exactly what
+# refresh_ann_index appends as a delta. Queries are the batch vectors
+# themselves probing nprobe=2 cells of base ∪ delta: batch vectors
+# exist ONLY in the delta, so every batch id appearing as a neighbor
+# proves the delta is unioned and pruned-probed like the base.
+ORACLE_SQL["ann_index_delta_topk"] = _pq_train_sql(
+    " WHERE vec_id % 97 <> 0"
+).replace(
+    "SELECT vec_id, list_transform",
+    "SELECT vec_id, label, list_transform",
+) + """, lc AS (
+  SELECT a.vec_id, a.sub_id, a.cluster, e.label
+  FROM a2 a JOIN e USING (vec_id)
+), cellc AS (
+  SELECT label, list(cv ORDER BY dim) AS c FROM (
+    SELECT label, d AS dim, round(avg(val), 4) AS cv FROM (
+      SELECT label, unnest(v) AS val, generate_subscripts(v, 1) AS d
+      FROM e
+    ) GROUP BY 1, 2
+  ) GROUP BY label
+), b AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id % 97 = 0
+), bsub AS (
+  SELECT vec_id, CAST(s.i AS INT) AS sub_id,
+         v[(s.i * 8 + 1):(s.i * 8 + 8)] AS sv
+  FROM b CROSS JOIN generate_series(0, 7) s(i)
+), bcode AS (
+  SELECT vec_id, sub_id, cluster FROM (
+    SELECT q.vec_id, q.sub_id, c.cluster, row_number() OVER (
+      PARTITION BY q.vec_id, q.sub_id ORDER BY
+        list_reduce(list_transform(list_zip(q.sv, c.c),
+          x -> (x[1] - x[2]) * (x[1] - x[2])), (a, b) -> a + b),
+        c.cluster) AS rn
+    FROM bsub q JOIN c1 c USING (sub_id)
+  ) WHERE rn = 1
+), bcell AS (
+  SELECT vec_id, label FROM (
+    SELECT q.vec_id, c.label, row_number() OVER (
+      PARTITION BY q.vec_id ORDER BY
+        list_reduce(list_transform(list_zip(q.v, c.c),
+          x -> (x[1] - x[2]) * (x[1] - x[2])), (acc, t) -> acc + t),
+        c.label) AS rn
+    FROM b q CROSS JOIN cellc c
+  ) WHERE rn = 1
+), allc AS (
+  SELECT vec_id, sub_id, cluster, label FROM lc
+  UNION ALL
+  SELECT bc.vec_id, bc.sub_id, bc.cluster, bl.label
+  FROM bcode bc JOIN bcell bl USING (vec_id)
+), qprobe AS (
+  SELECT q_id, label FROM (
+    SELECT q.vec_id AS q_id, c.label, row_number() OVER (
+      PARTITION BY q.vec_id ORDER BY
+        list_reduce(list_transform(list_zip(q.v, c.c),
+          x -> (x[1] - x[2]) * (x[1] - x[2])), (acc, t) -> acc + t),
+        c.label) AS crk
+    FROM b q CROSS JOIN cellc c
+  ) WHERE crk <= 2
+), lut AS (
+  SELECT q.vec_id AS q_id, q.sub_id, c.cluster AS code,
+         list_reduce(list_transform(list_zip(q.sv, c.c),
+           x -> (x[1] - x[2]) * (x[1] - x[2])), (a, b) -> a + b) AS ld
+  FROM bsub q JOIN c1 c USING (sub_id)
+), scored AS (
+  SELECT p.q_id, a.vec_id, round(sum(l.ld), 6) AS adc_dist
+  FROM qprobe p
+  JOIN allc a ON a.label = p.label
+  JOIN lut l ON l.q_id = p.q_id AND l.sub_id = a.sub_id
+            AND l.code = a.cluster
+  GROUP BY 1, 2
+)
+SELECT q_id, vec_id, adc_dist, CAST(rk AS INT) AS rk FROM (
+  SELECT s.*, row_number() OVER (
+    PARTITION BY q_id ORDER BY adc_dist, vec_id) AS rk
+  FROM scored s
+) WHERE rk <= 5
 """
 
 
@@ -4361,6 +4455,15 @@ FROM c
 # incremental_dedup_indexed precedent); the equality property is
 # additionally pinned by tests/test_scd2.py under dense ties.
 ORACLE_SQL["scd2_refresh_history"] = ORACLE_SQL["scd2_user_event_history"]
+
+# scd2_refresh_pruned_history: the keyed-layout refresh (semi-join on
+# (shard, key) against the write_scd2_feed layout, DPP-pruned read)
+# must ALSO be value-identical to the full rebuild — same one-truth
+# oracle text; the layout changes the PLAN (pruned scan), never the
+# result.
+ORACLE_SQL["scd2_refresh_pruned_history"] = ORACLE_SQL[
+    "scd2_user_event_history"
+]
 
 # neardup_canonical_keep: wraps the neardup_clusters oracle verbatim
 # (MATERIALIZED — the cluster table feeds the quality join AND the

@@ -6136,6 +6136,46 @@ def scd2_refresh_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_refresh(history, feed, new, "user_id", "ts", "event_type")
 
 
+@query("scd2_refresh_pruned_history")
+def scd2_refresh_pruned_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KEYED-LAYOUT incremental SCD2 refresh (VERDICT r11
+    item 6): same split as scd2_refresh_history, but the feed is
+    persisted through write_scd2_feed (feed_rows/ partitioned by
+    shard = HRW(user_id)) and the refresh's changed-key semi-join
+    runs on (shard, key) against that layout — dynamic partition
+    pruning turns the feed scan into a pruned READ of the touched
+    shards (plan-pinned in tests/test_scd2.py). The result must
+    still hash-equal the full rebuild over all events, so this gate
+    shares scd2_user_event_history's oracle text."""
+    from ..operators.scd import (
+        read_scd2_feed,
+        scd2_history,
+        scd2_refresh,
+        write_scd2_feed,
+    )
+    from ..sources.catalog import layout_artifact
+
+    e = load(spark, sf_dir, "events")
+    feed = e.where(F.col("event_id") % 5 != 0)
+    new = e.where(F.col("event_id") % 5 == 0)
+    path, fresh = layout_artifact(
+        sf_dir, "spark_graft_scd2_feed_v1", "events"
+    )
+    if not fresh:
+        write_scd2_feed(feed, path, "user_id", "ts", "event_type")
+    feed_sharded, meta = read_scd2_feed(spark, path)
+    history = scd2_history(feed, "user_id", "ts", "event_type")
+    return scd2_refresh(
+        history,
+        feed_sharded,
+        new,
+        "user_id",
+        "ts",
+        "event_type",
+        feed_meta=meta,
+    )
+
+
 @query("neardup_canonical_keep")
 def neardup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical selection over the near-dup clusters: per LSH/CC
@@ -6253,6 +6293,55 @@ def ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("gain_vs_nprobe1"),
         )
+    )
+
+
+@query("ann_index_delta_topk")
+def ann_index_delta_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL ANN index maintenance end to end (the round-12
+    completion of the index-lifecycle symmetry: the dedup index got
+    refresh_dedup_index in r10, the ANN index gets refresh_ann_index
+    here): the corpus split (every vec_id % 97 != 0) builds the stored
+    IVF-PQ index; the held-out batch is appended as an O(batch) DELTA
+    — encoded with the STORED codebook, placed by the STORED coarse
+    centroids (the IVF insert; training never re-runs) — and the batch
+    vectors then query base ∪ delta at nprobe=2. Batch vectors exist
+    ONLY in the delta, so every batch id surfacing as a neighbor
+    proves the delta is unioned and pruned-probed like the base. The
+    DuckDB oracle replays the identical chain (corpus-trained
+    codebooks + stored-codebook encode + nearest-cell insert +
+    multiprobe ADC)."""
+    from ..operators.clustering import (
+        ivf_pq_topk_from_index,
+        read_ann_index,
+        refresh_ann_index,
+        write_ann_index,
+    )
+    from ..sources.catalog import layout_artifact
+
+    e = load(spark, sf_dir, "embeddings")
+    corpus = e.where(F.col("vec_id") % 97 != 0)
+    batch = e.where(F.col("vec_id") % 97 == 0)
+    path, fresh = layout_artifact(
+        sf_dir, "spark_graft_ann_delta_v1", "embeddings"
+    )
+    if not fresh:
+        write_ann_index(corpus, path, m=8, k=4, iters=2)
+    # Idempotent per (path, batch_id): a re-drive overwrites its own
+    # delta — the crash-retry contract, exercised on every run.
+    refresh_ann_index(batch, path, batch_id="day1")
+    codes, codebook, cells, meta = read_ann_index(spark, path)
+    return ivf_pq_topk_from_index(
+        batch.select("vec_id", "embedding"),
+        codes,
+        codebook,
+        m=8,
+        k=4,
+        iters=2,
+        topk=5,
+        index_meta=meta,
+        cells=cells,
+        nprobe=2,
     )
 
 
