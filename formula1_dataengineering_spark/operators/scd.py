@@ -196,6 +196,245 @@ def read_scd2_feed(
     return feed, meta
 
 
+def _touched_feed_slice(
+    feed: DataFrame,
+    touched: DataFrame,
+    key_col: str,
+    cols: list[str],
+    feed_meta: dict | None,
+) -> DataFrame:
+    """The touched keys' feed rows — ONE copy of the changed-key
+    semi-join both refresh shapes run. Without ``feed_meta``: a plain
+    broadcast left_semi on the key. With it (a
+    :func:`write_scd2_feed` layout): the metadata is validated
+    against this build's shard contract, the touched SHARD list
+    (distinct — bounded by ``n_shards``) is collected and applied as
+    a STATIC partition filter, and the semi-join runs on (shard, key)
+    — deterministic pruning for every batch shape (Spark's
+    ``PartitionPruning`` rule only injects a DPP subquery when the
+    batch side carries a likely-selective predicate, so a DPP-only
+    plan silently rescans the whole feed for e.g. a raw in-memory
+    batch frame)."""
+    from pyspark.sql.functions import broadcast
+
+    if feed_meta is None:
+        return feed.select(*cols).join(
+            broadcast(touched), key_col, "left_semi"
+        )
+    expected = {
+        "shard_salt": _FEED_SHARD_SALT,
+        "shard_mode": "fast",
+        "key_col": key_col,
+    }
+    for k, want in expected.items():
+        got = feed_meta.get(k)
+        if got != want:
+            raise ValueError(
+                f"scd2 feed layout param mismatch: {k}={got!r} in "
+                f"_META.json but this refresh expects {want!r} — "
+                "refreshing against a layout written with a "
+                "different assignment would silently miss touched "
+                "keys' feed rows; rebuild with write_scd2_feed"
+            )
+    if "shard" not in feed.columns:
+        raise ValueError(
+            "feed_meta given but the feed has no 'shard' column — "
+            "pass the frame read_scd2_feed returns"
+        )
+    touched_sharded = touched.withColumn(
+        "shard", _feed_shard(F.col(key_col), int(feed_meta["n_shards"]))
+    )
+    # Bounded driver-side materialization: distinct SHARD ids only
+    # (≤ n_shards rows), computed from the O(batch) changed-key set.
+    # The (shard, key) semi-join below still does the key-level
+    # filtering inside the surviving shards.
+    touched_shards = [
+        r["shard"]
+        for r in touched_sharded.select("shard").distinct().collect()
+    ]
+    return (
+        feed.where(F.col("shard").isin(touched_shards))
+        .join(broadcast(touched_sharded), ["shard", key_col], "left_semi")
+        .select(*cols)
+    )
+
+
+def write_scd2_history(
+    history: DataFrame,
+    path: str,
+    key_col: str,
+    n_shards: int = 16,
+) -> None:
+    """Persist an SCD2 history table (the :func:`scd2_history` output
+    shape) as the sharded layout :func:`scd2_refresh_in_place`
+    maintains: ``history_rows/`` partitioned by ``shard`` = HRW(key),
+    same protocol as :func:`write_scd2_feed` (staged build,
+    ``_META.json`` params + schema, Hadoop FS lifecycle, one
+    key-sorted file per shard)."""
+    import json
+    import os
+
+    from .. import fsutil
+
+    spark = history.sparkSession
+    fsutil.validate_layout_path(path, "scd2 history layout")
+    staging = os.path.join(path, "_staging")
+    fsutil.delete(spark, staging)
+    sharded = history.withColumn(
+        "shard", _feed_shard(F.col(key_col), n_shards)
+    )
+    sharded.repartition("shard").sortWithinPartitions(
+        key_col, "effective_from_us"
+    ).write.mode("overwrite").partitionBy("shard").parquet(
+        os.path.join(staging, "history_rows")
+    )
+    meta_text = json.dumps(
+        {
+            "n_shards": n_shards,
+            "shard_salt": _FEED_SHARD_SALT,
+            "shard_mode": "fast",
+            "key_col": key_col,
+            "history_schema": sharded.schema.jsonValue(),
+        }
+    )
+    fsutil.delete(spark, os.path.join(path, "_SUCCESS"))
+    for name in fsutil.list_names(spark, path):
+        if name.startswith("history_rows"):
+            fsutil.delete(spark, os.path.join(path, name))
+    fsutil.rename(
+        spark,
+        os.path.join(staging, "history_rows"),
+        os.path.join(path, "history_rows"),
+    )
+    fsutil.delete(spark, staging)
+    fsutil.write_text(spark, os.path.join(path, "_META.json"), meta_text)
+    spark.catalog.refreshByPath(path)
+    fsutil.touch(spark, os.path.join(path, "_SUCCESS"))
+
+
+def read_scd2_history(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, dict]:
+    """Open a :func:`write_scd2_history` layout: ``(history, meta)``,
+    the frame still carrying the ``shard`` partition column. Same
+    marker/metadata/missing-vs-empty contract as the feed layout."""
+    import os
+
+    from pyspark.sql.types import StructType
+
+    from .. import fsutil
+
+    meta = fsutil.require_layout_meta(
+        spark, path, "scd2 history layout", "write_scd2_history"
+    )
+    d = os.path.join(path, "history_rows")
+    if not fsutil.is_dir(spark, d):
+        raise ValueError(
+            f"scd2 history layout at {path!r} is corrupt: "
+            "history_rows/ is missing although the layout's _SUCCESS "
+            "marker exists — rebuild with write_scd2_history"
+        )
+    if fsutil.has_parquet(spark, d):
+        hist = spark.read.parquet(d)
+    else:
+        hist = spark.createDataFrame(
+            [], StructType.fromJson(meta["history_schema"])
+        )
+    return hist, meta
+
+
+def scd2_refresh_in_place(
+    path: str,
+    feed: DataFrame,
+    new_changes: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    feed_meta: dict | None = None,
+) -> None:
+    """Copy-on-write SCD2 maintenance of a STORED history layout — the
+    100 TB production shape :func:`scd2_refresh` stops short of: that
+    operator returns ``untouched history ∪ rebuilt``, which forces a
+    full history scan (and a full rewrite, if the caller persists the
+    result) even when 0.01% of keys changed. This one rewrites ONLY
+    the touched shards of a :func:`write_scd2_history` layout via
+    dynamic partition overwrite:
+
+    1. touched keys ← the new batch (distinct, null-free); touched
+       SHARDS ← collected (bounded by ``n_shards``) — the same
+       deterministic static pruning as the keyed feed refresh;
+    2. rebuilt ← :func:`scd2_history` over (touched keys' feed slice
+       ∪ new batch) — re-read from the FEED, never the compressed
+       history (the tie-collision contract);
+    3. keepers ← rows of UNTOUCHED keys inside the touched shards
+       (static shard filter + broadcast anti-join: a shard rewrite
+       must carry its unchanged keys forward);
+    4. write keepers ∪ rebuilt with ``partitionOverwriteMode=dynamic``
+       — untouched shards are never read, never written.
+
+    Per-batch cost is O(touched shards' history + touched keys' feed
+    + batch): with a trickle batch against fine shards, the corpus
+    term vanishes — the Hudi/Iceberg copy-on-write shape in plain
+    parquet + Spark dynamic overwrite.
+
+    Crash contract: dynamic overwrite is not atomic across shards, so
+    ``_SUCCESS`` is removed before the write and recreated after —
+    a crash mid-write leaves a marker-less layout every reader
+    refuses, and the refresh is IDEMPOTENT (the rebuilt side derives
+    from feed ∪ batch, the keeper side from untouched keys only), so
+    recovery is re-running the same refresh."""
+    from pyspark.sql.functions import broadcast
+
+    from .. import fsutil
+
+    spark = feed.sparkSession
+    hist, meta = read_scd2_history(spark, path)
+    if meta.get("key_col") != key_col:
+        raise ValueError(
+            "scd2 history layout param mismatch: "
+            f"key_col={meta.get('key_col')!r} in _META.json but this "
+            f"refresh was called with {key_col!r} — rebuild with "
+            "write_scd2_history"
+        )
+    n_shards = int(meta["n_shards"])
+    cols = [key_col, ts_col, value_col]
+    touched = (
+        new_changes.select(key_col)
+        .where(F.col(key_col).isNotNull())
+        .distinct()
+    )
+    touched_sharded = touched.withColumn(
+        "shard", _feed_shard(F.col(key_col), n_shards)
+    )
+    touched_shards = [
+        r["shard"]
+        for r in touched_sharded.select("shard").distinct().collect()
+    ]
+    feed_slice = _touched_feed_slice(
+        feed, touched, key_col, cols, feed_meta
+    )
+    rebuilt = scd2_history(
+        feed_slice.unionByName(new_changes.select(*cols)),
+        key_col,
+        ts_col,
+        value_col,
+    ).withColumn("shard", _feed_shard(F.col(key_col), n_shards))
+    keepers = hist.where(F.col("shard").isin(touched_shards)).join(
+        broadcast(touched), key_col, "left_anti"
+    )
+    out = keepers.unionByName(rebuilt)
+    import os
+
+    fsutil.delete(spark, os.path.join(path, "_SUCCESS"))
+    out.repartition("shard").sortWithinPartitions(
+        key_col, "effective_from_us"
+    ).write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("shard").parquet(os.path.join(path, "history_rows"))
+    spark.catalog.refreshByPath(path)
+    fsutil.touch(spark, os.path.join(path, "_SUCCESS"))
+
+
 def scd2_refresh(
     history: DataFrame,
     feed: DataFrame,
@@ -251,48 +490,9 @@ def scd2_refresh(
         .where(F.col(key_col).isNotNull())
         .distinct()
     )
-    if feed_meta is not None:
-        expected = {
-            "shard_salt": _FEED_SHARD_SALT,
-            "shard_mode": "fast",
-            "key_col": key_col,
-        }
-        for k, want in expected.items():
-            got = feed_meta.get(k)
-            if got != want:
-                raise ValueError(
-                    f"scd2 feed layout param mismatch: {k}={got!r} in "
-                    f"_META.json but this refresh expects {want!r} — "
-                    "refreshing against a layout written with a "
-                    "different assignment would silently miss touched "
-                    "keys' feed rows; rebuild with write_scd2_feed"
-                )
-        if "shard" not in feed.columns:
-            raise ValueError(
-                "feed_meta given but the feed has no 'shard' column — "
-                "pass the frame read_scd2_feed returns"
-            )
-        touched_sharded = touched.withColumn(
-            "shard", _feed_shard(F.col(key_col), int(feed_meta["n_shards"]))
-        )
-        # Bounded driver-side materialization: distinct SHARD ids only
-        # (≤ n_shards rows), computed from the O(batch) changed-key
-        # set — the deterministic partition filter the docstring
-        # explains. The (shard, key) semi-join below still does the
-        # key-level filtering inside the surviving shards.
-        touched_shards = [
-            r["shard"]
-            for r in touched_sharded.select("shard").distinct().collect()
-        ]
-        feed_slice = (
-            feed.where(F.col("shard").isin(touched_shards))
-            .join(broadcast(touched_sharded), ["shard", key_col], "left_semi")
-            .select(*cols)
-        )
-    else:
-        feed_slice = feed.select(*cols).join(
-            broadcast(touched), key_col, "left_semi"
-        )
+    feed_slice = _touched_feed_slice(
+        feed, touched, key_col, cols, feed_meta
+    )
     rebuilt = scd2_history(
         feed_slice.unionByName(new_changes.select(*cols)),
         key_col,

@@ -4465,6 +4465,14 @@ ORACLE_SQL["scd2_refresh_pruned_history"] = ORACLE_SQL[
     "scd2_user_event_history"
 ]
 
+# scd2_cow_refresh_history: the copy-on-write in-place refresh of the
+# stored history layout (touched shards only, dynamic partition
+# overwrite) must ALSO read back value-identical to the full rebuild
+# — the fourth execution shape over the same semantic truth.
+ORACLE_SQL["scd2_cow_refresh_history"] = ORACLE_SQL[
+    "scd2_user_event_history"
+]
+
 # neardup_canonical_keep: wraps the neardup_clusters oracle verbatim
 # (MATERIALIZED — the cluster table feeds the quality join AND the
 # window) and applies the same first_value canonical rule. LEFT JOIN +

@@ -6176,6 +6176,51 @@ def scd2_refresh_pruned_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("scd2_cow_refresh_history")
+def scd2_cow_refresh_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write SCD2 maintenance of a STORED history layout —
+    the round-12 completion of the refresh story: scd2_refresh still
+    scans (and, if persisted, rewrites) the full history for the
+    untouched pass-through; scd2_refresh_in_place rewrites ONLY the
+    touched shards of a write_scd2_history layout via dynamic
+    partition overwrite (keepers = untouched keys inside touched
+    shards carried forward; untouched shards never read, never
+    written — the Hudi/Iceberg COW shape in plain parquet). The
+    refreshed LAYOUT read back must hash-equal the full rebuild over
+    all events — same one-truth oracle text as the other three SCD2
+    gates. The refresh is idempotent per batch (re-drives re-derive
+    the same shard contents), which is also its crash-recovery story."""
+    from ..operators.scd import (
+        read_scd2_history,
+        scd2_history,
+        scd2_refresh_in_place,
+        write_scd2_history,
+    )
+    from ..sources.catalog import layout_artifact
+
+    e = load(spark, sf_dir, "events")
+    feed = e.where(F.col("event_id") % 5 != 0)
+    new = e.where(F.col("event_id") % 5 == 0)
+    path, fresh = layout_artifact(
+        sf_dir, "spark_graft_scd2_hist_v1", "events"
+    )
+    if not fresh:
+        write_scd2_history(
+            scd2_history(feed, "user_id", "ts", "event_type"),
+            path,
+            "user_id",
+        )
+    scd2_refresh_in_place(path, feed, new, "user_id", "ts", "event_type")
+    hist, _ = read_scd2_history(spark, path)
+    return hist.select(
+        "user_id",
+        "event_type",
+        "effective_from_us",
+        "effective_to_us",
+        "is_current",
+    )
+
+
 @query("neardup_canonical_keep")
 def neardup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical selection over the near-dup clusters: per LSH/CC

@@ -400,3 +400,155 @@ def test_scd2_feed_layout_empty_feed_bootstrap(spark, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+# ---------------------------------------------------------------------------
+# Copy-on-write in-place refresh (scd2_refresh_in_place, round 12):
+# only touched shards are read and rewritten; the stored layout must
+# equal a full rebuild after every refresh; re-runs are idempotent.
+# ---------------------------------------------------------------------------
+
+
+def _hist_cols(df):
+    return sorted(
+        map(
+            tuple,
+            df.select(
+                "k", "v", "effective_from_us", "effective_to_us", "is_current"
+            ).collect(),
+        )
+    )
+
+
+def test_scd2_cow_refresh_equals_full_rebuild_and_is_idempotent(
+    spark, tmp_path
+):
+    from formula1_dataengineering_spark.operators.scd import (
+        read_scd2_history,
+        scd2_history,
+        scd2_refresh_in_place,
+        write_scd2_history,
+    )
+
+    rows = [(k, _TS[i], v) for k in range(12) for i, v in [(0, "a"), (2, "b")]]
+    new_rows = [(3, _TS[4], "c"), (7, _TS[1], "b"), (99, _TS[0], "a")]
+    feed = spark.createDataFrame(rows, _SCHEMA)
+    new_df = spark.createDataFrame(new_rows, _SCHEMA)
+    path = str(tmp_path / "hist")
+    write_scd2_history(
+        scd2_history(feed, "k", "ts", "v"), path, "k", n_shards=4
+    )
+    scd2_refresh_in_place(path, feed, new_df, "k", "ts", "v")
+    want = _hist_cols(scd2_history(feed.unionByName(new_df), "k", "ts", "v"))
+    got, _ = read_scd2_history(spark, path)
+    assert _hist_cols(got) == want
+    # Idempotent: recovery from a crash is re-running the refresh.
+    scd2_refresh_in_place(path, feed, new_df, "k", "ts", "v")
+    got2, _ = read_scd2_history(spark, path)
+    assert _hist_cols(got2) == want
+
+
+def test_scd2_cow_refresh_leaves_untouched_shard_files_alone(
+    spark, tmp_path
+):
+    """The copy-on-write contract: a trickle batch rewrites ONLY the
+    shards its keys live in — untouched shard directories keep their
+    exact part files (same names, same bytes)."""
+    import glob
+    import os
+
+    from formula1_dataengineering_spark.operators.scd import (
+        scd2_history,
+        scd2_refresh_in_place,
+        write_scd2_history,
+    )
+
+    rows = [
+        (k, _TS[i], v) for k in range(64) for i, v in [(0, "a"), (2, "b")]
+    ]
+    new_rows = [(5, _TS[4], "c")]  # one key → ≤1 shard of 16 touched
+    feed = spark.createDataFrame(rows, _SCHEMA)
+    new_df = spark.createDataFrame(new_rows, _SCHEMA)
+    path = str(tmp_path / "hist")
+    write_scd2_history(
+        scd2_history(feed, "k", "ts", "v"), path, "k", n_shards=16
+    )
+
+    def snapshot():
+        out = {}
+        for d in glob.glob(os.path.join(path, "history_rows", "shard=*")):
+            for f in os.listdir(d):
+                p = os.path.join(d, f)
+                out[p] = (os.path.getmtime(p), os.path.getsize(p))
+        return out
+
+    before = snapshot()
+    scd2_refresh_in_place(path, feed, new_df, "k", "ts", "v")
+    after = snapshot()
+    changed_dirs = {
+        os.path.dirname(p)
+        for p in (set(before) ^ set(after))
+        | {p for p in before if p in after and before[p] != after[p]}
+    }
+    assert len(changed_dirs) == 1, (
+        f"expected exactly one rewritten shard, got {len(changed_dirs)}: "
+        f"{sorted(changed_dirs)}"
+    )
+
+
+def test_scd2_cow_refresh_key_mismatch_and_markerless_refused(
+    spark, tmp_path
+):
+    import os
+
+    import pytest
+
+    from formula1_dataengineering_spark.operators.scd import (
+        read_scd2_history,
+        scd2_history,
+        scd2_refresh_in_place,
+        write_scd2_history,
+    )
+
+    feed = spark.createDataFrame([(1, _TS[0], "a")], _SCHEMA)
+    path = str(tmp_path / "hist")
+    write_scd2_history(
+        scd2_history(feed, "k", "ts", "v"), path, "k", n_shards=2
+    )
+    with pytest.raises(ValueError, match="param mismatch"):
+        scd2_refresh_in_place(path, feed, feed, "ts", "k", "v")
+    os.remove(os.path.join(path, "_SUCCESS"))
+    with pytest.raises(ValueError, match="_SUCCESS"):
+        read_scd2_history(spark, path)
+
+
+def test_scd2_cow_refresh_through_keyed_feed_layout(spark, tmp_path):
+    """The full production wiring: BOTH sides stored — the feed read
+    through its pruned layout (feed_meta) and the history maintained
+    in place — still equals the from-scratch rebuild."""
+    from formula1_dataengineering_spark.operators.scd import (
+        read_scd2_feed,
+        read_scd2_history,
+        scd2_history,
+        scd2_refresh_in_place,
+        write_scd2_feed,
+        write_scd2_history,
+    )
+
+    rows = [(k, _TS[i], v) for k in range(12) for i, v in [(0, "a"), (2, "b")]]
+    new_rows = [(3, _TS[4], "c")]
+    feed = spark.createDataFrame(rows, _SCHEMA)
+    new_df = spark.createDataFrame(new_rows, _SCHEMA)
+    fpath = str(tmp_path / "feed")
+    hpath = str(tmp_path / "hist")
+    write_scd2_feed(feed, fpath, "k", "ts", "v", n_shards=4)
+    feed_sharded, fmeta = read_scd2_feed(spark, fpath)
+    write_scd2_history(
+        scd2_history(feed, "k", "ts", "v"), hpath, "k", n_shards=4
+    )
+    scd2_refresh_in_place(
+        hpath, feed_sharded, new_df, "k", "ts", "v", feed_meta=fmeta
+    )
+    want = _hist_cols(scd2_history(feed.unionByName(new_df), "k", "ts", "v"))
+    got, _ = read_scd2_history(spark, hpath)
+    assert _hist_cols(got) == want
