@@ -147,8 +147,11 @@ def write_scd2_feed(
         }
     )
     fsutil.delete(spark, os.path.join(path, "_SUCCESS"))
+    # A base REBUILD supersedes every prior daily append: a surviving
+    # stale delta would union removed changes back into a freshly
+    # corrected feed.
     for name in fsutil.list_names(spark, path):
-        if name.startswith("feed_rows"):
+        if name.startswith(("feed_rows", "_DELTA_")):
             fsutil.delete(spark, os.path.join(path, name))
     fsutil.rename(
         spark,
@@ -162,15 +165,21 @@ def write_scd2_feed(
 
 
 def read_scd2_feed(
-    spark: SparkSession, path: str
+    spark: SparkSession, path: str, include_deltas: bool = True
 ) -> tuple[DataFrame, dict]:
     """Open a :func:`write_scd2_feed` layout: ``(feed, meta)`` where
     ``feed`` carries the ``shard`` partition column the pruned
-    refresh joins on. Refuses a marker-less or metadata-less layout;
-    a missing ``feed_rows/`` directory under an intact marker is
-    CORRUPTION (raises), while a present-but-part-file-less directory
-    is a legitimately empty feed (schema-synthesized empty frame) —
-    the same missing-vs-empty contract as the index readers."""
+    refresh joins on. The frame unions any
+    ``feed_rows_delta_<batch_id>`` directories a
+    :func:`refresh_scd2_feed` daily append landed — discovered via
+    their ``_DELTA_<batch_id>._SUCCESS`` commit markers, each delta
+    keeping the shard partition column so static pruning applies per
+    scan; ``include_deltas=False`` opens the base state only.
+    Refuses a marker-less or metadata-less layout; a missing
+    ``feed_rows/`` directory under an intact marker is CORRUPTION
+    (raises), while a present-but-part-file-less directory is a
+    legitimately empty feed (schema-synthesized empty frame) — the
+    same missing-vs-empty contract as the index readers."""
     import os
 
     from pyspark.sql.types import StructType
@@ -180,20 +189,92 @@ def read_scd2_feed(
     meta = fsutil.require_layout_meta(
         spark, path, "scd2 feed layout", "write_scd2_feed"
     )
-    d = os.path.join(path, "feed_rows")
-    if not fsutil.is_dir(spark, d):
-        raise ValueError(
-            f"scd2 feed layout at {path!r} is corrupt: feed_rows/ is "
-            "missing although the layout's _SUCCESS marker exists — "
-            "rebuild with write_scd2_feed"
-        )
-    if fsutil.has_parquet(spark, d):
-        feed = spark.read.parquet(d)
-    else:
-        feed = spark.createDataFrame(
+
+    def _open(d: str, what: str) -> DataFrame:
+        if not fsutil.is_dir(spark, d):
+            raise ValueError(
+                f"scd2 feed layout at {path!r} is corrupt: {what} is "
+                "missing although the layout's _SUCCESS marker exists "
+                "— rebuild with write_scd2_feed"
+            )
+        if fsutil.has_parquet(spark, d):
+            return spark.read.parquet(d)
+        return spark.createDataFrame(
             [], StructType.fromJson(meta["feed_schema"])
         )
+
+    feed = _open(os.path.join(path, "feed_rows"), "feed_rows/")
+    if include_deltas:
+        committed = sorted(
+            name[len("_DELTA_") : -len("._SUCCESS")]
+            for name in fsutil.list_names(spark, path)
+            if name.startswith("_DELTA_") and name.endswith("._SUCCESS")
+        )
+        for bid in committed:
+            feed = feed.unionByName(
+                _open(
+                    os.path.join(path, f"feed_rows_delta_{bid}"),
+                    f"feed_rows_delta_{bid}/",
+                )
+            )
     return feed, meta
+
+
+def refresh_scd2_feed(
+    new_changes: DataFrame, path: str, batch_id: str
+) -> None:
+    """Append one day's CDC batch to a stored feed layout as a DELTA
+    — the step that closes the daily SCD2 cycle: tomorrow's refresh
+    re-windows its touched keys from the FEED, so today's changes
+    must land there or a key touched two days running silently loses
+    day one (the two-day cycle gate pins exactly that). Protocol is
+    the index-delta contract: ``feed_rows_delta_<batch_id>/`` sharded
+    with the layout's OWN metadata params, idempotent per
+    (path, batch_id), ``_DELTA_<batch_id>._SUCCESS`` marker written
+    last, O(batch) — the base feed is never read or rewritten."""
+    import os
+    import re
+
+    from .. import fsutil
+
+    if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]*", batch_id):
+        raise ValueError(
+            f"refresh_scd2_feed: batch_id {batch_id!r} must match "
+            "[A-Za-z0-9][A-Za-z0-9._-]* — path separators or glob "
+            "metacharacters would escape the layout or make the "
+            "delta undiscoverable by the reader"
+        )
+    spark = new_changes.sparkSession
+    meta = fsutil.require_layout_meta(
+        spark, path, "scd2 feed layout", "write_scd2_feed"
+    )
+    if (
+        meta.get("shard_salt") != _FEED_SHARD_SALT
+        or meta.get("shard_mode") != "fast"
+    ):
+        raise ValueError(
+            "refresh_scd2_feed: layout metadata declares shard params "
+            f"(salt={meta.get('shard_salt')!r}, "
+            f"mode={meta.get('shard_mode')!r}) this build does not "
+            "compute — delta rows would land in shards the pruned "
+            "refresh never reads; rebuild with write_scd2_feed"
+        )
+    key_col = meta["key_col"]
+    ts_col = meta["ts_col"]
+    value_col = meta["value_col"]
+    n_shards = int(meta["n_shards"])
+    commit_marker = os.path.join(path, f"_DELTA_{batch_id}._SUCCESS")
+    fsutil.delete(spark, commit_marker)
+    sharded = new_changes.select(key_col, ts_col, value_col).withColumn(
+        "shard", _feed_shard(F.col(key_col), n_shards)
+    )
+    sharded.repartition("shard").sortWithinPartitions(
+        key_col, ts_col
+    ).write.mode("overwrite").partitionBy("shard").parquet(
+        os.path.join(path, f"feed_rows_delta_{batch_id}")
+    )
+    spark.catalog.refreshByPath(path)
+    fsutil.touch(spark, commit_marker)
 
 
 def _touched_feed_slice(

@@ -4473,6 +4473,15 @@ ORACLE_SQL["scd2_cow_refresh_history"] = ORACLE_SQL[
     "scd2_user_event_history"
 ]
 
+# scd2_two_day_cycle_history: two consecutive daily cycles (feed
+# delta appends + partial history rewrites) must land on the same
+# truth — feed0 ∪ day1 ∪ day2 = all events, so the oracle is again
+# the full-rebuild text; what the hash pins is the PIPELINE (a lost
+# feed delta or a torn shard rewrite would diverge).
+ORACLE_SQL["scd2_two_day_cycle_history"] = ORACLE_SQL[
+    "scd2_user_event_history"
+]
+
 # neardup_canonical_keep: wraps the neardup_clusters oracle verbatim
 # (MATERIALIZED — the cluster table feeds the quality join AND the
 # window) and applies the same first_value canonical rule. LEFT JOIN +

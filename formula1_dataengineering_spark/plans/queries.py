@@ -6221,6 +6221,65 @@ def scd2_cow_refresh_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("scd2_two_day_cycle_history")
+def scd2_two_day_cycle_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO consecutive daily SCD2 maintenance cycles against stored
+    layouts — the composition that makes the single-day gates a real
+    pipeline: day N's refresh re-windows touched keys from the FEED,
+    so day N−1's batch must have landed there (refresh_scd2_feed
+    delta append) or a key touched two days running silently loses
+    day N−1 (pinned in tests/test_scd2.py). Per day: COW-refresh the
+    history layout (touched shards only) with the feed read base +
+    committed deltas, then append the day's batch as a feed delta.
+    After day 2 the stored history must hash-equal the full rebuild
+    over all events — the same one-truth oracle text, now reached
+    through two feed deltas and two partial history rewrites. The
+    whole cycle is idempotent per drive (deltas overwrite their own
+    batch_ids; refreshes re-derive the same shard contents)."""
+    from ..operators.scd import (
+        read_scd2_feed,
+        read_scd2_history,
+        refresh_scd2_feed,
+        scd2_history,
+        scd2_refresh_in_place,
+        write_scd2_feed,
+        write_scd2_history,
+    )
+    from ..sources.catalog import layout_artifact
+
+    e = load(spark, sf_dir, "events")
+    feed0 = e.where(F.col("event_id") % 5 != 0)
+    day1 = e.where(F.col("event_id") % 10 == 5)
+    day2 = e.where(F.col("event_id") % 10 == 0)
+    cols = ("user_id", "ts", "event_type")
+    fpath, ffresh = layout_artifact(
+        sf_dir, "spark_graft_scd2_cycle_feed_v1", "events"
+    )
+    hpath, hfresh = layout_artifact(
+        sf_dir, "spark_graft_scd2_cycle_hist_v1", "events"
+    )
+    if not ffresh:
+        write_scd2_feed(feed0, fpath, *cols)
+    if not hfresh:
+        write_scd2_history(
+            scd2_history(feed0, *cols), hpath, "user_id"
+        )
+    for day_df, batch_id in ((day1, "day1"), (day2, "day2")):
+        feed_v, fmeta = read_scd2_feed(spark, fpath)
+        scd2_refresh_in_place(
+            hpath, feed_v, day_df, *cols, feed_meta=fmeta
+        )
+        refresh_scd2_feed(day_df, fpath, batch_id)
+    hist, _ = read_scd2_history(spark, hpath)
+    return hist.select(
+        "user_id",
+        "event_type",
+        "effective_from_us",
+        "effective_to_us",
+        "is_current",
+    )
+
+
 @query("neardup_canonical_keep")
 def neardup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical selection over the near-dup clusters: per LSH/CC

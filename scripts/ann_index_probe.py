@@ -18,10 +18,16 @@ time (fresh cache scope each run):
 Corpora: sf0.1 embeddings (2,000 vectors), the 1000x replica (2M),
 and the 2500x replica (5M) — built by scripts/ann_candidate_probe.py.
 
-Usage: python scripts/ann_index_probe.py [--build-only]
+Usage: python scripts/ann_index_probe.py [--build-only] [--refresh]
   --build-only: remove each probe index and time a fresh
   write_ann_index (fills the build_s column when the probe indices
   already exist from a prior run); skips the query timings.
+  --refresh (round 12): time refresh_ann_index of a FIXED 10-vector
+  batch (fresh ids above the corpus range, encoded with the STORED
+  codebook) against each corpus's index — the O(batch) claim behind
+  ann_index_delta_topk: per-ingest wall must stay FLAT across corpus
+  decades because the refresh touches the codebook (m·k rows), the
+  cell centroids (#cells rows), and the batch — never the base codes.
 """
 
 from __future__ import annotations
@@ -42,6 +48,7 @@ from formula1_dataengineering_spark.operators.clustering import (  # noqa: E402
     ivf_pq_topk,
     ivf_pq_topk_from_index,
     read_ann_index,
+    refresh_ann_index,
     write_ann_index,
 )
 from formula1_dataengineering_spark.session import get_spark  # noqa: E402
@@ -79,6 +86,23 @@ def main() -> None:
             build_s = float("nan")
         if build_only:
             print(f"{tag:>7} {n:>10,} {build_s:>8.1f} {'-':>10} {'-':>12}")
+            continue
+        if "--refresh" in sys.argv[1:]:
+            # Fixed 10-vector batch with fresh ids above the corpus
+            # range; idempotent per batch_id, so best-of-3 is valid.
+            batch = q.select(
+                (F.col("vec_id") + F.lit(n)).alias("vec_id"), "embedding"
+            )
+            b = float("inf")
+            for _ in range(3):
+                t = time.perf_counter()
+                refresh_ann_index(batch, path, "probe1")
+                b = min(b, time.perf_counter() - t)
+            # Leave the index as found: drop the probe delta so a
+            # later indexed/recompute run times the base state.
+            os.remove(os.path.join(path, "_DELTA_probe1._SUCCESS"))
+            shutil.rmtree(os.path.join(path, "codes_delta_probe1"))
+            print(f"{tag:>7} {n:>10,} refresh_s {b:>8.2f}")
             continue
 
         def best(fn, runs=3):

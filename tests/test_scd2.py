@@ -552,3 +552,136 @@ def test_scd2_cow_refresh_through_keyed_feed_layout(spark, tmp_path):
     want = _hist_cols(scd2_history(feed.unionByName(new_df), "k", "ts", "v"))
     got, _ = read_scd2_history(spark, hpath)
     assert _hist_cols(got) == want
+
+
+# ---------------------------------------------------------------------------
+# Daily feed deltas (refresh_scd2_feed) + the two-day cycle: day N's
+# refresh must see day N−1's batch through the feed layout, or a key
+# touched two days running silently loses day N−1.
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_feed_delta_append_and_base_only_view(spark, tmp_path):
+    from formula1_dataengineering_spark.operators.scd import (
+        read_scd2_feed,
+        refresh_scd2_feed,
+        write_scd2_feed,
+    )
+
+    feed = spark.createDataFrame([(1, _TS[0], "a"), (2, _TS[0], "a")], _SCHEMA)
+    day1 = spark.createDataFrame([(1, _TS[2], "b")], _SCHEMA)
+    path = str(tmp_path / "feed")
+    write_scd2_feed(feed, path, "k", "ts", "v", n_shards=2)
+    refresh_scd2_feed(day1, path, "day1")
+    with_deltas, _ = read_scd2_feed(spark, path)
+    base_only, _ = read_scd2_feed(spark, path, include_deltas=False)
+    assert with_deltas.count() == 3 and base_only.count() == 2
+    # Idempotent re-append; marker-less delta invisible.
+    refresh_scd2_feed(day1, path, "day1")
+    assert read_scd2_feed(spark, path)[0].count() == 3
+    import os
+
+    os.remove(os.path.join(path, "_DELTA_day1._SUCCESS"))
+    spark.catalog.refreshByPath(path)
+    assert read_scd2_feed(spark, path)[0].count() == 2
+    # A base rebuild purges deltas.
+    refresh_scd2_feed(day1, path, "day1")
+    write_scd2_feed(feed, path, "k", "ts", "v", n_shards=2)
+    assert read_scd2_feed(spark, path)[0].count() == 2
+    assert not any(
+        n.startswith(("feed_rows_delta_", "_DELTA_"))
+        for n in os.listdir(path)
+    )
+
+
+def test_scd2_two_day_cycle_retouched_key_keeps_day1(spark, tmp_path):
+    """THE case the feed delta exists for: key 1 changes on day 1 AND
+    day 2. Day 2's refresh re-windows key 1 from the feed — with the
+    day-1 delta appended it keeps all three states; reading the feed
+    base-only (simulating a lost append) provably drops the day-1
+    interval, so the delta is load-bearing, not bookkeeping."""
+    from formula1_dataengineering_spark.operators.scd import (
+        read_scd2_feed,
+        read_scd2_history,
+        refresh_scd2_feed,
+        scd2_history,
+        scd2_refresh_in_place,
+        write_scd2_feed,
+        write_scd2_history,
+    )
+
+    feed0 = spark.createDataFrame(
+        [(1, _TS[0], "a"), (2, _TS[0], "a")], _SCHEMA
+    )
+    day1 = spark.createDataFrame([(1, _TS[2], "b")], _SCHEMA)
+    day2 = spark.createDataFrame([(1, _TS[4], "c")], _SCHEMA)
+    fpath = str(tmp_path / "feed")
+    hpath = str(tmp_path / "hist")
+    write_scd2_feed(feed0, fpath, "k", "ts", "v", n_shards=2)
+    write_scd2_history(
+        scd2_history(feed0, "k", "ts", "v"), hpath, "k", n_shards=2
+    )
+    for day_df, bid in ((day1, "day1"), (day2, "day2")):
+        feed_v, fmeta = read_scd2_feed(spark, fpath)
+        scd2_refresh_in_place(
+            hpath, feed_v, day_df, "k", "ts", "v", feed_meta=fmeta
+        )
+        refresh_scd2_feed(day_df, fpath, bid)
+    got, _ = read_scd2_history(spark, hpath)
+    want = _hist_cols(
+        scd2_history(
+            feed0.unionByName(day1).unionByName(day2), "k", "ts", "v"
+        )
+    )
+    assert _hist_cols(got) == want
+    # Key 1 holds all three intervals — day 1's 'b' survived day 2.
+    k1 = [r for r in _hist_cols(got) if r[0] == 1]
+    assert [r[1] for r in k1] == ["a", "b", "c"]
+
+    # Counterfactual: replay day 2 against the BASE-ONLY feed view
+    # (the lost-append failure) — the day-1 interval vanishes.
+    feed_base, fmeta = read_scd2_feed(spark, fpath, include_deltas=False)
+    scd2_refresh_in_place(
+        hpath, feed_base, day2, "k", "ts", "v", feed_meta=fmeta
+    )
+    lost, _ = read_scd2_history(spark, hpath)
+    k1_lost = [r for r in _hist_cols(lost) if r[0] == 1]
+    assert [r[1] for r in k1_lost] == ["a", "c"]
+
+
+def test_scd2_two_day_cycle_is_idempotent(spark, tmp_path):
+    from formula1_dataengineering_spark.operators.scd import (
+        read_scd2_feed,
+        read_scd2_history,
+        refresh_scd2_feed,
+        scd2_history,
+        scd2_refresh_in_place,
+        write_scd2_feed,
+        write_scd2_history,
+    )
+
+    feed0 = spark.createDataFrame(
+        [(k, _TS[0], "a") for k in range(6)], _SCHEMA
+    )
+    day1 = spark.createDataFrame([(1, _TS[2], "b"), (3, _TS[2], "b")], _SCHEMA)
+    day2 = spark.createDataFrame([(1, _TS[4], "c"), (5, _TS[4], "b")], _SCHEMA)
+    fpath = str(tmp_path / "feed")
+    hpath = str(tmp_path / "hist")
+    write_scd2_feed(feed0, fpath, "k", "ts", "v", n_shards=2)
+    write_scd2_history(
+        scd2_history(feed0, "k", "ts", "v"), hpath, "k", n_shards=2
+    )
+    want = _hist_cols(
+        scd2_history(
+            feed0.unionByName(day1).unionByName(day2), "k", "ts", "v"
+        )
+    )
+    for _ in range(2):  # the whole cycle re-runs (crash-retry story)
+        for day_df, bid in ((day1, "day1"), (day2, "day2")):
+            feed_v, fmeta = read_scd2_feed(spark, fpath)
+            scd2_refresh_in_place(
+                hpath, feed_v, day_df, "k", "ts", "v", feed_meta=fmeta
+            )
+            refresh_scd2_feed(day_df, fpath, bid)
+        got, _ = read_scd2_history(spark, hpath)
+        assert _hist_cols(got) == want
