@@ -95,10 +95,11 @@ def write_scd2_feed(
 
     Partitioning by the KEY's shard is what turns the refresh's
     changed-key semi-join into a pruned read: the refresher computes
-    the same shard on the batch side and joins on (shard, key), so
-    dynamic partition pruning skips every feed shard the batch does
-    not touch — a trickle CDC batch against a 100 TB feed reads a
-    handful of shard directories, not the feed.
+    the same shard on the batch side, applies the collected
+    touched-shard set as a STATIC partition filter, and joins on
+    (shard, key) — a trickle CDC batch against a 100 TB feed reads a
+    handful of shard directories, not the feed (see
+    :func:`_touched_feed_slice` for why static, not DPP).
 
     Layout contract mirrors ``write_dedup_index``: the writer's
     (n_shards, salt, mode, column names, schema) persist in
@@ -283,6 +284,7 @@ def _touched_feed_slice(
     key_col: str,
     cols: list[str],
     feed_meta: dict | None,
+    _shards: list | None = None,
 ) -> DataFrame:
     """The touched keys' feed rows — ONE copy of the changed-key
     semi-join both refresh shapes run. Without ``feed_meta``: a plain
@@ -328,11 +330,18 @@ def _touched_feed_slice(
     # Bounded driver-side materialization: distinct SHARD ids only
     # (≤ n_shards rows), computed from the O(batch) changed-key set.
     # The (shard, key) semi-join below still does the key-level
-    # filtering inside the surviving shards.
-    touched_shards = [
-        r["shard"]
-        for r in touched_sharded.select("shard").distinct().collect()
-    ]
+    # filtering inside the surviving shards. ``_shards`` lets a caller
+    # that already collected the same assignment's shard set (the
+    # in-place refresh, whose history layout shares the HRW salt)
+    # skip this one extra job.
+    touched_shards = (
+        _shards
+        if _shards is not None
+        else [
+            r["shard"]
+            for r in touched_sharded.select("shard").distinct().collect()
+        ]
+    )
     return (
         feed.where(F.col("shard").isin(touched_shards))
         .join(broadcast(touched_sharded), ["shard", key_col], "left_semi")
@@ -492,7 +501,20 @@ def scd2_refresh_in_place(
         for r in touched_sharded.select("shard").distinct().collect()
     ]
     feed_slice = _touched_feed_slice(
-        feed, touched, key_col, cols, feed_meta
+        feed,
+        touched,
+        key_col,
+        cols,
+        feed_meta,
+        # The history and feed layouts share the HRW salt/mode, so an
+        # equal shard count means an identical touched-shard set — the
+        # helper can reuse this collect instead of running its own job.
+        _shards=(
+            touched_shards
+            if feed_meta is not None
+            and int(feed_meta["n_shards"]) == n_shards
+            else None
+        ),
     )
     rebuilt = scd2_history(
         feed_slice.unionByName(new_changes.select(*cols)),
