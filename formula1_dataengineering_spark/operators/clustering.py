@@ -943,6 +943,18 @@ def refresh_ann_index(
     _, codebook, cells, _ = read_ann_index(
         spark, path, include_deltas=False
     )
+    # An empty-corpus index has NO trained codebook: encoding against
+    # it would emit zero code rows and silently LOSE every appended
+    # vector (and assign_ivf_cells would do the same against zero
+    # cells). The dedup index can bootstrap from empty (signatures are
+    # corpus-independent); a trained index cannot — fail loudly.
+    if codebook.isEmpty():
+        raise ValueError(
+            f"refresh_ann_index: the index at {path!r} was written "
+            "from an empty corpus and has no trained codebook — "
+            "appending would silently drop every vector; rebuild with "
+            "write_ann_index over a non-empty corpus first"
+        )
     coded = pq_encode_with_codebook(
         new_vectors, codebook, m=m, id_col=id_col, vec_col=vec_col
     ).select(id_col, "sub_id", "code")

@@ -2454,12 +2454,11 @@ FROM rec
 # themselves probing nprobe=2 cells of base ∪ delta: batch vectors
 # exist ONLY in the delta, so every batch id appearing as a neighbor
 # proves the delta is unioned and pruned-probed like the base.
-ORACLE_SQL["ann_index_delta_topk"] = _pq_train_sql(
-    " WHERE vec_id % 97 <> 0"
-).replace(
-    "SELECT vec_id, list_transform",
-    "SELECT vec_id, label, list_transform",
-) + """, lc AS (
+#: Shared replay of the incremental-index state (corpus-trained
+#: codebooks/cells + stored-codebook batch encode + nearest-cell
+#: insert) — ONE copy behind ann_index_delta_topk AND
+#: ann_delta_recall (the scoring/recall tails differ).
+_ANN_DELTA_CTES = """, lc AS (
   SELECT a.vec_id, a.sub_id, a.cluster, e.label
   FROM a2 a JOIN e USING (vec_id)
 ), cellc AS (
@@ -2499,7 +2498,14 @@ ORACLE_SQL["ann_index_delta_topk"] = _pq_train_sql(
   UNION ALL
   SELECT bc.vec_id, bc.sub_id, bc.cluster, bl.label
   FROM bcode bc JOIN bcell bl USING (vec_id)
-), qprobe AS (
+)"""
+
+_ANN_DELTA_PREFIX = _pq_train_sql(" WHERE vec_id % 97 <> 0").replace(
+    "SELECT vec_id, list_transform",
+    "SELECT vec_id, label, list_transform",
+) + _ANN_DELTA_CTES
+
+ORACLE_SQL["ann_index_delta_topk"] = _ANN_DELTA_PREFIX + """, qprobe AS (
   SELECT q_id, label FROM (
     SELECT q.vec_id AS q_id, c.label, row_number() OVER (
       PARTITION BY q.vec_id ORDER BY
@@ -2526,6 +2532,76 @@ SELECT q_id, vec_id, adc_dist, CAST(rk AS INT) AS rk FROM (
     PARTITION BY q_id ORDER BY adc_dist, vec_id) AS rk
   FROM scored s
 ) WHERE rk <= 5
+"""
+
+
+# ann_delta_recall: recall@5 of the DELTA-inserted vectors querying
+# base ∪ delta at nprobe ∈ {1,2,4}, scored against the exact
+# squared-L2 top-5 over ALL vectors (corpus ∪ batch) — the number
+# that prices the add-after-train trade (frozen codebooks / cell
+# centroids between rebuilds). Shares _ANN_DELTA_PREFIX with the
+# topk gate; only the probe/recall tail differs.
+ORACLE_SQL["ann_delta_recall"] = _ANN_DELTA_PREFIX + """, np(nprobe) AS (
+  SELECT * FROM (VALUES (1), (2), (4))
+), qcell AS (
+  SELECT q.vec_id AS q_id, c.label,
+         list_reduce(list_transform(list_zip(q.v, c.c),
+           x -> (x[1] - x[2]) * (x[1] - x[2])), (acc, t) -> acc + t) AS cd
+  FROM b q CROSS JOIN cellc c
+), qprobe AS (
+  SELECT n.nprobe, x.q_id, x.label FROM (
+    SELECT q_id, label, row_number() OVER (
+      PARTITION BY q_id ORDER BY cd, label) AS crk
+    FROM qcell
+  ) x JOIN np n ON x.crk <= n.nprobe
+), lut AS (
+  SELECT q.vec_id AS q_id, q.sub_id, c.cluster AS code,
+         list_reduce(list_transform(list_zip(q.sv, c.c),
+           x -> (x[1] - x[2]) * (x[1] - x[2])), (a, b) -> a + b) AS ld
+  FROM bsub q JOIN c1 c USING (sub_id)
+), scored AS (
+  SELECT p.nprobe, p.q_id, a.vec_id, round(sum(l.ld), 6) AS adc_dist
+  FROM qprobe p
+  JOIN allc a ON a.label = p.label
+  JOIN lut l ON l.q_id = p.q_id AND l.sub_id = a.sub_id
+            AND l.code = a.cluster
+  GROUP BY 1, 2, 3
+), approx AS (
+  SELECT nprobe, q_id, vec_id AS neighbor_id FROM (
+    SELECT s.*, row_number() OVER (
+      PARTITION BY nprobe, q_id ORDER BY adc_dist, vec_id) AS rk
+    FROM scored s
+  ) WHERE rk <= 5
+), e_all AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), ed AS (
+  SELECT q.vec_id AS q_id, a.vec_id AS neighbor_id,
+         list_reduce(list_transform(list_zip(q.v, a.v),
+           x -> (x[1] - x[2]) * (x[1] - x[2])), (acc, t) -> acc + t) AS d
+  FROM b q CROSS JOIN e_all a
+), exact AS (
+  SELECT q_id, neighbor_id FROM (
+    SELECT q_id, neighbor_id, row_number() OVER (
+      PARTITION BY q_id ORDER BY d, neighbor_id) AS rk
+    FROM ed
+  ) WHERE rk <= 5
+), nq AS (
+  SELECT count(DISTINCT q_id) AS n_queries FROM exact
+)
+SELECT CAST(h.nprobe AS INT) AS nprobe,
+       CAST(nq.n_queries AS BIGINT) AS n_queries,
+       CAST(h.n_hits AS BIGINT) AS n_hits,
+       round(h.n_hits * 1.0 / (nq.n_queries * 5), 4) AS recall_at_5
+FROM (
+  SELECT ap.nprobe, count(*) AS n_hits
+  FROM approx ap
+  WHERE EXISTS (
+    SELECT 1 FROM exact x
+    WHERE x.q_id = ap.q_id AND x.neighbor_id = ap.neighbor_id
+  )
+  GROUP BY 1
+) h CROSS JOIN nq
 """
 
 

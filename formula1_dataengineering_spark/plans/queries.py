@@ -6449,6 +6449,95 @@ def ann_index_delta_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_delta_recall")
+def ann_delta_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall accounting for DELTA-INSERTED vectors — the number that
+    prices refresh_ann_index's add-after-train trade: codebooks and
+    cell centroids stay frozen between rebuilds, so late-inserted
+    vectors carry whatever quantization/cell-boundary error the
+    corpus-trained index assigns them. Each batch vector queries
+    base ∪ delta at nprobe ∈ {1,2,4} and recall@5 is scored against
+    the exact squared-L2 top-5 over ALL vectors (corpus ∪ batch) —
+    when this table sags vs ann_multiprobe_recall's, it is rebuild
+    time. Same layout artifact as ann_index_delta_topk (the gates
+    share the stored index and its day-1 delta)."""
+    from ..operators.clustering import (
+        ivf_pq_topk_from_index,
+        read_ann_index,
+        refresh_ann_index,
+        write_ann_index,
+    )
+    from ..operators.scalars import broadcast_scalars
+    from ..sources.catalog import layout_artifact
+
+    e = load(spark, sf_dir, "embeddings")
+    corpus = e.where(F.col("vec_id") % 97 != 0)
+    batch = e.where(F.col("vec_id") % 97 == 0)
+    path, fresh = layout_artifact(
+        sf_dir, "spark_graft_ann_delta_v1", "embeddings"
+    )
+    if not fresh:
+        write_ann_index(corpus, path, m=8, k=4, iters=2)
+    refresh_ann_index(batch, path, batch_id="day1")
+    codes, codebook, cells, meta = read_ann_index(spark, path)
+    q = batch.select("vec_id", "embedding")
+
+    sq = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    one = lambda c: F.pmod(  # noqa: E731
+        F.crc32(c.cast("string")), F.lit(1)
+    ).cast("int")
+    vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    qe = q.select(
+        F.col("vec_id").alias("q_id"), vec_d.alias("__qv")
+    ).withColumn("__k", one(F.col("q_id")))
+    ce = e.select(
+        F.col("vec_id").alias("neighbor_id"), vec_d.alias("__cv")
+    ).withColumn("__k", one(F.col("neighbor_id")))
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("__d").asc(), F.col("neighbor_id").asc()
+    )
+    exact = (
+        ce.join(F.broadcast(qe), "__k")
+        .select("q_id", "neighbor_id", sq("__qv", "__cv").alias("__d"))
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= 5)
+        .select("q_id", "neighbor_id")
+    )
+    probes = [
+        ivf_pq_topk_from_index(
+            q, codes, codebook, m=8, k=4, iters=2, topk=5,
+            index_meta=meta, cells=cells, nprobe=n,
+        ).select(
+            F.lit(n).alias("nprobe"),
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+        )
+        for n in (1, 2, 4)
+    ]
+    approx = probes[0].unionByName(probes[1]).unionByName(probes[2])
+    hits = (
+        approx.join(exact, ["q_id", "neighbor_id"], "left_semi")
+        .groupBy("nprobe")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    nq = exact.agg(F.countDistinct("q_id").alias("n_queries"))
+    return (
+        broadcast_scalars(hits, nq, "n_hits", "n_queries")
+        .select(
+            "nprobe",
+            "n_queries",
+            "n_hits",
+            F.round(
+                F.col("n_hits") / (F.col("n_queries") * 5), 4
+            ).alias("recall_at_5"),
+        )
+    )
+
+
 @query("e2e_ingest_neardup_resolution")
 def e2e_ingest_neardup_resolution(
     spark: SparkSession, sf_dir: str

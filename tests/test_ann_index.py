@@ -517,3 +517,24 @@ def test_delta_probe_returns_batch_vectors_as_neighbors(spark, tmp_path):
     }
     # Delta rows are probed: batch ids appear as neighbors at all.
     assert neighbors & batch_ids
+
+
+def test_refresh_refuses_untrained_empty_corpus_index(spark, tmp_path):
+    """An empty-corpus index has no trained codebook: a refresh
+    against it would encode ZERO code rows and silently lose every
+    appended vector — the contract raises instead (the dedup index
+    bootstraps from empty because signatures are corpus-independent;
+    a trained index cannot)."""
+    import pytest as _pytest
+
+    from formula1_dataengineering_spark.operators.clustering import (
+        refresh_ann_index,
+        write_ann_index,
+    )
+
+    e = _emb(spark)
+    empty = e.where("vec_id < 0")
+    path = str(tmp_path / "ann_empty")
+    write_ann_index(empty, path, m=4, k=3, iters=2)
+    with _pytest.raises(ValueError, match="empty corpus"):
+        refresh_ann_index(e.where("vec_id < 5"), path, "day1")
