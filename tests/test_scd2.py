@@ -685,3 +685,40 @@ def test_scd2_two_day_cycle_is_idempotent(spark, tmp_path):
             refresh_scd2_feed(day_df, fpath, bid)
         got, _ = read_scd2_history(spark, hpath)
         assert _hist_cols(got) == want
+
+
+def test_scd2_cow_refresh_with_mismatched_layout_shard_counts(
+    spark, tmp_path
+):
+    """The feed and history layouts may be sharded differently (e.g.
+    the feed re-sharded finer as it grows): the in-place refresh can
+    then NOT reuse its history-side shard collect for the feed slice
+    (different n_shards → different HRW sets) and must fall back to
+    the feed layout's own assignment — result still equals the
+    rebuild."""
+    from formula1_dataengineering_spark.operators.scd import (
+        read_scd2_feed,
+        read_scd2_history,
+        scd2_history,
+        scd2_refresh_in_place,
+        write_scd2_feed,
+        write_scd2_history,
+    )
+
+    rows = [(k, _TS[i], v) for k in range(12) for i, v in [(0, "a"), (2, "b")]]
+    new_rows = [(3, _TS[4], "c"), (7, _TS[1], "b")]
+    feed = spark.createDataFrame(rows, _SCHEMA)
+    new_df = spark.createDataFrame(new_rows, _SCHEMA)
+    fpath = str(tmp_path / "feed")
+    hpath = str(tmp_path / "hist")
+    write_scd2_feed(feed, fpath, "k", "ts", "v", n_shards=8)
+    feed_sharded, fmeta = read_scd2_feed(spark, fpath)
+    write_scd2_history(
+        scd2_history(feed, "k", "ts", "v"), hpath, "k", n_shards=2
+    )
+    scd2_refresh_in_place(
+        hpath, feed_sharded, new_df, "k", "ts", "v", feed_meta=fmeta
+    )
+    want = _hist_cols(scd2_history(feed.unionByName(new_df), "k", "ts", "v"))
+    got, _ = read_scd2_history(spark, hpath)
+    assert _hist_cols(got) == want
