@@ -496,19 +496,26 @@ def assign_ivf_cells(
     # Single-valued-key broadcast hash join (the kmeans_assignments
     # fan-out shape): the catalog bans nested-loop joins, and a
     # column-derived key keeps Catalyst from constant-folding this
-    # back into a cross join.
+    # back into a cross join. pmod(crc32(coalesce(cast, ''))) on BOTH
+    # sides — the multiprobe scorer's one-key idiom, null-proofed —
+    # because pmod(id, 1) is NULL for string or null ids (non-ANSI)
+    # and crc32 propagates NULL, either of which would silently drop
+    # those vectors from the assignment (ADVICE r12).
+    one_key = lambda c: (  # noqa: E731
+        F.pmod(
+            F.crc32(F.coalesce(c.cast("string"), F.lit(""))), F.lit(1)
+        ).cast("int")
+    )
     cc = cells.select(
         F.col(cell_col).alias("__cell"),
         F.col("centroid").alias("__c"),
-        F.pmod(F.crc32(F.col(cell_col).cast("string")), F.lit(1))
-        .cast("int")
-        .alias("__k"),
+        one_key(F.col(cell_col)).alias("__k"),
     )
     return (
         emb.select(
             F.col(id_col),
             vec_d.alias("__v"),
-            F.pmod(F.col(id_col), F.lit(1)).cast("int").alias("__k"),
+            one_key(F.col(id_col)).alias("__k"),
         )
         .join(F.broadcast(cc), "__k")
         .select(
@@ -800,7 +807,12 @@ def write_ann_index(
     fsutil.touch(spark, os.path.join(path, "_SUCCESS"))
 
 
-def read_ann_index(spark, path: str, include_deltas: bool = True):
+def read_ann_index(
+    spark,
+    path: str,
+    include_deltas: bool = True,
+    exclude_deltas: frozenset[str] | set[str] = frozenset(),
+):
     """Open a :func:`write_ann_index` layout: ``(codes, codebook,
     cells, meta)``. Refuses a layout with no ``_SUCCESS`` (half-written)
     or no ``_META.json`` (unknown training params — probing a PQ index
@@ -813,9 +825,13 @@ def read_ann_index(spark, path: str, include_deltas: bool = True):
     the delta landed), and each delta keeps the same cell partition
     column, so probe-side pruning applies per scan.
     ``include_deltas=False`` opens the BASE state only (the day-N−1
-    view a retried ingest must probe). The codebook and cell centroids
-    are base-trained and never change between rebuilds — see
-    :func:`refresh_ann_index` for the recall-drift contract.
+    view a retried ingest must probe); ``exclude_deltas`` drops named
+    committed batches from the union (the view
+    :func:`refresh_ann_index`'s disjointness guard needs: a RETRY of
+    batch N must check its ids against base ∪ every-other-delta, not
+    against its own about-to-be-overwritten rows). The codebook and
+    cell centroids are base-trained and never change between rebuilds
+    — see :func:`refresh_ann_index` for the recall-drift contract.
 
     Missing-vs-empty (ADVICE r11): a table directory that does not
     exist under a marker-bearing layout is CORRUPTION — the writer
@@ -870,6 +886,8 @@ def read_ann_index(spark, path: str, include_deltas: bool = True):
     codes = _open("codes", "codes_schema")
     if include_deltas:
         for bid in committed:
+            if bid in exclude_deltas:
+                continue
             codes = codes.unionByName(
                 _open_dir(
                     os.path.join(path, f"codes_delta_{bid}"),
@@ -891,6 +909,7 @@ def refresh_ann_index(
     batch_id: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    check_disjoint: bool = True,
 ) -> None:
     """Append one ingest batch of vectors to a stored IVF-PQ index as
     a DELTA — the production shape that makes the stored index
@@ -914,7 +933,21 @@ def refresh_ann_index(
     commit marker is removed before the write and recreated only after
     the delta landed, so readers never see a half-written batch;
     refuses a marker-less base, a metadata-less (pre-v2) layout, and a
-    batch_id that could escape the layout or dodge marker discovery."""
+    batch_id that could escape the layout or dodge marker discovery.
+
+    INSERT-ONLY semantics (ADVICE r12): the append is NOT an upsert.
+    A batch id already present in base ∪ committed deltas would leave
+    two (id, sub_id) code rows in :func:`read_ann_index`'s union, and
+    the ADC scorer's per-(query, id) sum would then double-count that
+    vector's subspace terms — silently corrupting every ranking it
+    appears in. With ``check_disjoint=True`` (default) the refresh
+    joins the batch ids against the existing ids (one column-pruned
+    pass over the codes' ``sub_id = 0`` rows — O(index ids), the
+    price of the guarantee) and raises on any intersection; the view
+    checked excludes THIS batch_id's own prior delta, so the
+    (path, batch_id) retry contract is unaffected. Callers that
+    guarantee disjointness upstream (e.g. a monotonic id allocator)
+    may pass ``check_disjoint=False`` to skip the pass."""
     import os
     import re
 
@@ -940,6 +973,32 @@ def refresh_ann_index(
         )
     cell_col = meta["cell_col"]
     m = int(meta["m"])
+    if check_disjoint:
+        existing, _, _, _ = read_ann_index(
+            spark, path, exclude_deltas={batch_id}
+        )
+        clash = (
+            existing.where(F.col("sub_id") == 0)
+            .select(id_col)
+            .join(
+                F.broadcast(new_vectors.select(id_col).distinct()),
+                id_col,
+                "left_semi",
+            )
+        )
+        clashing = [r[0] for r in clash.limit(5).collect()]
+        if clashing:
+            raise ValueError(
+                f"refresh_ann_index: batch {batch_id!r} contains ids "
+                f"already present in the index at {path!r} (e.g. "
+                f"{clashing}) — the append is insert-only: a second "
+                "(id, sub_id) code row would make the ADC scorer "
+                "double-count that vector's subspace distances and "
+                "silently corrupt its rankings; rebuild with "
+                "write_ann_index to replace vectors (or pass "
+                "check_disjoint=False if disjointness is guaranteed "
+                "upstream)"
+            )
     _, codebook, cells, _ = read_ann_index(
         spark, path, include_deltas=False
     )

@@ -538,3 +538,75 @@ def test_refresh_refuses_untrained_empty_corpus_index(spark, tmp_path):
     write_ann_index(empty, path, m=4, k=3, iters=2)
     with _pytest.raises(ValueError, match="empty corpus"):
         refresh_ann_index(e.where("vec_id < 5"), path, "day1")
+
+
+def test_refresh_refuses_overlapping_batch_ids(spark, tmp_path):
+    """Insert-only contract (ADVICE r12): re-ingesting an id that
+    already has code rows would make the ADC scorer double-count its
+    subspace distances — the refresh raises on any id intersection
+    with base ∪ other committed deltas, while (a) the same-batch_id
+    RETRY stays legal (its own prior delta is excluded from the
+    check) and (b) check_disjoint=False skips the pass for callers
+    with an upstream guarantee."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from formula1_dataengineering_spark.operators.clustering import (
+        read_ann_index,
+        refresh_ann_index,
+        write_ann_index,
+    )
+
+    e = _emb(spark)
+    corpus = e.where(F.col("vec_id") % 5 != 0)
+    batch = e.where(F.col("vec_id") % 5 == 0)
+    path = str(tmp_path / "ann")
+    write_ann_index(corpus, path, m=4, k=3, iters=2)
+    refresh_ann_index(batch, path, "day1")
+    # Retry of the SAME batch_id: legal (idempotent overwrite).
+    refresh_ann_index(batch, path, "day1")
+    # A base id under a NEW batch_id: raises.
+    with _pytest.raises(ValueError, match="insert-only"):
+        refresh_ann_index(e.where("vec_id = 1"), path, "day2")
+    # A day1-delta id under a NEW batch_id: raises too.
+    with _pytest.raises(ValueError, match="insert-only"):
+        refresh_ann_index(e.where("vec_id = 5"), path, "day2")
+    n_before = read_ann_index(spark, path)[0].count()
+    # Opt-out lands the (corrupting) delta — caller's guarantee.
+    refresh_ann_index(
+        e.where("vec_id = 1"), path, "day2", check_disjoint=False
+    )
+    assert read_ann_index(spark, path)[0].count() == n_before + 4
+
+
+def test_assign_ivf_cells_handles_string_and_null_ids(spark, tmp_path):
+    """The batch-side broadcast key is pmod(crc32(coalesce(cast)))
+    (ADVICE r12): pmod(id, 1) is NULL for string ids under non-ANSI
+    semantics and crc32 propagates NULL ids — either would silently
+    drop vectors from the delta. Every row must survive assignment."""
+    from formula1_dataengineering_spark.operators.clustering import (
+        assign_ivf_cells,
+        ivf_cell_centroids,
+    )
+
+    e = _emb(spark)
+    cells = ivf_cell_centroids(e, "label").withColumnRenamed(
+        "label", "cell"
+    )
+    named = e.selectExpr(
+        "concat('doc-', cast(vec_id as string)) as vec_id",
+        "embedding",
+    )
+    got = assign_ivf_cells(named, cells, cell_col="cell")
+    assert got.count() == named.count()
+    assert got.where("cell is null").count() == 0
+    # A null id still gets an assignment row (callers route nulls).
+    withnull = named.unionByName(
+        spark.createDataFrame(
+            [(None, [0.0] * _D)], "vec_id string, embedding array<double>"
+        )
+    )
+    assert assign_ivf_cells(withnull, cells, cell_col="cell").count() == (
+        named.count() + 1
+    )

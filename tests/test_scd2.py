@@ -722,3 +722,81 @@ def test_scd2_cow_refresh_with_mismatched_layout_shard_counts(
     want = _hist_cols(scd2_history(feed.unionByName(new_df), "k", "ts", "v"))
     got, _ = read_scd2_history(spark, hpath)
     assert _hist_cols(got) == want
+
+
+def test_scd2_cow_crash_recovery_rerun_completes(spark, tmp_path):
+    """The crash-recovery contract the docstring promises (ADVICE r12,
+    medium): scd2_refresh_in_place removes _SUCCESS before its
+    non-atomic dynamic overwrite, so a crash mid-write leaves a
+    marker-less layout. External readers must refuse it — but
+    RE-RUNNING the refresh must open it, complete the rewrite, and
+    restore the marker; anything else bricks the layout until a full
+    rebuild."""
+    import os
+
+    import pytest as _pytest
+
+    from formula1_dataengineering_spark.operators.scd import (
+        read_scd2_history,
+        scd2_history,
+        scd2_refresh_in_place,
+        write_scd2_history,
+    )
+
+    rows = [(k, _TS[0], "a") for k in range(12)]
+    new_rows = [(3, _TS[2], "b"), (7, _TS[3], "c")]
+    feed = spark.createDataFrame(rows, _SCHEMA)
+    new_df = spark.createDataFrame(new_rows, _SCHEMA)
+    path = str(tmp_path / "hist")
+    write_scd2_history(
+        scd2_history(feed, "k", "ts", "v"), path, "k", n_shards=4
+    )
+    # Simulate the crash window: marker gone, layout half-written
+    # (here: still the pre-refresh state, the worst recoverable case).
+    os.remove(os.path.join(path, "_SUCCESS"))
+    with _pytest.raises(ValueError, match="no _SUCCESS marker"):
+        read_scd2_history(spark, path)
+    # Recovery = re-running the same refresh.
+    scd2_refresh_in_place(path, feed, new_df, "k", "ts", "v")
+    got, _ = read_scd2_history(spark, path)
+    want = _hist_cols(
+        scd2_history(feed.unionByName(new_df), "k", "ts", "v")
+    )
+    assert _hist_cols(got) == want
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def test_scd2_cow_refresh_drops_null_key_batch_rows(spark, tmp_path):
+    """Null-key batch rows are filtered at entry (ADVICE r12): the
+    refresh result equals the refresh with a pre-filtered batch, and
+    the layout never grows a NULL shard partition."""
+    import glob
+    import os
+
+    from formula1_dataengineering_spark.operators.scd import (
+        read_scd2_history,
+        scd2_history,
+        scd2_refresh_in_place,
+        write_scd2_history,
+    )
+
+    rows = [(k, _TS[0], "a") for k in range(8)]
+    feed = spark.createDataFrame(rows, _SCHEMA)
+    new_df = spark.createDataFrame(
+        [(2, _TS[2], "b"), (None, _TS[2], "x")], _SCHEMA
+    )
+    path = str(tmp_path / "hist")
+    write_scd2_history(
+        scd2_history(feed, "k", "ts", "v"), path, "k", n_shards=4
+    )
+    scd2_refresh_in_place(path, feed, new_df, "k", "ts", "v")
+    got, _ = read_scd2_history(spark, path)
+    want = _hist_cols(
+        scd2_history(
+            feed.unionByName(new_df.where("k is not null")), "k", "ts", "v"
+        )
+    )
+    assert _hist_cols(got) == want
+    assert not glob.glob(
+        os.path.join(path, "history_rows", "*HIVE_DEFAULT*")
+    )
