@@ -4579,3 +4579,47 @@ SELECT doc_id, cluster_id,
        )) AS keep
 FROM q
 """
+
+
+# Compaction gates (round 13, VERDICT r12 item 1): a fold of the
+# *_delta_* directories into the base partitions must be INVISIBLE to
+# every probe — so each oracle is the corresponding pre-existing
+# replay (one semantic truth again: a compaction that changed any
+# probed value would hash-diverge) wrapped with the gates' literal
+# proof columns. n_diff_rows is MEASURED Spark-side (the multiset
+# |before △ after| across the fold) and must be 0; deltas_remaining
+# counts surviving delta dirs/markers after the fold and must be 0.
+_COMPACT_PROOF = (
+    ", CAST(0 AS INTEGER) AS n_diff_rows"
+    ", CAST(0 AS INTEGER) AS deltas_remaining"
+)
+
+# The dedup fold replays the e2e ingest chain's REPROBE: the compacted
+# base is exactly corpus ∪ accepted (= idx2), so the batch probed
+# against it must match the oracle's base ∪ deltas flag topology.
+ORACLE_SQL["dedup_index_compaction_probe"] = (
+    "SELECT doc_id, reprobe_action AS final_action"
+    + _COMPACT_PROOF
+    + " FROM ("
+    + ORACLE_SQL["end_to_end_incremental_ingest"]
+    + ")"
+)
+
+ORACLE_SQL["ann_index_compaction_topk"] = (
+    "SELECT q_id, vec_id, adc_dist, rk"
+    + _COMPACT_PROOF
+    + " FROM ("
+    + ORACLE_SQL["ann_index_delta_topk"]
+    + ")"
+)
+
+# feed0 ∪ day1 ∪ day2 = all events: the post-compaction history joins
+# the SCD2 family's one-truth full-rebuild text.
+ORACLE_SQL["scd2_feed_compaction_history"] = (
+    "SELECT user_id, event_type, effective_from_us, effective_to_us,"
+    " is_current"
+    + _COMPACT_PROOF
+    + " FROM ("
+    + ORACLE_SQL["scd2_user_event_history"]
+    + ")"
+)

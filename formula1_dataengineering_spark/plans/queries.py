@@ -6611,3 +6611,228 @@ def e2e_ingest_neardup_resolution(
         .join(counts, "cluster_id")
         .select("doc_id", "n_members", "canonical_id", "keep")
     )
+
+
+def _layout_delta_residue(spark: SparkSession, path: str) -> int:
+    """How many delta directories / commit markers remain under a
+    stored layout — the compaction gates emit this as a hashed proof
+    column (0 after a successful fold)."""
+    from .. import fsutil
+
+    return sum(
+        1
+        for n in fsutil.list_names(spark, path)
+        if "_delta_" in n or n.startswith("_DELTA_")
+    )
+
+
+def _symmetric_diff_count(before: DataFrame, after: DataFrame) -> int:
+    """|before △ after| under multiset semantics — the compaction
+    gates' in-query equality witness (0 when the fold preserved the
+    layout's row multiset exactly). Bounded: both sides are gate-sized
+    probe outputs, not the corpus."""
+    return (
+        before.exceptAll(after).count() + after.exceptAll(before).count()
+    )
+
+
+@query("dedup_index_compaction_probe")
+def dedup_index_compaction_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DELTA COMPACTION of the stored dedup index (VERDICT r12
+    item 1) — the closing arc of the index lifecycle: after two
+    accepted ingest days land as deltas, compact_dedup_index folds
+    them into the base shards as a pure partition-wise merge (no
+    re-hashing, no re-shingling: delta rows carry their HRW shard
+    from ingest time; untouched shards stay byte-identical —
+    tests/test_compaction.py). The hashed row proves the fold three
+    ways: ``final_action`` (the batch probed against the compacted
+    base) must replay the pre-compaction base ∪ deltas probe the
+    DuckDB oracle computes; ``n_diff_rows`` is the measured
+    |before △ after| of the full flag tables across the fold (0);
+    ``deltas_remaining`` counts surviving delta dirs/markers (0).
+
+    100 TB story: a year of daily ingests is 365 delta directories —
+    365 extra scans unioned into every probe. Compaction reclaims
+    them for the cost of rewriting only the shards the deltas
+    actually touch, while the layout stays readable through staging
+    and a crash mid-commit is resumable (the manifest protocol)."""
+    from ..operators.compaction import compact_dedup_index
+    from ..operators.dedup import (
+        incremental_dedup_from_index,
+        read_dedup_index,
+        refresh_dedup_index,
+        write_dedup_index,
+    )
+    from ..sources.catalog import layout_artifact
+
+    d = load(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") % 97 != 0)
+    batch = d.where(F.col("doc_id") % 97 == 0)
+    path, fresh = layout_artifact(
+        sf_dir, "spark_graft_dedup_compact_v1", "documents"
+    )
+    if not fresh:
+        write_dedup_index(corpus, path)
+        h0, b0, m0 = read_dedup_index(spark, path, include_deltas=False)
+        # Acceptance from the day-N−1 base state (the e2e gate's
+        # contract); the accepted docs land as TWO deltas so the fold
+        # exercises multi-batch merging.
+        flags0 = incremental_dedup_from_index(
+            batch, h0, b0, index_meta=m0
+        ).localCheckpoint(eager=True)
+        accepted = batch.join(
+            flags0.where(F.col("action") == "ingest").select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+        refresh_dedup_index(
+            accepted.where(F.expr("doc_id div 97") % 2 == 0),
+            path,
+            "day1",
+        )
+        refresh_dedup_index(
+            accepted.where(F.expr("doc_id div 97") % 2 == 1),
+            path,
+            "day2",
+        )
+        h1, b1, m1 = read_dedup_index(spark, path)
+        before = incremental_dedup_from_index(
+            batch, h1, b1, index_meta=m1
+        ).localCheckpoint(eager=True)
+        compact_dedup_index(spark, path)
+        h2, b2, m2 = read_dedup_index(spark, path)
+        after = incremental_dedup_from_index(batch, h2, b2, index_meta=m2)
+        n_diff = _symmetric_diff_count(before, after)
+    else:
+        # Already folded on a prior drive: the compacted base IS
+        # corpus ∪ accepted — the probe replays the same truth.
+        h2, b2, m2 = read_dedup_index(spark, path)
+        after = incremental_dedup_from_index(batch, h2, b2, index_meta=m2)
+        n_diff = 0
+    return after.select(
+        "doc_id",
+        F.col("action").alias("final_action"),
+        F.lit(n_diff).cast("int").alias("n_diff_rows"),
+        F.lit(_layout_delta_residue(spark, path))
+        .cast("int")
+        .alias("deltas_remaining"),
+    )
+
+
+@query("ann_index_compaction_topk")
+def ann_index_compaction_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DELTA COMPACTION of the stored IVF-PQ index: the day-1 ingest
+    delta (stored-codebook encode + frozen-centroid cell insert) is
+    folded into the base ``codes`` partitions — maintenance, not
+    retraining: codebook and coarse centroids keep their exact bytes
+    (test-pinned), so compaction does NOT reset ann_delta_recall's
+    drift accounting; it reclaims the per-probe delta-union fan-in.
+    The hashed row is the post-compaction nprobe=2 ADC top-5 of the
+    batch vectors (must replay the oracle's base ∪ delta probe) plus
+    the measured |before △ after| and surviving-delta counts (0, 0).
+    Own layout artifact: the ann_delta gates' layout must KEEP its
+    delta (their contract states batch vectors live only there)."""
+    from ..operators.clustering import (
+        ivf_pq_topk_from_index,
+        read_ann_index,
+        refresh_ann_index,
+        write_ann_index,
+    )
+    from ..operators.compaction import compact_ann_index
+    from ..sources.catalog import layout_artifact
+
+    e = load(spark, sf_dir, "embeddings")
+    corpus = e.where(F.col("vec_id") % 97 != 0)
+    batch = e.where(F.col("vec_id") % 97 == 0)
+    q = batch.select("vec_id", "embedding")
+    path, fresh = layout_artifact(
+        sf_dir, "spark_graft_ann_compact_v1", "embeddings"
+    )
+
+    def _probe():
+        codes, codebook, cells, meta = read_ann_index(spark, path)
+        return ivf_pq_topk_from_index(
+            q, codes, codebook, m=8, k=4, iters=2, topk=5,
+            index_meta=meta, cells=cells, nprobe=2,
+        )
+
+    if not fresh:
+        write_ann_index(corpus, path, m=8, k=4, iters=2)
+        refresh_ann_index(batch, path, batch_id="day1")
+        before = _probe().localCheckpoint(eager=True)
+        compact_ann_index(spark, path)
+        after = _probe()
+        n_diff = _symmetric_diff_count(before, after)
+    else:
+        after = _probe()
+        n_diff = 0
+    return after.select(
+        "q_id",
+        "vec_id",
+        "adc_dist",
+        "rk",
+        F.lit(n_diff).cast("int").alias("n_diff_rows"),
+        F.lit(_layout_delta_residue(spark, path))
+        .cast("int")
+        .alias("deltas_remaining"),
+    )
+
+
+@query("scd2_feed_compaction_history")
+def scd2_feed_compaction_history(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DELTA COMPACTION of the keyed SCD2 feed layout: two daily
+    appends fold into the base ``feed_rows`` shards (partition-wise,
+    writer-sorted (key, ts) within each rewritten shard — the pruned
+    refresh keeps decoding tight row groups). The hashed row is the
+    SCD2 history windowed from the POST-compaction base-only feed —
+    feed0 ∪ day1 ∪ day2 = all events, so it must land on the same
+    one-truth full-rebuild oracle as the other SCD2 gates — plus the
+    measured history |before △ after| across the fold and the
+    surviving-delta count (0, 0). The stored HISTORY layout has no
+    compaction twin by design: it is maintained copy-on-write and
+    never grows deltas (read_scd2_history documents the asymmetry)."""
+    from ..operators.compaction import compact_scd2_feed
+    from ..operators.scd import (
+        read_scd2_feed,
+        refresh_scd2_feed,
+        scd2_history,
+        write_scd2_feed,
+    )
+    from ..sources.catalog import layout_artifact
+
+    e = load(spark, sf_dir, "events")
+    cols = ("user_id", "ts", "event_type")
+    path, fresh = layout_artifact(
+        sf_dir, "spark_graft_scd2_compact_feed_v1", "events"
+    )
+    if not fresh:
+        write_scd2_feed(e.where(F.col("event_id") % 5 != 0), path, *cols)
+        refresh_scd2_feed(e.where(F.col("event_id") % 10 == 5), path, "day1")
+        refresh_scd2_feed(e.where(F.col("event_id") % 10 == 0), path, "day2")
+        feed_b, _ = read_scd2_feed(spark, path)
+        before = scd2_history(feed_b, *cols).localCheckpoint(eager=True)
+        compact_scd2_feed(spark, path)
+        feed_a, _ = read_scd2_feed(spark, path)
+        after = scd2_history(feed_a, *cols)
+        n_diff = _symmetric_diff_count(before, after)
+    else:
+        feed_a, _ = read_scd2_feed(spark, path)
+        after = scd2_history(feed_a, *cols)
+        n_diff = 0
+    return after.select(
+        "user_id",
+        "event_type",
+        "effective_from_us",
+        "effective_to_us",
+        "is_current",
+        F.lit(n_diff).cast("int").alias("n_diff_rows"),
+        F.lit(_layout_delta_residue(spark, path))
+        .cast("int")
+        .alias("deltas_remaining"),
+    )
