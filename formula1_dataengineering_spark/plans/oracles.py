@@ -4623,3 +4623,106 @@ ORACLE_SQL["scd2_feed_compaction_history"] = (
     + ORACLE_SQL["scd2_user_event_history"]
     + ")"
 )
+
+
+# ann_rebuild_trigger_policy (round 13, VERDICT r12 item 3): replays
+# BOTH phases — 'delta' is the ann_delta_recall replay restricted to
+# nprobe=2 (corpus-trained codebook/cells + frozen-codebook inserts);
+# 'post_rebuild' retrains the whole chain over ALL embeddings and
+# probes the same batch queries at nprobe=2 against the same exact
+# top-5. The CONDITIONAL is replayed too: the post row exists only
+# where the delta recall crosses the declared threshold, exactly the
+# Spark gate's driver-side trigger. drow is MATERIALIZED (read twice:
+# the union row and the trigger predicate — the round-9 CTE-inlining
+# pitfall).
+_ANN_POLICY_POST = _pq_train_sql("").replace(
+    "SELECT vec_id, list_transform",
+    "SELECT vec_id, label, list_transform",
+) + """, lc AS (
+  SELECT a.vec_id, a.sub_id, a.cluster, e.label
+  FROM a2 a JOIN e USING (vec_id)
+), cellc AS (
+  SELECT label, list(cv ORDER BY dim) AS c FROM (
+    SELECT label, d AS dim, round(avg(val), 4) AS cv FROM (
+      SELECT label, unnest(v) AS val, generate_subscripts(v, 1) AS d
+      FROM e
+    ) GROUP BY 1, 2
+  ) GROUP BY label
+), b AS (
+  SELECT vec_id, v FROM e WHERE vec_id % 97 = 0
+), qcell AS (
+  SELECT q.vec_id AS q_id, c.label,
+         list_reduce(list_transform(list_zip(q.v, c.c),
+           x -> (x[1] - x[2]) * (x[1] - x[2])), (acc, t) -> acc + t) AS cd
+  FROM b q CROSS JOIN cellc c
+), qprobe AS (
+  SELECT q_id, label FROM (
+    SELECT q_id, label, row_number() OVER (
+      PARTITION BY q_id ORDER BY cd, label) AS crk
+    FROM qcell
+  ) WHERE crk <= 2
+), lut AS (
+  SELECT q.vec_id AS q_id, q.sub_id, c.cluster AS code,
+         list_reduce(list_transform(list_zip(q.sv, c.c),
+           x -> (x[1] - x[2]) * (x[1] - x[2])), (a, b) -> a + b) AS ld
+  FROM sub q JOIN c1 c USING (sub_id)
+  WHERE q.vec_id % 97 = 0
+), scored AS (
+  SELECT p.q_id, a.vec_id, round(sum(l.ld), 6) AS adc_dist
+  FROM qprobe p
+  JOIN lc a ON a.label = p.label
+  JOIN lut l ON l.q_id = p.q_id AND l.sub_id = a.sub_id
+            AND l.code = a.cluster
+  GROUP BY 1, 2
+), approx AS (
+  SELECT q_id, vec_id AS neighbor_id FROM (
+    SELECT s.*, row_number() OVER (
+      PARTITION BY q_id ORDER BY adc_dist, vec_id) AS rk
+    FROM scored s
+  ) WHERE rk <= 5
+), ed AS (
+  SELECT q.vec_id AS q_id, a.vec_id AS neighbor_id,
+         list_reduce(list_transform(list_zip(q.v, a.v),
+           x -> (x[1] - x[2]) * (x[1] - x[2])), (acc, t) -> acc + t) AS d
+  FROM b q CROSS JOIN e a
+), exact AS (
+  SELECT q_id, neighbor_id FROM (
+    SELECT q_id, neighbor_id, row_number() OVER (
+      PARTITION BY q_id ORDER BY d, neighbor_id) AS rk
+    FROM ed
+  ) WHERE rk <= 5
+), nq AS (
+  SELECT count(DISTINCT q_id) AS n_queries FROM exact
+)
+SELECT CAST(nq.n_queries AS BIGINT) AS n_queries,
+       CAST(h.n_hits AS BIGINT) AS n_hits,
+       round(h.n_hits * 1.0 / (nq.n_queries * 5), 4) AS recall_at_5
+FROM (
+  SELECT count(*) AS n_hits FROM approx ap
+  WHERE EXISTS (
+    SELECT 1 FROM exact x
+    WHERE x.q_id = ap.q_id AND x.neighbor_id = ap.neighbor_id
+  )
+) h CROSS JOIN nq
+"""
+
+ORACLE_SQL["ann_rebuild_trigger_policy"] = (
+    """WITH drow AS MATERIALIZED (
+  SELECT n_queries, n_hits, recall_at_5 FROM ("""
+    + ORACLE_SQL["ann_delta_recall"]
+    + """) WHERE nprobe = 2
+), prow AS (
+  SELECT n_queries, n_hits, recall_at_5 FROM ("""
+    + _ANN_POLICY_POST
+    + """)
+)
+SELECT phase, n_queries, n_hits, recall_at_5,
+       CASE WHEN recall_at_5 < 0.5 THEN 'rebuild' ELSE 'hold' END
+         AS decision
+FROM (
+  SELECT 'delta' AS phase, * FROM drow
+  UNION ALL
+  SELECT 'post_rebuild' AS phase, * FROM prow
+  WHERE (SELECT recall_at_5 FROM drow) < 0.5
+)"""
+)

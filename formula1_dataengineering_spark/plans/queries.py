@@ -6836,3 +6836,145 @@ def scd2_feed_compaction_history(
         .cast("int")
         .alias("deltas_remaining"),
     )
+
+
+def _ann_policy_rows(
+    spark: SparkSession, sf_dir: str, threshold: float
+) -> DataFrame:
+    """The rebuild-trigger policy body, threshold-parameterized so the
+    HOLD branch is unit-testable (the gate's data deterministically
+    triggers REBUILD at its declared threshold): measure delta-recall
+    at nprobe=2 against the exact top-5 over all vectors, collect the
+    single-row scalar (bounded), rebuild over the full corpus when it
+    crosses the threshold, and emit one accounting row per phase."""
+    from ..operators.clustering import (
+        ivf_pq_topk_from_index,
+        read_ann_index,
+        refresh_ann_index,
+        write_ann_index,
+    )
+    from ..operators.scalars import broadcast_scalars
+    from ..sources.catalog import layout_artifact
+
+    e = load(spark, sf_dir, "embeddings")
+    corpus = e.where(F.col("vec_id") % 97 != 0)
+    batch = e.where(F.col("vec_id") % 97 == 0)
+    q = batch.select("vec_id", "embedding")
+    path, fresh = layout_artifact(
+        sf_dir, "spark_graft_ann_policy_v1", "embeddings"
+    )
+    if not fresh:
+        write_ann_index(corpus, path, m=8, k=4, iters=2)
+        # TWO delta generations (VERDICT r12 item 3): the policy acts
+        # on accumulated drift, not a single append.
+        refresh_ann_index(
+            batch.where(F.expr("vec_id div 97") % 2 == 0), path, "day1"
+        )
+        refresh_ann_index(
+            batch.where(F.expr("vec_id div 97") % 2 == 1), path, "day2"
+        )
+
+    # Exact squared-L2 top-5 over ALL vectors — the recall referee,
+    # shared by both phases (the documented one-pass GEMM baseline:
+    # bounded query set broadcast into one corpus scan).
+    sq = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    one = lambda c: F.pmod(  # noqa: E731
+        F.crc32(c.cast("string")), F.lit(1)
+    ).cast("int")
+    vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    qe = q.select(
+        F.col("vec_id").alias("q_id"), vec_d.alias("__qv")
+    ).withColumn("__k", one(F.col("q_id")))
+    ce = e.select(
+        F.col("vec_id").alias("neighbor_id"), vec_d.alias("__cv")
+    ).withColumn("__k", one(F.col("neighbor_id")))
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("__d").asc(), F.col("neighbor_id").asc()
+    )
+    exact = (
+        ce.join(F.broadcast(qe), "__k")
+        .select("q_id", "neighbor_id", sq("__qv", "__cv").alias("__d"))
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= 5)
+        .select("q_id", "neighbor_id")
+    )
+
+    def recall_row(index_path: str) -> DataFrame:
+        codes, codebook, cells, meta = read_ann_index(spark, index_path)
+        approx = ivf_pq_topk_from_index(
+            q, codes, codebook, m=8, k=4, iters=2, topk=5,
+            index_meta=meta, cells=cells, nprobe=2,
+        ).select("q_id", F.col("vec_id").alias("neighbor_id"))
+        hits = approx.join(exact, ["q_id", "neighbor_id"], "left_semi").agg(
+            F.count("*").alias("n_hits")
+        )
+        nq = exact.agg(F.countDistinct("q_id").alias("n_queries"))
+        return broadcast_scalars(hits, nq, "n_hits", "n_queries").select(
+            "n_queries",
+            "n_hits",
+            F.round(F.col("n_hits") / (F.col("n_queries") * 5), 4).alias(
+                "recall_at_5"
+            ),
+        )
+
+    # 1-row collect: the trigger is a driver-side decision by design
+    # (a production loop reads the drift metric, then acts).
+    delta_row = recall_row(path).localCheckpoint(eager=True)
+    delta_recall = delta_row.collect()[0]["recall_at_5"]
+    rows = delta_row.select(F.lit("delta").alias("phase"), "*")
+    if delta_recall < threshold:
+        rpath, rfresh = layout_artifact(
+            sf_dir, "spark_graft_ann_policy_rebuilt_v1", "embeddings"
+        )
+        if not rfresh:
+            # Retrain over base ∪ deltas' VECTORS (the raw corpus —
+            # codes alone cannot retrain); purges nothing at `path`:
+            # the production swap would re-point readers and rebuild
+            # the delta layout, which stays probe-able throughout.
+            write_ann_index(e, rpath, m=8, k=4, iters=2)
+        rows = rows.unionByName(
+            recall_row(rpath).select(
+                F.lit("post_rebuild").alias("phase"), "*"
+            )
+        )
+    return rows.withColumn(
+        "decision",
+        F.when(F.col("recall_at_5") < threshold, F.lit("rebuild"))
+        .otherwise(F.lit("hold")),
+    )
+
+
+@query("ann_rebuild_trigger_policy")
+def ann_rebuild_trigger_policy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REBUILD-TRIGGER POLICY closing the loop ann_delta_recall opened
+    (VERDICT r12 item 3): that gate prices the frozen-codebook drift
+    of delta-inserted vectors; this one ACTS on it. Two delta
+    generations accumulate on the stored index; the gate measures
+    delta-recall@5 at nprobe=2 against the exact top-5 over all
+    vectors, and when it crosses the declared threshold (0.5 — the
+    drift at this data is ~0.3, deterministically below) REBUILDS:
+    write_ann_index retrains codebook + coarse centroids over the
+    full corpus, and the post-rebuild recall of the SAME queries is
+    emitted beside the delta row — the accounting a production loop
+    validates its rebuild with, in the same hashed output as the
+    decision that bought it. (Honest scale note: at this synthetic
+    size the post row's gain is within 6-query noise, and delta
+    inserts are distance-OPTIMALLY placed — assign_ivf_cells puts a
+    vector in exactly the cell its own query probes first — so
+    self-recall does not rise on rebuild; what the hash pins is the
+    POLICY LOOP: measured drift → replayed conditional → measured
+    post state.)
+
+    The DuckDB oracle replays both phases (corpus-trained index +
+    frozen-codebook inserts for 'delta'; full-corpus retrain for
+    'post_rebuild') and the CONDITIONAL itself: the post row exists
+    in the oracle only where the replayed delta recall crosses the
+    same threshold. The HOLD branch (no rebuild, one row) is pinned
+    by tests/test_ann_index.py with a 0.0 threshold."""
+    return _ann_policy_rows(spark, sf_dir, threshold=0.5)

@@ -610,3 +610,34 @@ def test_assign_ivf_cells_handles_string_and_null_ids(spark, tmp_path):
     assert assign_ivf_cells(withnull, cells, cell_col="cell").count() == (
         named.count() + 1
     )
+
+
+def test_ann_rebuild_policy_hold_and_rebuild_branches(spark):
+    """The trigger's two branches (the gate's threshold fires REBUILD
+    deterministically, so HOLD needs a direct drive): threshold=0.0
+    never fires — one 'delta' row, decision 'hold', no rebuild;
+    threshold=1.1 always fires — the 'post_rebuild' row appears and
+    the rebuilt layout exists."""
+    import os as _os
+
+    from formula1_dataengineering_spark.plans.queries import (
+        _ann_policy_rows,
+    )
+    from formula1_dataengineering_spark.sources.catalog import (
+        layout_artifact,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    hold = _ann_policy_rows(spark, sf, threshold=0.0).collect()
+    assert [r["phase"] for r in hold] == ["delta"]
+    assert hold[0]["decision"] == "hold"
+    fire = sorted(
+        _ann_policy_rows(spark, sf, threshold=1.1).collect(),
+        key=lambda r: r["phase"],
+    )
+    assert [r["phase"] for r in fire] == ["delta", "post_rebuild"]
+    assert all(r["decision"] == "rebuild" for r in fire)
+    rpath, _ = layout_artifact(
+        sf, "spark_graft_ann_policy_rebuilt_v1", "embeddings"
+    )
+    assert _os.path.exists(_os.path.join(rpath, "_SUCCESS"))
