@@ -4726,3 +4726,22 @@ FROM (
   WHERE (SELECT recall_at_5 FROM drow) < 0.5
 )"""
 )
+
+
+# stream_feed_ingest_history (round 13, VERDICT r12 item 4): the
+# streamed feed's history is the SCD2 one-truth full-rebuild text
+# (base ∪ streamed micro-batches = all events — the sixth execution
+# shape over the same semantic truth); the proof columns replay as
+# literals/scalars: 3 committed micro-batch deltas, feed_rows = the
+# full events count (a doubled or lost batch moves it), and the
+# crash-replay flag the operator refuses to skip.
+ORACLE_SQL["stream_feed_ingest_history"] = (
+    "SELECT user_id, event_type, effective_from_us, effective_to_us,"
+    " is_current,"
+    " CAST(3 AS INTEGER) AS n_stream_deltas,"
+    " (SELECT count(*) FROM events) AS feed_rows,"
+    " TRUE AS crash_replayed"
+    " FROM ("
+    + ORACLE_SQL["scd2_user_event_history"]
+    + ")"
+)

@@ -646,3 +646,53 @@ def test_ts_type_cache_hit_reasserts_recorded_conf(spark):
         assert spark.conf.get(conf_key, "false") == recorded
     finally:
         spark.conf.set(conf_key, before)
+
+
+def test_stream_feed_ingest_deltas_exactly_once(spark, tmp_path):
+    """The streaming → stored-layout composition (VERDICT r12
+    item 4): each micro-batch lands as an SCD2-feed delta, the
+    pipeline crashes once after a delta landed but before the
+    checkpoint committed, and the restart's replay lands on top of
+    its own delta (idempotent per batch_id) — the feed's final row
+    multiset equals base ∪ streamed exactly (a doubled or lost batch
+    would move it)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from formula1_dataengineering_spark.operators.scd import (
+        read_scd2_feed,
+    )
+    from formula1_dataengineering_spark.sources.catalog import load
+    from formula1_dataengineering_spark.streaming.events import (
+        stream_feed_ingest_deltas,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    feed_path = str(tmp_path / "feed")
+    work = str(tmp_path / "work")
+    os.makedirs(work)
+    info = stream_feed_ingest_deltas(spark, sf, work, feed_path)
+    assert info["crashed_once"]
+    assert info["n_deltas"] == 3
+    markers = sorted(
+        n for n in os.listdir(feed_path) if n.startswith("_DELTA_")
+    )
+    assert markers == [
+        "_DELTA_mb0._SUCCESS",
+        "_DELTA_mb1._SUCCESS",
+        "_DELTA_mb2._SUCCESS",
+    ]
+    ev = load(spark, sf, "events")
+    assert info["feed_rows"] == ev.count()
+    feed, _ = read_scd2_feed(spark, feed_path)
+    want = sorted(
+        map(
+            tuple,
+            ev.select("user_id", "ts", "event_type").collect(),
+        )
+    )
+    got = sorted(
+        map(tuple, feed.select("user_id", "ts", "event_type").collect())
+    )
+    assert got == want
