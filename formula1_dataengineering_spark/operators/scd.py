@@ -349,6 +349,40 @@ def _touched_feed_slice(
     )
 
 
+def touched_shard_sets(
+    batches: dict[str, DataFrame], key_col: str, n_shards: int
+) -> dict[str, list]:
+    """The HRW touched-shard set of EVERY batch in one job (VERDICT
+    r12 item 5): a multi-day maintenance driver (the two-day-cycle
+    gate; any backfill loop) otherwise pays one distinct+collect per
+    day inside each refresh. One union → distinct (batch, key) →
+    shard → collect_set aggregation; the driver-side result is
+    bounded by ``len(batches) × n_shards`` ints. Pass each batch's
+    list to :func:`scd2_refresh_in_place` / :func:`scd2_refresh` via
+    ``touched_shards``. ``n_shards`` must be the LAYOUT's recorded
+    value (``meta["n_shards"]``) — a drifted count computes shards
+    the pruned read never scans, the silent-miss class the layout
+    metadata exists to prevent."""
+    tagged = None
+    for name, df in batches.items():
+        part = df.select(
+            F.lit(name).alias("__batch"), F.col(key_col)
+        ).where(F.col(key_col).isNotNull())
+        tagged = part if tagged is None else tagged.unionByName(part)
+    if tagged is None:
+        return {}
+    rows = (
+        tagged.distinct()
+        .withColumn("shard", _feed_shard(F.col(key_col), n_shards))
+        .groupBy("__batch")
+        .agg(F.collect_set("shard").alias("shards"))
+        .collect()
+    )
+    out = {name: [] for name in batches}
+    out.update({r["__batch"]: sorted(r["shards"]) for r in rows})
+    return out
+
+
 def write_scd2_history(
     history: DataFrame,
     path: str,
@@ -501,6 +535,7 @@ def scd2_refresh_in_place(
     ts_col: str,
     value_col: str,
     feed_meta: dict | None = None,
+    touched_shards: list | None = None,
 ) -> None:
     """Copy-on-write SCD2 maintenance of a STORED history layout — the
     100 TB production shape :func:`scd2_refresh` stops short of: that
@@ -564,13 +599,20 @@ def scd2_refresh_in_place(
         .where(F.col(key_col).isNotNull())
         .distinct()
     )
-    touched_sharded = touched.withColumn(
-        "shard", _feed_shard(F.col(key_col), n_shards)
-    )
-    touched_shards = [
-        r["shard"]
-        for r in touched_sharded.select("shard").distinct().collect()
-    ]
+    # ``touched_shards`` lets a multi-batch driver precollect every
+    # batch's shard set in ONE job (:func:`touched_shard_sets`)
+    # instead of one distinct+collect per refresh; the caller owns
+    # the contract that the list is THIS layout's HRW set for THIS
+    # batch (a wrong set silently mis-scopes keepers and the pruned
+    # feed read — the metadata-mismatch failure class).
+    if touched_shards is None:
+        touched_sharded = touched.withColumn(
+            "shard", _feed_shard(F.col(key_col), n_shards)
+        )
+        touched_shards = [
+            r["shard"]
+            for r in touched_sharded.select("shard").distinct().collect()
+        ]
     feed_slice = _touched_feed_slice(
         feed,
         touched,

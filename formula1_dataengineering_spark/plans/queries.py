@@ -6247,6 +6247,8 @@ def scd2_two_day_cycle_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..sources.catalog import layout_artifact
 
+    from ..session import int_conf, scoped_conf
+
     e = load(spark, sf_dir, "events")
     feed0 = e.where(F.col("event_id") % 5 != 0)
     day1 = e.where(F.col("event_id") % 10 == 5)
@@ -6258,18 +6260,51 @@ def scd2_two_day_cycle_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     hpath, hfresh = layout_artifact(
         sf_dir, "spark_graft_scd2_cycle_hist_v1", "events"
     )
-    if not ffresh:
-        write_scd2_feed(feed0, fpath, *cols)
-    if not hfresh:
-        write_scd2_history(
-            scd2_history(feed0, *cols), hpath, "user_id"
+    # Overhead discipline (VERDICT r12 item 5): every job in the
+    # cycle is a window/shuffle over ≤ the history's row count, so 32
+    # shuffle partitions are pure task overhead — scope them down for
+    # the layout mutations (results are partitioning-invariant by the
+    # catalog's determinism rules). 4 shards for the same reason: a
+    # 10%-of-keys day touches every shard anyway, so fine shards buy
+    # no pruning here and cost per-partition commit/file overhead in
+    # all four mutations (the pruned-refresh gate keeps 16 and its
+    # plan-pinned pruning).
+    confs = {}
+    cur = int_conf(spark, "spark.sql.shuffle.partitions")
+    if cur is not None:
+        confs["spark.sql.shuffle.partitions"] = str(min(cur, 8))
+    with scoped_conf(spark, confs):
+        if not ffresh:
+            write_scd2_feed(feed0, fpath, *cols, n_shards=4)
+        if not hfresh:
+            write_scd2_history(
+                scd2_history(feed0, *cols), hpath, "user_id", n_shards=4
+            )
+        # BOTH days' touched-shard sets in one job (touched_shard_sets
+        # — the shared collect VERDICT r12 item 5 asked for), sized
+        # from the HISTORY layout's recorded n_shards (a stale
+        # artifact from an older round may still carry 16); each day
+        # still re-reads the feed, which by then carries the prior
+        # day's delta (the two-day contract).
+        from ..operators.scd import touched_shard_sets
+
+        _, hmeta = read_scd2_history(spark, hpath)
+        shard_sets = touched_shard_sets(
+            {"day1": day1, "day2": day2},
+            "user_id",
+            int(hmeta["n_shards"]),
         )
-    for day_df, batch_id in ((day1, "day1"), (day2, "day2")):
-        feed_v, fmeta = read_scd2_feed(spark, fpath)
-        scd2_refresh_in_place(
-            hpath, feed_v, day_df, *cols, feed_meta=fmeta
-        )
-        refresh_scd2_feed(day_df, fpath, batch_id)
+        for day_df, batch_id in ((day1, "day1"), (day2, "day2")):
+            feed_v, fmeta = read_scd2_feed(spark, fpath)
+            scd2_refresh_in_place(
+                hpath,
+                feed_v,
+                day_df,
+                *cols,
+                feed_meta=fmeta,
+                touched_shards=shard_sets[batch_id],
+            )
+            refresh_scd2_feed(day_df, fpath, batch_id)
     hist, _ = read_scd2_history(spark, hpath)
     return hist.select(
         "user_id",

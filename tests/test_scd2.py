@@ -800,3 +800,35 @@ def test_scd2_cow_refresh_drops_null_key_batch_rows(spark, tmp_path):
     assert not glob.glob(
         os.path.join(path, "history_rows", "*HIVE_DEFAULT*")
     )
+
+
+def test_touched_shard_sets_matches_per_batch_collects(spark):
+    """The one-job multi-batch shard precollect must equal the
+    per-refresh distinct+collect it replaces, per batch, including
+    null-key exclusion and an empty batch."""
+    from formula1_dataengineering_spark.operators.scd import (
+        _feed_shard,
+        touched_shard_sets,
+    )
+
+    d1 = spark.createDataFrame(
+        [(k, _TS[0], "a") for k in (1, 5, 9, None)], _SCHEMA
+    )
+    d2 = spark.createDataFrame([(2, _TS[1], "b")], _SCHEMA)
+    d3 = spark.createDataFrame([], _SCHEMA)
+    got = touched_shard_sets(
+        {"d1": d1, "d2": d2, "d3": d3}, "k", n_shards=8
+    )
+    for name, df in (("d1", d1), ("d2", d2), ("d3", d3)):
+        want = sorted(
+            r["shard"]
+            for r in df.select("k")
+            .where(F.col("k").isNotNull())
+            .distinct()
+            .withColumn("shard", _feed_shard(F.col("k"), 8))
+            .select("shard")
+            .distinct()
+            .collect()
+        )
+        assert got[name] == want, name
+    assert got["d3"] == []
