@@ -32,21 +32,27 @@ from formula1_dataengineering_spark.plans import ORACLE_SQL, QUERIES
 #: queue (per round-4 advice). Keep this list current — add any query
 #: whose Spark plan or oracle changed since its last green row.
 _PRIORITY: list[str] = [
-    # round 12: the ADC scoring pipeline was folded into ONE
-    # implementation (VERDICT r11 item 1) — ivf_pq_topk is now
-    # literally build_ann_index → ivf_pq_topk_from_index and
-    # pq_adc_topk the same scorer with no cell restriction, so both
-    # gates' PLANS are re-derived through the shared scorer and their
-    # old green rows hashed the pre-fold plans. ivf_pq_topk_indexed
-    # stays out: it already executed the shared scorer in round 11
-    # (its green row covers the current plan; the v2 layout's cells/
-    # table is unused by that gate). The round-12 never-green gates
-    # (ann_multiprobe_recall, e2e near-dup resolution) sort ahead
-    # automatically; the remaining slots are the natural staleness
-    # order — the two r7 stragglers, then the r8 block (VERDICT r11
-    # item 5, bar >=45 re-greens).
-    "ivf_pq_topk",
-    "pq_adc_topk",
+    # round 13 — gates whose PLANS changed this round, so their old
+    # green rows hashed pre-change plans:
+    # - ann_index_delta_topk / ann_delta_recall: the delta-ingest
+    #   cell assignment (assign_ivf_cells) moved to the null-proofed
+    #   pmod(crc32(coalesce)) broadcast key, and refresh_ann_index
+    #   gained the insert-only disjointness pass (ADVICE r12).
+    # - scd2_cow_refresh_history: scd2_refresh_in_place now filters
+    #   null-key batch rows at entry and opens the layout through the
+    #   marker-tolerant recovery read (ADVICE r12, medium).
+    # - scd2_two_day_cycle_history: the wall-trim restructure
+    #   (VERDICT r12 item 5) — 4-shard cycle layouts, scoped shuffle
+    #   partitions, one shared touched-shard precollect job.
+    # The five round-13 never-green gates (three compaction gates,
+    # the ANN rebuild-trigger policy, the streaming feed-ingest
+    # composition) sort ahead automatically; the ~41 remaining slots
+    # drain the stale queue — all 9 r8-era rows, then the oldest r9
+    # block (VERDICT r12 item 2: freshness floor at r9).
+    "ann_index_delta_topk",
+    "ann_delta_recall",
+    "scd2_cow_refresh_history",
+    "scd2_two_day_cycle_history",
 ]
 
 
