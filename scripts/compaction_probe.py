@@ -23,9 +23,9 @@ The scaling claims this prints evidence for:
 
 Decades (documents does not grow between sf0.001 and sf0.01, so the
 replica dirs carry the upper decades — same set as ingest_probe):
-  1x    /root/testdata/sf0.001      (500 docs)
-  10x   /tmp/graft_rep10x_g_sf001   (5,000)
-  100x  /tmp/graft_rep100x_g_sf001  (50,000)
+  1x    /root/testdata/sf0.01       (~6k docs)
+  10x   /tmp/graft_rep10x_sf001    (~60k)
+  100x  /tmp/graft_rep100x_sf001   (~600k)
 
 Usage: python scripts/compaction_probe.py [--deltas 12] [--shards 64]
 Prints one row per decade; paste the table into BASELINE.md.
@@ -58,9 +58,9 @@ from formula1_dataengineering_spark.session import get_spark  # noqa: E402
 from formula1_dataengineering_spark.sources.catalog import load  # noqa: E402
 
 DECADES = [
-    ("1x", "/root/testdata/sf0.001"),
-    ("10x", "/tmp/graft_rep10x_g_sf001"),
-    ("100x", "/tmp/graft_rep100x_g_sf001"),
+    ("1x", "/root/testdata/sf0.01"),
+    ("10x", "/tmp/graft_rep10x_sf001"),
+    ("100x", "/tmp/graft_rep100x_sf001"),
 ]
 
 
@@ -79,7 +79,11 @@ def _probe(spark, path, batch, label):
             map(
                 tuple,
                 incremental_dedup_from_index(
-                    batch, hashes, bands, index_meta=meta
+                    batch,
+                    hashes,
+                    bands,
+                    n_shards=int(meta["n_shards"]),
+                    index_meta=meta,
                 ).collect(),
             )
         )
