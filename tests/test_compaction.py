@@ -367,3 +367,65 @@ def test_compact_file_scheme_uri_roundtrip(spark, tmp_path):
     h_after, b_after, _ = read_dedup_index(spark, uri)
     assert _rows(h_after) == want_h
     assert _rows(b_after) == want_b
+
+
+def test_compact_preserves_null_key_default_partition(spark, tmp_path):
+    """The null-partition edge (scd.py routes null keys to callers,
+    but write_scd2_feed persists what it is given): null-key rows land
+    in __HIVE_DEFAULT_PARTITION__, which (a) must survive a fold that
+    doesn't touch it and (b) must merge correctly when a delta DOES
+    carry null-key rows — isin() never matches NULL, so the engine
+    adds an explicit isNull arm, and the "_"-prefixed partition dir
+    must not be mistaken for a marker during the swap."""
+    from datetime import datetime, timezone
+
+    from formula1_dataengineering_spark.operators.compaction import (
+        compact_scd2_feed,
+    )
+    from formula1_dataengineering_spark.operators.scd import (
+        read_scd2_feed,
+        refresh_scd2_feed,
+        write_scd2_feed,
+    )
+
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    t1 = datetime(2024, 1, 2, tzinfo=timezone.utc)
+    base_rows = [(k, t0, "a") for k in range(8)] + [(None, t0, "n0")]
+    feed0 = spark.createDataFrame(
+        base_rows, "k long, ts timestamp, v string"
+    )
+    path = str(tmp_path / "feed")
+    write_scd2_feed(feed0, path, "k", "ts", "v", n_shards=4)
+
+    # Case (a): delta WITHOUT null keys — the default partition is
+    # untouched and must survive byte-identically.
+    day1 = spark.createDataFrame(
+        [(3, t1, "b")], "k long, ts timestamp, v string"
+    )
+    refresh_scd2_feed(day1, path, "day1")
+    default_dir = os.path.join(
+        path, "feed_rows", "shard=__HIVE_DEFAULT_PARTITION__"
+    )
+    snap_before = _snapshot(default_dir)
+    assert snap_before, "base null-key rows must occupy the default partition"
+    compact_scd2_feed(spark, path)
+    assert _snapshot(default_dir) == snap_before
+    feed, _ = read_scd2_feed(spark, path)
+    assert feed.where("k is null").count() == 1
+
+    # Case (b): delta WITH null-key rows — fold must merge base +
+    # delta null rows into the default partition, not drop either.
+    day2 = spark.createDataFrame(
+        [(None, t1, "n1"), (5, t1, "c")], "k long, ts timestamp, v string"
+    )
+    refresh_scd2_feed(day2, path, "day2")
+    nullsafe = lambda df: sorted(  # noqa: E731
+        map(tuple, df.collect()), key=repr
+    )
+    before_rows = nullsafe(read_scd2_feed(spark, path)[0].drop("shard"))
+    summary = compact_scd2_feed(spark, path)
+    assert summary["n_deltas_folded"] == 1
+    after_rows = nullsafe(read_scd2_feed(spark, path)[0].drop("shard"))
+    assert after_rows == before_rows
+    feed2, _ = read_scd2_feed(spark, path)
+    assert feed2.where("k is null").count() == 2
