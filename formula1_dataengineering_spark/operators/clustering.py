@@ -791,7 +791,13 @@ def write_ann_index(
     # vectors back into a freshly corrected corpus's view.
     fsutil.delete(spark, os.path.join(path, "_SUCCESS"))
     for name in fsutil.list_names(spark, path):
-        if name.startswith(("codes_delta_", "_DELTA_")):
+        # _compact/_COMPACT_MANIFEST.json: a crashed compaction's
+        # staged state — a surviving manifest would let the next
+        # compact_ann_index "resume" pre-rebuild partitions over the
+        # fresh base (round-13 review).
+        if name.startswith(
+            ("codes_delta_", "_DELTA_", "_compact")
+        ) or name == "_COMPACT_MANIFEST.json":
             fsutil.delete(spark, os.path.join(path, name))
     for name in ("codes", "codebook", "cells"):
         fsutil.delete(spark, os.path.join(path, name))
@@ -973,10 +979,15 @@ def refresh_ann_index(
         )
     cell_col = meta["cell_col"]
     m = int(meta["m"])
+    # ONE layout open serves both the disjointness view (base ∪ every
+    # OTHER committed delta — the retry contract) and the trained
+    # tables: codebook/cells are base-trained and identical in every
+    # view, so no second open (and its marker/meta/listing round
+    # trips on the hot ingest path) is needed (round-13 review).
+    existing, codebook, cells, _ = read_ann_index(
+        spark, path, exclude_deltas={batch_id}
+    )
     if check_disjoint:
-        existing, _, _, _ = read_ann_index(
-            spark, path, exclude_deltas={batch_id}
-        )
         clash = (
             existing.where(F.col("sub_id") == 0)
             .select(id_col)
@@ -999,9 +1010,6 @@ def refresh_ann_index(
                 "check_disjoint=False if disjointness is guaranteed "
                 "upstream)"
             )
-    _, codebook, cells, _ = read_ann_index(
-        spark, path, include_deltas=False
-    )
     # An empty-corpus index has NO trained codebook: encoding against
     # it would emit zero code rows and silently LOSE every appended
     # vector (and assign_ivf_cells would do the same against zero

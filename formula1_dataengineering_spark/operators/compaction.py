@@ -75,10 +75,11 @@ class _TableSpec(NamedTuple):
 
 
 def _is_partition_dir(name: str) -> bool:
-    """A parquet partition directory is ``col=value`` — plus the
-    one "_"-prefixed exception, the null-key default partition
-    (skipping it would silently drop null-partition delta rows)."""
-    return "=" in name or name == _DEFAULT_PARTITION
+    """A parquet partition directory is ``col=value`` — including the
+    null-key default partition, which materializes as
+    ``col=__HIVE_DEFAULT_PARTITION__`` (so the "=" test covers it;
+    null-ROW handling lives in the merge's explicit isNull arm)."""
+    return "=" in name
 
 
 def _open_base(
@@ -127,9 +128,15 @@ def _commit(spark: SparkSession, path: str, manifest: dict) -> None:
             )
         fsutil.delete(spark, os.path.join(path, f"_DELTA_{bid}._SUCCESS"))
     fsutil.delete(spark, staging_root)
-    fsutil.delete(spark, os.path.join(path, _MANIFEST))
     spark.catalog.refreshByPath(path)
+    # Marker BEFORE manifest delete: a crash between the two leaves a
+    # readable layout plus a spent manifest, and the next compact_*
+    # call re-enters this (idempotent) commit and finishes the sweep.
+    # The reverse order would leave a marker-less AND manifest-less
+    # layout — bricked until a rebuild, contradicting the module's
+    # resume contract (round-13 review).
     fsutil.touch(spark, os.path.join(path, "_SUCCESS"))
+    fsutil.delete(spark, os.path.join(path, _MANIFEST))
 
 
 def _compact_layout(
@@ -138,6 +145,7 @@ def _compact_layout(
     what: str,
     writer_name: str,
     specs: list[_TableSpec],
+    meta: dict | None = None,
 ) -> dict:
     """Shared engine — see the module docstring for the protocol.
     Returns a summary dict: ``n_deltas_folded``, ``batch_ids``,
@@ -157,7 +165,8 @@ def _compact_layout(
             "touched_partitions": manifest.get("touched_partitions", {}),
             "resumed": True,
         }
-    meta = fsutil.require_layout_meta(spark, path, what, writer_name)
+    if meta is None:
+        meta = fsutil.require_layout_meta(spark, path, what, writer_name)
     committed = sorted(
         name[len("_DELTA_") : -len("._SUCCESS")]
         for name in fsutil.list_names(spark, path)
@@ -272,18 +281,32 @@ def compact_ann_index(spark: SparkSession, path: str) -> dict:
     maintenance of the code layout, not retraining, so it does NOT
     reset ``ann_delta_recall``'s drift accounting — see
     ``write_ann_index`` for the retrain path)."""
+    if fsutil.exists(spark, os.path.join(path, _MANIFEST)):
+        # Resume path: the commit operates on staged dir listings and
+        # manifest-recorded names only — no metadata needed (and the
+        # crash window it recovers has no _SUCCESS for
+        # require_layout_meta to accept).
+        return _compact_layout(
+            spark, path, "ANN index", "write_ann_index", []
+        )
     meta = fsutil.require_layout_meta(
         spark, path, "ANN index", "write_ann_index"
-    ) if not fsutil.exists(
-        spark, os.path.join(path, _MANIFEST)
-    ) else {"cell_col": None}
-    cell_col = meta.get("cell_col") or "label"
+    )
+    cell_col = meta.get("cell_col")
+    if not cell_col:
+        raise ValueError(
+            f"ANN index at {path!r}: _META.json records no cell_col — "
+            "compacting with a guessed partition column would fold "
+            "codes into the wrong directories; rebuild with "
+            "write_ann_index"
+        )
     return _compact_layout(
         spark,
         path,
         "ANN index",
         "write_ann_index",
         [_TableSpec("codes", cell_col, (), "codes_schema")],
+        meta=meta,
     )
 
 
@@ -296,12 +319,12 @@ def compact_scd2_feed(spark: SparkSession, path: str) -> dict:
     maintained copy-on-write (``scd2_refresh_in_place``) and never
     grows deltas."""
     if fsutil.exists(spark, os.path.join(path, _MANIFEST)):
-        key_col, ts_col = "", ""  # resume path never stages
-    else:
-        meta = fsutil.require_layout_meta(
-            spark, path, "scd2 feed layout", "write_scd2_feed"
+        return _compact_layout(
+            spark, path, "scd2 feed layout", "write_scd2_feed", []
         )
-        key_col, ts_col = meta["key_col"], meta["ts_col"]
+    meta = fsutil.require_layout_meta(
+        spark, path, "scd2 feed layout", "write_scd2_feed"
+    )
     return _compact_layout(
         spark,
         path,
@@ -311,8 +334,9 @@ def compact_scd2_feed(spark: SparkSession, path: str) -> dict:
             _TableSpec(
                 "feed_rows",
                 "shard",
-                (key_col, ts_col) if key_col else (),
+                (meta["key_col"], meta["ts_col"]),
                 "feed_schema",
             )
         ],
+        meta=meta,
     )

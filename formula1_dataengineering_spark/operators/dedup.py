@@ -1324,7 +1324,15 @@ def write_dedup_index(
     for name in fsutil.list_names(spark, path):
         if name == "_staging":
             continue
-        if name.startswith(("content_hashes", "band_rows", "_DELTA_")):
+        if name.startswith(
+            ("content_hashes", "band_rows", "_DELTA_", "_compact")
+        ) or name == "_COMPACT_MANIFEST.json":
+            # _compact/_COMPACT_MANIFEST.json: a crashed compaction's
+            # staged state. The rebuild supersedes it, and a SURVIVING
+            # manifest would make the next compact_dedup_index
+            # "resume" pre-rebuild staged partitions over the fresh
+            # base — silent corruption under a valid marker
+            # (round-13 review).
             fsutil.delete(spark, os.path.join(path, name))
     fsutil.rename(
         spark,

@@ -150,9 +150,14 @@ def write_scd2_feed(
     fsutil.delete(spark, os.path.join(path, "_SUCCESS"))
     # A base REBUILD supersedes every prior daily append: a surviving
     # stale delta would union removed changes back into a freshly
-    # corrected feed.
+    # corrected feed. Likewise a crashed compaction's staged state
+    # (_compact/_COMPACT_MANIFEST.json) — a surviving manifest would
+    # let the next compact_scd2_feed "resume" pre-rebuild partitions
+    # over the fresh base (round-13 review).
     for name in fsutil.list_names(spark, path):
-        if name.startswith(("feed_rows", "_DELTA_")):
+        if name.startswith(
+            ("feed_rows", "_DELTA_", "_compact")
+        ) or name == "_COMPACT_MANIFEST.json":
             fsutil.delete(spark, os.path.join(path, name))
     fsutil.rename(
         spark,
@@ -421,7 +426,20 @@ def write_scd2_history(
             "history_schema": sharded.schema.jsonValue(),
         }
     )
+    # Meta is STAGED and renamed in only after the data rename: this
+    # layout is the one the refresher may open MARKER-LESS (its crash
+    # recovery), so no crash point may leave new-params metadata
+    # beside old-params data or vice versa — e.g. a rebuild changing
+    # n_shards that dies between the data swap and a late meta write
+    # would hand the recovering refresher 4-sharded data under
+    # 16-shard metadata, and its dynamic overwrite would duplicate
+    # touched keys' rows (round-13 review). With the staged order,
+    # every crash window is either old-consistent, META-LESS (the
+    # refresher refuses; recovery = re-run the rebuild), or
+    # new-consistent.
+    fsutil.write_text(spark, os.path.join(staging, "_META.json"), meta_text)
     fsutil.delete(spark, os.path.join(path, "_SUCCESS"))
+    fsutil.delete(spark, os.path.join(path, "_META.json"))
     for name in fsutil.list_names(spark, path):
         if name.startswith("history_rows"):
             fsutil.delete(spark, os.path.join(path, name))
@@ -430,8 +448,12 @@ def write_scd2_history(
         os.path.join(staging, "history_rows"),
         os.path.join(path, "history_rows"),
     )
+    fsutil.rename(
+        spark,
+        os.path.join(staging, "_META.json"),
+        os.path.join(path, "_META.json"),
+    )
     fsutil.delete(spark, staging)
-    fsutil.write_text(spark, os.path.join(path, "_META.json"), meta_text)
     spark.catalog.refreshByPath(path)
     fsutil.touch(spark, os.path.join(path, "_SUCCESS"))
 

@@ -6648,6 +6648,33 @@ def e2e_ingest_neardup_resolution(
     )
 
 
+def _gate_chain(spark: SparkSession, path: str, fresh: bool, mutate) -> bool:
+    """Run a gate's MULTI-STEP layout-mutation chain exactly once per
+    artifact life, crash-safely. layout_artifact's freshness marker is
+    the layout's own ``_SUCCESS``, which every intermediate step
+    (base write, delta refresh, compaction) also touches — so a drive
+    killed mid-chain leaves a fresh-looking but half-mutated layout
+    that a naive ``if not fresh`` branch would then serve forever
+    (round-13 review). The chain is DONE only when the gate's own
+    ``_GATE_DONE`` sentinel exists beside a fresh artifact; anything
+    else (stale, or fresh-but-sentinel-less = interrupted chain) is
+    rebuilt from scratch: the whole layout directory is deleted and
+    ``mutate()`` re-runs, with the sentinel written last. Returns
+    True when the chain ran this drive (the only time before/after
+    fold measurements exist)."""
+    import os
+
+    from .. import fsutil
+
+    done = os.path.join(path, "_GATE_DONE")
+    if fresh and fsutil.exists(spark, done):
+        return False
+    fsutil.delete(spark, path)
+    mutate()
+    fsutil.touch(spark, done)
+    return True
+
+
 def _layout_delta_residue(spark: SparkSession, path: str) -> int:
     """How many delta directories / commit markers remain under a
     stored layout — the compaction gates emit this as a hashed proof
@@ -6708,7 +6735,9 @@ def dedup_index_compaction_probe(
     path, fresh = layout_artifact(
         sf_dir, "spark_graft_dedup_compact_v1", "documents"
     )
-    if not fresh:
+    state = {"n_diff": 0}
+
+    def mutate() -> None:
         write_dedup_index(corpus, path)
         h0, b0, m0 = read_dedup_index(spark, path, include_deltas=False)
         # Acceptance from the day-N−1 base state (the e2e gate's
@@ -6738,14 +6767,18 @@ def dedup_index_compaction_probe(
         ).localCheckpoint(eager=True)
         compact_dedup_index(spark, path)
         h2, b2, m2 = read_dedup_index(spark, path)
-        after = incremental_dedup_from_index(batch, h2, b2, index_meta=m2)
-        n_diff = _symmetric_diff_count(before, after)
-    else:
-        # Already folded on a prior drive: the compacted base IS
-        # corpus ∪ accepted — the probe replays the same truth.
-        h2, b2, m2 = read_dedup_index(spark, path)
-        after = incremental_dedup_from_index(batch, h2, b2, index_meta=m2)
-        n_diff = 0
+        folded = incremental_dedup_from_index(
+            batch, h2, b2, index_meta=m2
+        )
+        state["n_diff"] = _symmetric_diff_count(before, folded)
+
+    # Crash-safe once-per-artifact mutation chain; on done drives the
+    # compacted base IS corpus ∪ accepted and the probe replays the
+    # same truth (n_diff was measured the drive the fold ran).
+    _gate_chain(spark, path, fresh, mutate)
+    n_diff = state["n_diff"]
+    h2, b2, m2 = read_dedup_index(spark, path)
+    after = incremental_dedup_from_index(batch, h2, b2, index_meta=m2)
     return after.select(
         "doc_id",
         F.col("action").alias("final_action"),
@@ -6795,16 +6828,18 @@ def ann_index_compaction_topk(
             index_meta=meta, cells=cells, nprobe=2,
         )
 
-    if not fresh:
+    state = {"n_diff": 0}
+
+    def mutate() -> None:
         write_ann_index(corpus, path, m=8, k=4, iters=2)
         refresh_ann_index(batch, path, batch_id="day1")
         before = _probe().localCheckpoint(eager=True)
         compact_ann_index(spark, path)
-        after = _probe()
-        n_diff = _symmetric_diff_count(before, after)
-    else:
-        after = _probe()
-        n_diff = 0
+        state["n_diff"] = _symmetric_diff_count(before, _probe())
+
+    _gate_chain(spark, path, fresh, mutate)
+    n_diff = state["n_diff"]
+    after = _probe()
     return after.select(
         "q_id",
         "vec_id",
@@ -6846,20 +6881,24 @@ def scd2_feed_compaction_history(
     path, fresh = layout_artifact(
         sf_dir, "spark_graft_scd2_compact_feed_v1", "events"
     )
-    if not fresh:
+    state = {"n_diff": 0}
+
+    def mutate() -> None:
         write_scd2_feed(e.where(F.col("event_id") % 5 != 0), path, *cols)
         refresh_scd2_feed(e.where(F.col("event_id") % 10 == 5), path, "day1")
         refresh_scd2_feed(e.where(F.col("event_id") % 10 == 0), path, "day2")
         feed_b, _ = read_scd2_feed(spark, path)
         before = scd2_history(feed_b, *cols).localCheckpoint(eager=True)
         compact_scd2_feed(spark, path)
-        feed_a, _ = read_scd2_feed(spark, path)
-        after = scd2_history(feed_a, *cols)
-        n_diff = _symmetric_diff_count(before, after)
-    else:
-        feed_a, _ = read_scd2_feed(spark, path)
-        after = scd2_history(feed_a, *cols)
-        n_diff = 0
+        feed_m, _ = read_scd2_feed(spark, path)
+        state["n_diff"] = _symmetric_diff_count(
+            before, scd2_history(feed_m, *cols)
+        )
+
+    _gate_chain(spark, path, fresh, mutate)
+    n_diff = state["n_diff"]
+    feed_a, _ = read_scd2_feed(spark, path)
+    after = scd2_history(feed_a, *cols)
     return after.select(
         "user_id",
         "event_type",
@@ -6898,7 +6937,7 @@ def _ann_policy_rows(
     path, fresh = layout_artifact(
         sf_dir, "spark_graft_ann_policy_v1", "embeddings"
     )
-    if not fresh:
+    def mutate() -> None:
         write_ann_index(corpus, path, m=8, k=4, iters=2)
         # TWO delta generations (VERDICT r12 item 3): the policy acts
         # on accumulated drift, not a single append.
@@ -6908,6 +6947,12 @@ def _ann_policy_rows(
         refresh_ann_index(
             batch.where(F.expr("vec_id div 97") % 2 == 1), path, "day2"
         )
+
+    # Crash-safe once-per-artifact chain: a drive killed between the
+    # base write and a delta refresh would otherwise leave a
+    # fresh-looking layout with missing deltas that every later drive
+    # would probe (round-13 review).
+    _gate_chain(spark, path, fresh, mutate)
 
     # Exact squared-L2 top-5 over ALL vectors — the recall referee,
     # shared by both phases (the documented one-pass GEMM baseline:

@@ -903,7 +903,13 @@ def stream_feed_ingest_deltas(
     try:
         run()  # run 1: dies inside batch 1's commit window
     except StreamingQueryException:
-        pass
+        # Only the SIMULATED crash is expected here: if the flag was
+        # never written, this is a genuine failure (e.g. a corrupted
+        # feed layout raising through foreachBatch) — surface it
+        # instead of masking it as "crash never fired" (round-13
+        # review).
+        if not os.path.exists(crash_flag):
+            raise
     if not os.path.exists(crash_flag):
         raise ValueError(
             "the simulated crash never fired — the replay contract "

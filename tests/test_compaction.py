@@ -429,3 +429,58 @@ def test_compact_preserves_null_key_default_partition(spark, tmp_path):
     assert after_rows == before_rows
     feed2, _ = read_scd2_feed(spark, path)
     assert feed2.where("k is null").count() == 2
+
+
+def test_base_rebuild_purges_crashed_compaction_state(
+    spark, tmp_path, monkeypatch
+):
+    """Round-13 review (critical): if a compaction crashes mid-commit
+    and the operator recovers by REBUILDING the base instead of
+    re-running compact_*, the rebuild must purge the stale manifest
+    and staged partitions — otherwise the next compact_* call would
+    'resume' pre-rebuild staged data over the fresh base under a
+    valid marker."""
+    from formula1_dataengineering_spark import fsutil
+    from formula1_dataengineering_spark.operators.compaction import (
+        compact_dedup_index,
+    )
+    from formula1_dataengineering_spark.operators.dedup import (
+        read_dedup_index,
+        refresh_dedup_index,
+        write_dedup_index,
+    )
+
+    d = _docs(spark)
+    corpus = d.where("doc_id % 5 != 0")
+    day1 = d.where("doc_id % 5 == 0")
+    path = str(tmp_path / "idx")
+    write_dedup_index(corpus, path, n_shards=8)
+    refresh_dedup_index(day1, path, "day1")
+
+    real_rename = fsutil.rename
+    calls = {"n": 0}
+
+    def crashing_rename(spark_, src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated crash mid-commit")
+        return real_rename(spark_, src, dst)
+
+    monkeypatch.setattr(fsutil, "rename", crashing_rename)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        compact_dedup_index(spark, path)
+    monkeypatch.setattr(fsutil, "rename", real_rename)
+    assert os.path.exists(os.path.join(path, "_COMPACT_MANIFEST.json"))
+
+    # Recovery path B: full base rebuild over the corrected corpus.
+    corpus2 = d.where("doc_id % 5 != 0").unionByName(day1)
+    write_dedup_index(corpus2, path, n_shards=8)
+    assert not os.path.exists(os.path.join(path, "_COMPACT_MANIFEST.json"))
+    assert not os.path.exists(os.path.join(path, "_compact"))
+    want_h, want_b, _ = read_dedup_index(spark, path)
+    want_h, want_b = _rows(want_h), _rows(want_b)
+    # The next compaction is a harmless no-op, never a stale resume.
+    summary = compact_dedup_index(spark, path)
+    assert summary["n_deltas_folded"] == 0 and not summary["resumed"]
+    h, b, _ = read_dedup_index(spark, path)
+    assert _rows(h) == want_h and _rows(b) == want_b
