@@ -99,6 +99,9 @@ def main() -> None:
         n_deltas = int(args[args.index("--deltas") + 1])
     if "--shards" in args:
         n_shards = int(args[args.index("--shards") + 1])
+    if "--ann" in args:
+        ann_mode(n_deltas)
+        return
     spark = get_spark()
     print(
         f"decade  build_s  deltas  probe_deltas_s  files_before  "
@@ -140,6 +143,95 @@ def main() -> None:
             f"  {w1:14.2f}  {files_before:12d}  {compact_s:9.2f}"
             f"  {parts:12d}  {w2:14.2f}  {files_after:11d}"
             f"  {flags1 == flags2!s:8s}"
+        )
+
+
+# --------------------------------------------------------------------------
+# --ann mode: the same study for the stored IVF-PQ index, at the
+# vector scales of scripts/ann_index_probe.py (2k / 2M / 5M). Works on
+# a COPY of the persisted probe indices (compaction folds deltas into
+# the base, and ann_index_probe's --refresh expects its layouts
+# unfolded — the new insert-only guard would refuse re-appends of
+# folded ids). Deltas carry synthetic fresh ids (disjoint by
+# construction), so the guard's O(index-ids) pass is skipped via
+# check_disjoint=False — exactly the opt-out's intended use.
+# --------------------------------------------------------------------------
+
+ANN_CORPORA = [
+    ("2k", "/root/testdata/sf0.1"),
+    ("2M", "/tmp/graft_emb1000x_sf01"),
+    ("5M", "/tmp/graft_emb2500x_sf01"),
+]
+
+
+def ann_mode(n_deltas: int) -> None:
+    import shutil
+
+    from formula1_dataengineering_spark.operators.clustering import (
+        ivf_pq_topk_from_index,
+        read_ann_index,
+        refresh_ann_index,
+    )
+    from formula1_dataengineering_spark.operators.compaction import (
+        compact_ann_index,
+    )
+
+    spark = get_spark()
+    print(
+        "corpus  vectors     deltas  probe_deltas_s  files_before  "
+        "compact_s  probe_folded_s  files_after  topk_eq"
+    )
+    for tag, sf_dir in ANN_CORPORA:
+        src = f"/tmp/graft_ann_probe_{tag}"
+        if not os.path.isdir(src) or not os.path.isdir(sf_dir):
+            print(f"{tag:6s}  SKIP (missing {src} or {sf_dir})")
+            continue
+        emb = load(spark, sf_dir, "embeddings")
+        n = emb.count()
+        q = emb.where(F.col("vec_id") < 10).select("vec_id", "embedding")
+        work = f"/tmp/graft_ann_compact_probe_{tag}"
+        shutil.rmtree(work, ignore_errors=True)
+        shutil.copytree(src, work)
+        for i in range(n_deltas):
+            batch = q.select(
+                (F.col("vec_id") + F.lit(n + i * 100)).alias("vec_id"),
+                "embedding",
+            )
+            with cache_scope():
+                refresh_ann_index(
+                    batch, work, f"day{i:03d}", check_disjoint=False
+                )
+
+        def probe():
+            with cache_scope():
+                codes, codebook, cells, meta = read_ann_index(spark, work)
+                t = time.time()
+                rows = sorted(
+                    map(
+                        tuple,
+                        ivf_pq_topk_from_index(
+                            q, codes, codebook, m=8, k=4, iters=2,
+                            topk=5, index_meta=meta, cells=cells,
+                            nprobe=2,
+                        ).collect(),
+                    )
+                )
+            return time.time() - t, rows
+
+        w1a, rows1 = probe()
+        w1b, _ = probe()
+        files_before = _count_files(work)
+        t = time.time()
+        compact_ann_index(spark, work)
+        compact_s = time.time() - t
+        files_after = _count_files(work)
+        w2a, rows2 = probe()
+        w2b, _ = probe()
+        print(
+            f"{tag:6s}  {n:>10,}  {n_deltas:6d}  {min(w1a, w1b):14.2f}"
+            f"  {files_before:12d}  {compact_s:9.2f}"
+            f"  {min(w2a, w2b):14.2f}  {files_after:11d}"
+            f"  {rows1 == rows2!s:7s}"
         )
 
 
