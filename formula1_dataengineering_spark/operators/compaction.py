@@ -48,6 +48,20 @@ approximates: compaction never needs a rebuild to recover.
 All filesystem IO goes through the Hadoop FileSystem API
 (``fsutil``), so the same lifecycle serves a local path, a ``file:/``
 URI, or a cluster filesystem.
+
+Concurrency contract (round-14, per ADVICE r13): compaction assumes a
+SINGLE MAINTAINER — one process runs ``compact_*`` / ``write_*`` /
+``vacuum`` on a layout at a time, the same assumption the COW
+refresher documents. Concurrent INGEST is the one interleave that is
+supported and proven: a ``refresh_*`` delta landing at any point
+during compaction survives, because the manifest names exactly the
+batches being folded and the commit deletes only those — a delta
+committed after the listing is untouched by the swap and stays
+probe-able (the ``on_staged`` hook exists so tests and the
+``compaction_ingest_interleave`` gate can land a delta inside the
+STAGE→COMMIT window and hash the post-state). Two concurrent
+``compact_*`` calls, or a compaction racing a base REBUILD, are NOT
+supported — serialize maintenance.
 """
 
 from __future__ import annotations
@@ -64,7 +78,6 @@ from .. import fsutil
 
 _MANIFEST = "_COMPACT_MANIFEST.json"
 _STAGING = "_compact"
-_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
 
 
 class _TableSpec(NamedTuple):
@@ -146,11 +159,19 @@ def _compact_layout(
     writer_name: str,
     specs: list[_TableSpec],
     meta: dict | None = None,
+    on_staged=None,
 ) -> dict:
     """Shared engine — see the module docstring for the protocol.
     Returns a summary dict: ``n_deltas_folded``, ``batch_ids``,
     ``touched_partitions`` per table, and ``resumed`` (True when this
-    call completed a crashed commit instead of folding new deltas)."""
+    call completed a crashed commit instead of folding new deltas).
+
+    ``on_staged`` (None in production) is called between MANIFEST and
+    COMMIT — the widest concurrent-ingest window. Tests and the
+    interleave gate use it to land a delta mid-compaction (the
+    manifest pins exactly the batches being folded, so the injected
+    delta must survive the commit) or to raise and simulate a crash
+    whose re-run resumes the commit."""
     fsutil.validate_layout_path(path, what)
     manifest_path = os.path.join(path, _MANIFEST)
     if fsutil.exists(spark, manifest_path):
@@ -242,6 +263,8 @@ def _compact_layout(
     # Manifest lands ONLY after all staging completed: its existence
     # is the resume guarantee.
     fsutil.write_text(spark, manifest_path, json.dumps(manifest))
+    if on_staged is not None:
+        on_staged()
     _commit(spark, path, manifest)
     return {
         "n_deltas_folded": len(committed),
@@ -251,7 +274,9 @@ def _compact_layout(
     }
 
 
-def compact_dedup_index(spark: SparkSession, path: str) -> dict:
+def compact_dedup_index(
+    spark: SparkSession, path: str, on_staged=None
+) -> dict:
     """Fold every committed ingest delta of a ``write_dedup_index``
     layout into its base tables — partition-wise, no re-hashing, no
     re-shingling (delta rows were sharded at ingest time with the
@@ -270,10 +295,13 @@ def compact_dedup_index(spark: SparkSession, path: str) -> dict:
             _TableSpec("content_hashes", "shard", (), "hashes_schema"),
             _TableSpec("band_rows", "shard", (), "bands_schema"),
         ],
+        on_staged=on_staged,
     )
 
 
-def compact_ann_index(spark: SparkSession, path: str) -> dict:
+def compact_ann_index(
+    spark: SparkSession, path: str, on_staged=None
+) -> dict:
     """Fold every committed ingest delta of a ``write_ann_index``
     layout into the base ``codes`` table — partition-wise per IVF
     cell, codebook and coarse centroids untouched (they are frozen
@@ -307,10 +335,13 @@ def compact_ann_index(spark: SparkSession, path: str) -> dict:
         "write_ann_index",
         [_TableSpec("codes", cell_col, (), "codes_schema")],
         meta=meta,
+        on_staged=on_staged,
     )
 
 
-def compact_scd2_feed(spark: SparkSession, path: str) -> dict:
+def compact_scd2_feed(
+    spark: SparkSession, path: str, on_staged=None
+) -> dict:
     """Fold every committed daily append of a ``write_scd2_feed``
     layout into the base ``feed_rows`` table — partition-wise per HRW
     shard, preserving the writer's (key, ts) within-partition sort so
@@ -339,4 +370,5 @@ def compact_scd2_feed(spark: SparkSession, path: str) -> dict:
             )
         ],
         meta=meta,
+        on_staged=on_staged,
     )

@@ -6648,7 +6648,13 @@ def e2e_ingest_neardup_resolution(
     )
 
 
-def _gate_chain(spark: SparkSession, path: str, fresh: bool, mutate) -> bool:
+def _gate_chain(
+    spark: SparkSession,
+    path: str,
+    fresh: bool,
+    mutate,
+    state: dict | None = None,
+) -> bool:
     """Run a gate's MULTI-STEP layout-mutation chain exactly once per
     artifact life, crash-safely. layout_artifact's freshness marker is
     the layout's own ``_SUCCESS``, which every intermediate step
@@ -6660,18 +6666,39 @@ def _gate_chain(spark: SparkSession, path: str, fresh: bool, mutate) -> bool:
     else (stale, or fresh-but-sentinel-less = interrupted chain) is
     rebuilt from scratch: the whole layout directory is deleted and
     ``mutate()`` re-runs, with the sentinel written last. Returns
-    True when the chain ran this drive (the only time before/after
-    fold measurements exist)."""
+    True when the chain ran this drive.
+
+    ``state`` (ADVICE r13): measurements that only exist the drive
+    the chain runs (fold diffs, policy recalls) — ``mutate()`` fills
+    the dict, the sentinel persists it as JSON, and a cached drive
+    loads the RECORDED values back into it, so a gate's "measured"
+    proof columns always re-emit the real measurement instead of a
+    placeholder. A sentinel that fails to parse (pre-r14 empty file,
+    torn write) is treated as chain-not-done and rebuilt."""
+    import json
     import os
 
     from .. import fsutil
 
     done = os.path.join(path, "_GATE_DONE")
     if fresh and fsutil.exists(spark, done):
-        return False
+        if state is None:
+            return False
+        try:
+            recorded = json.loads(fsutil.read_text(spark, done))
+        except (OSError, ValueError):
+            recorded = None
+        if isinstance(recorded, dict):
+            state.update(recorded)
+            return False
+        # Unparseable sentinel: fall through and re-run the chain so
+        # the measurements exist again.
     fsutil.delete(spark, path)
     mutate()
-    fsutil.touch(spark, done)
+    if state is None:
+        fsutil.touch(spark, done)
+    else:
+        fsutil.write_text(spark, done, json.dumps(state))
     return True
 
 
@@ -6774,8 +6801,10 @@ def dedup_index_compaction_probe(
 
     # Crash-safe once-per-artifact mutation chain; on done drives the
     # compacted base IS corpus ∪ accepted and the probe replays the
-    # same truth (n_diff was measured the drive the fold ran).
-    _gate_chain(spark, path, fresh, mutate)
+    # same truth — n_diff is the RECORDED measurement from the drive
+    # the fold ran, persisted in the sentinel (ADVICE r13), not a
+    # placeholder literal.
+    _gate_chain(spark, path, fresh, mutate, state)
     n_diff = state["n_diff"]
     h2, b2, m2 = read_dedup_index(spark, path)
     after = incremental_dedup_from_index(batch, h2, b2, index_meta=m2)
@@ -6837,7 +6866,7 @@ def ann_index_compaction_topk(
         compact_ann_index(spark, path)
         state["n_diff"] = _symmetric_diff_count(before, _probe())
 
-    _gate_chain(spark, path, fresh, mutate)
+    _gate_chain(spark, path, fresh, mutate, state)
     n_diff = state["n_diff"]
     after = _probe()
     return after.select(
@@ -6895,7 +6924,7 @@ def scd2_feed_compaction_history(
             before, scd2_history(feed_m, *cols)
         )
 
-    _gate_chain(spark, path, fresh, mutate)
+    _gate_chain(spark, path, fresh, mutate, state)
     n_diff = state["n_diff"]
     feed_a, _ = read_scd2_feed(spark, path)
     after = scd2_history(feed_a, *cols)

@@ -836,6 +836,7 @@ def stream_feed_ingest_deltas(
     the layout itself the idempotence ledger."""
     from pyspark.errors import StreamingQueryException
 
+    from .. import fsutil
     from ..operators.scd import (
         read_scd2_feed,
         refresh_scd2_feed,
@@ -862,8 +863,33 @@ def stream_feed_ingest_deltas(
         # leaves alone); only the checkpoint/crash scratch is
         # per-drive — batch ids restart at 0 on a fresh checkpoint,
         # so re-drives overwrite their own deltas deterministically.
-        write_scd2_feed(base, feed_path, *cols, n_shards=4)
+        #
+        # Source FIRST, base SECOND (ADVICE r13, medium): the feed
+        # layout's _SUCCESS — written last by write_scd2_feed — is
+        # the artifact-freshness marker, so it must be the final step
+        # of the two-step rebuild chain. The reverse order left a
+        # crash window (base committed, source missing/partial) that
+        # every later drive would take as fresh and fail against;
+        # with this order any interrupted chain leaves a marker-less
+        # (= stale) layout the next drive rebuilds whole.
         streamed.repartition(3).write.mode("overwrite").parquet(src)
+        n_src = sum(
+            1
+            for n in fsutil.list_names(spark, src)
+            if n.endswith(".parquet")
+        )
+        if n_src != 3:
+            # Fail at the write, not after a full stream run: the
+            # 3-micro-batch contract (and the oracle's literal
+            # n_stream_deltas=3) assumes repartition(3) yields three
+            # part files — a tiny sf or an elided empty partition
+            # breaks it here with the actual count (ADVICE r13).
+            raise ValueError(
+                f"stream source landed {n_src} parquet files, not the "
+                "3 the micro-batch contract requires — scale factor "
+                "too small for 3 non-empty partitions?"
+            )
+        write_scd2_feed(base, feed_path, *cols, n_shards=4)
 
     stream = (
         spark.readStream.format("parquet")
@@ -916,8 +942,6 @@ def stream_feed_ingest_deltas(
             "was not exercised (fewer than 2 micro-batches?)"
         )
     run()  # run 2: replays batch 1 idempotently, finishes the rest
-
-    from .. import fsutil
 
     n_deltas = sum(
         1
