@@ -4745,3 +4745,177 @@ ORACLE_SQL["stream_feed_ingest_history"] = (
     + ORACLE_SQL["scd2_user_event_history"]
     + ")"
 )
+
+
+# --------------------------------------------------------------------------
+# Round 14: unified maintenance policy loop (VERDICT r13 item 1)
+# --------------------------------------------------------------------------
+
+# ann_maintenance_policy, 'day1' tick: the frozen-codebook replay
+# with ONLY day1's half of the batch inserted (the insert side of
+# allc is filtered; queries stay the full batch — a held-out probe
+# set needs no membership), recall at nprobe=2 against the exact
+# top-5 over corpus ∪ day1 — the corpus the index serves at that
+# tick. Built from the shared _ANN_DELTA_PREFIX by restricting the
+# insert union arm, so the training/encode replay cannot drift from
+# the other delta gates.
+_ANN_INSERT_ARM = """SELECT bc.vec_id, bc.sub_id, bc.cluster, bl.label
+  FROM bcode bc JOIN bcell bl USING (vec_id)"""
+assert _ANN_INSERT_ARM in _ANN_DELTA_PREFIX
+_ANN_DAY1_PREFIX = _ANN_DELTA_PREFIX.replace(
+    _ANN_INSERT_ARM,
+    _ANN_INSERT_ARM + "\n  WHERE (bc.vec_id // 97) % 2 = 0",
+)
+
+_ANN_DAY1_RECALL = _ANN_DAY1_PREFIX + """, qcell AS (
+  SELECT q.vec_id AS q_id, c.label,
+         list_reduce(list_transform(list_zip(q.v, c.c),
+           x -> (x[1] - x[2]) * (x[1] - x[2])), (acc, t) -> acc + t) AS cd
+  FROM b q CROSS JOIN cellc c
+), qprobe AS (
+  SELECT q_id, label FROM (
+    SELECT q_id, label, row_number() OVER (
+      PARTITION BY q_id ORDER BY cd, label) AS crk
+    FROM qcell
+  ) WHERE crk <= 2
+), lut AS (
+  SELECT q.vec_id AS q_id, q.sub_id, c.cluster AS code,
+         list_reduce(list_transform(list_zip(q.sv, c.c),
+           x -> (x[1] - x[2]) * (x[1] - x[2])), (a, b) -> a + b) AS ld
+  FROM bsub q JOIN c1 c USING (sub_id)
+), scored AS (
+  SELECT p.q_id, a.vec_id, round(sum(l.ld), 6) AS adc_dist
+  FROM qprobe p
+  JOIN allc a ON a.label = p.label
+  JOIN lut l ON l.q_id = p.q_id AND l.sub_id = a.sub_id
+            AND l.code = a.cluster
+  GROUP BY 1, 2
+), approx AS (
+  SELECT q_id, vec_id AS neighbor_id FROM (
+    SELECT s.*, row_number() OVER (
+      PARTITION BY q_id ORDER BY adc_dist, vec_id) AS rk
+    FROM scored s
+  ) WHERE rk <= 5
+), e1 AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+  WHERE vec_id % 97 <> 0 OR (vec_id // 97) % 2 = 0
+), ed AS (
+  SELECT q.vec_id AS q_id, a.vec_id AS neighbor_id,
+         list_reduce(list_transform(list_zip(q.v, a.v),
+           x -> (x[1] - x[2]) * (x[1] - x[2])), (acc, t) -> acc + t) AS d
+  FROM b q CROSS JOIN e1 a
+), exact AS (
+  SELECT q_id, neighbor_id FROM (
+    SELECT q_id, neighbor_id, row_number() OVER (
+      PARTITION BY q_id ORDER BY d, neighbor_id) AS rk
+    FROM ed
+  ) WHERE rk <= 5
+), nq AS (
+  SELECT count(DISTINCT q_id) AS n_queries FROM exact
+)
+SELECT CAST(nq.n_queries AS BIGINT) AS n_queries,
+       CAST(h.n_hits AS BIGINT) AS n_hits,
+       round(h.n_hits * 1.0 / (nq.n_queries * 5), 4) AS recall_at_5
+FROM (
+  SELECT count(*) AS n_hits FROM approx ap
+  WHERE EXISTS (
+    SELECT 1 FROM exact x
+    WHERE x.q_id = ap.q_id AND x.neighbor_id = ap.neighbor_id
+  )
+) h CROSS JOIN nq
+"""
+
+# ann_maintenance_policy: the whole policy loop replayed — day1 HOLD
+# (count policy, drift arm off), day2 COMPACT with recall invariant
+# across the fold (recall_after = recall_before BY REPLAY: the oracle
+# has no fold, so emitting the same value twice IS the invisibility
+# assertion the Spark side must meet with a real re-measurement),
+# drift REBUILD with the conditional itself replayed (decision and
+# recall_after are CASE over the replayed delta recall — the r13
+# policy-gate recipe). drow is MATERIALIZED (read three times).
+ORACLE_SQL["ann_maintenance_policy"] = (
+    """WITH d1r AS MATERIALIZED (
+"""
+    + _ANN_DAY1_RECALL
+    + """), drow AS MATERIALIZED (
+  SELECT n_queries, n_hits, recall_at_5 FROM ("""
+    + ORACLE_SQL["ann_delta_recall"]
+    + """) WHERE nprobe = 2
+), prow AS MATERIALIZED (
+  SELECT n_queries, n_hits, recall_at_5 FROM ("""
+    + _ANN_POLICY_POST
+    + """)
+)
+SELECT 'day1' AS step, 'hold' AS decision,
+       CAST(1 AS INTEGER) AS n_deltas,
+       n_queries, n_hits,
+       recall_at_5 AS recall_before, recall_at_5 AS recall_after,
+       CAST(1 AS INTEGER) AS deltas_remaining
+FROM d1r
+UNION ALL
+SELECT 'day2', 'compact', CAST(2 AS INTEGER),
+       n_queries, n_hits, recall_at_5, recall_at_5, CAST(0 AS INTEGER)
+FROM drow
+UNION ALL
+SELECT 'drift',
+       CASE WHEN d.recall_at_5 < 0.5 THEN 'rebuild' ELSE 'hold' END,
+       CAST(0 AS INTEGER), d.n_queries, d.n_hits, d.recall_at_5,
+       CASE WHEN d.recall_at_5 < 0.5
+            THEN p.recall_at_5 ELSE d.recall_at_5 END,
+       CAST(0 AS INTEGER)
+FROM drow d CROSS JOIN prow p"""
+)
+
+# dedup_index_maintenance: hold → compact → (conditional) rebuild
+# must all land on the e2e ingest chain's one-truth reprobe (base ∪
+# accepted — a fold or a full re-shingle of the same corpus cannot
+# move any probed value). The day-3 drift conditional replays from
+# the SAME accepted-rows counts the Spark side measured off the
+# layout: base = corpus + day1/day2 accepted (folded), delta = day3
+# accepted; at a replica scale where day3 accepts nothing the arm
+# holds and deltas_remaining rides the same CASE.
+ORACLE_SQL["dedup_index_maintenance"] = (
+    """WITH t AS MATERIALIZED (
+"""
+    + ORACLE_SQL["end_to_end_incremental_ingest"]
+    + """), c AS (
+  SELECT
+    (SELECT count(*) FROM documents WHERE doc_id % 97 <> 0)
+      + count(*) FILTER (WHERE action = 'ingest'
+                         AND (doc_id // 97) % 3 IN (0, 1)) AS d3b,
+    count(*) FILTER (WHERE action = 'ingest'
+                     AND (doc_id // 97) % 3 = 2) AS d3d
+  FROM t
+)
+SELECT t.doc_id, t.reprobe_action AS final_action,
+       'hold' AS d1_decision, 'compact' AS d2_decision,
+       CASE WHEN c.d3d >= 0.001 * c.d3b
+            THEN 'rebuild' ELSE 'hold' END AS d3_decision,
+       CAST(c.d3b AS BIGINT) AS d3_base_rows,
+       CAST(c.d3d AS BIGINT) AS d3_delta_rows,
+       CAST(CASE WHEN c.d3d >= 0.001 * c.d3b THEN 0 ELSE 1 END
+            AS INTEGER) AS deltas_remaining
+FROM t CROSS JOIN c"""
+)
+
+# scd2_feed_maintenance: hold → compact → (conditional) RE-SHARD all
+# land on the SCD2 family's one-truth full-rebuild history (base ∪
+# day1 ∪ day2 = all events; doubling shards moves rows, never
+# values); the re-shard trigger replays as CASE over count(events) —
+# total layout rows at the day-3 tick — against the declared
+# 512-rows/shard bar over the writer's 16 shards.
+ORACLE_SQL["scd2_feed_maintenance"] = (
+    "SELECT user_id, event_type, effective_from_us, effective_to_us,"
+    " is_current,"
+    " 'hold' AS d1_decision, 'compact' AS d2_decision,"
+    " CASE WHEN c.cnt > 512 * 16 THEN 'rebuild' ELSE 'hold' END"
+    "   AS d3_decision,"
+    " CAST(c.cnt AS BIGINT) AS total_rows,"
+    " CAST(CASE WHEN c.cnt > 512 * 16 THEN 32 ELSE 16 END AS INTEGER)"
+    "   AS final_n_shards,"
+    " CAST(0 AS INTEGER) AS deltas_remaining"
+    " FROM ("
+    + ORACLE_SQL["scd2_user_event_history"]
+    + ") CROSS JOIN (SELECT count(*) AS cnt FROM events) c"
+)

@@ -7144,3 +7144,280 @@ def stream_feed_ingest_history(
         F.lit(info["feed_rows"]).cast("bigint").alias("feed_rows"),
         F.lit(info["crashed_once"]).alias("crash_replayed"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 14: unified maintenance policy loop (VERDICT r13 item 1)
+# --------------------------------------------------------------------------
+
+
+@query("ann_maintenance_policy")
+def ann_maintenance_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNIFIED MAINTENANCE LOOP for the stored ANN index (VERDICT r13
+    item 1): round 13 left compact and rebuild as separate verbs — a
+    HOLD decision accumulated deltas forever. ``maintain_ann_index``
+    is one policy tick: measure recall drift, emit exactly ONE of
+    hold / compact / rebuild, and EXECUTE it. The gate drives a
+    layout through the loop's whole life and hashes the decision
+    table:
+
+    - ``day1``: one ingest delta → HOLD (below compact_after=2, and
+      the drift arm is disabled at threshold 0.0 so the count policy
+      is scale-independent);
+    - ``day2``: two deltas → COMPACT, with recall re-measured across
+      the fold — ``recall_after`` must EQUAL ``recall_before`` (the
+      fold-invisibility witness, now measured inside the policy loop
+      itself);
+    - ``drift``: threshold raised to 0.5 (measured drift at this
+      data is ~0.3, deterministically below) → REBUILD executes
+      ``write_ann_index`` over the full corpus with the layout's own
+      recorded params, and ``recall_after`` is the post-retrain
+      measurement — the validation row a production loop records
+      beside the decision that bought it.
+
+    The DuckDB oracle replays every number: day1 recall = the
+    frozen-codebook replay with only day1's vectors inserted (exact
+    referee over corpus ∪ day1 — the corpus the index serves at that
+    tick); day2/drift recall = the full-delta replay (exact referee
+    over all vectors); post-rebuild recall = the full-corpus retrain
+    replay; and the drift CONDITIONAL itself (decision and
+    recall_after are CASE over the replayed recall — the r13
+    policy-gate recipe). Decision rows are measurements recorded the
+    drive the chain ran, persisted in the gate sentinel."""
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..operators.clustering import refresh_ann_index, write_ann_index
+    from ..operators.maintenance import maintain_ann_index
+    from ..sources.catalog import layout_artifact
+
+    e = load(spark, sf_dir, "embeddings")
+    corpus = e.where(F.col("vec_id") % 97 != 0)
+    batch = e.where(F.col("vec_id") % 97 == 0)
+    day1 = batch.where(F.expr("vec_id div 97") % 2 == 0)
+    day2 = batch.where(F.expr("vec_id div 97") % 2 == 1)
+    q = batch.select("vec_id", "embedding")
+    path, fresh = layout_artifact(
+        sf_dir, "spark_graft_ann_maint_v1", "embeddings"
+    )
+    state: dict = {"rows": []}
+
+    def tick(step: str, vectors, rebuild_below: float) -> None:
+        r = maintain_ann_index(
+            spark, path, q, vectors, rebuild_below, compact_after=2
+        )
+        state["rows"].append(
+            [
+                step,
+                r["decision"],
+                r["n_deltas"],
+                r["n_queries"],
+                r["n_hits"],
+                r["recall_before"],
+                r["recall_after"],
+                r["deltas_remaining"],
+            ]
+        )
+
+    def mutate() -> None:
+        write_ann_index(corpus, path, m=8, k=4, iters=2)
+        refresh_ann_index(day1, path, "day1")
+        # The exact referee always covers the corpus the index SERVES
+        # at this tick: corpus ∪ day1 here, everything after day2.
+        tick("day1", corpus.unionByName(day1), rebuild_below=0.0)
+        refresh_ann_index(day2, path, "day2")
+        tick("day2", e, rebuild_below=0.0)
+        tick("drift", e, rebuild_below=0.5)
+
+    _gate_chain(spark, path, fresh, mutate, state)
+    schema = StructType(
+        [
+            StructField("step", StringType()),
+            StructField("decision", StringType()),
+            StructField("n_deltas", IntegerType()),
+            StructField("n_queries", LongType()),
+            StructField("n_hits", LongType()),
+            StructField("recall_before", DoubleType()),
+            StructField("recall_after", DoubleType()),
+            StructField("deltas_remaining", IntegerType()),
+        ]
+    )
+    rows = [
+        [
+            r[0],
+            r[1],
+            int(r[2]),
+            int(r[3]),
+            int(r[4]),
+            float(r[5]),
+            float(r[6]),
+            int(r[7]),
+        ]
+        for r in state["rows"]
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+@query("dedup_index_maintenance")
+def dedup_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNIFIED MAINTENANCE LOOP for the stored dedup index: three
+    ingest days drive ``maintain_dedup_index`` through all three
+    outcomes — day1 HOLD (one delta, below compact_after=2), day2
+    COMPACT (fold both deltas into the base shards), day3 REBUILD via
+    the rows-ratio drift arm (the ingested tail crossing
+    ``rebuild_rows_over`` × base_rows = the corpus outgrowing the
+    sharding the base was sized for; the rebuild re-shingles the full
+    current corpus with the layout's own recorded params and purges
+    the delta). The hashed row set is the batch probed against the
+    FINAL layout state — hold, fold and rebuild must all land on the
+    e2e ingest chain's one-truth reprobe (base ∪ accepted) — plus
+    the recorded decision table as literal columns, with the day-3
+    conditional replayed in the oracle from the same accepted-rows
+    counts (CASE over day-split ingest counts; at a replica scale
+    where day3 accepts zero docs the arm correctly holds and the
+    oracle holds with it — deltas_remaining rides the same CASE)."""
+    from ..operators.dedup import (
+        incremental_dedup_from_index,
+        read_dedup_index,
+        refresh_dedup_index,
+        write_dedup_index,
+    )
+    from ..operators.maintenance import maintain_dedup_index
+    from ..sources.catalog import layout_artifact
+
+    d = load(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") % 97 != 0)
+    batch = d.where(F.col("doc_id") % 97 == 0)
+    path, fresh = layout_artifact(
+        sf_dir, "spark_graft_dedup_maint_v1", "documents"
+    )
+    state: dict = {"decisions": [], "d3": {}}
+
+    def mutate() -> None:
+        write_dedup_index(corpus, path)
+        h0, b0, m0 = read_dedup_index(spark, path, include_deltas=False)
+        flags0 = incremental_dedup_from_index(
+            batch, h0, b0, index_meta=m0
+        ).localCheckpoint(eager=True)
+        accepted = batch.join(
+            flags0.where(F.col("action") == "ingest").select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+        day = lambda k: accepted.where(  # noqa: E731
+            F.expr("doc_id div 97") % 3 == k
+        )
+        refresh_dedup_index(day(0), path, "day1")
+        m1 = maintain_dedup_index(spark, path, compact_after=2)
+        refresh_dedup_index(day(1), path, "day2")
+        m2 = maintain_dedup_index(spark, path, compact_after=2)
+        refresh_dedup_index(day(2), path, "day3")
+        # Drift arm armed: day3's rows against the (compacted) base.
+        # The full current corpus backs the rebuild the arm may buy.
+        m3 = maintain_dedup_index(
+            spark,
+            path,
+            corpus=corpus.unionByName(accepted),
+            rebuild_rows_over=0.001,
+            compact_after=2,
+        )
+        state["decisions"] = [m1["decision"], m2["decision"], m3["decision"]]
+        state["d3"] = {
+            "base_rows": m3["base_rows"],
+            "delta_rows": m3["delta_rows"],
+            "deltas_remaining": m3["deltas_remaining"],
+        }
+
+    _gate_chain(spark, path, fresh, mutate, state)
+    d1, d2, d3 = state["decisions"]
+    h, b, m = read_dedup_index(spark, path)
+    probe = incremental_dedup_from_index(batch, h, b, index_meta=m)
+    return probe.select(
+        "doc_id",
+        F.col("action").alias("final_action"),
+        F.lit(d1).alias("d1_decision"),
+        F.lit(d2).alias("d2_decision"),
+        F.lit(d3).alias("d3_decision"),
+        F.lit(state["d3"]["base_rows"]).cast("bigint").alias("d3_base_rows"),
+        F.lit(state["d3"]["delta_rows"])
+        .cast("bigint")
+        .alias("d3_delta_rows"),
+        F.lit(state["d3"]["deltas_remaining"])
+        .cast("int")
+        .alias("deltas_remaining"),
+    )
+
+
+@query("scd2_feed_maintenance")
+def scd2_feed_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNIFIED MAINTENANCE LOOP for the keyed SCD2 feed layout: day1
+    HOLD, day2 COMPACT, then the RE-SHARD arm — ``maintain_scd2_feed``
+    rebuilds the layout from its own read-back with DOUBLED shards
+    when total rows per shard cross ``rebuild_rows_per_shard`` (the
+    feed is self-contained, so unlike the index rebuilds no external
+    corpus is needed; HRW keeps the assignment re-shard-stable). The
+    hashed rows are the SCD2 history windowed from the FINAL layout —
+    hold, fold and re-shard must all land on the family's one-truth
+    full-rebuild oracle — plus the decision table and the re-shard
+    CONDITIONAL replayed in the oracle from the same total-rows count
+    (base ∪ day1 ∪ day2 = all events, so the trigger is CASE over
+    count(events): at sf0.01's 10,000 events the 512-rows/shard bar
+    over 16 shards trips and final_n_shards doubles to 32)."""
+    from ..operators.maintenance import maintain_scd2_feed
+    from ..operators.scd import (
+        read_scd2_feed,
+        refresh_scd2_feed,
+        scd2_history,
+        write_scd2_feed,
+    )
+    from ..sources.catalog import layout_artifact
+
+    e = load(spark, sf_dir, "events")
+    cols = ("user_id", "ts", "event_type")
+    path, fresh = layout_artifact(
+        sf_dir, "spark_graft_scd2_maint_feed_v1", "events"
+    )
+    state: dict = {"decisions": [], "final": {}}
+
+    def mutate() -> None:
+        write_scd2_feed(e.where(F.col("event_id") % 5 != 0), path, *cols)
+        refresh_scd2_feed(e.where(F.col("event_id") % 10 == 5), path, "day1")
+        m1 = maintain_scd2_feed(spark, path, compact_after=2)
+        refresh_scd2_feed(e.where(F.col("event_id") % 10 == 0), path, "day2")
+        m2 = maintain_scd2_feed(spark, path, compact_after=2)
+        m3 = maintain_scd2_feed(
+            spark, path, rebuild_rows_per_shard=512, compact_after=2
+        )
+        state["decisions"] = [m1["decision"], m2["decision"], m3["decision"]]
+        state["final"] = {
+            "total_rows": m3["total_rows"],
+            "n_shards": m3["n_shards_after"],
+            "deltas_remaining": m3["deltas_remaining"],
+        }
+
+    _gate_chain(spark, path, fresh, mutate, state)
+    d1, d2, d3 = state["decisions"]
+    feed, _ = read_scd2_feed(spark, path)
+    return scd2_history(feed, *cols).select(
+        "user_id",
+        "event_type",
+        "effective_from_us",
+        "effective_to_us",
+        "is_current",
+        F.lit(d1).alias("d1_decision"),
+        F.lit(d2).alias("d2_decision"),
+        F.lit(d3).alias("d3_decision"),
+        F.lit(state["final"]["total_rows"])
+        .cast("bigint")
+        .alias("total_rows"),
+        F.lit(state["final"]["n_shards"]).cast("int").alias("final_n_shards"),
+        F.lit(state["final"]["deltas_remaining"])
+        .cast("int")
+        .alias("deltas_remaining"),
+    )
