@@ -133,6 +133,17 @@ def list_names(spark: "SparkSession", path: str) -> list[str]:
     return sorted(s.getPath().getName() for s in fs.listStatus(p))
 
 
+def du(spark: "SparkSession", path: str) -> tuple[int, int]:
+    """(file_count, total_bytes) under ``path``, recursively — the
+    reclamation accounting the vacuum verb reports. (0, 0) for a
+    missing path."""
+    fs, p = _fs_path(spark, path)
+    if not fs.exists(p):
+        return 0, 0
+    s = fs.getContentSummary(p)
+    return int(s.getFileCount()), int(s.getLength())
+
+
 def has_parquet(spark: "SparkSession", path: str) -> bool:
     """True if any ``*.parquet`` file exists under ``path``
     (recursive) — the empty-vs-populated table probe. False for a

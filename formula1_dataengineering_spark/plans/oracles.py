@@ -4919,3 +4919,62 @@ ORACLE_SQL["scd2_feed_maintenance"] = (
     + ORACLE_SQL["scd2_user_event_history"]
     + ") CROSS JOIN (SELECT count(*) AS cnt FROM events) c"
 )
+
+
+# --------------------------------------------------------------------------
+# Round 14: retention / vacuum (VERDICT r13 item 2)
+# --------------------------------------------------------------------------
+
+# layout_vacuum_sweep: the sweep must be INVISIBLE to every reader —
+# base ∪ the surviving committed delta = all events, so the hashed
+# history is the SCD2 one-truth full-rebuild text; the accounting
+# literals replay the gate's DECLARED garbage (an unmarked delta dir
+# of 256 B, stale _staging of 128 B, stale manifest-less _compact of
+# 64 B → 3 files, 448 bytes, 1 orphan delta, 2 staging roots) and
+# the one committed delta the sweep must keep.
+ORACLE_SQL["layout_vacuum_sweep"] = (
+    "SELECT user_id, event_type, effective_from_us, effective_to_us,"
+    " is_current,"
+    " CAST(3 AS INTEGER) AS files_removed,"
+    " CAST(448 AS BIGINT) AS bytes_reclaimed,"
+    " CAST(1 AS INTEGER) AS orphan_deltas_removed,"
+    " CAST(2 AS INTEGER) AS staging_removed,"
+    " CAST(1 AS INTEGER) AS committed_deltas_kept"
+    " FROM ("
+    + ORACLE_SQL["scd2_user_event_history"]
+    + ")"
+)
+
+# scd2_history_retention: replay the retention policy over the
+# full-rebuild history — closed versions rank per key by
+# effective_from_us DESC (unique per key: scd2_history keeps one row
+# per distinct (key, ts) and compresses equal consecutive values),
+# keep rk <= 1 plus every current row, count the expired rest. h is
+# MATERIALIZED (read three times).
+ORACLE_SQL["scd2_history_retention"] = (
+    """WITH h AS MATERIALIZED (
+"""
+    + ORACLE_SQL["scd2_user_event_history"]
+    + """), closed AS (
+  SELECT user_id, event_type, effective_from_us, effective_to_us,
+         is_current,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY effective_from_us DESC
+         ) AS rk
+  FROM h WHERE NOT is_current
+), ex AS (
+  SELECT count(*) AS n FROM closed WHERE rk > 1
+)
+SELECT k.user_id, k.event_type, k.effective_from_us,
+       k.effective_to_us, k.is_current,
+       CAST(ex.n AS BIGINT) AS rows_expired
+FROM (
+  SELECT user_id, event_type, effective_from_us, effective_to_us,
+         is_current
+  FROM h WHERE is_current
+  UNION ALL
+  SELECT user_id, event_type, effective_from_us, effective_to_us,
+         is_current
+  FROM closed WHERE rk <= 1
+) k CROSS JOIN ex"""
+)

@@ -7421,3 +7421,145 @@ def scd2_feed_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("deltas_remaining"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 14: retention / vacuum — the last lifecycle verb (VERDICT r13
+# item 2)
+# --------------------------------------------------------------------------
+
+
+@query("layout_vacuum_sweep")
+def layout_vacuum_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM of a stored layout's physical garbage
+    (operators/vacuum.py): the gate builds a feed layout whose base ∪
+    one COMMITTED delta = all events, plants the three garbage
+    classes a year of crashes accumulates — an UNMARKED delta
+    directory (refresh died before its commit marker), stale
+    ``_staging`` (crashed base rebuild), stale ``_compact`` with no
+    manifest (compaction died during STAGE) — with DECLARED byte
+    sizes (synthetic files, so the oracle can assert the exact
+    reclamation; realistic parquet-orphan flows are pinned in
+    tests/test_vacuum.py), vacuums, and hashes the layout's LOGICAL
+    read-back (the SCD2 one-truth history — a vacuum that touched
+    any visible row would diverge) plus the measured accounting:
+    ``files_removed=3``, ``bytes_reclaimed=448`` (256+128+64),
+    ``orphan_deltas_removed=1``, ``staging_removed=2``, and
+    ``committed_deltas_kept=1`` — the committed delta must SURVIVE
+    the sweep or the history hash loses its rows anyway.
+
+    100 TB story: the sweep is pure filesystem metadata (listing +
+    content summaries + recursive deletes); nothing is read. The
+    manifest-pins-staging refusal (crash-resume contract) is pinned
+    in tests."""
+    from ..operators.scd import read_scd2_feed, refresh_scd2_feed, scd2_history, write_scd2_feed
+    from ..operators.vacuum import vacuum_layout
+    from ..sources.catalog import layout_artifact
+
+    e = load(spark, sf_dir, "events")
+    cols = ("user_id", "ts", "event_type")
+    path, fresh = layout_artifact(
+        sf_dir, "spark_graft_vacuum_v1", "events"
+    )
+    state: dict = {}
+
+    def plant(rel: str, size: int) -> None:
+        import pathlib
+
+        p = pathlib.Path(path) / rel
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_bytes(b"g" * size)
+
+    def mutate() -> None:
+        write_scd2_feed(
+            e.where(F.col("event_id") % 5 != 0), path, *cols, n_shards=4
+        )
+        refresh_scd2_feed(
+            e.where(F.col("event_id") % 5 == 0), path, "day1"
+        )
+        plant("feed_rows_delta_orphan9/part-dead.bin", 256)
+        plant("_staging/feed_rows/part-stale.bin", 128)
+        plant("_compact/feed_rows/part-stale.bin", 64)
+        info = vacuum_layout(spark, path, "scd2 feed layout")
+        state.update(
+            {
+                "files_removed": info["files_removed"],
+                "bytes_reclaimed": info["bytes_reclaimed"],
+                "orphans": info["orphan_deltas_removed"],
+                "staging": info["staging_removed"],
+            }
+        )
+
+    _gate_chain(spark, path, fresh, mutate, state)
+    feed, _ = read_scd2_feed(spark, path)
+    from .. import fsutil
+
+    kept = sum(
+        1
+        for n in fsutil.list_names(spark, path)
+        if n.startswith("_DELTA_") and n.endswith("._SUCCESS")
+    )
+    return scd2_history(feed, *cols).select(
+        "user_id",
+        "event_type",
+        "effective_from_us",
+        "effective_to_us",
+        "is_current",
+        F.lit(state["files_removed"]).cast("int").alias("files_removed"),
+        F.lit(state["bytes_reclaimed"])
+        .cast("bigint")
+        .alias("bytes_reclaimed"),
+        F.lit(state["orphans"]).cast("int").alias("orphan_deltas_removed"),
+        F.lit(state["staging"]).cast("int").alias("staging_removed"),
+        F.lit(kept).cast("int").alias("committed_deltas_kept"),
+    )
+
+
+@query("scd2_history_retention")
+def scd2_history_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETENTION over the stored SCD2 history layout
+    (operators/vacuum.py expire_scd2_history): per user, keep the
+    current row plus the single most recent closed version
+    (retain_versions=1) and expire everything older — copy-on-write
+    over only the shards holding expirable rows, the
+    scd2_refresh_in_place discipline. The hashed rows are the
+    post-expiry READ-BACK of the layout (external reader path, so the
+    marker round-trip is exercised too) with ``rows_expired`` riding
+    as a measured proof column; the DuckDB oracle replays the policy
+    over the full-rebuild history (rank closed versions per key by
+    effective_from_us DESC — unique per key by the scd2_history tie
+    contract — keep rk <= 1 plus current, count the rest).
+
+    100 TB story: the expiry is the history-side retention a year of
+    daily CDC needs — the scan to FIND expirable keys is one pruned
+    column read; the rewrite touches only shards with expired rows."""
+    from ..operators.scd import (
+        read_scd2_history,
+        scd2_history,
+        write_scd2_history,
+    )
+    from ..operators.vacuum import expire_scd2_history
+    from ..sources.catalog import layout_artifact
+
+    e = load(spark, sf_dir, "events")
+    path, fresh = layout_artifact(
+        sf_dir, "spark_graft_scd2_retention_v1", "events"
+    )
+    state: dict = {"rows_expired": 0}
+
+    def mutate() -> None:
+        hist = scd2_history(e, "user_id", "ts", "event_type")
+        write_scd2_history(hist, path, "user_id", n_shards=8)
+        info = expire_scd2_history(spark, path, retain_versions=1)
+        state["rows_expired"] = info["rows_expired"]
+
+    _gate_chain(spark, path, fresh, mutate, state)
+    hist, _meta = read_scd2_history(spark, path)
+    return hist.select(
+        "user_id",
+        "event_type",
+        "effective_from_us",
+        "effective_to_us",
+        "is_current",
+        F.lit(state["rows_expired"]).cast("bigint").alias("rows_expired"),
+    )

@@ -1,0 +1,167 @@
+"""Retention / vacuum verbs (operators/vacuum.py, VERDICT r13
+item 2): physical-garbage sweep is invisible to readers, the
+manifest pins compaction staging (crash-resume contract), unmarked
+deltas go while committed ones stay, and SCD2 history expiry keeps
+exactly current + N most recent closed versions per key, COW over
+touched shards, idempotent through its crash window."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from formula1_dataengineering_spark.operators.scd import (
+    read_scd2_feed,
+    read_scd2_history,
+    refresh_scd2_feed,
+    scd2_history,
+    write_scd2_feed,
+    write_scd2_history,
+)
+from formula1_dataengineering_spark.operators.vacuum import (
+    expire_scd2_history,
+    vacuum_layout,
+)
+
+
+def _feed(spark, n=48):
+    rows = [(i % 6, 1000 + i, f"v{i % 4}") for i in range(n)]
+    return spark.createDataFrame(
+        rows, "k long, ts long, v string"
+    ).withColumn("ts", F.timestamp_micros(F.col("ts") * 1_000_000))
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+@pytest.fixture()
+def feed_layout(spark, tmp_path):
+    path = str(tmp_path / "feed")
+    f = _feed(spark)
+    write_scd2_feed(f.where(F.unix_seconds(F.col("ts")) % 2 == 0), path, "k", "ts", "v")
+    refresh_scd2_feed(f.where(F.unix_seconds(F.col("ts")) % 2 == 1), path, "day1")
+    return path, f
+
+
+def test_vacuum_sweeps_garbage_keeps_content(spark, feed_layout):
+    path, f = feed_layout
+    before = _rows(read_scd2_feed(spark, path)[0].select("k", "ts", "v"))
+
+    # A REALISTIC orphan: a second refresh whose commit marker is
+    # lost (crash between delta write and marker).
+    refresh_scd2_feed(_feed(spark, 50).where(F.unix_seconds(F.col("ts")) >= 1048), path, "day2")
+    os.remove(os.path.join(path, "_DELTA_day2._SUCCESS"))
+    # Stale writer staging + manifest-less compaction staging.
+    os.makedirs(os.path.join(path, "_staging", "feed_rows"))
+    with open(os.path.join(path, "_staging", "feed_rows", "x.bin"), "wb") as fh:
+        fh.write(b"a" * 10)
+    os.makedirs(os.path.join(path, "_compact", "feed_rows"))
+    with open(os.path.join(path, "_compact", "feed_rows", "y.bin"), "wb") as fh:
+        fh.write(b"b" * 20)
+
+    info = vacuum_layout(spark, path)
+    assert info["orphan_deltas_removed"] == 1
+    assert info["staging_removed"] == 2
+    assert info["files_removed"] >= 3  # orphan parquet files + 2 bins
+    assert info["bytes_reclaimed"] >= 30
+    assert not info["pinned"]
+    names = os.listdir(path)
+    assert "_staging" not in names and "_compact" not in names
+    assert not any("day2" in n for n in names)
+    # Committed delta and logical content untouched.
+    assert "_DELTA_day1._SUCCESS" in names
+    assert _rows(read_scd2_feed(spark, path)[0].select("k", "ts", "v")) == before
+
+
+def test_vacuum_manifest_pins_staging(spark, feed_layout):
+    path, _ = feed_layout
+    os.makedirs(os.path.join(path, "_compact", "feed_rows"))
+    with open(os.path.join(path, "_compact", "feed_rows", "s.bin"), "wb") as fh:
+        fh.write(b"c" * 8)
+    with open(os.path.join(path, "_COMPACT_MANIFEST.json"), "w") as fh:
+        json.dump({"batch_ids": ["day1"], "tables": ["feed_rows"]}, fh)
+    info = vacuum_layout(spark, path)
+    assert info["pinned"]
+    assert info["staging_removed"] == 0
+    # The pinned staging survives byte for byte.
+    assert os.path.exists(os.path.join(path, "_compact", "feed_rows", "s.bin"))
+
+
+def test_vacuum_refuses_markerless_layout(spark, feed_layout):
+    path, _ = feed_layout
+    os.remove(os.path.join(path, "_SUCCESS"))
+    with pytest.raises(ValueError, match="no _SUCCESS"):
+        vacuum_layout(spark, path)
+
+
+@pytest.fixture()
+def hist_layout(spark, tmp_path):
+    path = str(tmp_path / "hist")
+    f = _feed(spark)  # 6 keys × 8 ts each, alternating 4 values
+    hist = scd2_history(f, "k", "ts", "v")
+    write_scd2_history(hist, path, "k", n_shards=4)
+    return path, hist
+
+
+def test_expire_keeps_current_plus_n(spark, hist_layout):
+    path, hist = hist_layout
+    total = hist.count()
+    n_current = hist.where("is_current").count()
+    info = expire_scd2_history(spark, path, retain_versions=1)
+    after, _ = read_scd2_history(spark, path)
+    kept = after.count()
+    assert kept == n_current * 2  # every key keeps current + 1 closed
+    assert info["rows_expired"] == total - kept
+    assert info["shards_rewritten"] >= 1
+    # Exactly the N most RECENT closed versions survive.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("k").orderBy(F.desc("effective_from_us"))
+    expect = _rows(
+        hist.where("is_current")
+        .select("k", "v", "effective_from_us", "effective_to_us")
+        .unionByName(
+            hist.where("not is_current")
+            .withColumn("rk", F.row_number().over(w))
+            .where("rk <= 1")
+            .select("k", "v", "effective_from_us", "effective_to_us")
+        )
+    )
+    got = _rows(
+        after.select("k", "v", "effective_from_us", "effective_to_us")
+    )
+    assert got == expect
+    # Idempotent: a second pass is a clean no-op, marker intact.
+    info2 = expire_scd2_history(spark, path, retain_versions=1)
+    assert info2 == {"rows_expired": 0, "shards_rewritten": 0}
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def test_expire_zero_keeps_only_current(spark, hist_layout):
+    path, hist = hist_layout
+    expire_scd2_history(spark, path, retain_versions=0)
+    after, _ = read_scd2_history(spark, path)
+    assert after.count() == hist.where("is_current").count()
+    assert after.where("not is_current").count() == 0
+    with pytest.raises(ValueError, match="must be >= 0"):
+        expire_scd2_history(spark, path, retain_versions=-1)
+
+
+def test_expire_recovers_through_crash_window(spark, hist_layout):
+    path, hist = hist_layout
+    # Simulate the worst window: the marker is already gone (a prior
+    # expiry died mid-overwrite). External readers refuse; the expiry
+    # itself must open marker-tolerantly, finish, and restore it.
+    os.remove(os.path.join(path, "_SUCCESS"))
+    with pytest.raises(ValueError, match="_SUCCESS"):
+        read_scd2_history(spark, path)
+    info = expire_scd2_history(spark, path, retain_versions=1)
+    assert info["rows_expired"] > 0
+    after, _ = read_scd2_history(spark, path)  # marker restored
+    assert after.where("is_current").count() == hist.where(
+        "is_current"
+    ).count()
