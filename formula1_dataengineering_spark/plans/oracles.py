@@ -4978,3 +4978,25 @@ FROM (
   FROM closed WHERE rk <= 1
 ) k CROSS JOIN ex"""
 )
+
+
+# stream_dedup_ingest_probe (round 14, VERDICT r13 item 4): the
+# streamed index's final state is corpus ∪ accepted — exactly the e2e
+# ingest chain's refreshed index — so the batch reprobe joins its
+# one-truth replay; the proof literals replay as 3 committed
+# micro-batch deltas, index_rows = corpus + accepted content-hash
+# rows (one per doc), and the crash-replay flag the operator refuses
+# to skip.
+ORACLE_SQL["stream_dedup_ingest_probe"] = (
+    """WITH t AS MATERIALIZED (
+"""
+    + ORACLE_SQL["end_to_end_incremental_ingest"]
+    + """)
+SELECT doc_id, reprobe_action AS final_action,
+       CAST(3 AS INTEGER) AS n_stream_deltas,
+       CAST((SELECT count(*) FROM documents WHERE doc_id % 97 <> 0)
+            + (SELECT count(*) FROM t WHERE action = 'ingest')
+            AS BIGINT) AS index_rows,
+       TRUE AS crash_replayed
+FROM t"""
+)

@@ -696,3 +696,50 @@ def test_stream_feed_ingest_deltas_exactly_once(spark, tmp_path):
         map(tuple, feed.select("user_id", "ts", "event_type").collect())
     )
     assert got == want
+
+
+def test_stream_dedup_ingest_deltas_exactly_once(spark, tmp_path):
+    """The streaming → dedup-index composition (VERDICT r13 item 4):
+    each micro-batch of accepted docs lands as a two-table index
+    delta, the pipeline crashes once after a delta landed but before
+    the checkpoint committed, and the restart's replay lands on top
+    of its own delta (idempotent per batch_id) — the final index
+    equals corpus ∪ accepted exactly (a doubled micro-batch would
+    duplicate content-hash rows; a lost one would drop them)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from formula1_dataengineering_spark.operators.dedup import (
+        read_dedup_index,
+    )
+    from formula1_dataengineering_spark.sources.catalog import load
+    from formula1_dataengineering_spark.streaming.events import (
+        stream_dedup_ingest_deltas,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    idx_path = str(tmp_path / "idx")
+    work = str(tmp_path / "work")
+    os.makedirs(work)
+    info = stream_dedup_ingest_deltas(spark, sf, work, idx_path)
+    assert info["crashed_once"]
+    assert info["n_deltas"] == 3
+    markers = sorted(
+        n for n in os.listdir(idx_path) if n.startswith("_DELTA_")
+    )
+    assert markers == [
+        "_DELTA_mb0._SUCCESS",
+        "_DELTA_mb1._SUCCESS",
+        "_DELTA_mb2._SUCCESS",
+    ]
+    d = load(spark, sf, "documents")
+    corpus_n = d.where(F.col("doc_id") % 97 != 0).count()
+    hashes, bands, _ = read_dedup_index(spark, idx_path)
+    # Exactly-once: one content-hash row per corpus doc + per
+    # accepted streamed doc, none doubled by the replay.
+    assert info["index_rows"] == hashes.count()
+    assert corpus_n <= info["index_rows"] <= corpus_n + 6
+    assert (
+        hashes.groupBy("doc_id").count().where("count > 1").count() == 0
+    )
