@@ -5000,3 +5000,20 @@ SELECT doc_id, reprobe_action AS final_action,
        TRUE AS crash_replayed
 FROM t"""
 )
+
+
+# compaction_ingest_interleave (round 14, VERDICT r13 item 5): the
+# post-fold layout is base(day1+day2 folded) ∪ day3's surviving
+# delta = corpus ∪ ALL accepted — the e2e reprobe truth again (a
+# commit that swept the interleaved delta would flip its docs back
+# to 'ingest'); the literals replay the 2 manifest-named folded
+# batches, day3's surviving commit marker, and the no-crash path.
+ORACLE_SQL["compaction_ingest_interleave"] = (
+    "SELECT doc_id, reprobe_action AS final_action,"
+    " CAST(2 AS INTEGER) AS n_folded,"
+    " CAST(1 AS INTEGER) AS interleaved_committed,"
+    " FALSE AS fold_resumed"
+    " FROM ("
+    + ORACLE_SQL["end_to_end_incremental_ingest"]
+    + ")"
+)

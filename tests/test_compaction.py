@@ -484,3 +484,106 @@ def test_base_rebuild_purges_crashed_compaction_state(
     assert summary["n_deltas_folded"] == 0 and not summary["resumed"]
     h, b, _ = read_dedup_index(spark, path)
     assert _rows(h) == want_h and _rows(b) == want_b
+
+
+def test_compact_interleaved_ingest_survives_commit(spark, tmp_path):
+    """A delta landing between STAGE and COMMIT (the on_staged seam —
+    a refresh racing the fold) survives: the manifest names exactly
+    the folded batches, so the commit deletes only those, and the
+    post-fold read is base(folded) ∪ the interleaved delta."""
+    from formula1_dataengineering_spark.operators.compaction import (
+        compact_dedup_index,
+    )
+    from formula1_dataengineering_spark.operators.dedup import (
+        read_dedup_index,
+        refresh_dedup_index,
+        write_dedup_index,
+    )
+
+    d = _docs(spark, n=90)
+    corpus = d.where("doc_id % 5 != 0")
+    day1 = d.where("doc_id % 10 == 5")
+    day2 = d.where("doc_id % 20 == 0")
+    day3 = d.where("doc_id % 20 == 10")
+    path = str(tmp_path / "idx")
+    write_dedup_index(corpus, path, n_shards=8)
+    refresh_dedup_index(day1, path, "day1")
+    refresh_dedup_index(day2, path, "day2")
+
+    landed = {}
+
+    def land_day3():
+        refresh_dedup_index(day3, path, "day3")
+        landed["h"], landed["b"], _ = read_dedup_index(spark, path)
+        landed["want_h"] = _rows(landed["h"])
+        landed["want_b"] = _rows(landed["b"])
+
+    summary = compact_dedup_index(spark, path, on_staged=land_day3)
+    assert summary["batch_ids"] == ["day1", "day2"]
+    # day3's delta dirs + marker survive the commit's sweep.
+    residue = _delta_residue(path)
+    assert sorted(residue) == [
+        "_DELTA_day3._SUCCESS",
+        "band_rows_delta_day3",
+        "content_hashes_delta_day3",
+    ]
+    h, b, _ = read_dedup_index(spark, path)
+    assert _rows(h) == landed["want_h"]
+    assert _rows(b) == landed["want_b"]
+    # A later fold reclaims day3 too.
+    again = compact_dedup_index(spark, path)
+    assert again["batch_ids"] == ["day3"]
+    assert _delta_residue(path) == []
+    h2, b2, _ = read_dedup_index(spark, path)
+    assert _rows(h2) == landed["want_h"]
+
+
+def test_compact_crash_after_manifest_with_interleaved_delta(
+    spark, tmp_path
+):
+    """Crash in the manifest→commit window WITH a concurrent delta
+    landed inside it: the re-run resumes the commit from the
+    manifest (folding only the named batches) and the interleaved
+    delta still survives, probe-able throughout."""
+    from formula1_dataengineering_spark.operators.compaction import (
+        compact_dedup_index,
+    )
+    from formula1_dataengineering_spark.operators.dedup import (
+        read_dedup_index,
+        refresh_dedup_index,
+        write_dedup_index,
+    )
+
+    d = _docs(spark, n=90)
+    corpus = d.where("doc_id % 5 != 0")
+    day1 = d.where("doc_id % 10 == 5")
+    day2 = d.where("doc_id % 20 == 0")
+    day3 = d.where("doc_id % 20 == 10")
+    path = str(tmp_path / "idx")
+    write_dedup_index(corpus, path, n_shards=8)
+    refresh_dedup_index(day1, path, "day1")
+    refresh_dedup_index(day2, path, "day2")
+    want_all = None
+
+    class Boom(RuntimeError):
+        pass
+
+    def land_then_crash():
+        nonlocal want_all
+        refresh_dedup_index(day3, path, "day3")
+        want_all = _rows(read_dedup_index(spark, path)[0])
+        raise Boom("crash between manifest and commit")
+
+    with pytest.raises(Boom):
+        compact_dedup_index(spark, path, on_staged=land_then_crash)
+    # The crashed window left the manifest; the re-run RESUMES the
+    # commit it describes instead of re-staging.
+    summary = compact_dedup_index(spark, path)
+    assert summary["resumed"]
+    assert summary["batch_ids"] == ["day1", "day2"]
+    assert sorted(_delta_residue(path)) == [
+        "_DELTA_day3._SUCCESS",
+        "band_rows_delta_day3",
+        "content_hashes_delta_day3",
+    ]
+    assert _rows(read_dedup_index(spark, path)[0]) == want_all
