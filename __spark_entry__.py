@@ -32,27 +32,26 @@ from formula1_dataengineering_spark.plans import ORACLE_SQL, QUERIES
 #: queue (per round-4 advice). Keep this list current — add any query
 #: whose Spark plan or oracle changed since its last green row.
 _PRIORITY: list[str] = [
-    # round 13 — gates whose PLANS changed this round, so their old
-    # green rows hashed pre-change plans:
-    # - ann_index_delta_topk / ann_delta_recall: the delta-ingest
-    #   cell assignment (assign_ivf_cells) moved to the null-proofed
-    #   pmod(crc32(coalesce)) broadcast key, and refresh_ann_index
-    #   gained the insert-only disjointness pass (ADVICE r12).
-    # - scd2_cow_refresh_history: scd2_refresh_in_place now filters
-    #   null-key batch rows at entry and opens the layout through the
-    #   marker-tolerant recovery read (ADVICE r12, medium).
-    # - scd2_two_day_cycle_history: the wall-trim restructure
-    #   (VERDICT r12 item 5) — 4-shard cycle layouts, scoped shuffle
-    #   partitions, one shared touched-shard precollect job.
-    # The five round-13 never-green gates (three compaction gates,
-    # the ANN rebuild-trigger policy, the streaming feed-ingest
-    # composition) sort ahead automatically; the ~41 remaining slots
-    # drain the stale queue — all 9 r8-era rows, then the oldest r9
-    # block (VERDICT r12 item 2: freshness floor at r9).
-    "ann_index_delta_topk",
-    "ann_delta_recall",
-    "scd2_cow_refresh_history",
-    "scd2_two_day_cycle_history",
+    # round 14 — gates whose CHAINS changed this round, so their old
+    # green rows hashed pre-change behavior:
+    # - stream_feed_ingest_history: the rebuild chain reordered
+    #   (source files land + are count-asserted BEFORE the base feed
+    #   write, so the layout marker is the chain's last step —
+    #   ADVICE r13, medium).
+    # - the three compaction gates: _gate_chain now persists the
+    #   measured fold diff in the sentinel and cached drives re-emit
+    #   the RECORDED measurement (ADVICE r13) — same values, changed
+    #   emission path.
+    # The seven round-14 never-green gates (three maintenance-policy
+    # gates, vacuum sweep, history retention, the streaming→dedup
+    # composition, the compaction×ingest interleave) sort ahead
+    # automatically; the ~39 remaining slots drain the stale queue —
+    # all 17 r9 rows, then the oldest r10 block (VERDICT r13 item 3:
+    # freshness floor at r10).
+    "stream_feed_ingest_history",
+    "dedup_index_compaction_probe",
+    "ann_index_compaction_topk",
+    "scd2_feed_compaction_history",
 ]
 
 
