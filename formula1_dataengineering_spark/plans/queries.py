@@ -7608,7 +7608,11 @@ def stream_dedup_ingest_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     batch = d.where(F.col("doc_id") % 97 == 0)
     h, b, m = read_dedup_index(spark, path)
-    probe = incremental_dedup_from_index(batch, h, b, index_meta=m)
+    # Meta-driven params: the streamed layout is 4-sharded (the
+    # appending stream's file-fan-out rule), not the probe default.
+    probe = incremental_dedup_from_index(
+        batch, h, b, n_shards=int(m["n_shards"]), index_meta=m
+    )
     return probe.select(
         "doc_id",
         F.col("action").alias("final_action"),

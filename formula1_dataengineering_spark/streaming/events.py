@@ -1026,10 +1026,10 @@ def stream_dedup_ingest_deltas(
 
         tmp_idx = tempfile.mkdtemp(prefix="spark_graft_stream_dedup_base_")
         try:
-            write_dedup_index(corpus, tmp_idx)
+            write_dedup_index(corpus, tmp_idx, n_shards=4)
             h0, b0, m0 = read_dedup_index(spark, tmp_idx)
             flags0 = incremental_dedup_from_index(
-                batch, h0, b0, index_meta=m0
+                batch, h0, b0, n_shards=int(m0["n_shards"]), index_meta=m0
             )
             accepted = batch.join(
                 flags0.where(F.col("action") == "ingest").select("doc_id"),
@@ -1052,7 +1052,13 @@ def stream_dedup_ingest_deltas(
                 "3 the micro-batch contract requires — too few "
                 "accepted docs at this scale factor?"
             )
-        write_dedup_index(corpus, index_path)
+        # 4 shards, the feed twin's rule: a finer layout buys the
+        # appending stream nothing, and every micro-batch delta write
+        # pays one file per touched shard TWICE (two tables) — at the
+        # default 16 shards that file fan-out dominates the gate's
+        # wall. HRW assignment is layout-internal, so probe VALUES
+        # are shard-count-invariant (tests pin rebuild equivalence).
+        write_dedup_index(corpus, index_path, n_shards=4)
 
     src_schema = "doc_id long, text string"
     stream = (
