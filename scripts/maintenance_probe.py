@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Maintenance-tick decade study (round 14): what ONE policy tick of
+the unified maintenance loop (operators/maintenance.py) costs at
+each corpus decade, per decision arm — the measured claim behind
+"the nightly tick is O(probe); rebuild is the only corpus-sized
+verb, and it runs exactly when the measured drift says so".
+
+For each documents decade this measures, on a fresh HRW-sharded
+dedup-index layout with two landed daily deltas:
+
+  - HOLD tick wall  (maintain with thresholds that hold: the cost is
+    the measurement alone — two columnar count scans + marker
+    listing);
+  - COMPACT tick wall (maintain with compact_after=2: measurement +
+    the partition-wise fold of the two deltas);
+  - REBUILD tick wall (maintain with rebuild_rows_over=0.0 and the
+    raw corpus supplied: measurement + full re-shingle/re-shard) —
+    the corpus-sized verb, expected to scale ~linearly with docs
+    while hold/compact stay probe-bounded.
+
+Decades (documents does not grow between sf0.001 and sf0.01, so the
+replica dirs carry the upper decades — the compaction_probe set):
+  1x    /root/testdata/sf0.01      (~500 docs)
+  10x   /tmp/graft_rep10x_sf001    (~5k)
+  100x  /tmp/graft_rep100x_sf001   (~50k)
+
+Usage: python scripts/maintenance_probe.py [--shards 64]
+Prints one row per decade; paste the table into BASELINE.md.
+Never run concurrently with bench/other probes (they saturate cores).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from formula1_dataengineering_spark.caching import cache_scope  # noqa: E402
+from formula1_dataengineering_spark.operators.dedup import (  # noqa: E402
+    refresh_dedup_index,
+    write_dedup_index,
+)
+from formula1_dataengineering_spark.operators.maintenance import (  # noqa: E402
+    maintain_dedup_index,
+)
+from formula1_dataengineering_spark.session import get_spark  # noqa: E402
+from formula1_dataengineering_spark.sources.catalog import load  # noqa: E402
+
+DECADES = [
+    ("1x", "/root/testdata/sf0.01"),
+    ("10x", "/tmp/graft_rep10x_sf001"),
+    ("100x", "/tmp/graft_rep100x_sf001"),
+]
+
+
+def main() -> None:
+    shards = 64
+    if "--shards" in sys.argv:
+        shards = int(sys.argv[sys.argv.index("--shards") + 1])
+    spark = get_spark(app_name="maintenance-probe")
+    print(
+        f"| decade | docs | hold tick | compact tick | rebuild tick |"
+        f" (shards={shards})"
+    )
+    print("| --- | --- | --- | --- | --- |")
+    for tag, sf_dir in DECADES:
+        if not os.path.isdir(sf_dir):
+            print(f"| {tag} | MISSING {sf_dir} | | | |")
+            continue
+        d = load(spark, sf_dir, "documents")
+        corpus = d.where(F.col("doc_id") % 97 != 0)
+        batch = d.where(F.col("doc_id") % 97 == 0)
+        n_docs = d.count()
+        work = tempfile.mkdtemp(prefix="graft_maint_probe_")
+        path = os.path.join(work, "idx")
+        try:
+            with cache_scope():
+                write_dedup_index(corpus, path, n_shards=shards)
+            refresh_dedup_index(
+                batch.where(F.expr("doc_id div 97") % 2 == 0), path, "d1"
+            )
+            refresh_dedup_index(
+                batch.where(F.expr("doc_id div 97") % 2 == 1), path, "d2"
+            )
+
+            def tick(**kw) -> tuple[float, str]:
+                t0 = time.perf_counter()
+                r = maintain_dedup_index(spark, path, **kw)
+                return time.perf_counter() - t0, r["decision"]
+
+            t_hold, dec_h = tick(compact_after=99)
+            assert dec_h == "hold", dec_h
+            t_comp, dec_c = tick(compact_after=2)
+            assert dec_c == "compact", dec_c
+            # One fresh delta so the rebuild arm has rows to act on.
+            refresh_dedup_index(
+                batch.where(F.expr("doc_id div 97") % 2 == 0), path, "d3"
+            )
+            with cache_scope():
+                t_reb, dec_r = tick(
+                    corpus=d, rebuild_rows_over=0.0, compact_after=99
+                )
+            assert dec_r == "rebuild", dec_r
+            print(
+                f"| {tag} | {n_docs} | {t_hold:.2f} s | {t_comp:.2f} s "
+                f"| {t_reb:.2f} s |"
+            )
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
