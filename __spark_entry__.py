@@ -42,12 +42,13 @@ _PRIORITY: list[str] = [
     #   measured fold diff in the sentinel and cached drives re-emit
     #   the RECORDED measurement (ADVICE r13) — same values, changed
     #   emission path.
-    # The seven round-14 never-green gates (three maintenance-policy
+    # The ten round-14 never-green gates (three maintenance-policy
     # gates, vacuum sweep, history retention, the streaming→dedup
-    # composition, the compaction×ingest interleave) sort ahead
-    # automatically; the ~39 remaining slots drain the stale queue —
-    # all 17 r9 rows, then the oldest r10 block (VERDICT r13 item 3:
-    # freshness floor at r10).
+    # composition, the compaction×ingest interleave, three
+    # deletion/retraction gates) sort ahead automatically; the ~36
+    # remaining slots drain the stale queue — all 17 r9 rows, then
+    # the oldest r10 block (VERDICT r13 item 3: freshness floor at
+    # r10).
     "stream_feed_ingest_history",
     "dedup_index_compaction_probe",
     "ann_index_compaction_topk",

@@ -5002,6 +5002,113 @@ FROM t"""
 )
 
 
+# --------------------------------------------------------------------------
+# Round 14: targeted deletion / retraction
+# --------------------------------------------------------------------------
+
+# dedup_index_retraction: the corpus docs sharing a content hash with
+# any batch doc (the exact twins) are retracted; the probe replays
+# against corpus MINUS twins — every former exact collision flips,
+# near collisions survive only through OTHER corpus docs. Reuses the
+# minhash/band/hash fragments of incremental_dedup_new_batch so the
+# two contracts cannot drift. rows_deleted = one hash row + 4 band
+# rows per retracted doc.
+ORACLE_SQL["dedup_index_retraction"] = (
+    _MINHASH_BASE_K3.format(sig_exprs=_SIG_EXPRS)
+    + f""", bands AS MATERIALIZED (
+{_BAND_SELECTS}
+), hashes AS MATERIALIZED (
+  SELECT doc_id, ((md5_number(text) % {_M48} + {_M48}) % {_M48}) AS ch
+  FROM documents
+), twins AS MATERIALIZED (
+  SELECT DISTINCT c.doc_id
+  FROM hashes c JOIN hashes b ON c.ch = b.ch
+  WHERE c.doc_id % 97 <> 0 AND b.doc_id % 97 = 0
+), exact_hit AS (
+  SELECT DISTINCT b.doc_id
+  FROM hashes b JOIN hashes c ON b.ch = c.ch
+  WHERE b.doc_id % 97 = 0 AND c.doc_id % 97 <> 0
+    AND c.doc_id NOT IN (SELECT doc_id FROM twins)
+), near_hit AS (
+  SELECT DISTINCT nb.doc_id
+  FROM bands nb JOIN bands cb
+    ON nb.band = cb.band AND nb.key = cb.key
+  WHERE nb.doc_id % 97 = 0 AND cb.doc_id % 97 <> 0
+    AND cb.doc_id NOT IN (SELECT doc_id FROM twins)
+)
+SELECT d.doc_id,
+       (e.doc_id IS NOT NULL) AS exact_dup,
+       (n.doc_id IS NOT NULL) AS near_dup,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'skip_exact'
+            WHEN n.doc_id IS NOT NULL THEN 'review_near'
+            ELSE 'ingest' END AS action,
+       CAST(5 * (SELECT count(*) FROM twins) AS BIGINT) AS rows_deleted
+FROM documents d
+LEFT JOIN exact_hit e ON e.doc_id = d.doc_id
+LEFT JOIN near_hit n ON n.doc_id = d.doc_id
+WHERE d.doc_id % 97 = 0
+"""
+)
+
+# ann_index_retraction: day1's vectors retracted after both deltas
+# landed → the index serves corpus ∪ day2 only; the probe replay is
+# the shared frozen-codebook insert chain with the insert arm
+# restricted to DAY2 (the mirror of the maintenance gate's day1
+# variant). rows_deleted = m(8) code rows per retracted vector.
+_ANN_DAY2_PREFIX = _ANN_DELTA_PREFIX.replace(
+    _ANN_INSERT_ARM,
+    _ANN_INSERT_ARM + "\n  WHERE (bc.vec_id // 97) % 2 = 1",
+)
+
+ORACLE_SQL["ann_index_retraction"] = _ANN_DAY2_PREFIX + """, qprobe AS (
+  SELECT q_id, label FROM (
+    SELECT q.vec_id AS q_id, c.label, row_number() OVER (
+      PARTITION BY q.vec_id ORDER BY
+        list_reduce(list_transform(list_zip(q.v, c.c),
+          x -> (x[1] - x[2]) * (x[1] - x[2])), (acc, t) -> acc + t),
+        c.label) AS crk
+    FROM b q CROSS JOIN cellc c
+  ) WHERE crk <= 2
+), lut AS (
+  SELECT q.vec_id AS q_id, q.sub_id, c.cluster AS code,
+         list_reduce(list_transform(list_zip(q.sv, c.c),
+           x -> (x[1] - x[2]) * (x[1] - x[2])), (a, b) -> a + b) AS ld
+  FROM bsub q JOIN c1 c USING (sub_id)
+), scored AS (
+  SELECT p.q_id, a.vec_id, round(sum(l.ld), 6) AS adc_dist
+  FROM qprobe p
+  JOIN allc a ON a.label = p.label
+  JOIN lut l ON l.q_id = p.q_id AND l.sub_id = a.sub_id
+            AND l.code = a.cluster
+  GROUP BY 1, 2
+)
+SELECT q_id, vec_id, adc_dist, CAST(rk AS INT) AS rk,
+       CAST(8 * (SELECT count(*) FROM embeddings
+                 WHERE vec_id % 97 = 0 AND (vec_id // 97) % 2 = 0)
+            AS BIGINT) AS rows_deleted
+FROM (
+  SELECT s.*, row_number() OVER (
+    PARTITION BY q_id ORDER BY adc_dist, vec_id) AS rk
+  FROM scored s
+) WHERE rk <= 5
+"""
+
+# scd2_feed_key_deletion: whole-key erasure commutes with the
+# per-key SCD2 window, so the post-delete history is the one-truth
+# full-rebuild text restricted to surviving users; rows_deleted
+# replays as the erased users' raw event count (every one of their
+# rows lived in base ∪ day1 ∪ day2 = all events).
+ORACLE_SQL["scd2_feed_key_deletion"] = (
+    "SELECT user_id, event_type, effective_from_us, effective_to_us,"
+    " is_current,"
+    " CAST((SELECT count(*) FROM events WHERE user_id % 17 = 3)"
+    "   AS BIGINT) AS rows_deleted"
+    " FROM ("
+    + ORACLE_SQL["scd2_user_event_history"]
+    + ") WHERE user_id % 17 <> 3"
+)
+
+
 # compaction_ingest_interleave (round 14, VERDICT r13 item 5): the
 # post-fold layout is base(day1+day2 folded) ∪ day3's surviving
 # delta = corpus ∪ ALL accepted — the e2e reprobe truth again (a

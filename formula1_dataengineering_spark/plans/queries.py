@@ -7698,3 +7698,188 @@ def compaction_ingest_interleave(
         F.lit(len(surviving)).cast("int").alias("interleaved_committed"),
         F.lit(state["resumed"]).alias("fold_resumed"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 14: targeted deletion / retraction (right-to-be-forgotten)
+# --------------------------------------------------------------------------
+
+
+@query("dedup_index_retraction")
+def dedup_index_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TARGETED DELETION from the stored dedup index
+    (operators/deletion.py): the corpus docs that are exact-content
+    twins of the held-out batch are RETRACTED (a takedown of the very
+    docs the batch would collide with) from an index whose corpus
+    spans base AND a committed delta — the COW delete rewrites only
+    the shards holding their rows, in both tables, in both
+    directories. The hashed rows are the batch probed AFTERWARDS:
+    every former 'skip_exact' collision must flip (its twin is gone),
+    near-dup collisions survive only through OTHER corpus docs — the
+    DuckDB oracle replays the probe against corpus MINUS twins.
+    ``rows_deleted`` rides as the measured accounting: one
+    content-hash row + `bands` band rows per retracted doc, so the
+    oracle replays it as 5 × |twins|.
+
+    100 TB story: retraction cost is the touched shards' rewrite —
+    untouched shards stay byte-identical (tests pin it); probes need
+    no tombstone filtering because the rows are physically gone."""
+    from ..operators.dedup import (
+        incremental_dedup_from_index,
+        read_dedup_index,
+        refresh_dedup_index,
+        write_dedup_index,
+    )
+    from ..operators.deletion import delete_from_dedup_index
+    from ..sources.catalog import layout_artifact
+
+    d = load(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") % 97 != 0)
+    batch = d.where(F.col("doc_id") % 97 == 0)
+    path, fresh = layout_artifact(
+        sf_dir, "spark_graft_dedup_retract_v1", "documents"
+    )
+    state: dict = {"rows_deleted": 0}
+
+    def mutate() -> None:
+        from ..operators.dedup import portable_hash48
+
+        # The index corpus spans base + one committed delta, so the
+        # delete must reach both directory generations.
+        write_dedup_index(corpus.where(F.col("doc_id") % 2 == 1), path)
+        refresh_dedup_index(
+            corpus.where(F.col("doc_id") % 2 == 0), path, "day1"
+        )
+        ch = lambda df: df.select(  # noqa: E731
+            "doc_id", portable_hash48(F.col("text")).alias("ch")
+        )
+        twins = (
+            ch(corpus)
+            .join(
+                ch(batch).select("ch").distinct(),
+                "ch",
+                "left_semi",
+            )
+            .select("doc_id")
+        )
+        info = delete_from_dedup_index(spark, path, twins)
+        state["rows_deleted"] = info["rows_deleted"]
+
+    _gate_chain(spark, path, fresh, mutate, state)
+    h, b, m = read_dedup_index(spark, path)
+    probe = incremental_dedup_from_index(batch, h, b, index_meta=m)
+    return probe.select(
+        "doc_id",
+        "exact_dup",
+        "near_dup",
+        "action",
+        F.lit(state["rows_deleted"]).cast("bigint").alias("rows_deleted"),
+    )
+
+
+@query("ann_index_retraction")
+def ann_index_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TARGETED DELETION from the stored IVF-PQ index: after both
+    ingest days land as deltas, day1's vectors are RETRACTED — the
+    COW delete rewrites only the cells holding their code rows,
+    across base and both delta directories; codebook and coarse
+    centroids stay (training statistics, not per-row state — a
+    deletion-heavy layout retrains via the maintenance loop's rebuild
+    arm). The hashed rows are the batch queries' nprobe=2 ADC top-5
+    AFTERWARDS: the index now serves corpus ∪ day2 only, and the
+    DuckDB oracle replays exactly that state (the frozen-codebook
+    insert replay restricted to day2). ``rows_deleted`` = m(8) code
+    rows per retracted vector, replayed as 8 × |day1|."""
+    from ..operators.clustering import (
+        ivf_pq_topk_from_index,
+        read_ann_index,
+        refresh_ann_index,
+        write_ann_index,
+    )
+    from ..operators.deletion import delete_from_ann_index
+    from ..sources.catalog import layout_artifact
+
+    e = load(spark, sf_dir, "embeddings")
+    corpus = e.where(F.col("vec_id") % 97 != 0)
+    batch = e.where(F.col("vec_id") % 97 == 0)
+    day1 = batch.where(F.expr("vec_id div 97") % 2 == 0)
+    day2 = batch.where(F.expr("vec_id div 97") % 2 == 1)
+    q = batch.select("vec_id", "embedding")
+    path, fresh = layout_artifact(
+        sf_dir, "spark_graft_ann_retract_v1", "embeddings"
+    )
+    state: dict = {"rows_deleted": 0}
+
+    def mutate() -> None:
+        write_ann_index(corpus, path, m=8, k=4, iters=2)
+        refresh_ann_index(day1, path, "day1")
+        refresh_ann_index(day2, path, "day2")
+        info = delete_from_ann_index(spark, path, day1.select("vec_id"))
+        state["rows_deleted"] = info["rows_deleted"]
+
+    _gate_chain(spark, path, fresh, mutate, state)
+    codes, codebook, cells, meta = read_ann_index(spark, path)
+    topk = ivf_pq_topk_from_index(
+        q, codes, codebook, m=8, k=4, iters=2, topk=5,
+        index_meta=meta, cells=cells, nprobe=2,
+    )
+    return topk.select(
+        "q_id",
+        "vec_id",
+        "adc_dist",
+        "rk",
+        F.lit(state["rows_deleted"]).cast("bigint").alias("rows_deleted"),
+    )
+
+
+@query("scd2_feed_key_deletion")
+def scd2_feed_key_deletion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TARGETED KEY ERASURE from the stored SCD2 feed (the GDPR
+    shape): every row of the named users is deleted from base and
+    both daily deltas — and because the feed shards BY the key, the
+    touched-shard set comes from the keys alone (static HRW pruning,
+    ZERO discovery scans: a handful of erasure requests against a
+    100 TB feed reads only the shards those keys live in). The hashed
+    rows are the SCD2 history windowed from the post-delete feed —
+    exactly the one-truth full-rebuild history restricted to the
+    surviving users (whole-key deletion commutes with the per-key
+    window) — plus ``rows_deleted`` replayed as the erased users'
+    event count."""
+    from ..operators.deletion import delete_scd2_feed_keys
+    from ..operators.scd import (
+        read_scd2_feed,
+        refresh_scd2_feed,
+        scd2_history,
+        write_scd2_feed,
+    )
+    from ..sources.catalog import layout_artifact
+
+    e = load(spark, sf_dir, "events")
+    cols = ("user_id", "ts", "event_type")
+    path, fresh = layout_artifact(
+        sf_dir, "spark_graft_scd2_delete_v1", "events"
+    )
+    state: dict = {"rows_deleted": 0}
+
+    def mutate() -> None:
+        write_scd2_feed(e.where(F.col("event_id") % 5 != 0), path, *cols)
+        refresh_scd2_feed(e.where(F.col("event_id") % 10 == 5), path, "day1")
+        refresh_scd2_feed(e.where(F.col("event_id") % 10 == 0), path, "day2")
+        erased = (
+            e.where(F.col("user_id") % 17 == 3)
+            .select("user_id")
+            .distinct()
+        )
+        info = delete_scd2_feed_keys(spark, path, erased)
+        state["rows_deleted"] = info["rows_deleted"]
+
+    _gate_chain(spark, path, fresh, mutate, state)
+    feed, _ = read_scd2_feed(spark, path)
+    return scd2_history(feed, *cols).select(
+        "user_id",
+        "event_type",
+        "effective_from_us",
+        "effective_to_us",
+        "is_current",
+        F.lit(state["rows_deleted"]).cast("bigint").alias("rows_deleted"),
+    )

@@ -1,0 +1,199 @@
+"""Targeted deletion / retraction (operators/deletion.py): rows
+physically gone from base AND committed deltas, untouched partitions
+byte-identical, emptied partition directories removed, static HRW
+pruning for key-sharded layouts, idempotent re-runs, and recovery
+through the marker-less crash window."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from formula1_dataengineering_spark.operators.deletion import (
+    delete_from_ann_index,
+    delete_from_dedup_index,
+    delete_scd2_feed_keys,
+)
+
+_D = 8
+
+
+def _docs(spark, n=60):
+    rng = random.Random(11)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    rows = [
+        (i, " ".join(rng.choice(words) for _ in range(12)))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _emb(spark, n=40, cells=3):
+    rng = random.Random(7)
+    rows = [
+        (
+            i,
+            [round(rng.uniform(-1, 1), 3) for _ in range(_D)],
+            i % cells,
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    )
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def _snapshot(root):
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for fn in files:
+            p = os.path.join(dirpath, fn)
+            with open(p, "rb") as fh:
+                out[os.path.relpath(p, root)] = hashlib.md5(
+                    fh.read()
+                ).hexdigest()
+    return out
+
+
+def test_dedup_delete_reaches_base_and_delta(spark, tmp_path):
+    from formula1_dataengineering_spark.operators.dedup import (
+        read_dedup_index,
+        refresh_dedup_index,
+        write_dedup_index,
+    )
+
+    d = _docs(spark)
+    path = str(tmp_path / "idx")
+    write_dedup_index(d.where("doc_id % 2 = 1"), path, n_shards=4)
+    refresh_dedup_index(d.where("doc_id % 2 = 0"), path, "day1")
+    # Victims straddle base (odd) and delta (even).
+    victims = spark.createDataFrame([(3,), (4,)], "doc_id long")
+    h0, b0, _ = read_dedup_index(spark, path)
+    want_h = [r for r in _rows(h0) if r[0] not in (3, 4)]
+    want_b = [r for r in _rows(b0) if r[0] not in (3, 4)]
+    info = delete_from_dedup_index(spark, path, victims)
+    # 1 hash row + 4 band rows per doc, per victim, across both dirs.
+    assert info["rows_deleted"] == 2 * 5
+    h1, b1, _ = read_dedup_index(spark, path)
+    assert _rows(h1) == want_h
+    assert _rows(b1) == want_b
+    # Idempotent: nothing left to delete.
+    again = delete_from_dedup_index(spark, path, victims)
+    assert again == {"rows_deleted": 0, "partitions_rewritten": 0}
+
+
+def test_dedup_delete_untouched_partitions_byte_identical(
+    spark, tmp_path
+):
+    from formula1_dataengineering_spark.operators.dedup import (
+        write_dedup_index,
+    )
+
+    d = _docs(spark, n=80)
+    path = str(tmp_path / "idx")
+    write_dedup_index(d, path, n_shards=32)
+    before = _snapshot(os.path.join(path, "content_hashes"))
+    victims = spark.createDataFrame([(7,)], "doc_id long")
+    delete_from_dedup_index(spark, path, victims)
+    after = _snapshot(os.path.join(path, "content_hashes"))
+    changed = {
+        k
+        for k in set(before) | set(after)
+        if before.get(k) != after.get(k)
+    }
+    # A single victim touches at most a couple of the 32 shards; the
+    # rest keep names AND bytes.
+    untouched = [k for k in before if k in after and k not in changed]
+    assert len(changed) <= 6
+    assert len(untouched) >= 25
+
+
+def test_ann_delete_prunes_topk_and_keeps_codebook(spark, tmp_path):
+    from formula1_dataengineering_spark.operators.clustering import (
+        read_ann_index,
+        refresh_ann_index,
+        write_ann_index,
+    )
+
+    e = _emb(spark)
+    path = str(tmp_path / "ann")
+    write_ann_index(e.where("vec_id % 5 != 0"), path, m=4, k=4, iters=2)
+    refresh_ann_index(e.where("vec_id % 5 = 0"), path, "day1")
+    _, cb_before, cells_before, _ = read_ann_index(spark, path)
+    want_cb = _rows(cb_before)
+    want_cells = _rows(cells_before)
+    victims = spark.createDataFrame([(5,), (12,)], "vec_id long")
+    info = delete_from_ann_index(spark, path, victims)
+    assert info["rows_deleted"] == 2 * 4  # m=4 code rows per vector
+    codes, cb, cells, _ = read_ann_index(spark, path)
+    assert codes.where(F.col("vec_id").isin(5, 12)).count() == 0
+    # Training statistics untouched byte-for-byte at the value level.
+    assert _rows(cb) == want_cb
+    assert _rows(cells) == want_cells
+
+
+def test_feed_key_delete_static_pruning_and_empty_partitions(
+    spark, tmp_path
+):
+    from formula1_dataengineering_spark.operators.scd import (
+        read_scd2_feed,
+        refresh_scd2_feed,
+        write_scd2_feed,
+    )
+
+    rows = [(i % 4, 1000 + i, f"v{i}") for i in range(40)]
+    feed = spark.createDataFrame(rows, "k long, ts long, v string")
+    path = str(tmp_path / "feed")
+    # 2 shards: with only 4 keys, erasing one key can empty a whole
+    # shard partition — the emptied-directory sweep must fire.
+    write_scd2_feed(
+        feed.where("ts % 2 = 0"), path, "k", "ts", "v", n_shards=2
+    )
+    refresh_scd2_feed(feed.where("ts % 2 = 1"), path, "day1")
+    all_rows = _rows(read_scd2_feed(spark, path)[0].select("k", "ts", "v"))
+    erased = spark.createDataFrame([(2,), (None,)], "k long")
+    info = delete_scd2_feed_keys(spark, path, erased)
+    assert info["rows_deleted"] == 10  # 40 rows / 4 keys
+    after, _ = read_scd2_feed(spark, path)
+    got = _rows(after.select("k", "ts", "v"))
+    assert got == [r for r in all_rows if r[0] != 2]
+    # Idempotent.
+    assert delete_scd2_feed_keys(spark, path, erased)["rows_deleted"] == 0
+    # Marker restored; external reader path works.
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def test_delete_recovers_through_markerless_window(spark, tmp_path):
+    from formula1_dataengineering_spark.operators.scd import (
+        read_scd2_feed,
+        write_scd2_feed,
+    )
+
+    rows = [(i % 4, 1000 + i, "x") for i in range(16)]
+    feed = spark.createDataFrame(rows, "k long, ts long, v string")
+    path = str(tmp_path / "feed")
+    write_scd2_feed(feed, path, "k", "ts", "v", n_shards=2)
+    # A prior delete died mid-rewrite: marker already gone. The
+    # re-run must open marker-tolerantly, finish, and restore it.
+    os.remove(os.path.join(path, "_SUCCESS"))
+    erased = spark.createDataFrame([(1,)], "k long")
+    info = delete_scd2_feed_keys(spark, path, erased)
+    assert info["rows_deleted"] == 4
+    after, _ = read_scd2_feed(spark, path)  # marker back
+    assert after.where("k = 1").count() == 0
+
+
+def test_delete_refuses_metaless_layout(spark, tmp_path):
+    path = str(tmp_path / "nothing")
+    os.makedirs(path)
+    ids = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="no _META.json"):
+        delete_from_dedup_index(spark, path, ids)
