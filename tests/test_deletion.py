@@ -197,3 +197,35 @@ def test_delete_refuses_metaless_layout(spark, tmp_path):
     ids = spark.createDataFrame([(1,)], "doc_id long")
     with pytest.raises(ValueError, match="no _META.json"):
         delete_from_dedup_index(spark, path, ids)
+
+
+def test_delete_then_compact_keeps_deletions(spark, tmp_path):
+    """Composition with the fold: a delete reaching a delta's rows
+    must survive a LATER compaction of that delta (the fold unions
+    what remains — resurrecting deleted rows would be the tombstone
+    bug this design avoids by physical removal)."""
+    from formula1_dataengineering_spark.operators.compaction import (
+        compact_dedup_index,
+    )
+    from formula1_dataengineering_spark.operators.dedup import (
+        read_dedup_index,
+        refresh_dedup_index,
+        write_dedup_index,
+    )
+
+    d = _docs(spark)
+    path = str(tmp_path / "idx")
+    write_dedup_index(d.where("doc_id % 2 = 1"), path, n_shards=4)
+    refresh_dedup_index(d.where("doc_id % 2 = 0"), path, "day1")
+    victims = spark.createDataFrame([(3,), (4,)], "doc_id long")
+    delete_from_dedup_index(spark, path, victims)
+    want = _rows(read_dedup_index(spark, path)[0])
+    summary = compact_dedup_index(spark, path)
+    assert summary["n_deltas_folded"] == 1
+    assert _rows(read_dedup_index(spark, path)[0]) == want
+    assert (
+        read_dedup_index(spark, path)[0]
+        .where(F.col("doc_id").isin(3, 4))
+        .count()
+        == 0
+    )
