@@ -133,6 +133,20 @@ def list_names(spark: "SparkSession", path: str) -> list[str]:
     return sorted(s.getPath().getName() for s in fs.listStatus(p))
 
 
+def committed_delta_batches(spark: "SparkSession", path: str) -> list[str]:
+    """The committed delta batch ids of a delta-bearing stored layout
+    — discovered via their ``_DELTA_<batch_id>._SUCCESS`` commit
+    markers, the shared convention of the dedup / ANN / SCD2-feed
+    writers. ONE copy of the marker-name slicing (round-14 review:
+    five inline copies had appeared in one round); readers, verbs and
+    gates that honor the commit protocol all resolve batches here."""
+    return sorted(
+        name[len("_DELTA_") : -len("._SUCCESS")]
+        for name in list_names(spark, path)
+        if name.startswith("_DELTA_") and name.endswith("._SUCCESS")
+    )
+
+
 def du(spark: "SparkSession", path: str) -> tuple[int, int]:
     """(file_count, total_bytes) under ``path``, recursively — the
     reclamation accounting the vacuum verb reports. (0, 0) for a

@@ -75,13 +75,9 @@ def _open_meta(spark: SparkSession, path: str, what: str) -> dict:
 def _table_dirs(spark: SparkSession, path: str, table: str) -> list[str]:
     """The base table directory + every COMMITTED delta's directory
     for ``table`` (marker-discovered, the readers' rule)."""
-    committed = sorted(
-        name[len("_DELTA_") : -len("._SUCCESS")]
-        for name in fsutil.list_names(spark, path)
-        if name.startswith("_DELTA_") and name.endswith("._SUCCESS")
-    )
     return [os.path.join(path, table)] + [
-        os.path.join(path, f"{table}_delta_{bid}") for bid in committed
+        os.path.join(path, f"{table}_delta_{bid}")
+        for bid in fsutil.committed_delta_batches(spark, path)
     ]
 
 
@@ -95,26 +91,52 @@ def _delete_where(
     touched: list | None = None,
 ) -> tuple[int, int]:
     """COW-delete ``ids``' rows from one table directory. Returns
-    (rows_deleted, partitions_rewritten). ``touched`` short-circuits
-    the discovery scan when the caller can compute the partition set
-    from the ids alone (the key-sharded feed)."""
+    (rows_deleted, partitions_rewritten). ``touched`` statically
+    prunes the discovery scan when the caller can bound the partition
+    set from the ids alone (the key-sharded feed) — the scan then
+    reads only those partitions, and its result keeps the rewrite and
+    the accounting exact per directory."""
     if not fsutil.has_parquet(spark, d):
         return 0, 0
     rows = spark.read.parquet(d)
     bids = F.broadcast(ids.select(id_col).distinct())
-    if touched is None:
-        # One column-pruned pass: only (id, partition) columns decode.
-        touched = [
-            r[0]
-            for r in rows.join(bids, id_col, "left_semi")
-            .select(partition_col)
-            .distinct()
-            .collect()
-        ]
+
+    def _part_filter(values: list) -> F.Column:
+        # isin() never matches NULL (three-valued logic): a NULL
+        # partition value (the __HIVE_DEFAULT_PARTITION__ directory a
+        # null-key row lands in — the same trap compaction's merge
+        # handles with an explicit isNull arm) needs its own branch,
+        # or null-partition rows silently survive the delete while
+        # the emptied-directory sweep below destroys their WHOLE
+        # default partition (round-14 review, the one data-loss
+        # finding).
+        part = F.col(partition_col)
+        non_null = [v for v in values if v is not None]
+        cond = part.isin(non_null) if non_null else F.lit(False)
+        if len(non_null) != len(values):
+            cond = cond | part.isNull()
+        return cond
+
+    if touched is not None:
+        # A caller-computed hint (the key-sharded feed) prunes the
+        # discovery scan statically, but the hint is GLOBAL: refine
+        # to the partitions that actually hold matching rows in THIS
+        # directory, so the rewrite and the accounting stay exact
+        # per directory (round-14 review).
+        rows_scope = rows.where(_part_filter(touched))
+    else:
+        rows_scope = rows
+    # One column-pruned pass: only (id, partition) columns decode.
+    touched = [
+        r[0]
+        for r in rows_scope.join(bids, id_col, "left_semi")
+        .select(partition_col)
+        .distinct()
+        .collect()
+    ]
     if not touched:
         return 0, 0
-    part = F.col(partition_col)
-    slice_ = rows.where(part.isin(touched))
+    slice_ = rows.where(_part_filter(touched))
     n_del = slice_.join(bids, id_col, "left_semi").count()
     if n_del == 0:
         return 0, 0
@@ -180,6 +202,11 @@ def delete_from_dedup_index(
     Returns ``{"rows_deleted", "partitions_rewritten"}`` summed over
     content_hashes + band_rows."""
     _open_meta(spark, path, "dedup index")
+    # Materialized once: every (table × directory) job re-executes the
+    # ids plan 3-4 times (discovery, count, kept-parts, write) — for a
+    # computed id set (the retraction gate's corpus-wide twin join)
+    # that re-run would dominate the delete (round-14 review).
+    doc_ids = doc_ids.select(id_col).distinct().localCheckpoint(eager=True)
     jobs = []
     for table in ("content_hashes", "band_rows"):
         for d in _table_dirs(spark, path, table):
@@ -204,6 +231,7 @@ def delete_from_ann_index(
             f"ANN index at {path!r}: _META.json records no cell_col — "
             "rebuild with write_ann_index before deleting"
         )
+    vec_ids = vec_ids.select(id_col).distinct().localCheckpoint(eager=True)
     jobs = [
         (d, vec_ids, id_col, cell_col, (), None)
         for d in _table_dirs(spark, path, "codes")
@@ -216,15 +244,21 @@ def delete_scd2_feed_keys(
 ) -> dict:
     """Remove every row of ``keys`` from a stored SCD2 feed — base
     and every committed daily delta. The feed shards BY the key, so
-    the touched-shard set comes from the keys alone (static HRW
-    pruning, zero discovery scans): a handful of erasure requests
-    against a 100 TB feed reads only the shards those keys live in."""
+    the candidate-shard set comes from the keys alone (static HRW
+    pruning): a handful of erasure requests against a 100 TB feed
+    reads only the shards those keys live in, in every directory
+    generation."""
     from .scd import _feed_shard
 
     meta = _open_meta(spark, path, "scd2 feed layout")
     key_col = meta["key_col"]
     n_shards = int(meta["n_shards"])
-    keys = keys.select(key_col).where(F.col(key_col).isNotNull()).distinct()
+    keys = (
+        keys.select(key_col)
+        .where(F.col(key_col).isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     touched = sorted(
         r[0]
         for r in keys.withColumn(

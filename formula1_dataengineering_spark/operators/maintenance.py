@@ -54,15 +54,10 @@ from .compaction import (
 )
 
 
-def committed_delta_batches(spark: SparkSession, path: str) -> list[str]:
-    """The committed delta batch ids of any delta-bearing layout —
-    discovered via ``_DELTA_<batch_id>._SUCCESS`` commit markers, the
-    shared convention of the dedup / ANN / SCD2-feed writers."""
-    return sorted(
-        name[len("_DELTA_") : -len("._SUCCESS")]
-        for name in fsutil.list_names(spark, path)
-        if name.startswith("_DELTA_") and name.endswith("._SUCCESS")
-    )
+#: Canonical marker discovery lives in fsutil (one copy — round-14
+#: review); re-exported here because the policy verbs' callers and
+#: gates reach it through the maintenance namespace.
+committed_delta_batches = fsutil.committed_delta_batches
 
 
 def ann_recall_at_k(
@@ -282,9 +277,15 @@ def maintain_dedup_index(
     base_rows, delta_rows = _delta_base_rows(
         spark, path, "content_hashes", batches
     )
-    if (
-        rebuild_rows_over is not None
-        and delta_rows >= rebuild_rows_over * base_rows
+    # base_rows == 0 is the documented bootstrap shape (empty base,
+    # day batches as deltas): the ratio against 0 would trip on an
+    # idle empty layout (0 >= 0), so the bootstrap trigger is simply
+    # "anything ingested" — all rows living in deltas IS maximal
+    # drift (round-14 review).
+    if rebuild_rows_over is not None and (
+        delta_rows >= rebuild_rows_over * base_rows
+        if base_rows > 0
+        else delta_rows > 0
     ):
         if corpus is None:
             raise ValueError(

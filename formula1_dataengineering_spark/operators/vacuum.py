@@ -81,11 +81,7 @@ def vacuum_layout(
             "or in-flight write; recover it (re-run the writer or "
             "resume the compaction) before vacuuming"
         )
-    committed = {
-        name[len("_DELTA_") : -len("._SUCCESS")]
-        for name in fsutil.list_names(spark, path)
-        if name.startswith("_DELTA_") and name.endswith("._SUCCESS")
-    }
+    committed = set(fsutil.committed_delta_batches(spark, path))
     pinned = fsutil.exists(spark, os.path.join(path, _MANIFEST))
     files_removed = 0
     bytes_reclaimed = 0
@@ -160,13 +156,15 @@ def expire_scd2_history(
         "__rk", F.row_number().over(w)
     )
     expirable = closed.where(F.col("__rk") > retain_versions)
-    # Bounded driver materialization: distinct SHARD values only.
-    touched = sorted(
-        r[0] for r in expirable.select("shard").distinct().collect()
-    )
+    # ONE aggregated pass yields both the touched-shard set and the
+    # expired-row count (bounded: ≤ n_shards rows) — the find phase
+    # is the dominant read of this verb's 100 TB story, so it runs
+    # the full window plan exactly once (round-14 review).
+    per_shard = expirable.groupBy("shard").count().collect()
+    touched = sorted(r["shard"] for r in per_shard)
     if not touched:
         return {"rows_expired": 0, "shards_rewritten": 0}
-    rows_expired = expirable.count()
+    rows_expired = sum(r["count"] for r in per_shard)
     slice_ = hist.where(F.col("shard").isin(touched))
     keep_current = slice_.where(F.col("is_current"))
     keep_closed = (

@@ -7494,11 +7494,7 @@ def layout_vacuum_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed, _ = read_scd2_feed(spark, path)
     from .. import fsutil
 
-    kept = sum(
-        1
-        for n in fsutil.list_names(spark, path)
-        if n.startswith("_DELTA_") and n.endswith("._SUCCESS")
-    )
+    kept = len(fsutil.committed_delta_batches(spark, path))
     return scd2_history(feed, *cols).select(
         "user_id",
         "event_type",

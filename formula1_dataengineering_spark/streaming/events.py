@@ -943,11 +943,7 @@ def stream_feed_ingest_deltas(
         )
     run()  # run 2: replays batch 1 idempotently, finishes the rest
 
-    n_deltas = sum(
-        1
-        for n in fsutil.list_names(spark, feed_path)
-        if n.startswith("_DELTA_") and n.endswith("._SUCCESS")
-    )
+    n_deltas = len(fsutil.committed_delta_batches(spark, feed_path))
     feed, _ = read_scd2_feed(spark, feed_path)
     return {
         "n_deltas": n_deltas,
@@ -1004,7 +1000,7 @@ def stream_dedup_ingest_deltas(
 
     from .. import fsutil
     from ..operators.dedup import (
-        incremental_dedup_from_index,
+        incremental_dedup_flags,
         read_dedup_index,
         refresh_dedup_index,
         write_dedup_index,
@@ -1019,28 +1015,23 @@ def stream_dedup_ingest_deltas(
     corpus = d.where(F.col("doc_id") % 97 != 0)
     batch = d.where(F.col("doc_id") % 97 == 0)
     if rebuild_base:
-        # Acceptance runs against a TEMP base (the day-N−1 state) so
-        # the source files can land before the cached layout's own
-        # base write — keeping _SUCCESS the final step of the chain.
-        import tempfile
-
-        tmp_idx = tempfile.mkdtemp(prefix="spark_graft_stream_dedup_base_")
-        try:
-            write_dedup_index(corpus, tmp_idx, n_shards=4)
-            h0, b0, m0 = read_dedup_index(spark, tmp_idx)
-            flags0 = incremental_dedup_from_index(
-                batch, h0, b0, n_shards=int(m0["n_shards"]), index_meta=m0
-            )
-            accepted = batch.join(
-                flags0.where(F.col("action") == "ingest").select("doc_id"),
-                "doc_id",
-                "left_semi",
-            ).select("doc_id", "text")
-            accepted.repartition(3).write.mode("overwrite").parquet(src)
-        finally:
-            import shutil
-
-            shutil.rmtree(tmp_idx, ignore_errors=True)
+        # Acceptance runs on the RECOMPUTE path (incremental_dedup_
+        # flags — value-identical to the index probe by the paths'
+        # tested contract) so the source files can land before the
+        # layout's own base write — keeping _SUCCESS the final step
+        # of the chain WITHOUT paying a throwaway stored-index build
+        # first (round-14 review: the temp-index variant built the
+        # corpus index twice per stale drive).
+        flags0 = incremental_dedup_flags(
+            corpus.unionByName(batch),
+            F.col("doc_id") % 97 == 0,
+        )
+        accepted = batch.join(
+            flags0.where(F.col("action") == "ingest").select("doc_id"),
+            "doc_id",
+            "left_semi",
+        ).select("doc_id", "text")
+        accepted.repartition(3).write.mode("overwrite").parquet(src)
         n_src = sum(
             1
             for n in fsutil.list_names(spark, src)
@@ -1108,11 +1099,7 @@ def stream_dedup_ingest_deltas(
         )
     run()  # run 2: replays batch 1 idempotently, finishes the rest
 
-    n_deltas = sum(
-        1
-        for n in fsutil.list_names(spark, index_path)
-        if n.startswith("_DELTA_") and n.endswith("._SUCCESS")
-    )
+    n_deltas = len(fsutil.committed_delta_batches(spark, index_path))
     hashes, _, _ = read_dedup_index(spark, index_path)
     return {
         "n_deltas": n_deltas,

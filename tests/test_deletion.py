@@ -229,3 +229,31 @@ def test_delete_then_compact_keeps_deletions(spark, tmp_path):
         .count()
         == 0
     )
+
+
+def test_delete_handles_null_partition_rows(spark, tmp_path):
+    """The round-14 review's data-loss scenario: docs with NULL text
+    land in the __HIVE_DEFAULT_PARTITION__ shard (HRW of a null key).
+    Deleting a null-shard victim must (a) actually remove its rows —
+    isin() alone never matches NULL — and (b) NOT destroy the OTHER
+    null-shard docs riding in the same default partition."""
+    from formula1_dataengineering_spark.operators.dedup import (
+        read_dedup_index,
+        write_dedup_index,
+    )
+
+    d = _docs(spark, n=20)
+    nulls = spark.createDataFrame(
+        [(100, None), (101, None)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "idx")
+    write_dedup_index(d.unionByName(nulls), path, n_shards=4)
+    h0, _, _ = read_dedup_index(spark, path)
+    assert h0.where("doc_id = 100").count() == 1  # null shard exists
+    victims = spark.createDataFrame([(100,), (3,)], "doc_id long")
+    info = delete_from_dedup_index(spark, path, victims)
+    assert info["rows_deleted"] >= 2  # doc 3's 5 rows + doc 100's hash row
+    h1, _, _ = read_dedup_index(spark, path)
+    assert h1.where("doc_id = 100").count() == 0  # victim gone
+    assert h1.where("doc_id = 101").count() == 1  # bystander SURVIVES
+    assert h1.where("doc_id = 3").count() == 0
