@@ -1,5 +1,5 @@
 """Targeted deletion (retraction) from stored layouts — the
-right-to-be-forgotten verb (round 14, beyond-reference extension).
+right-to-be-forgotten verb (rounds 14-15, beyond-reference extension).
 
 A 100 TB corpus gets retraction requests: a licensing takedown, a
 GDPR erasure, a poisoned-document purge. Rebuilding the world per
@@ -24,20 +24,36 @@ the ids' rows:
   feed layout. The feed shards BY the key, so the touched-shard set
   is computed from the keys alone (static HRW pruning — no scan at
   all); only those shard directories are read or written.
+- :func:`delete_scd2_history_keys` (round 15, VERDICT r14 item 1) —
+  the feed verb's twin over the PERSISTED history layout, the thing
+  a serving deployment actually reads: same static HRW pruning from
+  the keys alone (``write_scd2_history`` shards by HRW(key)), one
+  ``history_rows`` directory (the history is COW-maintained — no
+  deltas to reach). Whole-key erasure commutes with the per-key SCD2
+  window, so the post-delete layout equals the full rebuild over the
+  surviving keys (the gate hashes exactly that).
 
-Shared discipline (:func:`_delete_where`): per table directory, find
-touched partitions (bounded driver collect, ≤ n_shards / #cells),
-rewrite them via dynamic partition overwrite MINUS the ids' rows
-(broadcast anti-join), delete any partition directory the rewrite
-emptied, and count the removed rows for the accounting the gates
-hash. Untouched partitions are never read and never written — their
-part files stay byte-identical (tests pin this).
+Shared discipline (:func:`_stage_delete` + :mod:`operators.cow`):
+per table directory, find touched partitions (bounded driver
+collect, ≤ n_shards / #cells), STAGE the kept rows beside the layout,
+then swap partitions in via the manifest-bracketed COMMIT — the
+compaction protocol, closing the round-14 in-place overwrite's
+survivor-loss crash window (ADVICE r14, medium). Untouched partitions
+are never read and never written — their part files stay
+byte-identical (tests pin this). A partition whose every row was
+deleted is dropped, including the NULL default partition (its
+bystander rows re-stage; the round-14 review's data-loss arm).
 
-Crash contract: the layout's ``_SUCCESS`` drops before the first
-rewrite and returns after the last; external readers refuse the
-window; the verb itself opens metadata marker-tolerantly (the COW
-refresher's rule) and re-running the same delete is idempotent — a
-partition already rewritten simply has no matching rows left.
+Deletion accounting: every commit also rewrites ``_META.json`` with
+cumulative per-table ``rows_deleted`` counters — the signal the
+maintenance loop's deletion-drift arm reads (VERDICT r14 item 2); a
+full rebuild writes fresh metadata and thereby resets them.
+
+Crash contract: STAGE leaves the live layout readable; from MANIFEST
+on, every step is idempotent metadata ops — any verb in the family
+(or :func:`operators.cow.resume_pending_cow` directly) finishes a
+crashed commit first, then proceeds. Re-running the same delete is
+idempotent: already-removed rows simply match nothing.
 
 Replay caveat (documented, by design): deltas are rewritten in
 place, so a crashed INGEST of batch N replayed AFTER a delete of ids
@@ -55,14 +71,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import fsutil
+from .cow import (
+    COW_STAGING,
+    partition_filter,
+    resume_pending_cow,
+    run_cow_swap,
+    stage_partition_rewrite,
+)
 
 
 def _open_meta(spark: SparkSession, path: str, what: str) -> dict:
     """Marker-tolerant metadata open: deletes must be re-runnable
-    through their own crash window (marker dropped mid-rewrite), so
+    through their own crash window (marker dropped mid-commit), so
     only ``_META.json`` is required here; external READERS keep
-    refusing marker-less layouts."""
+    refusing marker-less layouts. A pending COW manifest is resumed
+    to completion FIRST — its commit may rewrite the metadata this
+    returns."""
     fsutil.validate_layout_path(path, what)
+    resume_pending_cow(spark, path)
     meta_path = os.path.join(path, "_META.json")
     if not fsutil.exists(spark, meta_path):
         raise ValueError(
@@ -81,112 +107,91 @@ def _table_dirs(spark: SparkSession, path: str, table: str) -> list[str]:
     ]
 
 
-def _delete_where(
+def _stage_delete(
     spark: SparkSession,
+    path: str,
     d: str,
     ids: DataFrame,
     id_col: str,
     partition_col: str,
     sort_cols: tuple[str, ...] = (),
-    touched: list | None = None,
-) -> tuple[int, int]:
-    """COW-delete ``ids``' rows from one table directory. Returns
-    (rows_deleted, partitions_rewritten). ``touched`` statically
-    prunes the discovery scan when the caller can bound the partition
-    set from the ids alone (the key-sharded feed) — the scan then
-    reads only those partitions, and its result keeps the rewrite and
-    the accounting exact per directory."""
+    touched_hint: list | None = None,
+) -> tuple[dict | None, int, int]:
+    """STAGE the COW-delete of ``ids``' rows from one table
+    directory: returns (manifest job | None, rows_deleted,
+    partitions_touched). The live directory is not modified here.
+    ``touched_hint`` statically prunes the discovery scan when the
+    caller can bound the partition set from the ids alone (the
+    key-sharded feed/history) — the scan then reads only those
+    partitions; the per-directory refinement keeps the rewrite and
+    the accounting exact."""
     if not fsutil.has_parquet(spark, d):
-        return 0, 0
+        return None, 0, 0
     rows = spark.read.parquet(d)
     bids = F.broadcast(ids.select(id_col).distinct())
-
-    def _part_filter(values: list) -> F.Column:
-        # isin() never matches NULL (three-valued logic): a NULL
-        # partition value (the __HIVE_DEFAULT_PARTITION__ directory a
-        # null-key row lands in — the same trap compaction's merge
-        # handles with an explicit isNull arm) needs its own branch,
-        # or null-partition rows silently survive the delete while
-        # the emptied-directory sweep below destroys their WHOLE
-        # default partition (round-14 review, the one data-loss
-        # finding).
-        part = F.col(partition_col)
-        non_null = [v for v in values if v is not None]
-        cond = part.isin(non_null) if non_null else F.lit(False)
-        if len(non_null) != len(values):
-            cond = cond | part.isNull()
-        return cond
-
-    if touched is not None:
-        # A caller-computed hint (the key-sharded feed) prunes the
-        # discovery scan statically, but the hint is GLOBAL: refine
-        # to the partitions that actually hold matching rows in THIS
-        # directory, so the rewrite and the accounting stay exact
-        # per directory (round-14 review).
-        rows_scope = rows.where(_part_filter(touched))
-    else:
-        rows_scope = rows
+    scope = (
+        rows.where(partition_filter(partition_col, touched_hint))
+        if touched_hint is not None
+        else rows
+    )
     # One column-pruned pass: only (id, partition) columns decode.
     touched = [
         r[0]
-        for r in rows_scope.join(bids, id_col, "left_semi")
+        for r in scope.join(bids, id_col, "left_semi")
         .select(partition_col)
         .distinct()
         .collect()
     ]
     if not touched:
-        return 0, 0
-    slice_ = rows.where(_part_filter(touched))
+        return None, 0, 0
+    slice_ = rows.where(partition_filter(partition_col, touched))
     n_del = slice_.join(bids, id_col, "left_semi").count()
     if n_del == 0:
-        return 0, 0
+        return None, 0, 0
     keep = slice_.join(bids, id_col, "left_anti")
-    # Collected BEFORE the overwrite: keep's plan reads the files the
-    # overwrite is about to replace — executing it afterwards fails
-    # with FILE_NOT_EXIST against the captured listing. Bounded: ≤
-    # the touched set.
-    kept_parts = {
-        r[0] for r in keep.select(partition_col).distinct().collect()
-    }
-    out = keep.repartition(partition_col)
-    if sort_cols:
-        out = out.sortWithinPartitions(*sort_cols)
-    out.write.mode("overwrite").option(
-        "partitionOverwriteMode", "dynamic"
-    ).partitionBy(partition_col).parquet(d)
-    # Dynamic overwrite replaces only partitions PRESENT in the
-    # output: a partition whose every row was deleted keeps its old
-    # files — remove those directories explicitly.
-    for v in touched:
-        if v not in kept_parts:
-            name = (
-                f"{partition_col}=__HIVE_DEFAULT_PARTITION__"
-                if v is None
-                else f"{partition_col}={v}"
-            )
-            fsutil.delete(spark, os.path.join(d, name))
-    return n_del, len(touched)
+    job = stage_partition_rewrite(
+        spark, path, d, keep, partition_col, touched, sort_cols
+    )
+    return job, n_del, len(touched)
 
 
 def _run_delete(
     spark: SparkSession,
     path: str,
-    jobs: list[tuple[str, DataFrame, str, str, tuple, list | None]],
+    meta: dict,
+    jobs: list[tuple[str, str, DataFrame, str, str, tuple, list | None]],
 ) -> dict:
-    """Marker-bracketed multi-table delete; jobs are
-    (dir, ids, id_col, partition_col, sort_cols, touched)."""
+    """STAGE every job, then swap via one manifest-bracketed commit
+    that also lands the cumulative deletion accounting in
+    ``_META.json``. Jobs are (table, dir, ids, id_col, partition_col,
+    sort_cols, touched_hint). A no-match delete touches nothing — not
+    even the marker."""
+    # Clear residue of a manifest-less crashed STAGE (dead by
+    # protocol; vacuum would sweep it too).
+    fsutil.delete(spark, os.path.join(path, COW_STAGING))
+    staged: list[dict] = []
     rows_deleted = 0
-    partitions_rewritten = 0
-    fsutil.delete(spark, os.path.join(path, "_SUCCESS"))
-    for d, ids, id_col, pcol, sort_cols, touched in jobs:
-        n, p = _delete_where(spark, d, ids, id_col, pcol, sort_cols, touched)
+    partitions = 0
+    per_table: dict[str, int] = {}
+    for table, d, ids, id_col, pcol, sort_cols, hint in jobs:
+        job, n, p = _stage_delete(
+            spark, path, d, ids, id_col, pcol, sort_cols, hint
+        )
+        if job is None:
+            continue
+        staged.append(job)
         rows_deleted += n
-        partitions_rewritten += p
-    spark.catalog.refreshByPath(path)
-    fsutil.touch(spark, os.path.join(path, "_SUCCESS"))
+        partitions += p
+        per_table[table] = per_table.get(table, 0) + n
+    if not staged:
+        return {"rows_deleted": 0, "partitions_rewritten": 0}
+    acc = dict(meta.get("rows_deleted", {}))
+    for table, n in per_table.items():
+        acc[table] = int(acc.get(table, 0)) + n
+    run_cow_swap(spark, path, staged, {**meta, "rows_deleted": acc})
     return {
         "rows_deleted": rows_deleted,
-        "partitions_rewritten": partitions_rewritten,
+        "partitions_rewritten": partitions,
     }
 
 
@@ -201,17 +206,17 @@ def delete_from_dedup_index(
     match against the retracted docs (the gate pins the flag flips).
     Returns ``{"rows_deleted", "partitions_rewritten"}`` summed over
     content_hashes + band_rows."""
-    _open_meta(spark, path, "dedup index")
+    meta = _open_meta(spark, path, "dedup index")
     # Materialized once: every (table × directory) job re-executes the
-    # ids plan 3-4 times (discovery, count, kept-parts, write) — for a
+    # ids plan 3-4 times (discovery, count, keep, stage) — for a
     # computed id set (the retraction gate's corpus-wide twin join)
     # that re-run would dominate the delete (round-14 review).
     doc_ids = doc_ids.select(id_col).distinct().localCheckpoint(eager=True)
     jobs = []
     for table in ("content_hashes", "band_rows"):
         for d in _table_dirs(spark, path, table):
-            jobs.append((d, doc_ids, id_col, "shard", (), None))
-    return _run_delete(spark, path, jobs)
+            jobs.append((table, d, doc_ids, id_col, "shard", (), None))
+    return _run_delete(spark, path, meta, jobs)
 
 
 def delete_from_ann_index(
@@ -223,7 +228,8 @@ def delete_from_ann_index(
     """Remove ``vec_ids``' code rows from a stored IVF-PQ index —
     base and every committed delta. Codebook and coarse centroids
     stay (training statistics, not per-row state); a deletion-heavy
-    layout retrains through the maintenance loop's rebuild arm."""
+    layout retrains through the maintenance loop's rebuild arm (its
+    measured recall SEES deletions, unlike row counters)."""
     meta = _open_meta(spark, path, "ANN index")
     cell_col = meta.get("cell_col")
     if not cell_col:
@@ -233,10 +239,49 @@ def delete_from_ann_index(
         )
     vec_ids = vec_ids.select(id_col).distinct().localCheckpoint(eager=True)
     jobs = [
-        (d, vec_ids, id_col, cell_col, (), None)
+        ("codes", d, vec_ids, id_col, cell_col, (), None)
         for d in _table_dirs(spark, path, "codes")
     ]
-    return _run_delete(spark, path, jobs)
+    return _run_delete(spark, path, meta, jobs)
+
+
+def _erasure_keys(
+    keys: DataFrame, key_col: str, verb: str
+) -> DataFrame:
+    """Validated, materialized erasure-request keys. NULL keys are
+    REFUSED (ADVICE r14): a null-key row lands in the
+    __HIVE_DEFAULT_PARTITION__ directory like any other, but a NULL
+    in the request would silently match nothing through the
+    anti-join's three-valued logic — an erasure request that silently
+    no-ops is worse than one that fails loudly."""
+    keys = keys.select(key_col).distinct().localCheckpoint(eager=True)
+    if keys.where(F.col(key_col).isNull()).count() > 0:
+        raise ValueError(
+            f"{verb}: the erasure request contains a NULL {key_col!r} "
+            "— NULL never equals anything, so its rows cannot be "
+            "matched by key; drop the NULL from the request (null-key "
+            "rows can only be retired by a filtered rebuild)"
+        )
+    return keys
+
+
+def _hrw_touched_shards(
+    keys: DataFrame, key_col: str, n_shards: int
+) -> list:
+    """The candidate shard set from the keys alone — static HRW
+    pruning, no layout scan. Bounded driver collect (≤ |keys|,
+    itself an erasure request)."""
+    from .scd import _feed_shard
+
+    return sorted(
+        r[0]
+        for r in keys.withColumn(
+            "shard", _feed_shard(F.col(key_col), n_shards)
+        )
+        .select("shard")
+        .distinct()
+        .collect()
+    )
 
 
 def delete_scd2_feed_keys(
@@ -248,28 +293,13 @@ def delete_scd2_feed_keys(
     pruning): a handful of erasure requests against a 100 TB feed
     reads only the shards those keys live in, in every directory
     generation."""
-    from .scd import _feed_shard
-
     meta = _open_meta(spark, path, "scd2 feed layout")
     key_col = meta["key_col"]
-    n_shards = int(meta["n_shards"])
-    keys = (
-        keys.select(key_col)
-        .where(F.col(key_col).isNotNull())
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    touched = sorted(
-        r[0]
-        for r in keys.withColumn(
-            "shard", _feed_shard(F.col(key_col), n_shards)
-        )
-        .select("shard")
-        .distinct()
-        .collect()
-    )
+    keys = _erasure_keys(keys, key_col, "delete_scd2_feed_keys")
+    touched = _hrw_touched_shards(keys, key_col, int(meta["n_shards"]))
     jobs = [
         (
+            "feed_rows",
             d,
             keys,
             key_col,
@@ -279,11 +309,46 @@ def delete_scd2_feed_keys(
         )
         for d in _table_dirs(spark, path, "feed_rows")
     ]
-    return _run_delete(spark, path, jobs)
+    return _run_delete(spark, path, meta, jobs)
+
+
+def delete_scd2_history_keys(
+    spark: SparkSession, path: str, keys: DataFrame
+) -> dict:
+    """Remove every row of ``keys`` from a stored SCD2 HISTORY layout
+    (``write_scd2_history`` / ``scd2_refresh_in_place``'s) — the
+    serving-side half of the erasure story (VERDICT r14 item 1: the
+    feed verb alone left the layout a deployment actually reads
+    holding the erased keys' versions). Whole-key erasure commutes
+    with the per-key SCD2 window, so the result equals the full
+    rebuild over the surviving keys — no window recomputation needed,
+    just the COW partition swap.
+
+    Same static HRW pruning as the feed twin (the layout shards by
+    HRW(key)); one ``history_rows`` directory — the history is
+    maintained copy-on-write, so there are no deltas to reach.
+    Returns ``{"rows_deleted", "partitions_rewritten"}``."""
+    meta = _open_meta(spark, path, "scd2 history layout")
+    key_col = meta["key_col"]
+    keys = _erasure_keys(keys, key_col, "delete_scd2_history_keys")
+    touched = _hrw_touched_shards(keys, key_col, int(meta["n_shards"]))
+    jobs = [
+        (
+            "history_rows",
+            os.path.join(path, "history_rows"),
+            keys,
+            key_col,
+            "shard",
+            (key_col, "effective_from_us"),
+            touched,
+        )
+    ]
+    return _run_delete(spark, path, meta, jobs)
 
 
 __all__ = [
     "delete_from_ann_index",
     "delete_from_dedup_index",
     "delete_scd2_feed_keys",
+    "delete_scd2_history_keys",
 ]

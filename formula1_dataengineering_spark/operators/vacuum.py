@@ -1,9 +1,9 @@
-"""Retention / vacuum — the last lifecycle verb (VERDICT r13
-item 2): a year-long deployment accumulates garbage no other verb
-reclaims — staging left by crashed writers, compaction staging whose
-run died before its manifest, delta directories whose refresh died
-before the commit marker — plus, for the SCD2 history layout,
-superseded closed versions that retention policy says to expire.
+"""Retention / vacuum — the reclamation verbs: a year-long deployment
+accumulates garbage no other verb reclaims — staging left by crashed
+writers, compaction staging whose run died before its manifest, delta
+directories whose refresh died before the commit marker — plus, for
+the SCD2 history layout, superseded closed versions that retention
+policy says to expire.
 
 Two verbs:
 
@@ -12,18 +12,21 @@ Two verbs:
   contract, because everything swept is already invisible: readers
   union deltas via commit markers (an unmarked delta dir is a crashed
   refresh), ``_staging`` belongs to a writer that will recreate it,
-  and ``_compact`` without a manifest is a compaction that never
-  reached its resume point. A ``_COMPACT_MANIFEST.json`` PINS its
-  staging: that staging is a committed-to fold mid-recovery, and
-  sweeping it would break the crash-resume contract — vacuum refuses
-  (reported as ``pinned``), finish the compaction first.
+  ``_compact`` / ``_cow_staging`` without their manifest are a
+  compaction / COW swap that never reached its resume point, and
+  ``.spark-staging-*`` residue is a killed Spark write job's own
+  scratch. A manifest PINS its staging (``_COMPACT_MANIFEST.json`` →
+  ``_compact``, ``_COW_MANIFEST.json`` → ``_cow_staging``): that
+  staging is a committed-to rewrite mid-recovery, and sweeping it
+  would break the crash-resume contract — vacuum refuses (reported
+  as ``pinned``), finish the pending commit first.
 - :func:`expire_scd2_history` changes logical content BY POLICY:
   per key it keeps the current row plus the ``retain_versions`` most
   recent closed versions and deletes older ones, copy-on-write over
-  touched shards only (the ``scd2_refresh_in_place`` discipline:
-  marker dropped before the dynamic overwrite, restored after;
-  idempotent — a crashed expiry re-runs, already-swept shards have
-  nothing left to expire).
+  touched shards only — via the staged manifest swap of
+  :mod:`operators.cow` (round 15: the round-14 in-place dynamic
+  overwrite shared the deletion verbs' survivor-loss crash window,
+  ADVICE r14 medium).
 
 Concurrency: single maintainer, same as ``operators.compaction``.
 Concurrent INGEST during :func:`vacuum_layout` is NOT safe for the
@@ -45,6 +48,14 @@ from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import fsutil
+from .cow import (
+    COW_MANIFEST,
+    COW_STAGING,
+    partition_filter,
+    resume_pending_cow,
+    run_cow_swap,
+    stage_partition_rewrite,
+)
 
 _MANIFEST = "_COMPACT_MANIFEST.json"
 
@@ -53,7 +64,7 @@ def vacuum_layout(
     spark: SparkSession, path: str, what: str = "stored layout"
 ) -> dict:
     """Sweep a delta-bearing stored layout's physical garbage. Only
-    three classes are removed — anything else under the root
+    four classes are removed — anything else under the root
     (committed deltas and their markers, base tables, metadata,
     gate sentinels, cached "_"-prefixed siblings like a stream
     source) is left untouched, deliberately: vacuum deletes only
@@ -61,19 +72,25 @@ def vacuum_layout(
 
     1. ``_staging/`` — a crashed base rebuild's residue (the next
        writer would sweep it anyway; vacuum reclaims it now);
-    2. ``_compact/`` — a compaction that died during STAGE, iff no
-       manifest exists (a manifest pins its staging for resume:
-       reported via ``pinned=True``, nothing of ``_compact`` is
-       touched);
+    2. ``_compact/`` / ``_cow_staging/`` — a compaction or COW swap
+       that died during STAGE, iff no matching manifest exists (a
+       manifest pins its staging for resume: reported via
+       ``pinned=True``, nothing of that staging is touched);
     3. ``<table>_delta_<bid>/`` directories whose
        ``_DELTA_<bid>._SUCCESS`` commit marker is missing — a
        refresh that died between the delta write and the marker
-       (readers already ignore them).
+       (readers already ignore them). The ``<table>`` prefix must
+       name an existing table directory of THIS layout (ADVICE r14:
+       the round-14 substring match would have destroyed an
+       unrelated sibling like ``notes_delta_old``);
+    4. ``.spark-staging-*`` residue — a killed Spark write job's own
+       scratch, at the layout root and one level down inside each
+       table/delta directory (where partitioned writers put it).
 
     Requires a readable layout (``_SUCCESS`` present): vacuuming
     under a writer's commit window would race the swap. Returns
     ``{"files_removed", "bytes_reclaimed", "orphan_deltas_removed",
-    "staging_removed", "pinned"}``."""
+    "staging_removed", "spark_staging_removed", "pinned"}``."""
     fsutil.validate_layout_path(path, what)
     if not fsutil.exists(spark, os.path.join(path, "_SUCCESS")):
         raise ValueError(
@@ -82,31 +99,65 @@ def vacuum_layout(
             "resume the compaction) before vacuuming"
         )
     committed = set(fsutil.committed_delta_batches(spark, path))
-    pinned = fsutil.exists(spark, os.path.join(path, _MANIFEST))
+    pins = {
+        "_compact": fsutil.exists(spark, os.path.join(path, _MANIFEST)),
+        COW_STAGING: fsutil.exists(spark, os.path.join(path, COW_MANIFEST)),
+    }
+    names = fsutil.list_names(spark, path)
+    # The layout's own table directories: non-hidden dirs that are
+    # neither deltas nor partition dirs — the anchor the orphan-delta
+    # match requires (sweep class 3).
+    tables = {
+        n
+        for n in names
+        if not n.startswith(("_", "."))
+        and "_delta_" not in n
+        and "=" not in n
+        and fsutil.is_dir(spark, os.path.join(path, n))
+    }
     files_removed = 0
     bytes_reclaimed = 0
     orphan_deltas = 0
     staging_removed = 0
+    spark_staging = 0
 
-    def sweep(name: str) -> tuple[int, int]:
-        d = os.path.join(path, name)
+    def sweep(d: str) -> tuple[int, int]:
         n, b = fsutil.du(spark, d)
         fsutil.delete(spark, d)
         return n, b
 
-    for name in fsutil.list_names(spark, path):
-        if name == "_staging" or (name == "_compact" and not pinned):
-            n, b = sweep(name)
+    for name in names:
+        if name == "_staging" or (
+            name in pins and not pins[name]
+        ):
+            n, b = sweep(os.path.join(path, name))
             files_removed += n
             bytes_reclaimed += b
             staging_removed += 1
+        elif name.startswith(".spark-staging"):
+            n, b = sweep(os.path.join(path, name))
+            files_removed += n
+            bytes_reclaimed += b
+            spark_staging += 1
         elif "_delta_" in name:
-            bid = name.split("_delta_", 1)[1]
-            if bid not in committed:
-                n, b = sweep(name)
+            table, _, bid = name.partition("_delta_")
+            if table in tables and bid not in committed:
+                n, b = sweep(os.path.join(path, name))
                 files_removed += n
                 bytes_reclaimed += b
                 orphan_deltas += 1
+    # Class 4, one level down: partitioned writers create their job
+    # scratch INSIDE the output directory.
+    for name in sorted(tables | {n for n in names if "_delta_" in n}):
+        d = os.path.join(path, name)
+        if not fsutil.is_dir(spark, d):
+            continue
+        for child in fsutil.list_names(spark, d):
+            if child.startswith(".spark-staging"):
+                n, b = sweep(os.path.join(d, child))
+                files_removed += n
+                bytes_reclaimed += b
+                spark_staging += 1
     if files_removed:
         spark.catalog.refreshByPath(path)
     return {
@@ -114,7 +165,8 @@ def vacuum_layout(
         "bytes_reclaimed": bytes_reclaimed,
         "orphan_deltas_removed": orphan_deltas,
         "staging_removed": staging_removed,
-        "pinned": pinned,
+        "spark_staging_removed": spark_staging,
+        "pinned": any(pins.values()),
     }
 
 
@@ -126,17 +178,16 @@ def expire_scd2_history(
     versions (by ``effective_from_us`` descending — unique per key by
     the :func:`operators.scd.scd2_history` tie contract) and delete
     everything older. Copy-on-write: only shards holding at least one
-    expirable row are rewritten (dynamic partition overwrite,
-    untouched shards never read or written); the touched-shard set is
-    a bounded driver collect (≤ n_shards), the same static-pruning
-    discipline as the COW refresh.
+    expirable row are rewritten, through the staged manifest swap of
+    :mod:`operators.cow` (untouched shards never read or written);
+    the touched-shard set is a bounded driver collect (≤ n_shards),
+    the same static-pruning discipline as the COW refresh.
 
-    Crash contract = the refresher's: ``_SUCCESS`` drops before the
-    non-atomic overwrite and returns after; external readers refuse
-    the marker-less window; recovery is RE-RUNNING the same expiry
-    (idempotent — a shard already rewritten has no expirable rows
-    left and is not touched again), which opens the layout through
-    the refresher's marker-tolerant path.
+    Crash contract = the COW swap's: the live layout stays readable
+    through STAGE; from the manifest on, the commit is idempotent
+    metadata ops that ANY family verb (or re-running this expiry)
+    resumes to completion first. A re-run after full commit is a
+    clean no-op (already-swept shards have nothing left to expire).
 
     Returns ``{"rows_expired", "shards_rewritten"}`` (both 0 = clean
     no-op, marker untouched)."""
@@ -147,6 +198,7 @@ def expire_scd2_history(
             f"expire_scd2_history: retain_versions={retain_versions} "
             "must be >= 0 (0 keeps only each key's current row)"
         )
+    resume_pending_cow(spark, path)
     hist, meta = _open_history_for_refresh(spark, path)
     key_col = meta["key_col"]
     w = Window.partitionBy(key_col).orderBy(
@@ -161,11 +213,13 @@ def expire_scd2_history(
     # is the dominant read of this verb's 100 TB story, so it runs
     # the full window plan exactly once (round-14 review).
     per_shard = expirable.groupBy("shard").count().collect()
-    touched = sorted(r["shard"] for r in per_shard)
+    touched = sorted(
+        (r["shard"] for r in per_shard), key=lambda v: (v is None, v)
+    )
     if not touched:
         return {"rows_expired": 0, "shards_rewritten": 0}
     rows_expired = sum(r["count"] for r in per_shard)
-    slice_ = hist.where(F.col("shard").isin(touched))
+    slice_ = hist.where(partition_filter("shard", touched))
     keep_current = slice_.where(F.col("is_current"))
     keep_closed = (
         slice_.where(~F.col("is_current"))
@@ -174,14 +228,17 @@ def expire_scd2_history(
         .drop("__rk")
     )
     out = keep_current.unionByName(keep_closed)
-    fsutil.delete(spark, os.path.join(path, "_SUCCESS"))
-    out.repartition("shard").sortWithinPartitions(
-        key_col, "effective_from_us"
-    ).write.mode("overwrite").option(
-        "partitionOverwriteMode", "dynamic"
-    ).partitionBy("shard").parquet(os.path.join(path, "history_rows"))
-    spark.catalog.refreshByPath(path)
-    fsutil.touch(spark, os.path.join(path, "_SUCCESS"))
+    fsutil.delete(spark, os.path.join(path, COW_STAGING))
+    job = stage_partition_rewrite(
+        spark,
+        path,
+        os.path.join(path, "history_rows"),
+        out,
+        "shard",
+        touched,
+        (key_col, "effective_from_us"),
+    )
+    run_cow_swap(spark, path, [job], None)
     return {
         "rows_expired": rows_expired,
         "shards_rewritten": len(touched),

@@ -159,7 +159,13 @@ def test_feed_key_delete_static_pruning_and_empty_partitions(
     )
     refresh_scd2_feed(feed.where("ts % 2 = 1"), path, "day1")
     all_rows = _rows(read_scd2_feed(spark, path)[0].select("k", "ts", "v"))
-    erased = spark.createDataFrame([(2,), (None,)], "k long")
+    # NULL keys in the request are REFUSED (ADVICE r14): a silent
+    # no-op erasure is worse than a loud failure.
+    with pytest.raises(ValueError, match="NULL"):
+        delete_scd2_feed_keys(
+            spark, path, spark.createDataFrame([(2,), (None,)], "k long")
+        )
+    erased = spark.createDataFrame([(2,)], "k long")
     info = delete_scd2_feed_keys(spark, path, erased)
     assert info["rows_deleted"] == 10  # 40 rows / 4 keys
     after, _ = read_scd2_feed(spark, path)
@@ -257,3 +263,142 @@ def test_delete_handles_null_partition_rows(spark, tmp_path):
     assert h1.where("doc_id = 100").count() == 0  # victim gone
     assert h1.where("doc_id = 101").count() == 1  # bystander SURVIVES
     assert h1.where("doc_id = 3").count() == 0
+
+
+def test_history_key_delete_matches_filtered_rebuild(spark, tmp_path):
+    """delete_scd2_history_keys (VERDICT r14 item 1): whole-key
+    erasure from the PERSISTED history layout equals the full rebuild
+    over the surviving keys; untouched shards stay byte-identical;
+    NULL keys in the request are refused."""
+    from formula1_dataengineering_spark.operators.deletion import (
+        delete_scd2_history_keys,
+    )
+    from formula1_dataengineering_spark.operators.scd import (
+        read_scd2_history,
+        scd2_history,
+        write_scd2_history,
+    )
+
+    rows = [(i % 8, 1000 + i, f"v{i % 3}") for i in range(64)]
+    feed = spark.createDataFrame(
+        rows, "k long, ts long, v string"
+    ).withColumn("ts", F.timestamp_micros(F.col("ts") * 1_000_000))
+    hist = scd2_history(feed, "k", "ts", "v")
+    path = str(tmp_path / "hist")
+    write_scd2_history(hist, path, "k", n_shards=16)
+    before = _snapshot(os.path.join(path, "history_rows"))
+    n_victim = hist.where("k = 5").count()
+    assert n_victim > 0
+    with pytest.raises(ValueError, match="NULL"):
+        delete_scd2_history_keys(
+            spark, path, spark.createDataFrame([(None,)], "k long")
+        )
+    info = delete_scd2_history_keys(
+        spark, path, spark.createDataFrame([(5,)], "k long")
+    )
+    assert info["rows_deleted"] == n_victim
+    assert info["partitions_rewritten"] == 1  # static HRW pruning
+    after, _ = read_scd2_history(spark, path)
+    cols = ("k", "v", "effective_from_us", "effective_to_us", "is_current")
+    assert _rows(after.select(*cols)) == _rows(
+        hist.where("k != 5").select(*cols)
+    )
+    # Only the victim's shard changed on disk.
+    snap = _snapshot(os.path.join(path, "history_rows"))
+    changed_dirs = {
+        k.split("/")[0]
+        for k in set(before) | set(snap)
+        if before.get(k) != snap.get(k)
+    }
+    assert len(changed_dirs) == 1
+    # Idempotent.
+    again = delete_scd2_history_keys(
+        spark, path, spark.createDataFrame([(5,)], "k long")
+    )
+    assert again == {"rows_deleted": 0, "partitions_rewritten": 0}
+
+
+def test_delete_commit_crash_resumes_without_survivor_loss(
+    spark, tmp_path, monkeypatch
+):
+    """The ADVICE r14 (medium) scenario: a kill inside the commit's
+    delete-old -> rename-staged window. With the staged manifest
+    protocol, the re-run resumes the commit and the touched
+    partition's KEPT rows come back from staging — no silent
+    survivor loss."""
+    from formula1_dataengineering_spark.operators import cow
+    from formula1_dataengineering_spark.operators.scd import (
+        read_scd2_feed,
+        write_scd2_feed,
+    )
+
+    rows = [(i % 4, 1000 + i, "x") for i in range(32)]
+    feed = spark.createDataFrame(rows, "k long, ts long, v string")
+    path = str(tmp_path / "feed")
+    write_scd2_feed(feed, path, "k", "ts", "v", n_shards=2)
+    want = _rows(
+        read_scd2_feed(spark, path)[0]
+        .where("k != 1")
+        .select("k", "ts", "v")
+    )
+    erased = spark.createDataFrame([(1,)], "k long")
+
+    real_rename = cow.fsutil.rename
+    state = {"fired": False}
+
+    def dying_rename(spark_, src, dst):
+        if not state["fired"] and cow.COW_STAGING in src:
+            state["fired"] = True
+            raise RuntimeError("simulated kill between delete and rename")
+        return real_rename(spark_, src, dst)
+
+    monkeypatch.setattr(cow.fsutil, "rename", dying_rename)
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        delete_scd2_feed_keys(spark, path, erased)
+    monkeypatch.setattr(cow.fsutil, "rename", real_rename)
+    # The crash state: marker gone, manifest + staging present, the
+    # touched partition's old dir already deleted.
+    assert not os.path.exists(os.path.join(path, "_SUCCESS"))
+    assert os.path.exists(os.path.join(path, cow.COW_MANIFEST))
+    # Re-running the SAME delete resumes the commit first, then finds
+    # nothing left to delete — survivors intact.
+    info = delete_scd2_feed_keys(spark, path, erased)
+    assert info == {"rows_deleted": 0, "partitions_rewritten": 0}
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    got = _rows(read_scd2_feed(spark, path)[0].select("k", "ts", "v"))
+    assert got == want
+
+
+def test_delete_accounting_accumulates_and_rebuild_resets(
+    spark, tmp_path
+):
+    """_META.json carries cumulative per-table rows_deleted — the
+    deletion-drift signal the maintenance loop reads; a full rebuild
+    writes fresh metadata and resets it."""
+    import json
+
+    from formula1_dataengineering_spark.operators.dedup import (
+        write_dedup_index,
+    )
+
+    d = _docs(spark)
+    path = str(tmp_path / "idx")
+    write_dedup_index(d, path, n_shards=4)
+
+    def meta():
+        with open(os.path.join(path, "_META.json")) as fh:
+            return json.load(fh)
+
+    assert "rows_deleted" not in meta()
+    delete_from_dedup_index(
+        spark, path, spark.createDataFrame([(3,)], "doc_id long")
+    )
+    m1 = meta()["rows_deleted"]
+    assert m1["content_hashes"] == 1 and m1["band_rows"] == 4
+    delete_from_dedup_index(
+        spark, path, spark.createDataFrame([(4,), (5,)], "doc_id long")
+    )
+    m2 = meta()["rows_deleted"]
+    assert m2["content_hashes"] == 3 and m2["band_rows"] == 12
+    write_dedup_index(d.where("doc_id > 9"), path, n_shards=4)
+    assert "rows_deleted" not in meta()

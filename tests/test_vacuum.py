@@ -165,3 +165,94 @@ def test_expire_recovers_through_crash_window(spark, hist_layout):
     assert after.where("is_current").count() == hist.where(
         "is_current"
     ).count()
+
+
+def test_vacuum_anchored_orphan_match_and_spark_staging(
+    spark, feed_layout
+):
+    """ADVICE r14: (a) the orphan-delta match is anchored to the
+    layout's OWN table directories — an unrelated sibling like
+    'notes_delta_old' survives; (b) '.spark-staging-*' residue (a
+    killed Spark write job's scratch) is swept at the root and one
+    level down inside table dirs."""
+    path, f = feed_layout
+    before = _rows(read_scd2_feed(spark, path)[0].select("k", "ts", "v"))
+    # Decoy: contains '_delta_' but its prefix names no table here.
+    os.makedirs(os.path.join(path, "notes_delta_old"))
+    with open(os.path.join(path, "notes_delta_old", "keep.txt"), "w") as fh:
+        fh.write("user scratch")
+    # Killed-write residue, both placements.
+    os.makedirs(os.path.join(path, ".spark-staging-abc"))
+    with open(os.path.join(path, ".spark-staging-abc", "p.bin"), "wb") as fh:
+        fh.write(b"z" * 16)
+    os.makedirs(os.path.join(path, "feed_rows", ".spark-staging-def"))
+    with open(
+        os.path.join(path, "feed_rows", ".spark-staging-def", "q.bin"), "wb"
+    ) as fh:
+        fh.write(b"z" * 16)
+    info = vacuum_layout(spark, path)
+    assert info["orphan_deltas_removed"] == 0
+    assert info["spark_staging_removed"] == 2
+    assert os.path.exists(os.path.join(path, "notes_delta_old", "keep.txt"))
+    assert not os.path.exists(os.path.join(path, ".spark-staging-abc"))
+    assert not os.path.exists(
+        os.path.join(path, "feed_rows", ".spark-staging-def")
+    )
+    assert _rows(read_scd2_feed(spark, path)[0].select("k", "ts", "v")) == before
+
+
+def test_vacuum_cow_manifest_pins_cow_staging(spark, feed_layout):
+    """A _COW_MANIFEST.json pins _cow_staging (a committed-to swap
+    mid-recovery); without it the staging is crashed-STAGE garbage
+    and sweeps."""
+    from formula1_dataengineering_spark.operators.cow import (
+        COW_MANIFEST,
+        COW_STAGING,
+    )
+
+    path, _ = feed_layout
+    os.makedirs(os.path.join(path, COW_STAGING, "feed_rows"))
+    with open(
+        os.path.join(path, COW_STAGING, "feed_rows", "s.bin"), "wb"
+    ) as fh:
+        fh.write(b"c" * 8)
+    with open(os.path.join(path, COW_MANIFEST), "w") as fh:
+        json.dump({"jobs": [], "meta": None}, fh)
+    info = vacuum_layout(spark, path)
+    assert info["pinned"]
+    assert os.path.exists(os.path.join(path, COW_STAGING, "feed_rows", "s.bin"))
+    # Manifest gone (swap resumed/committed elsewhere) -> sweeps.
+    os.remove(os.path.join(path, COW_MANIFEST))
+    info2 = vacuum_layout(spark, path)
+    assert not info2["pinned"]
+    assert info2["staging_removed"] == 1
+    assert not os.path.exists(os.path.join(path, COW_STAGING))
+
+
+def test_expire_commit_crash_resumes(spark, hist_layout, monkeypatch):
+    """expire_scd2_history shares the staged swap: a kill inside the
+    commit's delete->rename window loses nothing — the re-run resumes
+    the manifest first and the expiry lands exactly once."""
+    from formula1_dataengineering_spark.operators import cow
+
+    path, hist = hist_layout
+    n_current = hist.where("is_current").count()
+    real_rename = cow.fsutil.rename
+    state = {"fired": False}
+
+    def dying_rename(spark_, src, dst):
+        if not state["fired"] and cow.COW_STAGING in src:
+            state["fired"] = True
+            raise RuntimeError("simulated kill")
+        return real_rename(spark_, src, dst)
+
+    monkeypatch.setattr(cow.fsutil, "rename", dying_rename)
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        expire_scd2_history(spark, path, retain_versions=0)
+    monkeypatch.setattr(cow.fsutil, "rename", real_rename)
+    assert os.path.exists(os.path.join(path, cow.COW_MANIFEST))
+    info = expire_scd2_history(spark, path, retain_versions=0)
+    assert info == {"rows_expired": 0, "shards_rewritten": 0}
+    after, _ = read_scd2_history(spark, path)
+    assert after.count() == n_current
+    assert after.where("not is_current").count() == 0
