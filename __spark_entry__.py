@@ -32,27 +32,36 @@ from formula1_dataengineering_spark.plans import ORACLE_SQL, QUERIES
 #: queue (per round-4 advice). Keep this list current — add any query
 #: whose Spark plan or oracle changed since its last green row.
 _PRIORITY: list[str] = [
-    # round 14 — gates whose CHAINS changed this round, so their old
-    # green rows hashed pre-change behavior:
-    # - stream_feed_ingest_history: the rebuild chain reordered
-    #   (source files land + are count-asserted BEFORE the base feed
-    #   write, so the layout marker is the chain's last step —
-    #   ADVICE r13, medium).
-    # - the three compaction gates: _gate_chain now persists the
-    #   measured fold diff in the sentinel and cached drives re-emit
-    #   the RECORDED measurement (ADVICE r13) — same values, changed
-    #   emission path.
-    # The ten round-14 never-green gates (three maintenance-policy
-    # gates, vacuum sweep, history retention, the streaming→dedup
-    # composition, the compaction×ingest interleave, three
-    # deletion/retraction gates) sort ahead automatically; the ~36
-    # remaining slots drain the stale queue — all 17 r9 rows, then
-    # the oldest r10 block (VERDICT r13 item 3: freshness floor at
-    # r10).
-    "stream_feed_ingest_history",
-    "dedup_index_compaction_probe",
-    "ann_index_compaction_topk",
-    "scd2_feed_compaction_history",
+    # round 15 — gates whose VERBS or plans changed this round, so
+    # their old green rows hashed pre-change behavior:
+    # - stream_dedup_ingest_probe: full redesign (replica-robust
+    #   id-salted streamed docs + self-probe — VERDICT r14 item 3);
+    #   new oracle, new columns.
+    # - layout_vacuum_sweep: vacuum gained two sweep classes
+    #   (.spark-staging residue, anchored orphan match) and the gate
+    #   now plants a decoy + residue and hashes two new columns.
+    # - the three deletion/retraction gates + scd2_history_retention:
+    #   their verbs moved from in-place dynamic overwrite to the
+    #   staged _COW_MANIFEST swap (ADVICE r14, medium) — identical
+    #   values, changed execution path.
+    # - the three maintenance-policy gates: the family verbs gained
+    #   deletion-drift / sampled-referee arms (defaults off — same
+    #   values, changed conditional structure).
+    # The five round-15 never-green gates (scd2_history_key_deletion,
+    # dedup_maintenance_deletion_drift, scd2_feed_deletion_drift,
+    # ann_sampled_recall_referee, layout_maintenance_umbrella) sort
+    # ahead automatically; the ~36 remaining slots drain the stale
+    # queue — all 29 r10 rows (VERDICT r14 item 4: freshness floor
+    # moves to r11), then the oldest r11 block.
+    "stream_dedup_ingest_probe",
+    "layout_vacuum_sweep",
+    "dedup_index_retraction",
+    "ann_index_retraction",
+    "scd2_feed_key_deletion",
+    "scd2_history_retention",
+    "ann_maintenance_policy",
+    "dedup_index_maintenance",
+    "scd2_feed_maintenance",
 ]
 
 

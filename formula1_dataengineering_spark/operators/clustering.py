@@ -771,6 +771,7 @@ def write_ann_index(
         )
         meta_text = json.dumps(
             {
+                "family": "ann_index",
                 "cell_col": cell_col,
                 "m": m,
                 "k": k,

@@ -1302,6 +1302,7 @@ def write_dedup_index(
     ).parquet(os.path.join(staging, "band_rows"))
     meta_text = json.dumps(
         {
+            "family": "dedup_index",
             "n_shards": n_shards,
             "shard_salt": _INDEX_SHARD_SALT,
             "shard_mode": "fast",

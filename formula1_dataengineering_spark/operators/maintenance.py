@@ -60,6 +60,22 @@ from .compaction import (
 committed_delta_batches = fsutil.committed_delta_batches
 
 
+def referee_sample_pred(
+    col: F.Column, keep: int, mod: int, salt: str = "annref"
+) -> F.Column:
+    """Deterministic hash-sample membership for the bounded recall
+    referee (VERDICT r14 item 5): keep a row iff
+    ``portable_hash48(salt || id) % mod < keep`` — the KMV/leakage
+    gates' seeded-hash recipe, so the DuckDB oracle replays the SAME
+    sample from ``md5_number`` and the sampled recall is exact, not
+    approximately reproduced."""
+    from .dedup import portable_hash48
+
+    return portable_hash48(
+        F.concat(F.lit(salt), col.cast("string"))
+    ) % F.lit(mod) < F.lit(keep)
+
+
 def ann_recall_at_k(
     spark: SparkSession,
     path: str,
@@ -69,6 +85,7 @@ def ann_recall_at_k(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Measured recall@k of a stored ANN index against the exact
     top-k over ``vectors`` (the raw corpus the index claims to
@@ -78,11 +95,31 @@ def ann_recall_at_k(
     corpus scan (the documented one-pass GEMM baseline — exact cost
     is O(|queries| · |vectors|) dot products, honest accounting for a
     recall number), the indexed side is the pruned nprobe ADC probe.
-    Returns a 1-row frame (n_queries, n_hits, recall_at_k)."""
+
+    ``sample=(keep, mod)`` (VERDICT r14 item 5) restricts BOTH sides
+    to the deterministic hash-sample of :func:`referee_sample_pred` —
+    the approx probe ranks only sampled code rows, the exact referee
+    scans only sampled vectors, so the metric is a well-defined
+    recall over the sampled corpus and the tick's referee cost drops
+    from O(|queries| · corpus) to O(|queries| · keep/mod · corpus);
+    a production loop picks keep/mod per tick as sample_budget /
+    corpus_rows, which makes the nightly HOLD tick corpus-FLAT
+    (scripts/maintenance_probe.py --ann-sampled measures it). The
+    full referee (sample=None) stays the rebuild-confirmation
+    measurement. Returns a 1-row frame (n_queries, n_hits,
+    recall_at_k)."""
     from .clustering import ivf_pq_topk_from_index, read_ann_index
     from .scalars import broadcast_scalars
 
     codes, codebook, cells, meta = read_ann_index(spark, path)
+    if sample is not None:
+        keep_n, mod = sample
+        codes = codes.where(
+            referee_sample_pred(F.col(id_col), keep_n, mod)
+        )
+        vectors = vectors.where(
+            referee_sample_pred(F.col(id_col), keep_n, mod)
+        )
     approx = ivf_pq_topk_from_index(
         queries,
         codes,
@@ -161,6 +198,7 @@ def maintain_ann_index(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    referee_sample: tuple[int, int] | None = None,
 ) -> dict:
     """ONE maintenance tick of a stored IVF-PQ index: measure
     recall@k drift over the held-out ``queries`` against the exact
@@ -181,16 +219,33 @@ def maintain_ann_index(
     EQUAL, the fold-invisibility witness; hold copies it), and
     ``deltas_remaining`` (after). The gates hash these fields and the
     DuckDB oracle replays both the recall computation and the
-    conditional itself."""
+    conditional itself.
+
+    ``referee_sample=(keep, mod)`` (VERDICT r14 item 5) runs the
+    drift measurement — and the compact re-measurement, so the
+    fold-invisibility witness compares like with like — on the
+    deterministic hash-sampled referee of :func:`ann_recall_at_k`,
+    keeping the nightly tick corpus-flat; the post-REBUILD
+    confirmation always re-measures with the FULL referee (the one
+    corpus-sized read is paid exactly when a corpus-sized rebuild
+    already was)."""
     from .clustering import write_ann_index
 
     meta = fsutil.require_layout_meta(
         spark, path, "ANN index", "write_ann_index"
     )
     n_deltas = len(committed_delta_batches(spark, path))
-    measure = lambda: _recall_scalars(  # noqa: E731
+    measure = lambda sample=referee_sample: _recall_scalars(  # noqa: E731
         ann_recall_at_k(
-            spark, path, queries, vectors, topk, nprobe, id_col, vec_col
+            spark,
+            path,
+            queries,
+            vectors,
+            topk,
+            nprobe,
+            id_col,
+            vec_col,
+            sample=sample,
         )
     )
     n_queries, n_hits, recall = measure()
@@ -206,7 +261,7 @@ def maintain_ann_index(
             id_col=id_col,
             vec_col=vec_col,
         )
-        _, _, recall_after = measure()
+        _, _, recall_after = measure(sample=None)
     elif n_deltas >= compact_after:
         decision = "compact"
         compact_ann_index(spark, path)
@@ -252,6 +307,7 @@ def maintain_dedup_index(
     compact_after: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    rebuild_deleted_over: float | None = None,
 ) -> dict:
     """ONE maintenance tick of a stored dedup index. Drift metric:
     the accumulated delta ROWS as a fraction of the base
@@ -266,8 +322,19 @@ def maintain_dedup_index(
     signatures are corpus-independent, so unlike the ANN index there
     is no quantization drift forcing retrains).
 
+    Deletion drift (VERDICT r14 item 2): the retraction verb
+    (``delete_from_dedup_index``) records cumulative per-table
+    ``rows_deleted`` counters in ``_META.json`` — row counts alone
+    never see deletions (the deleted rows are physically gone), so a
+    retraction-heavy layout would otherwise accumulate near-empty
+    partitions and stale sharding with no trip wire. When the
+    content-hash rows deleted since the last rebuild reach
+    ``rebuild_deleted_over`` × the CURRENT base+delta rows, the tick
+    REBUILDS (same ``corpus`` contract); a rebuild writes fresh
+    metadata and thereby resets the counter.
+
     Returns ``decision``, ``n_deltas``, ``base_rows``,
-    ``delta_rows``, ``deltas_remaining``."""
+    ``delta_rows``, ``rows_deleted``, ``deltas_remaining``."""
     from .dedup import write_dedup_index
 
     meta = fsutil.require_layout_meta(
@@ -277,23 +344,36 @@ def maintain_dedup_index(
     base_rows, delta_rows = _delta_base_rows(
         spark, path, "content_hashes", batches
     )
+    rows_deleted = int(
+        meta.get("rows_deleted", {}).get("content_hashes", 0)
+    )
+    live_rows = base_rows + delta_rows
+    deletion_drift = rebuild_deleted_over is not None and (
+        rows_deleted >= rebuild_deleted_over * live_rows
+        if live_rows > 0
+        else rows_deleted > 0
+    )
     # base_rows == 0 is the documented bootstrap shape (empty base,
     # day batches as deltas): the ratio against 0 would trip on an
     # idle empty layout (0 >= 0), so the bootstrap trigger is simply
     # "anything ingested" — all rows living in deltas IS maximal
     # drift (round-14 review).
-    if rebuild_rows_over is not None and (
-        delta_rows >= rebuild_rows_over * base_rows
-        if base_rows > 0
-        else delta_rows > 0
+    if deletion_drift or (
+        rebuild_rows_over is not None
+        and (
+            delta_rows >= rebuild_rows_over * base_rows
+            if base_rows > 0
+            else delta_rows > 0
+        )
     ):
         if corpus is None:
             raise ValueError(
-                "maintain_dedup_index: the rebuild arm triggered "
-                f"(delta_rows={delta_rows} ≥ {rebuild_rows_over} × "
-                f"base_rows={base_rows}) but no corpus was supplied — "
-                "the index stores hashes, not text; pass the raw docs "
-                "of base ∪ ingested batches"
+                "maintain_dedup_index: a rebuild arm triggered "
+                f"(delta_rows={delta_rows}, rows_deleted="
+                f"{rows_deleted}, base_rows={base_rows}) but no "
+                "corpus was supplied — the index stores hashes, not "
+                "text; pass the raw docs of base ∪ ingested batches "
+                "minus retracted ids"
             )
         decision = "rebuild"
         write_dedup_index(
@@ -317,6 +397,7 @@ def maintain_dedup_index(
         "n_deltas": len(batches),
         "base_rows": base_rows,
         "delta_rows": delta_rows,
+        "rows_deleted": rows_deleted,
         "deltas_remaining": len(committed_delta_batches(spark, path)),
     }
 
@@ -326,6 +407,7 @@ def maintain_scd2_feed(
     path: str,
     rebuild_rows_per_shard: int | None = None,
     compact_after: int = 2,
+    rebuild_deleted_over: float | None = None,
 ) -> dict:
     """ONE maintenance tick of a keyed SCD2 feed layout. Drift
     metric: TOTAL feed rows (base + committed deltas) per shard —
@@ -338,8 +420,19 @@ def maintain_scd2_feed(
     else HOLD. ``rebuild_rows_per_shard=None`` disables the
     rebuild arm.
 
+    Deletion drift (VERDICT r14 item 2): rows-per-shard never SEES
+    deletions — a delete-heavy feed erodes toward near-empty
+    partitions with no trip wire. The erasure verb records cumulative
+    ``rows_deleted`` in ``_META.json``; when it crosses
+    ``rebuild_deleted_over`` × the CURRENT total rows, the tick
+    REBUILDS from its own read-back at the SAME shard count (an
+    erosion rebuild reclaims stranded partitions and resets the
+    counter — the corpus shrank, so doubling would be exactly wrong;
+    when BOTH arms trigger, the growth arm wins and doubles).
+
     Returns ``decision``, ``n_deltas``, ``total_rows``,
-    ``n_shards_before`` / ``n_shards_after``, ``deltas_remaining``."""
+    ``rows_deleted``, ``n_shards_before`` / ``n_shards_after``,
+    ``deltas_remaining``."""
     from .scd import read_scd2_feed, write_scd2_feed
 
     meta = fsutil.require_layout_meta(
@@ -351,13 +444,21 @@ def maintain_scd2_feed(
         spark, path, "feed_rows", batches
     )
     total_rows = base_rows + delta_rows
+    rows_deleted = int(meta.get("rows_deleted", {}).get("feed_rows", 0))
     n_shards_after = n_shards
-    if (
+    grew = (
         rebuild_rows_per_shard is not None
         and total_rows > rebuild_rows_per_shard * n_shards
-    ):
+    )
+    eroded = rebuild_deleted_over is not None and (
+        rows_deleted > rebuild_deleted_over * total_rows
+        if total_rows > 0
+        else rows_deleted > 0
+    )
+    if grew or eroded:
         decision = "rebuild"
-        n_shards_after = n_shards * 2
+        if grew:
+            n_shards_after = n_shards * 2
         feed, _ = read_scd2_feed(spark, path)
         # The staged rebuild consumes this lazy read fully while the
         # old base + deltas are still on disk; only the metadata-ops
@@ -379,16 +480,100 @@ def maintain_scd2_feed(
         "decision": decision,
         "n_deltas": len(batches),
         "total_rows": total_rows,
+        "rows_deleted": rows_deleted,
         "n_shards_before": n_shards,
         "n_shards_after": n_shards_after,
         "deltas_remaining": len(committed_delta_batches(spark, path)),
     }
 
 
+#: maintain_layout family dispatch: _META.json's ``family`` field
+#: (written by every layout writer since round 15) → the family verb.
+#: Pre-round-15 layouts are sniffed from their distinctive metadata
+#: keys instead.
+_FAMILY_SNIFF = (
+    ("ann_index", "cell_col"),
+    ("dedup_index", "bands"),
+    ("scd2_feed", "value_col"),
+    ("scd2_history", "history_schema"),
+)
+
+
+def layout_family(meta: dict) -> str:
+    """The stored layout family of a ``_META.json`` dict."""
+    fam = meta.get("family")
+    if fam:
+        return fam
+    for fam, key in _FAMILY_SNIFF:
+        if key in meta:
+            return fam
+    raise ValueError(
+        "maintain_layout: _META.json names no family and matches no "
+        "known layout shape — not a layout this build wrote"
+    )
+
+
+def maintain_layout(
+    spark: SparkSession,
+    path: str,
+    ann: dict | None = None,
+    dedup: dict | None = None,
+    feed: dict | None = None,
+    vacuum_after: bool = True,
+) -> dict:
+    """ONE umbrella maintenance tick (VERDICT r14 item 6): dispatch
+    hold / compact / rebuild from the layout's own ``_META.json``
+    family, then (by default) vacuum the physical garbage the tick
+    can reclaim — so the nightly loop is ONE call per layout path
+    instead of caller-picked family verbs.
+
+    ``ann`` / ``dedup`` / ``feed`` are the keyword arguments of the
+    matching family verb (:func:`maintain_ann_index` needs at least
+    ``queries`` / ``vectors`` / ``rebuild_below``); the families not
+    on this path's layout are ignored. The ``scd2_history`` family
+    has no delta lifecycle (it is COW-maintained), so its tick is
+    hold + vacuum; retention (``expire_scd2_history``) stays an
+    explicit POLICY verb — an umbrella must never delete visible
+    rows by default.
+
+    Vacuum ordering: AFTER the family verb — a compact just retired
+    its folded deltas' markers, and the sweep then reclaims crashed
+    staging/orphans in the same window the single-maintainer contract
+    already reserves. Returns the family verb's decision row plus
+    ``family`` and the flattened ``vacuum_*`` accounting columns."""
+    from .vacuum import vacuum_layout
+
+    meta = fsutil.require_layout_meta(
+        spark, path, "stored layout", "a layout writer"
+    )
+    fam = layout_family(meta)
+    if fam == "ann_index":
+        if not ann:
+            raise ValueError(
+                "maintain_layout: ANN layout needs ann={queries, "
+                "vectors, rebuild_below, ...}"
+            )
+        row = maintain_ann_index(spark, path, **ann)
+    elif fam == "dedup_index":
+        row = maintain_dedup_index(spark, path, **(dedup or {}))
+    elif fam == "scd2_feed":
+        row = maintain_scd2_feed(spark, path, **(feed or {}))
+    else:  # scd2_history
+        row = {"decision": "hold", "n_deltas": 0, "deltas_remaining": 0}
+    out = {"family": fam, **row}
+    if vacuum_after:
+        v = vacuum_layout(spark, path, f"{fam} layout")
+        out.update({f"vacuum_{k}": val for k, val in v.items()})
+    return out
+
+
 __all__ = [
     "ann_recall_at_k",
     "committed_delta_batches",
+    "layout_family",
     "maintain_ann_index",
     "maintain_dedup_index",
+    "maintain_layout",
     "maintain_scd2_feed",
+    "referee_sample_pred",
 ]

@@ -136,6 +136,7 @@ def write_scd2_feed(
     )
     meta_text = json.dumps(
         {
+            "family": "scd2_feed",
             "n_shards": n_shards,
             "shard_salt": _FEED_SHARD_SALT,
             "shard_mode": "fast",
@@ -419,6 +420,7 @@ def write_scd2_history(
     )
     meta_text = json.dumps(
         {
+            "family": "scd2_history",
             "n_shards": n_shards,
             "shard_salt": _FEED_SHARD_SALT,
             "shard_mode": "fast",

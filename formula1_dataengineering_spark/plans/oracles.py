@@ -4930,15 +4930,20 @@ ORACLE_SQL["scd2_feed_maintenance"] = (
 # history is the SCD2 one-truth full-rebuild text; the accounting
 # literals replay the gate's DECLARED garbage (an unmarked delta dir
 # of 256 B, stale _staging of 128 B, stale manifest-less _compact of
-# 64 B → 3 files, 448 bytes, 1 orphan delta, 2 staging roots) and
-# the one committed delta the sweep must keep.
+# 64 B, killed-write .spark-staging residue of 32 B → 4 files, 480
+# bytes, 1 orphan delta, 2 staging roots, 1 spark-staging root), the
+# one committed delta the sweep must keep, and the round-15 DECOY
+# (notes_delta_old — '_delta_' in the name but anchored to no table
+# of this layout) that must survive.
 ORACLE_SQL["layout_vacuum_sweep"] = (
     "SELECT user_id, event_type, effective_from_us, effective_to_us,"
     " is_current,"
-    " CAST(3 AS INTEGER) AS files_removed,"
-    " CAST(448 AS BIGINT) AS bytes_reclaimed,"
+    " CAST(4 AS INTEGER) AS files_removed,"
+    " CAST(480 AS BIGINT) AS bytes_reclaimed,"
     " CAST(1 AS INTEGER) AS orphan_deltas_removed,"
     " CAST(2 AS INTEGER) AS staging_removed,"
+    " CAST(1 AS INTEGER) AS spark_staging_removed,"
+    " TRUE AS decoy_survived,"
     " CAST(1 AS INTEGER) AS committed_deltas_kept"
     " FROM ("
     + ORACLE_SQL["scd2_user_event_history"]
@@ -4980,26 +4985,26 @@ FROM (
 )
 
 
-# stream_dedup_ingest_probe (round 14, VERDICT r13 item 4): the
-# streamed index's final state is corpus ∪ accepted — exactly the e2e
-# ingest chain's refreshed index — so the batch reprobe joins its
-# one-truth replay; the proof literals replay as 3 committed
-# micro-batch deltas, index_rows = corpus + accepted content-hash
-# rows (one per doc), and the crash-replay flag the operator refuses
-# to skip.
-ORACLE_SQL["stream_dedup_ingest_probe"] = (
-    """WITH t AS MATERIALIZED (
-"""
-    + ORACLE_SQL["end_to_end_incremental_ingest"]
-    + """)
-SELECT doc_id, reprobe_action AS final_action,
+# stream_dedup_ingest_probe (round 14, VERDICT r13 item 4; replica-
+# robust form per VERDICT r14 item 3): the streamed docs are id-salted
+# NOVEL text, so each one's only index presence is its own streamed
+# delta rows — the post-stream self-probe is exact_dup = near_dup =
+# TRUE / 'skip_exact' BY the exactly-once contract (its own content
+# hash and band signature always match themselves; a lost micro-batch
+# flips its docs to 'ingest' and hash-diverges). index_rows = corpus
+# + streamed content-hash rows = ALL docs; the constants hold at any
+# replica scale because replicas shift doc_ids and the salt rides the
+# id.
+ORACLE_SQL["stream_dedup_ingest_probe"] = """
+SELECT doc_id,
+       TRUE AS exact_dup,
+       TRUE AS near_dup,
+       'skip_exact' AS action,
        CAST(3 AS INTEGER) AS n_stream_deltas,
-       CAST((SELECT count(*) FROM documents WHERE doc_id % 97 <> 0)
-            + (SELECT count(*) FROM t WHERE action = 'ingest')
-            AS BIGINT) AS index_rows,
+       CAST((SELECT count(*) FROM documents) AS BIGINT) AS index_rows,
        TRUE AS crash_replayed
-FROM t"""
-)
+FROM documents WHERE doc_id % 97 = 0
+"""
 
 
 # --------------------------------------------------------------------------
@@ -5123,4 +5128,226 @@ ORACLE_SQL["compaction_ingest_interleave"] = (
     " FROM ("
     + ORACLE_SQL["end_to_end_incremental_ingest"]
     + ")"
+)
+
+
+# --------------------------------------------------------------------------
+# Round 15: erasure completion + deletion-aware maintenance + sampled
+# recall referee + the maintain_layout umbrella (VERDICT r14 items
+# 1, 2, 5, 6)
+# --------------------------------------------------------------------------
+
+# scd2_history_key_deletion: whole-key erasure from the PERSISTED
+# history layout commutes with the per-key window — the read-back is
+# the one-truth full-rebuild history restricted to surviving users;
+# rows_deleted replays as the erased users' HISTORY-row count (the
+# layout stores the windowed rows, not raw events).
+ORACLE_SQL["scd2_history_key_deletion"] = (
+    """WITH h AS MATERIALIZED (
+"""
+    + ORACLE_SQL["scd2_user_event_history"]
+    + """)
+SELECT user_id, event_type, effective_from_us, effective_to_us,
+       is_current,
+       CAST((SELECT count(*) FROM h WHERE user_id % 17 = 3)
+            AS BIGINT) AS rows_deleted
+FROM h WHERE user_id % 17 <> 3"""
+)
+
+# dedup_maintenance_deletion_drift: the final layout is corpus MINUS
+# the %13 victims whether or not the rebuild arm fired (retraction
+# already removed their rows; the rebuild only re-shards the
+# survivors), so the probe replays the incremental chain against the
+# filtered corpus. The t2 CONDITIONAL replays from the same counts
+# the tick read: victims (deleted content rows) vs surviving live
+# rows — t1 precedes any deletion (counter 0 -> hold) and t3 follows
+# the counter reset (rebuild wrote fresh metadata) or a below-
+# threshold counter, hold either way.
+ORACLE_SQL["dedup_maintenance_deletion_drift"] = (
+    _MINHASH_BASE_K3.format(sig_exprs=_SIG_EXPRS)
+    + f""", bands AS MATERIALIZED (
+{_BAND_SELECTS}
+), hashes AS MATERIALIZED (
+  SELECT doc_id, ((md5_number(text) % {_M48} + {_M48}) % {_M48}) AS ch
+  FROM documents
+), cnt AS (
+  SELECT
+    (SELECT count(*) FROM documents
+     WHERE doc_id % 97 <> 0 AND doc_id % 13 = 1) AS victims,
+    (SELECT count(*) FROM documents
+     WHERE doc_id % 97 <> 0 AND doc_id % 13 <> 1) AS live
+), exact_hit AS (
+  SELECT DISTINCT b.doc_id
+  FROM hashes b JOIN hashes c ON b.ch = c.ch
+  WHERE b.doc_id % 97 = 0 AND c.doc_id % 97 <> 0
+    AND c.doc_id % 13 <> 1
+), near_hit AS (
+  SELECT DISTINCT nb.doc_id
+  FROM bands nb JOIN bands cb
+    ON nb.band = cb.band AND nb.key = cb.key
+  WHERE nb.doc_id % 97 = 0 AND cb.doc_id % 97 <> 0
+    AND cb.doc_id % 13 <> 1
+)
+SELECT d.doc_id,
+       (e.doc_id IS NOT NULL) AS exact_dup,
+       (n.doc_id IS NOT NULL) AS near_dup,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'skip_exact'
+            WHEN n.doc_id IS NOT NULL THEN 'review_near'
+            ELSE 'ingest' END AS action,
+       'hold' AS t1_decision,
+       CASE WHEN cnt.victims >= 0.02 * cnt.live
+            THEN 'rebuild' ELSE 'hold' END AS t2_decision,
+       'hold' AS t3_decision,
+       CAST(cnt.victims AS BIGINT) AS rows_deleted,
+       CAST(cnt.live AS BIGINT) AS live_rows
+FROM documents d
+LEFT JOIN exact_hit e ON e.doc_id = d.doc_id
+LEFT JOIN near_hit n ON n.doc_id = d.doc_id
+CROSS JOIN cnt
+WHERE d.doc_id % 97 = 0
+"""
+)
+
+# scd2_feed_deletion_drift: the erosion rebuild keeps both values and
+# shard count, so the hashed history is the one-truth full-rebuild
+# text over surviving users; t2's conditional replays from the erased
+# users' raw event count vs the surviving rows, and final_n_shards
+# stays the writer default (the erosion arm never doubles).
+ORACLE_SQL["scd2_feed_deletion_drift"] = (
+    """WITH cnt AS (
+  SELECT
+    (SELECT count(*) FROM events WHERE user_id % 17 = 3) AS del,
+    (SELECT count(*) FROM events WHERE user_id % 17 <> 3) AS live
+)
+SELECT user_id, event_type, effective_from_us, effective_to_us,
+       is_current,
+       'hold' AS t1_decision,
+       CASE WHEN cnt.del > 0.02 * cnt.live
+            THEN 'rebuild' ELSE 'hold' END AS t2_decision,
+       'hold' AS t3_decision,
+       CAST(cnt.del AS BIGINT) AS rows_deleted,
+       CAST(cnt.live AS BIGINT) AS total_rows,
+       CAST(16 AS INTEGER) AS final_n_shards
+FROM ("""
+    + ORACLE_SQL["scd2_user_event_history"]
+    + """) CROSS JOIN cnt
+WHERE user_id % 17 <> 3"""
+)
+
+# ann_sampled_recall_referee (VERDICT r14 item 5): the sampled chain
+# is the shared base∪delta replay with BOTH sides restricted to the
+# deterministic hash-sample — the indexed arm (allc) by the code
+# row's vec_id, the exact referee by the vector's — so the sampled
+# recall is replayed EXACTLY, not approximated; the full row is the
+# ann_delta_recall replay at nprobe=2 and recall_gap crosses the two.
+_ANN_SAMPLE_PRED = (
+    "((md5_number('annref' || CAST({x} AS VARCHAR)) % "
+    f"{_M48} + {_M48}) % {_M48}) % 2 < 1"
+)
+
+_ANN_SAMPLED_RECALL = _ANN_DELTA_PREFIX + f""", qcell AS (
+  SELECT q.vec_id AS q_id, c.label,
+         list_reduce(list_transform(list_zip(q.v, c.c),
+           x -> (x[1] - x[2]) * (x[1] - x[2])), (acc, t) -> acc + t) AS cd
+  FROM b q CROSS JOIN cellc c
+), qprobe AS (
+  SELECT q_id, label FROM (
+    SELECT q_id, label, row_number() OVER (
+      PARTITION BY q_id ORDER BY cd, label) AS crk
+    FROM qcell
+  ) WHERE crk <= 2
+), lut AS (
+  SELECT q.vec_id AS q_id, q.sub_id, c.cluster AS code,
+         list_reduce(list_transform(list_zip(q.sv, c.c),
+           x -> (x[1] - x[2]) * (x[1] - x[2])), (a, b) -> a + b) AS ld
+  FROM bsub q JOIN c1 c USING (sub_id)
+), scored AS (
+  SELECT p.q_id, a.vec_id, round(sum(l.ld), 6) AS adc_dist
+  FROM qprobe p
+  JOIN allc a ON a.label = p.label
+  JOIN lut l ON l.q_id = p.q_id AND l.sub_id = a.sub_id
+            AND l.code = a.cluster
+  WHERE {_ANN_SAMPLE_PRED.format(x="a.vec_id")}
+  GROUP BY 1, 2
+), approx AS (
+  SELECT q_id, vec_id AS neighbor_id FROM (
+    SELECT s.*, row_number() OVER (
+      PARTITION BY q_id ORDER BY adc_dist, vec_id) AS rk
+    FROM scored s
+  ) WHERE rk <= 5
+), es AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+  WHERE {_ANN_SAMPLE_PRED.format(x="vec_id")}
+), ed AS (
+  SELECT q.vec_id AS q_id, a.vec_id AS neighbor_id,
+         list_reduce(list_transform(list_zip(q.v, a.v),
+           x -> (x[1] - x[2]) * (x[1] - x[2])), (acc, t) -> acc + t) AS d
+  FROM b q CROSS JOIN es a
+), exact AS (
+  SELECT q_id, neighbor_id FROM (
+    SELECT q_id, neighbor_id, row_number() OVER (
+      PARTITION BY q_id ORDER BY d, neighbor_id) AS rk
+    FROM ed
+  ) WHERE rk <= 5
+), nq AS (
+  SELECT count(DISTINCT q_id) AS n_queries FROM exact
+)
+SELECT CAST(nq.n_queries AS BIGINT) AS n_queries,
+       CAST(h.n_hits AS BIGINT) AS n_hits,
+       round(h.n_hits * 1.0 / (nq.n_queries * 5), 4) AS recall_at_5
+FROM (
+  SELECT count(*) AS n_hits FROM approx ap
+  WHERE EXISTS (
+    SELECT 1 FROM exact x
+    WHERE x.q_id = ap.q_id AND x.neighbor_id = ap.neighbor_id
+  )
+) h CROSS JOIN nq
+"""
+
+ORACLE_SQL["ann_sampled_recall_referee"] = (
+    """WITH f AS MATERIALIZED (
+  SELECT n_queries, n_hits, recall_at_5 FROM ("""
+    + ORACLE_SQL["ann_delta_recall"]
+    + """) WHERE nprobe = 2
+), s AS MATERIALIZED (
+"""
+    + _ANN_SAMPLED_RECALL
+    + """)
+SELECT 'full' AS mode, n_queries, n_hits, recall_at_5,
+       0.0 AS recall_gap
+FROM f
+UNION ALL
+SELECT 'sampled', s.n_queries, s.n_hits, s.recall_at_5,
+       round(f.recall_at_5 - s.recall_at_5, 4)
+FROM s CROSS JOIN f"""
+)
+
+# layout_maintenance_umbrella: the mixed-family decision table — the
+# dedup arm's fold must land on corpus ∪ accepted (the e2e chain's
+# truth; rows_kept = content-hash rows after the compact), the feed
+# arm holds below compact_after and keeps its committed delta
+# (rows_kept = all events); the vacuum accounting replays the gate's
+# DECLARED garbage (32-byte _staging on the index, 24-byte unmarked
+# orphan delta on the feed).
+ORACLE_SQL["layout_maintenance_umbrella"] = (
+    """WITH t AS MATERIALIZED (
+"""
+    + ORACLE_SQL["end_to_end_incremental_ingest"]
+    + """)
+SELECT 'dedup_index' AS family, 'compact' AS decision,
+       CAST(0 AS INTEGER) AS deltas_remaining,
+       CAST((SELECT count(*) FROM documents WHERE doc_id % 97 <> 0)
+            + (SELECT count(*) FROM t WHERE action = 'ingest')
+            AS BIGINT) AS rows_kept,
+       CAST(1 AS INTEGER) AS vacuum_files_removed,
+       CAST(32 AS BIGINT) AS vacuum_bytes_reclaimed,
+       CAST(1 AS INTEGER) AS vacuum_staging_removed,
+       CAST(0 AS INTEGER) AS vacuum_orphan_deltas_removed
+UNION ALL
+SELECT 'scd2_feed', 'hold',
+       CAST(1 AS INTEGER),
+       CAST((SELECT count(*) FROM events) AS BIGINT),
+       CAST(1 AS INTEGER), CAST(24 AS BIGINT),
+       CAST(0 AS INTEGER), CAST(1 AS INTEGER)"""
 )

@@ -19,6 +19,8 @@ directly on the scan so Catalyst pushes them into Parquet.
 
 from __future__ import annotations
 
+import os
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -7443,10 +7445,16 @@ def layout_vacuum_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_vacuum.py), vacuums, and hashes the layout's LOGICAL
     read-back (the SCD2 one-truth history — a vacuum that touched
     any visible row would diverge) plus the measured accounting:
-    ``files_removed=3``, ``bytes_reclaimed=448`` (256+128+64),
-    ``orphan_deltas_removed=1``, ``staging_removed=2``, and
+    ``files_removed=4``, ``bytes_reclaimed=480`` (256+128+64+32),
+    ``orphan_deltas_removed=1``, ``staging_removed=2``,
+    ``spark_staging_removed=1`` (round 15: killed-write
+    ``.spark-staging-*`` residue is a fourth sweep class), and
     ``committed_deltas_kept=1`` — the committed delta must SURVIVE
-    the sweep or the history hash loses its rows anyway.
+    the sweep or the history hash loses its rows anyway. Round 15
+    also plants a DECOY — ``notes_delta_old`` (user scratch whose
+    name merely contains ``_delta_``) — which the ADVICE-r14-anchored
+    match must leave alone: ``decoy_survived`` rides as a hashed
+    column read back from the filesystem.
 
     100 TB story: the sweep is pure filesystem metadata (listing +
     content summaries + recursive deletes); nothing is read. The
@@ -7459,7 +7467,7 @@ def layout_vacuum_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     cols = ("user_id", "ts", "event_type")
     path, fresh = layout_artifact(
-        sf_dir, "spark_graft_vacuum_v1", "events"
+        sf_dir, "spark_graft_vacuum_v2", "events"
     )
     state: dict = {}
 
@@ -7480,6 +7488,8 @@ def layout_vacuum_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         plant("feed_rows_delta_orphan9/part-dead.bin", 256)
         plant("_staging/feed_rows/part-stale.bin", 128)
         plant("_compact/feed_rows/part-stale.bin", 64)
+        plant(".spark-staging-dead1/part-resid.bin", 32)
+        plant("notes_delta_old/keep.bin", 40)
         info = vacuum_layout(spark, path, "scd2 feed layout")
         state.update(
             {
@@ -7487,6 +7497,7 @@ def layout_vacuum_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "bytes_reclaimed": info["bytes_reclaimed"],
                 "orphans": info["orphan_deltas_removed"],
                 "staging": info["staging_removed"],
+                "spark_staging": info["spark_staging_removed"],
             }
         )
 
@@ -7495,6 +7506,9 @@ def layout_vacuum_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .. import fsutil
 
     kept = len(fsutil.committed_delta_batches(spark, path))
+    decoy_survived = fsutil.exists(
+        spark, os.path.join(path, "notes_delta_old", "keep.bin")
+    )
     return scd2_history(feed, *cols).select(
         "user_id",
         "event_type",
@@ -7507,6 +7521,10 @@ def layout_vacuum_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bytes_reclaimed"),
         F.lit(state["orphans"]).cast("int").alias("orphan_deltas_removed"),
         F.lit(state["staging"]).cast("int").alias("staging_removed"),
+        F.lit(state["spark_staging"])
+        .cast("int")
+        .alias("spark_staging_removed"),
+        F.lit(decoy_survived).alias("decoy_survived"),
         F.lit(kept).cast("int").alias("committed_deltas_kept"),
     )
 
@@ -7563,20 +7581,29 @@ def scd2_history_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("stream_dedup_ingest_probe")
 def stream_dedup_ingest_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STREAMING → DEDUP-INDEX composition (VERDICT r13 item 4): a
-    checkpointed stream over the held-out batch's ACCEPTED docs lands
-    each micro-batch as an index delta through foreachBatch →
+    """STREAMING → DEDUP-INDEX composition (VERDICT r13 item 4;
+    replica-robust form per VERDICT r14 item 3): a checkpointed
+    stream over the batch ids' id-salted NOVEL docs lands each
+    micro-batch as an index delta through foreachBatch →
     refresh_dedup_index, crash-restarts ONCE deterministically in the
     worst window (two-table delta landed, checkpoint commit pending),
     and replays the batch idempotently under the same batch_id — the
     delta commit-marker protocol IS the exactly-once ledger
     (streaming/events.py stream_dedup_ingest_deltas; the SCD2-feed
-    composition is the r13 template). The post-stream index state is
-    corpus ∪ accepted, so the batch reprobe must land on the e2e
-    ingest chain's one-truth oracle; ``n_stream_deltas`` (3
-    micro-batches committed), ``index_rows`` (content-hash rows =
-    corpus + accepted — a doubled or lost micro-batch moves it) and
-    ``crash_replayed`` ride as hashed proof columns.
+    composition is the r13 template). The round-14 form streamed the
+    ACCEPTED batch docs, which a replica-scaled corpus collapses to
+    ~0 (every batch doc near-duplicates its replicas) — id-salted
+    docs are novel at ANY replica scale, so the 3-file micro-batch
+    contract and this oracle hold unchanged at 1x/10x/100x.
+
+    The hashed rows are the STREAMED docs probed against the
+    post-stream index — each must find its OWN rows (exact_dup =
+    near_dup = TRUE, action = 'skip_exact'; a lost micro-batch flips
+    its docs to 'ingest', strictly stronger than the round-14 probe,
+    which only saw losses through the row count) — plus
+    ``n_stream_deltas`` (3 micro-batches committed), ``index_rows``
+    (content-hash rows = corpus + streamed = ALL docs; a doubled
+    micro-batch moves it) and ``crash_replayed``.
 
     Always runs the stream fresh (the replay contract is the thing
     under test); scratch checkpoint dirs are reclaimed, the index
@@ -7589,10 +7616,13 @@ def stream_dedup_ingest_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_dedup_index,
     )
     from ..sources.catalog import layout_artifact
-    from ..streaming.events import stream_dedup_ingest_deltas
+    from ..streaming.events import (
+        salted_stream_docs,
+        stream_dedup_ingest_deltas,
+    )
 
     path, fresh = layout_artifact(
-        sf_dir, "spark_graft_stream_dedup_v1", "documents"
+        sf_dir, "spark_graft_stream_dedup_v2", "documents"
     )
     work = tempfile.mkdtemp(prefix="spark_graft_stream_dedup_")
     try:
@@ -7602,16 +7632,18 @@ def stream_dedup_ingest_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     d = load(spark, sf_dir, "documents")
-    batch = d.where(F.col("doc_id") % 97 == 0)
+    streamed = salted_stream_docs(d.where(F.col("doc_id") % 97 == 0))
     h, b, m = read_dedup_index(spark, path)
     # Meta-driven params: the streamed layout is 4-sharded (the
     # appending stream's file-fan-out rule), not the probe default.
     probe = incremental_dedup_from_index(
-        batch, h, b, n_shards=int(m["n_shards"]), index_meta=m
+        streamed, h, b, n_shards=int(m["n_shards"]), index_meta=m
     )
     return probe.select(
         "doc_id",
-        F.col("action").alias("final_action"),
+        "exact_dup",
+        "near_dup",
+        "action",
         F.lit(info["n_deltas"]).cast("int").alias("n_stream_deltas"),
         F.lit(info["index_rows"]).cast("bigint").alias("index_rows"),
         F.lit(info["crashed_once"]).alias("crash_replayed"),
@@ -7879,3 +7911,427 @@ def scd2_feed_key_deletion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_current",
         F.lit(state["rows_deleted"]).cast("bigint").alias("rows_deleted"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 15: complete erasure story + deletion-aware maintenance +
+# sampled recall referee + the maintain_layout umbrella (VERDICT r14
+# items 1, 2, 5, 6)
+# --------------------------------------------------------------------------
+
+
+@query("scd2_history_key_deletion")
+def scd2_history_key_deletion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TARGETED KEY ERASURE from the stored SCD2 HISTORY layout
+    (VERDICT r14 item 1 — the feed verb's twin over the layout a
+    serving deployment actually reads): every history row of the
+    named users is deleted via the staged COW swap; the layout shards
+    by HRW(key), so the touched-shard set comes from the keys alone
+    (static pruning, zero discovery scans) and there are no deltas to
+    reach (the history is COW-maintained). Whole-key erasure commutes
+    with the per-key SCD2 window, so the hashed READ-BACK must equal
+    the one-truth full-rebuild history restricted to surviving users;
+    ``rows_deleted`` replays as the erased users' history-row count.
+
+    100 TB story: a GDPR request against the serving history rewrites
+    only the shards the keys live in — untouched shards byte-identical
+    (tests/test_deletion.py pins it)."""
+    from ..operators.deletion import delete_scd2_history_keys
+    from ..operators.scd import (
+        read_scd2_history,
+        scd2_history,
+        write_scd2_history,
+    )
+    from ..sources.catalog import layout_artifact
+
+    e = load(spark, sf_dir, "events")
+    path, fresh = layout_artifact(
+        sf_dir, "spark_graft_scd2_hist_delete_v1", "events"
+    )
+    state: dict = {"rows_deleted": 0}
+
+    def mutate() -> None:
+        hist = scd2_history(e, "user_id", "ts", "event_type")
+        write_scd2_history(hist, path, "user_id", n_shards=8)
+        erased = (
+            e.where(F.col("user_id") % 17 == 3)
+            .select("user_id")
+            .distinct()
+        )
+        info = delete_scd2_history_keys(spark, path, erased)
+        state["rows_deleted"] = info["rows_deleted"]
+
+    _gate_chain(spark, path, fresh, mutate, state)
+    hist, _meta = read_scd2_history(spark, path)
+    return hist.select(
+        "user_id",
+        "event_type",
+        "effective_from_us",
+        "effective_to_us",
+        "is_current",
+        F.lit(state["rows_deleted"]).cast("bigint").alias("rows_deleted"),
+    )
+
+
+@query("dedup_maintenance_deletion_drift")
+def dedup_maintenance_deletion_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DELETION-AWARE maintenance drift for the stored dedup index
+    (VERDICT r14 item 2): row counts never see deletions — the rows
+    are physically gone — so the retraction verb records cumulative
+    ``rows_deleted`` in ``_META.json`` and the tick's deletion arm
+    reads it. The gate drives the flip the verdict asked for:
+
+    - ``t1``: fresh index over the corpus, arm armed at
+      ``rebuild_deleted_over=0.02``, zero deletions → HOLD;
+    - retraction: every corpus doc with ``doc_id % 13 == 1`` is
+      deleted (a delete-heavy layout — ~1/13 of the corpus at any
+      replica scale, so the conditional's truth is scale-invariant);
+    - ``t2``: deleted content rows ≥ 0.02 × live rows → REBUILD over
+      the surviving docs (fresh metadata resets the counter);
+    - ``t3``: counter reset → HOLD.
+
+    Hashed rows: the held-out batch probed against the FINAL layout —
+    exactly the incremental probe against corpus-minus-victims (the
+    retraction family's truth) — plus the decision table with the t2
+    CONDITIONAL replayed in the oracle from the same counts (victims
+    vs surviving corpus rows)."""
+    from ..operators.dedup import (
+        incremental_dedup_from_index,
+        read_dedup_index,
+        write_dedup_index,
+    )
+    from ..operators.deletion import delete_from_dedup_index
+    from ..operators.maintenance import maintain_dedup_index
+    from ..sources.catalog import layout_artifact
+
+    d = load(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") % 97 != 0)
+    batch = d.where(F.col("doc_id") % 97 == 0)
+    victims = corpus.where(F.col("doc_id") % 13 == 1).select("doc_id")
+    live = corpus.join(victims, "doc_id", "left_anti")
+    path, fresh = layout_artifact(
+        sf_dir, "spark_graft_dedup_del_drift_v1", "documents"
+    )
+    state: dict = {"decisions": [], "t2": {}}
+
+    def mutate() -> None:
+        write_dedup_index(corpus, path)
+        t1 = maintain_dedup_index(spark, path, rebuild_deleted_over=0.02)
+        delete_from_dedup_index(spark, path, victims)
+        t2 = maintain_dedup_index(
+            spark, path, corpus=live, rebuild_deleted_over=0.02
+        )
+        t3 = maintain_dedup_index(spark, path, rebuild_deleted_over=0.02)
+        state["decisions"] = [t1["decision"], t2["decision"], t3["decision"]]
+        state["t2"] = {
+            "rows_deleted": t2["rows_deleted"],
+            "live_rows": t2["base_rows"] + t2["delta_rows"],
+        }
+
+    _gate_chain(spark, path, fresh, mutate, state)
+    d1, d2, d3 = state["decisions"]
+    h, b, m = read_dedup_index(spark, path)
+    probe = incremental_dedup_from_index(batch, h, b, index_meta=m)
+    return probe.select(
+        "doc_id",
+        "exact_dup",
+        "near_dup",
+        "action",
+        F.lit(d1).alias("t1_decision"),
+        F.lit(d2).alias("t2_decision"),
+        F.lit(d3).alias("t3_decision"),
+        F.lit(state["t2"]["rows_deleted"])
+        .cast("bigint")
+        .alias("rows_deleted"),
+        F.lit(state["t2"]["live_rows"]).cast("bigint").alias("live_rows"),
+    )
+
+
+@query("scd2_feed_deletion_drift")
+def scd2_feed_deletion_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETION-AWARE maintenance drift for the keyed SCD2 feed
+    (VERDICT r14 item 2): rows-per-shard never sees erasures — a
+    delete-heavy feed erodes toward near-empty partitions with no
+    trip wire. The erasure verb's cumulative ``rows_deleted`` counter
+    arms the EROSION rebuild: rewrite from the feed's own read-back
+    at the SAME shard count (the corpus shrank — doubling is the
+    growth arm's move), resetting the counter.
+
+    Chain: base ∪ day1 ∪ day2 = all events; ``t1`` HOLD (armed at
+    ``rebuild_deleted_over=0.02``, nothing deleted; the count arm is
+    silenced at compact_after=99 so the deletion arm is isolated);
+    erase users ``% 17 == 3`` (~1/17 of rows at any replica scale);
+    ``t2`` REBUILD at same n_shards; ``t3`` HOLD. Hashed rows: the
+    SCD2 history windowed from the FINAL feed — the one-truth
+    full-rebuild text over surviving users — plus the decision table
+    with t2's conditional replayed from the same counts."""
+    from ..operators.deletion import delete_scd2_feed_keys
+    from ..operators.maintenance import maintain_scd2_feed
+    from ..operators.scd import (
+        read_scd2_feed,
+        refresh_scd2_feed,
+        scd2_history,
+        write_scd2_feed,
+    )
+    from ..sources.catalog import layout_artifact
+
+    e = load(spark, sf_dir, "events")
+    cols = ("user_id", "ts", "event_type")
+    path, fresh = layout_artifact(
+        sf_dir, "spark_graft_scd2_del_drift_v1", "events"
+    )
+    state: dict = {"decisions": [], "t2": {}}
+
+    def mutate() -> None:
+        write_scd2_feed(e.where(F.col("event_id") % 5 != 0), path, *cols)
+        refresh_scd2_feed(e.where(F.col("event_id") % 10 == 5), path, "day1")
+        refresh_scd2_feed(e.where(F.col("event_id") % 10 == 0), path, "day2")
+        t1 = maintain_scd2_feed(
+            spark, path, compact_after=99, rebuild_deleted_over=0.02
+        )
+        erased = (
+            e.where(F.col("user_id") % 17 == 3)
+            .select("user_id")
+            .distinct()
+        )
+        delete_scd2_feed_keys(spark, path, erased)
+        t2 = maintain_scd2_feed(
+            spark, path, compact_after=99, rebuild_deleted_over=0.02
+        )
+        t3 = maintain_scd2_feed(
+            spark, path, compact_after=99, rebuild_deleted_over=0.02
+        )
+        state["decisions"] = [t1["decision"], t2["decision"], t3["decision"]]
+        state["t2"] = {
+            "rows_deleted": t2["rows_deleted"],
+            "total_rows": t2["total_rows"],
+            "n_shards_after": t2["n_shards_after"],
+        }
+
+    _gate_chain(spark, path, fresh, mutate, state)
+    d1, d2, d3 = state["decisions"]
+    feed, _ = read_scd2_feed(spark, path)
+    return scd2_history(feed, *cols).select(
+        "user_id",
+        "event_type",
+        "effective_from_us",
+        "effective_to_us",
+        "is_current",
+        F.lit(d1).alias("t1_decision"),
+        F.lit(d2).alias("t2_decision"),
+        F.lit(d3).alias("t3_decision"),
+        F.lit(state["t2"]["rows_deleted"])
+        .cast("bigint")
+        .alias("rows_deleted"),
+        F.lit(state["t2"]["total_rows"]).cast("bigint").alias("total_rows"),
+        F.lit(state["t2"]["n_shards_after"])
+        .cast("int")
+        .alias("final_n_shards"),
+    )
+
+
+@query("ann_sampled_recall_referee")
+def ann_sampled_recall_referee(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SAMPLED recall referee for the ANN maintenance tick (VERDICT
+    r14 item 5): the exact referee of ``ann_recall_at_k`` is one full
+    corpus scan per tick — honest, but at 100 TB the nightly HOLD
+    tick for the ANN family pays a corpus-sized read the dedup/feed
+    ticks don't. ``sample=(keep, mod)`` restricts BOTH sides to a
+    deterministic hash-sample (portable_hash48 of the salted vec_id —
+    the KMV/leakage gates' seeded-hash recipe, so the DuckDB oracle
+    replays the SAME sample and the sampled recall is exact): the
+    probe ranks only sampled code rows, the exact referee scans only
+    sampled vectors — a well-defined recall over the sampled corpus,
+    at keep/mod of the referee cost. A production loop picks keep/mod
+    per tick as sample_budget / corpus_rows, making the tick
+    corpus-FLAT (scripts/maintenance_probe.py --ann-sampled measures
+    it); the full referee stays the rebuild-confirmation measurement
+    (maintain_ann_index re-measures FULL after a rebuild).
+
+    Hashed rows: the full-referee and 1/2-sampled measurements over
+    the same stored base∪delta index state (the ann_delta family's
+    shared artifact), plus ``recall_gap`` — sampled-vs-full agreement
+    measured in-query and REPLAYED exactly (both chains run in the
+    oracle; no tolerance, no hand-waving)."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..operators.clustering import refresh_ann_index, write_ann_index
+    from ..operators.maintenance import ann_recall_at_k
+    from ..sources.catalog import layout_artifact
+
+    e = load(spark, sf_dir, "embeddings")
+    corpus = e.where(F.col("vec_id") % 97 != 0)
+    batch = e.where(F.col("vec_id") % 97 == 0)
+    q = batch.select("vec_id", "embedding")
+    path, fresh = layout_artifact(
+        sf_dir, "spark_graft_ann_delta_v1", "embeddings"
+    )
+    if not fresh:
+        write_ann_index(corpus, path, m=8, k=4, iters=2)
+    refresh_ann_index(batch, path, batch_id="day1")
+
+    def row(mode: str, sample):
+        r = ann_recall_at_k(spark, path, q, e, sample=sample).collect()[0]
+        return [
+            mode,
+            int(r["n_queries"]),
+            int(r["n_hits"]),
+            float(r["recall_at_k"]),
+        ]
+
+    full = row("full", None)
+    sampled = row("sampled", (1, 2))
+    schema = StructType(
+        [
+            StructField("mode", StringType()),
+            StructField("n_queries", LongType()),
+            StructField("n_hits", LongType()),
+            StructField("recall_at_5", DoubleType()),
+            StructField("recall_gap", DoubleType()),
+        ]
+    )
+    gap = round(full[3] - sampled[3], 4)
+    return spark.createDataFrame(
+        [[*full, 0.0], [*sampled, gap]], schema
+    )
+
+
+@query("layout_maintenance_umbrella")
+def layout_maintenance_umbrella(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """THE maintain_layout UMBRELLA (VERDICT r14 item 6): one call
+    per layout path dispatches hold / compact / rebuild from
+    ``_META.json``'s family field and vacuums the physical garbage
+    the tick can reclaim — the nightly loop collapses from
+    caller-picked family verbs to one verb. The gate drives a MIXED
+    decision table:
+
+    - a dedup index carrying two committed ingest deltas and a
+      crashed rebuild's ``_staging`` residue (32 declared bytes) →
+      family=dedup_index, COMPACT, staging swept;
+    - an SCD2 feed carrying one committed delta and an UNMARKED
+      orphan delta (24 declared bytes) → family=scd2_feed, HOLD
+      (below compact_after), orphan swept, committed delta kept.
+
+    Hashed anchors: ``rows_kept`` is the post-tick READ-BACK row
+    count of each layout — the dedup fold must land on corpus ∪
+    accepted (the e2e chain's truth), the feed on all events — so a
+    fold or sweep that touched visible rows hash-diverges; the
+    vacuum accounting replays the declared garbage exactly."""
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from .. import fsutil
+    from ..operators.dedup import (
+        incremental_dedup_from_index,
+        read_dedup_index,
+        refresh_dedup_index,
+        write_dedup_index,
+    )
+    from ..operators.maintenance import maintain_layout
+    from ..operators.scd import read_scd2_feed, refresh_scd2_feed, write_scd2_feed
+    from ..sources.catalog import layout_artifact
+
+    d = load(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") % 97 != 0)
+    batch = d.where(F.col("doc_id") % 97 == 0)
+    e = load(spark, sf_dir, "events")
+    root, fresh = layout_artifact(
+        sf_dir, "spark_graft_maint_umbrella_v1", "documents"
+    )
+    idx = os.path.join(root, "idx")
+    fp = os.path.join(root, "feed")
+    state: dict = {"rows": []}
+
+    def plant(rel: str, size: int) -> None:
+        import pathlib
+
+        p = pathlib.Path(root) / rel
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_bytes(b"g" * size)
+
+    def tick(path: str, **kw) -> None:
+        r = maintain_layout(spark, path, **kw)
+        state["rows"].append(
+            [
+                r["family"],
+                r["decision"],
+                int(r["deltas_remaining"]),
+                int(r["vacuum_files_removed"]),
+                int(r["vacuum_bytes_reclaimed"]),
+                int(r["vacuum_staging_removed"]),
+                int(r["vacuum_orphan_deltas_removed"]),
+            ]
+        )
+
+    def mutate() -> None:
+        write_dedup_index(corpus, idx)
+        h0, b0, m0 = read_dedup_index(spark, idx, include_deltas=False)
+        flags0 = incremental_dedup_from_index(
+            batch, h0, b0, index_meta=m0
+        ).localCheckpoint(eager=True)
+        accepted = batch.join(
+            flags0.where(F.col("action") == "ingest").select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+        refresh_dedup_index(
+            accepted.where(F.expr("doc_id div 97") % 2 == 0), idx, "day1"
+        )
+        refresh_dedup_index(
+            accepted.where(F.expr("doc_id div 97") % 2 == 1), idx, "day2"
+        )
+        plant("idx/_staging/junk.bin", 32)
+        tick(idx)
+        write_scd2_feed(
+            e.where(F.col("event_id") % 5 != 0),
+            fp,
+            "user_id",
+            "ts",
+            "event_type",
+        )
+        refresh_scd2_feed(e.where(F.col("event_id") % 5 == 0), fp, "day1")
+        plant("feed/feed_rows_delta_orphan9/dead.bin", 24)
+        tick(fp)
+        fsutil.touch(spark, os.path.join(root, "_SUCCESS"))
+
+    _gate_chain(spark, root, fresh, mutate, state)
+    h, _, _ = read_dedup_index(spark, idx)
+    feed, _ = read_scd2_feed(spark, fp)
+    kept = {
+        "dedup_index": h.count(),
+        "scd2_feed": feed.count(),
+    }
+    schema = StructType(
+        [
+            StructField("family", StringType()),
+            StructField("decision", StringType()),
+            StructField("deltas_remaining", IntegerType()),
+            StructField("rows_kept", LongType()),
+            StructField("vacuum_files_removed", IntegerType()),
+            StructField("vacuum_bytes_reclaimed", LongType()),
+            StructField("vacuum_staging_removed", IntegerType()),
+            StructField("vacuum_orphan_deltas_removed", IntegerType()),
+        ]
+    )
+    rows = [
+        [r[0], r[1], r[2], int(kept[r[0]]), r[3], r[4], r[5], r[6]]
+        for r in state["rows"]
+    ]
+    return spark.createDataFrame(rows, schema)

@@ -952,6 +952,30 @@ def stream_feed_ingest_deltas(
     }
 
 
+def salted_stream_docs(batch: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """The streamed-ingest docs: one per batch id, with DETERMINISTIC
+    synthetic text built from the id alone — five unique tokens, so
+    every doc is novel against any real corpus AND against every
+    replica of itself (VERDICT r14 item 3: the round-14 gate streamed
+    the ACCEPTED batch docs, and a replica-scaled corpus turns every
+    batch doc into a near-duplicate of its replicas — acceptance
+    collapsed to ~0 docs and the 3-file source contract broke at
+    10x/100x; an id-salted doc set is replica-INVARIANT because
+    replicas shift ids). Trivially replayable in the oracle: a
+    streamed doc's hash and band rows are its OWN index rows, so its
+    post-stream probe is exact_dup = near_dup = TRUE, action =
+    'skip_exact' — constants that flip the moment any micro-batch's
+    delta is lost."""
+    sid = F.col(id_col).cast("string")
+    tok = lambda s: F.concat(F.lit("sn"), sid, F.lit(s))  # noqa: E731
+    return batch.select(
+        F.col(id_col),
+        F.concat_ws(
+            " ", tok("a"), tok("b"), tok("c"), tok("d"), tok("e")
+        ).alias("text"),
+    )
+
+
 def stream_dedup_ingest_deltas(
     spark: SparkSession,
     sf_dir: str,
@@ -962,10 +986,17 @@ def stream_dedup_ingest_deltas(
     """Continuous ingest COMPOSED with the stored DEDUP INDEX
     (VERDICT r13 item 4 — round 13 composed the stream with the SCD2
     feed; the index family still ingested only via batch): a
-    checkpointed file-source stream over the ACCEPTED docs of the
-    held-out batch lands every micro-batch as an index delta via
-    ``refresh_dedup_index`` inside ``foreachBatch`` — micro-batch =
-    daily accepted batch, the production Kafka→index shape.
+    checkpointed file-source stream over the held-out batch ids'
+    :func:`salted_stream_docs` lands every micro-batch as an index
+    delta via ``refresh_dedup_index`` inside ``foreachBatch`` —
+    micro-batch = daily ingest batch, the production Kafka→index
+    shape. The streamed docs are id-salted novel text (replica-
+    invariant — VERDICT r14 item 3; see :func:`salted_stream_docs`),
+    so the same 3-file source contract holds at any replica scale,
+    and the post-stream probe of the streamed docs themselves is the
+    exactly-once witness: every one must find its OWN rows in the
+    index (a lost micro-batch flips its docs to 'ingest'; a doubled
+    one moves ``index_rows``).
 
     Exactly-once is the same two-mechanism composition as
     :func:`stream_feed_ingest_deltas` (the template): the stream
@@ -978,7 +1009,7 @@ def stream_dedup_ingest_deltas(
     only after BOTH tables, so even the crash-killed half-batch is
     invisible until its replay completes.
 
-    Mechanics mirror the template: the accepted docs land as exactly
+    Mechanics mirror the template: the streamed docs land as exactly
     3 parquet files (asserted at the write — ADVICE r13) under
     ``<index_path>/_stream_source`` (an "_"-prefixed sibling the
     index reader ignores and the base-rebuild purge leaves alone),
@@ -987,20 +1018,15 @@ def stream_dedup_ingest_deltas(
     medium), and ``maxFilesPerTrigger=1`` makes each file its own
     micro-batch (which docs ride in which batch is
     partitioner-dependent; the final index is their union, so every
-    probe is invariant). Which docs are ACCEPTED is decided against
-    the BASE index (day-N−1 state), exactly the e2e ingest chain's
-    contract — so the post-stream index state equals corpus ∪
-    accepted and the batch reprobe lands on the chain's one-truth
-    oracle.
+    probe is invariant).
 
     Returns ``{"n_deltas", "crashed_once", "index_rows"}`` —
     ``index_rows`` is the post-stream content_hashes row count
-    (= corpus + accepted; a doubled or lost micro-batch moves it)."""
+    (= corpus + streamed; a doubled or lost micro-batch moves it)."""
     from pyspark.errors import StreamingQueryException
 
     from .. import fsutil
     from ..operators.dedup import (
-        incremental_dedup_flags,
         read_dedup_index,
         refresh_dedup_index,
         write_dedup_index,
@@ -1015,23 +1041,8 @@ def stream_dedup_ingest_deltas(
     corpus = d.where(F.col("doc_id") % 97 != 0)
     batch = d.where(F.col("doc_id") % 97 == 0)
     if rebuild_base:
-        # Acceptance runs on the RECOMPUTE path (incremental_dedup_
-        # flags — value-identical to the index probe by the paths'
-        # tested contract) so the source files can land before the
-        # layout's own base write — keeping _SUCCESS the final step
-        # of the chain WITHOUT paying a throwaway stored-index build
-        # first (round-14 review: the temp-index variant built the
-        # corpus index twice per stale drive).
-        flags0 = incremental_dedup_flags(
-            corpus.unionByName(batch),
-            F.col("doc_id") % 97 == 0,
-        )
-        accepted = batch.join(
-            flags0.where(F.col("action") == "ingest").select("doc_id"),
-            "doc_id",
-            "left_semi",
-        ).select("doc_id", "text")
-        accepted.repartition(3).write.mode("overwrite").parquet(src)
+        streamed = salted_stream_docs(batch)
+        streamed.repartition(3).write.mode("overwrite").parquet(src)
         n_src = sum(
             1
             for n in fsutil.list_names(spark, src)
@@ -1040,8 +1051,8 @@ def stream_dedup_ingest_deltas(
         if n_src != 3:
             raise ValueError(
                 f"stream source landed {n_src} parquet files, not the "
-                "3 the micro-batch contract requires — too few "
-                "accepted docs at this scale factor?"
+                "3 the micro-batch contract requires — too few batch "
+                "docs at this scale factor?"
             )
         # 4 shards, the feed twin's rule: a finer layout buys the
         # appending stream nothing, and every micro-batch delta write

@@ -25,6 +25,16 @@ replica dirs carry the upper decades — the compaction_probe set):
   100x  /tmp/graft_rep100x_sf001   (~50k)
 
 Usage: python scripts/maintenance_probe.py [--shards 64]
+
+Round 15 adds ``--ann-sampled`` (VERDICT r14 item 5): the ANN
+family's HOLD tick pays an exact referee of O(|queries| · corpus)
+dot products — the one corpus-sized nightly read the dedup/feed
+ticks don't have. The sampled referee (deterministic hash-sample,
+oracle-replayable) with keep/mod chosen per decade as
+sample_budget / corpus_rows keeps the tick's referee cost FLAT
+across corpus decades; this mode measures the full vs sampled tick
+wall at each decade on a fixed 6-query probe set.
+
 Prints one row per decade; paste the table into BASELINE.md.
 Never run concurrently with bench/other probes (they saturate cores).
 """
@@ -61,7 +71,66 @@ DECADES = [
 ]
 
 
+def ann_sampled_main() -> None:
+    """Full vs sampled HOLD-tick referee wall per embeddings decade,
+    fixed query set (replica 0's batch ids), sample budget ~256."""
+    from formula1_dataengineering_spark.operators.clustering import (
+        refresh_ann_index,
+        write_ann_index,
+    )
+    from formula1_dataengineering_spark.operators.maintenance import (
+        ann_recall_at_k,
+    )
+
+    spark = get_spark(app_name="maintenance-probe-ann-sampled")
+    budget = 256
+    print(
+        "| decade | vectors | sample (keep/mod) | full-referee tick "
+        "| sampled tick | recall full | recall sampled |"
+    )
+    print("| --- | --- | --- | --- | --- | --- | --- |")
+    for tag, sf_dir in DECADES:
+        if not os.path.isdir(sf_dir):
+            print(f"| {tag} | MISSING {sf_dir} | | | | | |")
+            continue
+        e = load(spark, sf_dir, "embeddings")
+        corpus = e.where(F.col("vec_id") % 97 != 0)
+        batch = e.where(F.col("vec_id") % 97 == 0)
+        # Fixed probe set at every decade: replica 0's batch ids.
+        q = batch.where(F.col("vec_id") < 500).select(
+            "vec_id", "embedding"
+        )
+        n_vec = e.count()
+        mod = max(2, n_vec // budget)
+        work = tempfile.mkdtemp(prefix="graft_maint_ann_")
+        path = os.path.join(work, "ann")
+        try:
+            with cache_scope():
+                write_ann_index(corpus, path, m=8, k=4, iters=2)
+            refresh_ann_index(batch, path, "d1")
+
+            def measure(sample):
+                t0 = time.perf_counter()
+                row = ann_recall_at_k(
+                    spark, path, q, e, sample=sample
+                ).collect()[0]
+                return time.perf_counter() - t0, row["recall_at_k"]
+
+            measure(None)  # warm the layout read once
+            t_full, r_full = measure(None)
+            t_samp, r_samp = measure((1, mod))
+            print(
+                f"| {tag} | {n_vec} | 1/{mod} | {t_full:.2f} s "
+                f"| {t_samp:.2f} s | {r_full} | {r_samp} |"
+            )
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
+    if "--ann-sampled" in sys.argv:
+        ann_sampled_main()
+        return
     shards = 64
     if "--shards" in sys.argv:
         shards = int(sys.argv[sys.argv.index("--shards") + 1])

@@ -1,6 +1,6 @@
 """Driver-style correctness drive: every queries() entry vs its DuckDB
-oracle at sf0.01, on a PLAIN SparkSession (mirrors the external driver;
-see .claude/skills/verify/SKILL.md).
+oracle at sf0.01, on a PLAIN SparkSession (mirrors the external
+driver contract of __spark_entry__.py).
 
 Usage: python scripts/verify_drive.py [--changed-only] [sf_dir] [name ...]
 

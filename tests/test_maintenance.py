@@ -227,3 +227,174 @@ def test_committed_delta_batches_ignores_markerless(spark, tmp_path):
     assert committed_delta_batches(spark, path) == ["day1"]
     r = maintain_scd2_feed(spark, path, compact_after=2)
     assert r["decision"] == "hold" and r["n_deltas"] == 1
+
+
+def test_dedup_deletion_drift_flips_hold_to_rebuild(spark, tmp_path):
+    """VERDICT r14 item 2 (dedup): the delta-rows metric never sees
+    deletions; the cumulative _META rows_deleted counter must trip
+    the rebuild arm, and the rebuild resets it."""
+    from formula1_dataengineering_spark.operators.dedup import (
+        read_dedup_index,
+        write_dedup_index,
+    )
+    from formula1_dataengineering_spark.operators.deletion import (
+        delete_from_dedup_index,
+    )
+
+    d = _docs(spark)
+    path = str(tmp_path / "idx")
+    write_dedup_index(d, path, n_shards=4)
+    r0 = maintain_dedup_index(spark, path, rebuild_deleted_over=0.05)
+    assert r0["decision"] == "hold" and r0["rows_deleted"] == 0
+    victims = spark.createDataFrame(
+        [(i,) for i in range(0, 60, 7)], "doc_id long"
+    )
+    delete_from_dedup_index(spark, path, victims)
+    live = d.join(victims, "doc_id", "left_anti")
+    # Without the deletion arm the tick still holds — the blind spot.
+    blind = maintain_dedup_index(spark, path)
+    assert blind["decision"] == "hold" and blind["rows_deleted"] == 9
+    r1 = maintain_dedup_index(
+        spark, path, corpus=live, rebuild_deleted_over=0.05
+    )
+    assert r1["decision"] == "rebuild"
+    assert r1["rows_deleted"] == 9
+    # Rebuild wrote fresh metadata: counter reset, next tick holds.
+    r2 = maintain_dedup_index(spark, path, rebuild_deleted_over=0.05)
+    assert r2["decision"] == "hold" and r2["rows_deleted"] == 0
+    h, _, _ = read_dedup_index(spark, path)
+    assert h.count() == live.count()
+
+
+def test_feed_deletion_drift_rebuilds_same_shards(spark, tmp_path):
+    """VERDICT r14 item 2 (feed): erosion rebuild keeps the shard
+    count (growth doubles); the counter resets with the rebuild."""
+    from formula1_dataengineering_spark.operators.deletion import (
+        delete_scd2_feed_keys,
+    )
+    from formula1_dataengineering_spark.operators.scd import (
+        read_scd2_feed,
+        write_scd2_feed,
+    )
+
+    rows = [(i % 8, 1000 + i, "x") for i in range(64)]
+    feed = spark.createDataFrame(rows, "k long, ts long, v string")
+    path = str(tmp_path / "feed")
+    write_scd2_feed(feed, path, "k", "ts", "v", n_shards=4)
+    r0 = maintain_scd2_feed(spark, path, rebuild_deleted_over=0.1)
+    assert r0["decision"] == "hold" and r0["rows_deleted"] == 0
+    delete_scd2_feed_keys(
+        spark, path, spark.createDataFrame([(1,), (2,)], "k long")
+    )
+    r1 = maintain_scd2_feed(spark, path, rebuild_deleted_over=0.1)
+    assert r1["decision"] == "rebuild"
+    assert r1["rows_deleted"] == 16
+    assert r1["n_shards_after"] == 4  # erosion: SAME shard count
+    r2 = maintain_scd2_feed(spark, path, rebuild_deleted_over=0.1)
+    assert r2["decision"] == "hold" and r2["rows_deleted"] == 0
+    after, meta = read_scd2_feed(spark, path)
+    assert int(meta["n_shards"]) == 4
+    assert after.count() == 48
+
+
+def test_sampled_referee_agrees_and_rebuild_confirms_full(
+    spark, ann_layout
+):
+    """VERDICT r14 item 5: the hash-sampled referee is a well-defined
+    recall over the sampled corpus (both sides restricted), close to
+    the full number on this data, and the rebuild arm's confirmation
+    re-measures FULL."""
+    path, q, e = ann_layout
+    full = ann_recall_at_k(spark, path, q, e).collect()[0]
+    half = ann_recall_at_k(spark, path, q, e, sample=(1, 2)).collect()[0]
+    assert 0 < half["n_queries"] == full["n_queries"]
+    assert 0.0 <= half["recall_at_k"] <= 1.0
+    # Deterministic: same sample, same number.
+    again = ann_recall_at_k(spark, path, q, e, sample=(1, 2)).collect()[0]
+    assert again["recall_at_k"] == half["recall_at_k"]
+    # keep == mod degenerates to the full referee exactly.
+    same = ann_recall_at_k(spark, path, q, e, sample=(2, 2)).collect()[0]
+    assert same["recall_at_k"] == full["recall_at_k"]
+    # Sampled tick through the policy loop; rebuild confirms full.
+    r = maintain_ann_index(
+        spark, path, q, e, rebuild_below=1.01, compact_after=99,
+        referee_sample=(1, 2),
+    )
+    assert r["decision"] == "rebuild"
+    assert r["recall_before"] == half["recall_at_k"]
+    post_full = ann_recall_at_k(spark, path, q, e).collect()[0]
+    assert r["recall_after"] == post_full["recall_at_k"]
+
+
+def test_maintain_layout_umbrella_dispatch_and_vacuum(spark, tmp_path):
+    """VERDICT r14 item 6: one call dispatches from _META.json's
+    family and sweeps physical garbage after the tick."""
+    from formula1_dataengineering_spark.operators.dedup import (
+        refresh_dedup_index,
+        write_dedup_index,
+    )
+    from formula1_dataengineering_spark.operators.maintenance import (
+        layout_family,
+        maintain_layout,
+    )
+    from formula1_dataengineering_spark.operators.scd import (
+        scd2_history,
+        write_scd2_feed,
+        write_scd2_history,
+    )
+
+    d = _docs(spark)
+    idx = str(tmp_path / "idx")
+    write_dedup_index(d.where("doc_id % 2 = 1"), idx, n_shards=4)
+    refresh_dedup_index(d.where("doc_id % 4 = 0"), idx, "day1")
+    refresh_dedup_index(d.where("doc_id % 4 = 2"), idx, "day2")
+    os.makedirs(os.path.join(idx, "_staging"))
+    with open(os.path.join(idx, "_staging", "junk.bin"), "wb") as fh:
+        fh.write(b"j" * 32)
+    r = maintain_layout(spark, idx)
+    assert r["family"] == "dedup_index"
+    assert r["decision"] == "compact"
+    assert r["deltas_remaining"] == 0
+    assert r["vacuum_staging_removed"] == 1
+    assert r["vacuum_bytes_reclaimed"] >= 32
+
+    rows = [(i % 4, 1000 + i, "x") for i in range(16)]
+    feed = spark.createDataFrame(rows, "k long, ts long, v string")
+    fp = str(tmp_path / "feed")
+    write_scd2_feed(feed, fp, "k", "ts", "v", n_shards=2)
+    r2 = maintain_layout(spark, fp)
+    assert r2["family"] == "scd2_feed" and r2["decision"] == "hold"
+
+    hp = str(tmp_path / "hist")
+    tfeed = feed.withColumn(
+        "ts", F.timestamp_micros(F.col("ts") * 1_000_000)
+    )
+    write_scd2_history(scd2_history(tfeed, "k", "ts", "v"), hp, "k")
+    r3 = maintain_layout(spark, hp)
+    assert r3["family"] == "scd2_history" and r3["decision"] == "hold"
+
+    # ANN family demands its policy inputs loudly.
+    e = _emb(spark)
+    ap = str(tmp_path / "ann")
+    from formula1_dataengineering_spark.operators.clustering import (
+        write_ann_index,
+    )
+
+    write_ann_index(e, ap, m=4, k=4, iters=2)
+    with pytest.raises(ValueError, match="needs ann="):
+        maintain_layout(spark, ap)
+    r4 = maintain_layout(
+        spark,
+        ap,
+        ann={
+            "queries": e.select("vec_id", "embedding").limit(5),
+            "vectors": e,
+            "rebuild_below": 0.0,
+        },
+    )
+    assert r4["family"] == "ann_index" and r4["decision"] == "hold"
+    # Pre-round-15 metadata (no family key) sniffs correctly.
+    assert layout_family({"cell_col": "cell"}) == "ann_index"
+    assert layout_family({"bands": 4}) == "dedup_index"
+    with pytest.raises(ValueError, match="no family"):
+        layout_family({"mystery": 1})

@@ -737,9 +737,17 @@ def test_stream_dedup_ingest_deltas_exactly_once(spark, tmp_path):
     corpus_n = d.where(F.col("doc_id") % 97 != 0).count()
     hashes, bands, _ = read_dedup_index(spark, idx_path)
     # Exactly-once: one content-hash row per corpus doc + per
-    # accepted streamed doc, none doubled by the replay.
-    assert info["index_rows"] == hashes.count()
-    assert corpus_n <= info["index_rows"] <= corpus_n + 6
+    # streamed (id-salted novel) doc, none doubled by the replay.
+    batch_n = d.where(F.col("doc_id") % 97 == 0).count()
+    assert info["index_rows"] == hashes.count() == corpus_n + batch_n
     assert (
         hashes.groupBy("doc_id").count().where("count > 1").count() == 0
     )
+    # Every streamed doc is findable afterwards — the self-probe the
+    # gate hashes (a lost micro-batch would drop its docs' rows).
+    streamed_ids = hashes.join(
+        d.where(F.col("doc_id") % 97 == 0).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    assert streamed_ids.count() == batch_n
