@@ -127,7 +127,61 @@ def ann_sampled_main() -> None:
             shutil.rmtree(work, ignore_errors=True)
 
 
+def ann_sampled_big_main() -> None:
+    """Full vs sampled HOLD-tick referee wall on the PERSISTED
+    multi-million-vector probe indices (scripts/ann_index_probe.py
+    builds them at /tmp/graft_ann_probe_{2k,2M,5M} over the
+    /tmp/graft_emb{1000,2500}x_sf01 replicas) — the corpus decade
+    where the exact referee's O(|queries| · corpus) scan actually
+    dominates the tick. Fixed 21-query probe set (replica 0 batch
+    ids), sample budget ~20k vectors."""
+    from formula1_dataengineering_spark.operators.maintenance import (
+        ann_recall_at_k,
+    )
+
+    spark = get_spark(app_name="maintenance-probe-ann-sampled-big")
+    budget = 20_000
+    big = [
+        ("2k", "/tmp/graft_ann_probe_2k", f"{os.environ.get('SPARK_GRAFT_SF_DIR', '/root/testdata/sf0.1')}/embeddings.parquet"),
+        ("2M", "/tmp/graft_ann_probe_2M", "/tmp/graft_emb1000x_sf01/embeddings.parquet"),
+        ("5M", "/tmp/graft_ann_probe_5M", "/tmp/graft_emb2500x_sf01/embeddings.parquet"),
+    ]
+    print(
+        "| corpus | vectors | sample (keep/mod) | full-referee tick "
+        "| sampled tick | recall full | recall sampled |"
+    )
+    print("| --- | --- | --- | --- | --- | --- | --- |")
+    for tag, path, emb in big:
+        if not os.path.isdir(path) or not os.path.exists(emb):
+            print(f"| {tag} | MISSING {path} / {emb} | | | | | |")
+            continue
+        e = spark.read.parquet(emb)
+        q = e.where(
+            (F.col("vec_id") % 97 == 0) & (F.col("vec_id") < 2000)
+        ).select("vec_id", "embedding")
+        n_vec = e.count()
+        mod = max(2, n_vec // budget)
+
+        def measure(sample):
+            t0 = time.perf_counter()
+            row = ann_recall_at_k(
+                spark, path, q, e, sample=sample
+            ).collect()[0]
+            return time.perf_counter() - t0, row["recall_at_k"]
+
+        measure(None)  # warm the layout/codebook reads once
+        t_full, r_full = measure(None)
+        t_samp, r_samp = measure((1, mod))
+        print(
+            f"| {tag} | {n_vec} | 1/{mod} | {t_full:.2f} s "
+            f"| {t_samp:.2f} s | {r_full} | {r_samp} |"
+        )
+
+
 def main() -> None:
+    if "--ann-sampled-big" in sys.argv:
+        ann_sampled_big_main()
+        return
     if "--ann-sampled" in sys.argv:
         ann_sampled_main()
         return
