@@ -795,10 +795,12 @@ def write_ann_index(
         # _compact/_COMPACT_MANIFEST.json: a crashed compaction's
         # staged state — a surviving manifest would let the next
         # compact_ann_index "resume" pre-rebuild partitions over the
-        # fresh base (round-13 review).
+        # fresh base (round-13 review); _cow_staging/
+        # _COW_MANIFEST.json is the COW swap's equivalent
+        # (round-15 review).
         if name.startswith(
-            ("codes_delta_", "_DELTA_", "_compact")
-        ) or name == "_COMPACT_MANIFEST.json":
+            ("codes_delta_", "_DELTA_", "_compact", "_cow_staging")
+        ) or name in ("_COMPACT_MANIFEST.json", "_COW_MANIFEST.json"):
             fsutil.delete(spark, os.path.join(path, name))
     for name in ("codes", "codebook", "cells"):
         fsutil.delete(spark, os.path.join(path, name))
@@ -967,7 +969,12 @@ def refresh_ann_index(
             "metacharacters would escape the index layout or make the "
             "delta undiscoverable by the reader"
         )
+    from .cow import resume_pending_cow
+
     spark = new_vectors.sparkSession
+    # Complete a pending COW (retraction) commit before writing — see
+    # refresh_scd2_feed (round-15 review).
+    resume_pending_cow(spark, path)
     meta = fsutil.require_layout_meta(
         spark, path, "ANN index", "write_ann_index"
     )

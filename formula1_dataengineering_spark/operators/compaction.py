@@ -172,7 +172,14 @@ def _compact_layout(
     manifest pins exactly the batches being folded, so the injected
     delta must survive the commit) or to raise and simulate a crash
     whose re-run resumes the commit."""
+    from .cow import resume_pending_cow
+
     fsutil.validate_layout_path(path, what)
+    # Complete a pending COW (deletion-family) commit first: the fold
+    # rewrites base partitions a stale _COW_MANIFEST.json may still
+    # name, and a later resume would rename pre-fold staged
+    # partitions over them (round-15 review).
+    resume_pending_cow(spark, path)
     manifest_path = os.path.join(path, _MANIFEST)
     if fsutil.exists(spark, manifest_path):
         # A prior compaction crashed mid-commit (or between manifest

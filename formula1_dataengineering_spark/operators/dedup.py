@@ -1326,14 +1326,24 @@ def write_dedup_index(
         if name == "_staging":
             continue
         if name.startswith(
-            ("content_hashes", "band_rows", "_DELTA_", "_compact")
-        ) or name == "_COMPACT_MANIFEST.json":
+            (
+                "content_hashes",
+                "band_rows",
+                "_DELTA_",
+                "_compact",
+                "_cow_staging",
+            )
+        ) or name in ("_COMPACT_MANIFEST.json", "_COW_MANIFEST.json"):
             # _compact/_COMPACT_MANIFEST.json: a crashed compaction's
             # staged state. The rebuild supersedes it, and a SURVIVING
             # manifest would make the next compact_dedup_index
             # "resume" pre-rebuild staged partitions over the fresh
             # base — silent corruption under a valid marker
-            # (round-13 review).
+            # (round-13 review). _cow_staging/_COW_MANIFEST.json: a
+            # crashed COW swap's state, same supersede rule — a
+            # surviving COW manifest would let the next deletion-
+            # family verb replay pre-rebuild staged partitions over
+            # the fresh base (round-15 review).
             fsutil.delete(spark, os.path.join(path, name))
     fsutil.rename(
         spark,
@@ -1503,7 +1513,12 @@ def refresh_dedup_index(
             "metacharacters would escape the index layout or make the "
             "delta undiscoverable by the reader"
         )
+    from .cow import resume_pending_cow
+
     spark = new_docs.sparkSession
+    # Complete a pending COW (retraction) commit before writing — see
+    # refresh_scd2_feed (round-15 review).
+    resume_pending_cow(spark, path)
     meta = fsutil.require_layout_meta(
         spark, path, "dedup index", "write_dedup_index"
     )

@@ -230,7 +230,13 @@ def maintain_ann_index(
     corpus-sized read is paid exactly when a corpus-sized rebuild
     already was)."""
     from .clustering import write_ann_index
+    from .cow import resume_pending_cow
 
+    # Complete a pending COW (retraction) commit before measuring —
+    # the commit may rewrite the partitions the probe reads and the
+    # _META.json deletion counters this tick acts on (round-15
+    # review).
+    resume_pending_cow(spark, path)
     meta = fsutil.require_layout_meta(
         spark, path, "ANN index", "write_ann_index"
     )
@@ -336,7 +342,9 @@ def maintain_dedup_index(
     Returns ``decision``, ``n_deltas``, ``base_rows``,
     ``delta_rows``, ``rows_deleted``, ``deltas_remaining``."""
     from .dedup import write_dedup_index
+    from .cow import resume_pending_cow
 
+    resume_pending_cow(spark, path)  # see maintain_ann_index
     meta = fsutil.require_layout_meta(
         spark, path, "dedup index", "write_dedup_index"
     )
@@ -433,8 +441,10 @@ def maintain_scd2_feed(
     Returns ``decision``, ``n_deltas``, ``total_rows``,
     ``rows_deleted``, ``n_shards_before`` / ``n_shards_after``,
     ``deltas_remaining``."""
+    from .cow import resume_pending_cow
     from .scd import read_scd2_feed, write_scd2_feed
 
+    resume_pending_cow(spark, path)  # see maintain_ann_index
     meta = fsutil.require_layout_meta(
         spark, path, "scd2 feed layout", "write_scd2_feed"
     )

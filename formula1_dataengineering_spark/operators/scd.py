@@ -151,14 +151,15 @@ def write_scd2_feed(
     fsutil.delete(spark, os.path.join(path, "_SUCCESS"))
     # A base REBUILD supersedes every prior daily append: a surviving
     # stale delta would union removed changes back into a freshly
-    # corrected feed. Likewise a crashed compaction's staged state
-    # (_compact/_COMPACT_MANIFEST.json) — a surviving manifest would
-    # let the next compact_scd2_feed "resume" pre-rebuild partitions
-    # over the fresh base (round-13 review).
+    # corrected feed. Likewise a crashed compaction's or COW swap's
+    # staged state (_compact/_COMPACT_MANIFEST.json, _cow_staging/
+    # _COW_MANIFEST.json) — a surviving manifest would let the next
+    # compact_scd2_feed / deletion verb "resume" pre-rebuild
+    # partitions over the fresh base (round-13/round-15 reviews).
     for name in fsutil.list_names(spark, path):
         if name.startswith(
-            ("feed_rows", "_DELTA_", "_compact")
-        ) or name == "_COMPACT_MANIFEST.json":
+            ("feed_rows", "_DELTA_", "_compact", "_cow_staging")
+        ) or name in ("_COMPACT_MANIFEST.json", "_COW_MANIFEST.json"):
             fsutil.delete(spark, os.path.join(path, name))
     fsutil.rename(
         spark,
@@ -251,7 +252,14 @@ def refresh_scd2_feed(
             "metacharacters would escape the layout or make the "
             "delta undiscoverable by the reader"
         )
+    from .cow import resume_pending_cow
+
     spark = new_changes.sparkSession
+    # A pending COW manifest (deletion swap crashed inside its
+    # marker-intact windows) is completed before any delta write —
+    # else a later resume could replay stale staged partitions over
+    # this batch's own delta overwrite (round-15 review).
+    resume_pending_cow(spark, path)
     meta = fsutil.require_layout_meta(
         spark, path, "scd2 feed layout", "write_scd2_feed"
     )
@@ -443,7 +451,14 @@ def write_scd2_history(
     fsutil.delete(spark, os.path.join(path, "_SUCCESS"))
     fsutil.delete(spark, os.path.join(path, "_META.json"))
     for name in fsutil.list_names(spark, path):
-        if name.startswith("history_rows"):
+        # _cow_staging/_COW_MANIFEST.json: a crashed deletion/expiry
+        # swap's state — the rebuild supersedes it; a surviving COW
+        # manifest would let the next deletion-family verb replay
+        # pre-rebuild staged shards over the fresh history
+        # (round-15 review).
+        if name.startswith(("history_rows", "_cow_staging")) or (
+            name == "_COW_MANIFEST.json"
+        ):
             fsutil.delete(spark, os.path.join(path, name))
     fsutil.rename(
         spark,
@@ -519,14 +534,23 @@ def _open_history_for_refresh(
     guessable), and a missing ``history_rows/`` directory is still
     corruption. External READERS keep refusing marker-less layouts
     via :func:`read_scd2_history` — only the idempotent writer may
-    look past its own crash window."""
+    look past its own crash window.
+
+    A pending COW manifest (a deletion/expiry swap that crashed
+    mid-commit) is resumed to completion FIRST (round-15 review): the
+    refresher is the one marker-tolerant WRITER outside the deletion
+    family, and overwriting shards the manifest still names would let
+    a later resume rename stale staged shards over the refreshed
+    data."""
     import json
     import os
 
     from pyspark.sql.types import StructType
 
     from .. import fsutil
+    from .cow import resume_pending_cow
 
+    resume_pending_cow(spark, path)
     meta_path = os.path.join(path, "_META.json")
     if not fsutil.exists(spark, meta_path):
         raise ValueError(

@@ -147,8 +147,16 @@ def vacuum_layout(
                 bytes_reclaimed += b
                 orphan_deltas += 1
     # Class 4, one level down: partitioned writers create their job
-    # scratch INSIDE the output directory.
-    for name in sorted(tables | {n for n in names if "_delta_" in n}):
+    # scratch INSIDE the output directory. Same anchor as class 3
+    # (round-15 review): descend only into the layout's OWN table and
+    # delta directories — never into user scratch whose name merely
+    # contains '_delta_'.
+    own_deltas = {
+        n
+        for n in names
+        if "_delta_" in n and n.partition("_delta_")[0] in tables
+    }
+    for name in sorted(tables | own_deltas):
         d = os.path.join(path, name)
         if not fsutil.is_dir(spark, d):
             continue

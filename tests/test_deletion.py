@@ -402,3 +402,96 @@ def test_delete_accounting_accumulates_and_rebuild_resets(
     assert m2["content_hashes"] == 3 and m2["band_rows"] == 12
     write_dedup_index(d.where("doc_id > 9"), path, n_shards=4)
     assert "rows_deleted" not in meta()
+
+
+def test_writer_rebuild_supersedes_pending_cow_manifest(
+    spark, tmp_path, monkeypatch
+):
+    """Round-15 review finding 1: a full rebuild over a layout whose
+    deletion swap crashed mid-commit must PURGE the pending
+    _COW_MANIFEST + staging — otherwise the next deletion verb would
+    'resume' pre-rebuild staged partitions over the fresh base."""
+    from formula1_dataengineering_spark.operators import cow
+    from formula1_dataengineering_spark.operators.dedup import (
+        read_dedup_index,
+        write_dedup_index,
+    )
+
+    d = _docs(spark)
+    path = str(tmp_path / "idx")
+    write_dedup_index(d, path, n_shards=4)
+    real_rename = cow.fsutil.rename
+    state = {"fired": False}
+
+    def dying_rename(spark_, src, dst):
+        if not state["fired"] and cow.COW_STAGING in src:
+            state["fired"] = True
+            raise RuntimeError("kill")
+        return real_rename(spark_, src, dst)
+
+    monkeypatch.setattr(cow.fsutil, "rename", dying_rename)
+    with pytest.raises(RuntimeError, match="kill"):
+        delete_from_dedup_index(
+            spark, path, spark.createDataFrame([(3,)], "doc_id long")
+        )
+    monkeypatch.setattr(cow.fsutil, "rename", real_rename)
+    assert os.path.exists(os.path.join(path, cow.COW_MANIFEST))
+    # Recovery-by-rebuild: the fresh base must not carry the stale
+    # manifest or its staging.
+    write_dedup_index(d.where("doc_id >= 10"), path, n_shards=4)
+    assert not os.path.exists(os.path.join(path, cow.COW_MANIFEST))
+    assert not os.path.exists(os.path.join(path, cow.COW_STAGING))
+    want = _rows(read_dedup_index(spark, path)[0])
+    # A later delete must find nothing to resume and act on the
+    # FRESH layout only.
+    info = delete_from_dedup_index(
+        spark, path, spark.createDataFrame([(3,)], "doc_id long")
+    )
+    assert info == {"rows_deleted": 0, "partitions_rewritten": 0}
+    assert _rows(read_dedup_index(spark, path)[0]) == want
+
+
+def test_refresh_resumes_pending_cow_before_writing(
+    spark, tmp_path, monkeypatch
+):
+    """Round-15 review finding 3: a delta refresher entering a layout
+    with a pending COW manifest completes that commit FIRST, so no
+    later resume can replay stale staged partitions over the
+    refresher's own delta."""
+    from formula1_dataengineering_spark.operators import cow
+    from formula1_dataengineering_spark.operators.scd import (
+        read_scd2_feed,
+        refresh_scd2_feed,
+        write_scd2_feed,
+    )
+
+    rows = [(i % 4, 1000 + i, "x") for i in range(32)]
+    feed = spark.createDataFrame(rows, "k long, ts long, v string")
+    path = str(tmp_path / "feed")
+    write_scd2_feed(feed, path, "k", "ts", "v", n_shards=2)
+    real_rename = cow.fsutil.rename
+    state = {"fired": False}
+
+    def dying_rename(spark_, src, dst):
+        if not state["fired"] and cow.COW_STAGING in src:
+            state["fired"] = True
+            raise RuntimeError("kill")
+        return real_rename(spark_, src, dst)
+
+    monkeypatch.setattr(cow.fsutil, "rename", dying_rename)
+    with pytest.raises(RuntimeError, match="kill"):
+        delete_scd2_feed_keys(
+            spark, path, spark.createDataFrame([(1,)], "k long")
+        )
+    monkeypatch.setattr(cow.fsutil, "rename", real_rename)
+    assert os.path.exists(os.path.join(path, cow.COW_MANIFEST))
+    day = spark.createDataFrame([(1, 9000, "y")], "k long, ts long, v string")
+    refresh_scd2_feed(day, path, "day1")
+    # The refresher completed the crashed erasure first...
+    assert not os.path.exists(os.path.join(path, cow.COW_MANIFEST))
+    after, _ = read_scd2_feed(spark, path)
+    got = _rows(after.select("k", "ts", "v"))
+    # ...so key 1's old rows are gone while ITS OWN delta row (a
+    # post-erasure re-appearance of the key) survives.
+    assert (1, 9000, "y") in got
+    assert [r for r in got if r[0] == 1] == [(1, 9000, "y")]

@@ -256,3 +256,23 @@ def test_expire_commit_crash_resumes(spark, hist_layout, monkeypatch):
     after, _ = read_scd2_history(spark, path)
     assert after.count() == n_current
     assert after.where("not is_current").count() == 0
+
+
+def test_vacuum_class4_never_descends_into_decoys(spark, feed_layout):
+    """Round-15 review finding 4: the .spark-staging sweep one level
+    down is anchored like the orphan match — user scratch whose name
+    merely contains '_delta_' is never descended into."""
+    path, _ = feed_layout
+    os.makedirs(os.path.join(path, "notes_delta_old", ".spark-staging-keep"))
+    with open(
+        os.path.join(
+            path, "notes_delta_old", ".spark-staging-keep", "mine.txt"
+        ),
+        "w",
+    ) as fh:
+        fh.write("user data")
+    info = vacuum_layout(spark, path)
+    assert info["spark_staging_removed"] == 0
+    assert os.path.exists(
+        os.path.join(path, "notes_delta_old", ".spark-staging-keep", "mine.txt")
+    )
