@@ -5351,3 +5351,33 @@ SELECT 'scd2_feed', 'hold',
        CAST(1 AS INTEGER), CAST(24 AS BIGINT),
        CAST(0 AS INTEGER), CAST(1 AS INTEGER)"""
 )
+
+
+# scd2_erasure_end_to_end (round-15 capstone): the stored history
+# after independent feed+history erasure equals the one-truth
+# full-rebuild history over surviving users; feed_rows_deleted = the
+# erased users' raw event count, hist_rows_deleted = their windowed
+# HISTORY-row count (the compression makes it a distinct number the
+# replay must derive), the erosion-tick conditional replays from the
+# same counts, and n_diff_rows = 0 is the measured stored-vs-derived
+# agreement the Spark side computes as a real symmetric diff.
+ORACLE_SQL["scd2_erasure_end_to_end"] = (
+    """WITH h AS MATERIALIZED (
+"""
+    + ORACLE_SQL["scd2_user_event_history"]
+    + """), cnt AS (
+  SELECT
+    (SELECT count(*) FROM events WHERE user_id % 17 = 3) AS fdel,
+    (SELECT count(*) FROM events WHERE user_id % 17 <> 3) AS flive,
+    (SELECT count(*) FROM h WHERE user_id % 17 = 3) AS hdel
+)
+SELECT user_id, event_type, effective_from_us, effective_to_us,
+       is_current,
+       CAST(cnt.fdel AS BIGINT) AS feed_rows_deleted,
+       CAST(cnt.hdel AS BIGINT) AS hist_rows_deleted,
+       CASE WHEN cnt.fdel > 0.02 * cnt.flive
+            THEN 'rebuild' ELSE 'hold' END AS tick_decision,
+       CAST(0 AS INTEGER) AS n_diff_rows
+FROM h CROSS JOIN cnt
+WHERE user_id % 17 <> 3"""
+)

@@ -8335,3 +8335,112 @@ def layout_maintenance_umbrella(
         for r in state["rows"]
     ]
     return spark.createDataFrame(rows, schema)
+
+
+@query("scd2_erasure_end_to_end")
+def scd2_erasure_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE WHOLE ERASURE STORY IN ONE CHAIN (round-15 capstone,
+    beyond the verdict list): a production GDPR request hits BOTH
+    SCD2 layouts — the keyed feed a pipeline refreshes from and the
+    persisted history a deployment serves reads from — and the
+    nightly loop must then notice the erosion. This gate composes the
+    round's verbs end to end over ONE request:
+
+    1. feed layout (base ∪ day1 delta = all events) + history layout
+       (the full-rebuild history) both built;
+    2. the SAME erasure request (users ``% 17 == 3``) runs
+       ``delete_scd2_feed_keys`` AND ``delete_scd2_history_keys`` —
+       static HRW pruning on both, staged COW swaps on both;
+    3. one ``maintain_scd2_feed`` tick with the deletion arm armed —
+       the erosion REBUILD fires (same shard count) and resets the
+       counter;
+    4. ``vacuum_layout`` sweeps both layouts — clean (all staging
+       committed; a sweep that ate live state would break the hash).
+
+    Hashed rows: the HISTORY LAYOUT's read-back (external reader
+    path) — the one-truth full-rebuild history over survivors — plus
+    measured proof columns the oracle replays: ``feed_rows_deleted``
+    (the erased users' raw event count), ``hist_rows_deleted`` (their
+    HISTORY-row count — a different number: the window compresses),
+    ``tick_decision`` ('rebuild', conditional replayed from the same
+    counts), and ``n_diff_rows`` — the measured |stored history △
+    history re-derived from the post-erasure FEED| (0: the two
+    independently-erased layouts must agree EXACTLY, the composition
+    witness that whole-key erasure commutes with the per-key
+    window)."""
+    from ..operators.deletion import (
+        delete_scd2_feed_keys,
+        delete_scd2_history_keys,
+    )
+    from ..operators.maintenance import maintain_scd2_feed
+    from ..operators.scd import (
+        read_scd2_feed,
+        read_scd2_history,
+        refresh_scd2_feed,
+        scd2_history,
+        write_scd2_feed,
+        write_scd2_history,
+    )
+    from ..operators.vacuum import vacuum_layout
+    from ..sources.catalog import layout_artifact
+
+    e = load(spark, sf_dir, "events")
+    cols = ("user_id", "ts", "event_type")
+    root, fresh = layout_artifact(
+        sf_dir, "spark_graft_erasure_e2e_v1", "events"
+    )
+    fp = os.path.join(root, "feed")
+    hp = os.path.join(root, "hist")
+    state: dict = {}
+
+    def mutate() -> None:
+        from .. import fsutil
+
+        write_scd2_feed(e.where(F.col("event_id") % 5 != 0), fp, *cols)
+        refresh_scd2_feed(e.where(F.col("event_id") % 5 == 0), fp, "day1")
+        write_scd2_history(scd2_history(e, *cols), hp, "user_id")
+        erased = (
+            e.where(F.col("user_id") % 17 == 3)
+            .select("user_id")
+            .distinct()
+        )
+        fi = delete_scd2_feed_keys(spark, fp, erased)
+        hi = delete_scd2_history_keys(spark, hp, erased)
+        tick = maintain_scd2_feed(
+            spark, fp, compact_after=99, rebuild_deleted_over=0.02
+        )
+        vacuum_layout(spark, fp, "scd2 feed layout")
+        vacuum_layout(spark, hp, "scd2 history layout")
+        state.update(
+            {
+                "feed_deleted": fi["rows_deleted"],
+                "hist_deleted": hi["rows_deleted"],
+                "decision": tick["decision"],
+            }
+        )
+        fsutil.touch(spark, os.path.join(root, "_SUCCESS"))
+
+    _gate_chain(spark, root, fresh, mutate, state)
+    hist, _ = read_scd2_history(spark, hp)
+    feed, _ = read_scd2_feed(spark, fp)
+    out_cols = (
+        "user_id",
+        "event_type",
+        "effective_from_us",
+        "effective_to_us",
+        "is_current",
+    )
+    stored = hist.select(*out_cols)
+    derived = scd2_history(feed, *cols).select(*out_cols)
+    n_diff = _symmetric_diff_count(stored, derived)
+    return stored.select(
+        *out_cols,
+        F.lit(state["feed_deleted"])
+        .cast("bigint")
+        .alias("feed_rows_deleted"),
+        F.lit(state["hist_deleted"])
+        .cast("bigint")
+        .alias("hist_rows_deleted"),
+        F.lit(state["decision"]).alias("tick_decision"),
+        F.lit(n_diff).cast("int").alias("n_diff_rows"),
+    )
