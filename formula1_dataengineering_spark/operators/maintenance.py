@@ -337,7 +337,9 @@ def maintain_dedup_index(
     content-hash rows deleted since the last rebuild reach
     ``rebuild_deleted_over`` × the CURRENT base+delta rows, the tick
     REBUILDS (same ``corpus`` contract); a rebuild writes fresh
-    metadata and thereby resets the counter.
+    metadata and thereby resets the counter. Boundary: the arm fires
+    AT the exact threshold (``>=``) — the contract both deletion-
+    drift arms share (ADVICE r15).
 
     Returns ``decision``, ``n_deltas``, ``base_rows``,
     ``delta_rows``, ``rows_deleted``, ``deltas_remaining``."""
@@ -432,7 +434,9 @@ def maintain_scd2_feed(
     deletions — a delete-heavy feed erodes toward near-empty
     partitions with no trip wire. The erasure verb records cumulative
     ``rows_deleted`` in ``_META.json``; when it crosses
-    ``rebuild_deleted_over`` × the CURRENT total rows, the tick
+    ``rebuild_deleted_over`` × the CURRENT total rows (fires AT the
+    exact threshold, ``>=`` — the shared deletion-drift boundary
+    contract, ADVICE r15), the tick
     REBUILDS from its own read-back at the SAME shard count (an
     erosion rebuild reclaims stranded partitions and resets the
     counter — the corpus shrank, so doubling would be exactly wrong;
@@ -460,8 +464,13 @@ def maintain_scd2_feed(
         rebuild_rows_per_shard is not None
         and total_rows > rebuild_rows_per_shard * n_shards
     )
+    # Boundary contract (ADVICE r15, standardized across both
+    # deletion-drift arms): the erosion rebuild fires AT the exact
+    # threshold — rows_deleted >= rebuild_deleted_over * live rows —
+    # matching maintain_dedup_index's comparison, so a verb/oracle
+    # pair replaying either arm agrees at exact-threshold inputs.
     eroded = rebuild_deleted_over is not None and (
-        rows_deleted > rebuild_deleted_over * total_rows
+        rows_deleted >= rebuild_deleted_over * total_rows
         if total_rows > 0
         else rows_deleted > 0
     )
@@ -551,8 +560,17 @@ def maintain_layout(
     staging/orphans in the same window the single-maintainer contract
     already reserves. Returns the family verb's decision row plus
     ``family`` and the flattened ``vacuum_*`` accounting columns."""
+    from .cow import resume_pending_cow
     from .vacuum import vacuum_layout
 
+    # Resume BEFORE the marker check (ADVICE r15, medium): a COW
+    # deletion/expiry commit that crashed mid-commit left the layout
+    # marker-less with a pending _COW_MANIFEST — exactly the state
+    # require_layout_meta refuses. The per-family verbs resume first
+    # and self-heal; the umbrella must too, or the one family it
+    # maintains solely via COW verbs (scd2_history, whose tick below
+    # never calls a resuming verb) is the one it cannot recover.
+    resume_pending_cow(spark, path)
     meta = fsutil.require_layout_meta(
         spark, path, "stored layout", "a layout writer"
     )

@@ -104,9 +104,25 @@ def vacuum_layout(
         COW_STAGING: fsutil.exists(spark, os.path.join(path, COW_MANIFEST)),
     }
     names = fsutil.list_names(spark, path)
+
+    def _spark_written(d: str) -> bool:
+        # A directory belongs to the layout only if its DIRECT
+        # children look like a Spark-written table: its own _SUCCESS
+        # marker, a *.parquet part file, or an '='-partition dir
+        # (ADVICE r15: the bare name heuristic treated user scratch
+        # like notes/ as a table, so the class-4 sweep descended into
+        # it and the class-3 prefix match could reclaim its deltas).
+        # A hidden child (.spark-staging residue INSIDE scratch) is
+        # deliberately not evidence of ownership.
+        return any(
+            c == "_SUCCESS" or c.endswith(".parquet") or "=" in c
+            for c in fsutil.list_names(spark, d)
+            if not c.startswith(".")
+        )
+
     # The layout's own table directories: non-hidden dirs that are
-    # neither deltas nor partition dirs — the anchor the orphan-delta
-    # match requires (sweep class 3).
+    # neither deltas nor partition dirs AND carry Spark-written
+    # content — the anchor classes 3 and 4 require.
     tables = {
         n
         for n in names
@@ -114,6 +130,7 @@ def vacuum_layout(
         and "_delta_" not in n
         and "=" not in n
         and fsutil.is_dir(spark, os.path.join(path, n))
+        and _spark_written(os.path.join(path, n))
     }
     files_removed = 0
     bytes_reclaimed = 0

@@ -5222,7 +5222,7 @@ ORACLE_SQL["scd2_feed_deletion_drift"] = (
 SELECT user_id, event_type, effective_from_us, effective_to_us,
        is_current,
        'hold' AS t1_decision,
-       CASE WHEN cnt.del > 0.02 * cnt.live
+       CASE WHEN cnt.del >= 0.02 * cnt.live
             THEN 'rebuild' ELSE 'hold' END AS t2_decision,
        'hold' AS t3_decision,
        CAST(cnt.del AS BIGINT) AS rows_deleted,

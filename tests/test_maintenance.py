@@ -297,6 +297,37 @@ def test_feed_deletion_drift_rebuilds_same_shards(spark, tmp_path):
     assert after.count() == 48
 
 
+def test_deletion_drift_boundary_fires_at_exact_threshold(
+    spark, tmp_path
+):
+    """ADVICE r15 (low): both deletion-drift arms share ONE boundary
+    contract — the erosion rebuild fires AT rows_deleted ==
+    threshold × live rows (``>=``), not just past it. Pinned here at
+    exact-threshold inputs for the feed arm (16 deleted == 0.25 × 64
+    live) and just-below (16 < 0.25 × 80 live holds)."""
+    from formula1_dataengineering_spark.operators.deletion import (
+        delete_scd2_feed_keys,
+    )
+    from formula1_dataengineering_spark.operators.scd import (
+        write_scd2_feed,
+    )
+
+    # 80 rows over 10 keys; deleting 2 keys removes 16 rows, leaving
+    # 64 live: 16 == 0.25 * 64 exactly.
+    rows = [(i % 10, 1000 + i, "x") for i in range(80)]
+    feed = spark.createDataFrame(rows, "k long, ts long, v string")
+    path = str(tmp_path / "feed_exact")
+    write_scd2_feed(feed, path, "k", "ts", "v", n_shards=4)
+    delete_scd2_feed_keys(
+        spark, path, spark.createDataFrame([(1,), (2,)], "k long")
+    )
+    below = maintain_scd2_feed(spark, path, rebuild_deleted_over=0.26)
+    assert below["decision"] == "hold"  # 16 < 0.26 * 64
+    at = maintain_scd2_feed(spark, path, rebuild_deleted_over=0.25)
+    assert at["decision"] == "rebuild"  # 16 >= 0.25 * 64 — AT the line
+    assert at["rows_deleted"] == 16 and at["total_rows"] == 64
+
+
 def test_sampled_referee_agrees_and_rebuild_confirms_full(
     spark, ann_layout
 ):
@@ -398,3 +429,64 @@ def test_maintain_layout_umbrella_dispatch_and_vacuum(spark, tmp_path):
     assert layout_family({"bands": 4}) == "dedup_index"
     with pytest.raises(ValueError, match="no family"):
         layout_family({"mystery": 1})
+
+
+def test_maintain_layout_resumes_crashed_cow_before_marker_check(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r15 (medium): the umbrella must resume a pending COW
+    swap BEFORE the marker check — a history-key erasure that died
+    mid-commit leaves exactly the marker-less + _COW_MANIFEST state
+    require_layout_meta refuses, and scd2_history is the one family
+    whose tick calls no resuming verb. The nightly tick must
+    self-heal it, not raise."""
+    from formula1_dataengineering_spark.operators import cow
+    from formula1_dataengineering_spark.operators.deletion import (
+        delete_scd2_history_keys,
+    )
+    from formula1_dataengineering_spark.operators.maintenance import (
+        maintain_layout,
+    )
+    from formula1_dataengineering_spark.operators.scd import (
+        read_scd2_history,
+        scd2_history,
+        write_scd2_history,
+    )
+
+    rows = [(i % 4, 1000 + i, "x") for i in range(32)]
+    feed = spark.createDataFrame(
+        rows, "k long, ts long, v string"
+    ).withColumn("ts", F.timestamp_micros(F.col("ts") * 1_000_000))
+    hp = str(tmp_path / "hist")
+    # 2 shards over 4 keys: the touched shard keeps survivors, so
+    # the commit takes the SWAP (rename) path the crash targets.
+    write_scd2_history(
+        scd2_history(feed, "k", "ts", "v"), hp, "k", n_shards=2
+    )
+    want = (
+        read_scd2_history(spark, hp)[0].where("k != 1").count()
+    )
+
+    real_rename = cow.fsutil.rename
+    state = {"fired": False}
+
+    def dying_rename(spark_, src, dst):
+        if not state["fired"] and cow.COW_STAGING in src:
+            state["fired"] = True
+            raise RuntimeError("simulated kill mid-commit")
+        return real_rename(spark_, src, dst)
+
+    monkeypatch.setattr(cow.fsutil, "rename", dying_rename)
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        delete_scd2_history_keys(
+            spark, hp, spark.createDataFrame([(1,)], "k long")
+        )
+    monkeypatch.setattr(cow.fsutil, "rename", real_rename)
+    assert not os.path.exists(os.path.join(hp, "_SUCCESS"))
+    assert os.path.exists(os.path.join(hp, cow.COW_MANIFEST))
+    # The umbrella tick heals the crash, then holds + vacuums.
+    r = maintain_layout(spark, hp)
+    assert r["family"] == "scd2_history" and r["decision"] == "hold"
+    assert os.path.exists(os.path.join(hp, "_SUCCESS"))
+    assert not os.path.exists(os.path.join(hp, cow.COW_MANIFEST))
+    assert read_scd2_history(spark, hp)[0].count() == want

@@ -276,3 +276,31 @@ def test_vacuum_class4_never_descends_into_decoys(spark, feed_layout):
     assert os.path.exists(
         os.path.join(path, "notes_delta_old", ".spark-staging-keep", "mine.txt")
     )
+
+
+def test_vacuum_never_claims_plain_user_scratch(spark, feed_layout):
+    """ADVICE r15 (low): a user scratch dir like notes/ — no parquet,
+    no _SUCCESS, no partition dirs — is NOT a layout table. The
+    class-4 sweep must not descend into it (its .spark-staging child
+    survives), and the class-3 orphan match must not treat it as the
+    anchor for notes_delta_* (the delta-named sibling survives too)."""
+    path, _ = feed_layout
+    os.makedirs(os.path.join(path, "notes", ".spark-staging-mine"))
+    with open(
+        os.path.join(path, "notes", ".spark-staging-mine", "wip.txt"), "w"
+    ) as fh:
+        fh.write("user data")
+    with open(os.path.join(path, "notes", "todo.txt"), "w") as fh:
+        fh.write("plain scratch file")
+    # With notes/ wrongly in the table set, this would be an
+    # "orphan delta" of table notes and be deleted.
+    os.makedirs(os.path.join(path, "notes_delta_b9"))
+    with open(os.path.join(path, "notes_delta_b9", "keep.txt"), "w") as fh:
+        fh.write("also user data")
+    info = vacuum_layout(spark, path)
+    assert info["spark_staging_removed"] == 0
+    assert info["orphan_deltas_removed"] == 0
+    assert os.path.exists(
+        os.path.join(path, "notes", ".spark-staging-mine", "wip.txt")
+    )
+    assert os.path.exists(os.path.join(path, "notes_delta_b9", "keep.txt"))
