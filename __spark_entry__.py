@@ -32,36 +32,33 @@ from formula1_dataengineering_spark.plans import ORACLE_SQL, QUERIES
 #: queue (per round-4 advice). Keep this list current — add any query
 #: whose Spark plan or oracle changed since its last green row.
 _PRIORITY: list[str] = [
-    # round 15 — gates whose VERBS or plans changed this round, so
+    # round 16 — gates whose plans or oracles changed this round, so
     # their old green rows hashed pre-change behavior:
-    # - stream_dedup_ingest_probe: full redesign (replica-robust
-    #   id-salted streamed docs + self-probe — VERDICT r14 item 3);
-    #   new oracle, new columns.
-    # - layout_vacuum_sweep: vacuum gained two sweep classes
-    #   (.spark-staging residue, anchored orphan match) and the gate
-    #   now plants a decoy + residue and hashes two new columns.
-    # - the three deletion/retraction gates + scd2_history_retention:
-    #   their verbs moved from in-place dynamic overwrite to the
-    #   staged _COW_MANIFEST swap (ADVICE r14, medium) — identical
-    #   values, changed execution path.
-    # - the three maintenance-policy gates: the family verbs gained
-    #   deletion-drift / sampled-referee arms (defaults off — same
-    #   values, changed conditional structure).
-    # The five round-15 never-green gates (scd2_history_key_deletion,
-    # dedup_maintenance_deletion_drift, scd2_feed_deletion_drift,
-    # ann_sampled_recall_referee, layout_maintenance_umbrella) sort
-    # ahead automatically; the ~36 remaining slots drain the stale
-    # queue — all 29 r10 rows (VERDICT r14 item 4: freshness floor
-    # moves to r11), then the oldest r11 block.
-    "stream_dedup_ingest_probe",
+    # - the four LSH pair-generator gates: the hot-bucket guard
+    #   (operators/dedup.exact_dup_stars — VERDICT r15 item 5) moved
+    #   the band self-join onto exact-duplicate representatives and
+    #   added star pairs; identical values at dup-free sf0.01, but
+    #   the plan AND the oracle text both changed.
+    # - minhash_lsh_fast_dup_recall: output restated as the star set
+    #   (same rows at 1x, oracle rewritten).
+    # - scd2_feed_deletion_drift: erosion boundary standardized to >=
+    #   (ADVICE r15) — operator and oracle moved together.
+    # - layout_maintenance_umbrella / layout_vacuum_sweep: the
+    #   umbrella now resumes pending COW swaps before the marker
+    #   check and vacuum's table anchor tightened to Spark-written
+    #   dirs (ADVICE r15) — same values, changed verbs.
+    # The round-16 never-green gates (lsh_hot_bucket_guard + later
+    # additions) sort ahead automatically; the ~35 remaining slots
+    # drain the r11-stale queue (VERDICT r15 item 1: freshness floor
+    # moves from r11 toward r12).
+    "minhash_lsh_docs",
+    "ngram_jaccard_docs",
+    "fuzzy_neardup_pairs",
+    "corpus_selection",
+    "minhash_lsh_fast_dup_recall",
+    "scd2_feed_deletion_drift",
+    "layout_maintenance_umbrella",
     "layout_vacuum_sweep",
-    "dedup_index_retraction",
-    "ann_index_retraction",
-    "scd2_feed_key_deletion",
-    "scd2_history_retention",
-    "ann_maintenance_policy",
-    "dedup_index_maintenance",
-    "scd2_feed_maintenance",
 ]
 
 

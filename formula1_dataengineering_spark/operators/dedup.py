@@ -40,6 +40,15 @@ from ..caching import managed_cache
 
 MERSENNE_P = 2147483647  # 2^31 - 1
 
+#: lsh_hot_bucket_guard gate fixture (VERDICT r15 item 5) — imported
+#: by BOTH the Spark gate and its DuckDB oracle so the planted
+#: duplicate-spam bucket cannot drift between the two sides.
+HOT_BUCKET_SPAM_TEXT = (
+    "buy cheap widgets now best price online today limited offer"
+)
+HOT_BUCKET_SPAM_N = 10_000
+HOT_BUCKET_SPAM_BASE_ID = 20_000_000
+
 
 def _hash_a(i: int) -> int:
     return 2 * i + 1
@@ -245,6 +254,53 @@ def minhash_lsh_clusters(
     )
 
 
+def exact_dup_stars(
+    docs: DataFrame, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """The HOT-BUCKET GUARD's pre-grouping (VERDICT r15 item 5):
+    collapse exact-duplicate texts to one representative BEFORE any
+    band self-join. Returns ``(reps, stars)`` — ``reps`` is one doc
+    per distinct text (the min id, plus every NULL-text doc as its
+    own rep: NULL is not a duplicate of NULL), ``stars`` is the
+    linear (rep → member) pair list covering the collapsed docs.
+
+    Why: identical texts share EVERY band by construction, so a
+    duplicate-spam corpus (10k copies of one page — routine in web
+    crawls) puts all copies in one bucket and the unguarded band
+    self-join emits Σ bucket² ≈ 50M pairs from that bucket alone.
+    Grouped, the same corpus costs 9,999 star pairs plus one
+    representative in the join — linear, and the signature pipeline
+    runs once per distinct text instead of once per copy.
+
+    Recall contract: pairs WITHIN a duplicate group are represented
+    by the star (rep, member) edges — member↔member pairs of a ≥3
+    group and member↔outsider pairs are reachable only THROUGH the
+    rep (the standard canopy argument; exact dups are interchangeable
+    for any downstream scorer, so nothing semantically distinct is
+    lost). On a corpus with no exact-duplicate texts the output is
+    IDENTICAL to the unguarded join: every group is a singleton and
+    ``stars`` is empty.
+
+    Grouping key is the raw text (same contract as
+    :func:`exact_dedup`); the shuffle it costs moves (id, text) once
+    — strictly less than the shingle explode that follows, and at
+    production scale the key would be a 128-bit content hash."""
+    w = Window.partitionBy(text_col)
+    g = docs.select(id_col, text_col).withColumn(
+        "__rep",
+        F.when(
+            F.col(text_col).isNotNull(), F.min(id_col).over(w)
+        ).otherwise(F.col(id_col)),
+    )
+    reps = g.where(F.col(id_col) == F.col("__rep")).select(
+        id_col, text_col
+    )
+    stars = g.where(F.col(id_col) != F.col("__rep")).select(
+        F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b")
+    )
+    return reps, stars
+
+
 def lsh_candidates(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -256,23 +312,26 @@ def lsh_candidates(
 ) -> DataFrame:
     """Distinct LSH candidate pairs (id_a < id_b), no scores attached.
 
-    The band self-join is the only pair-producing stage; its output is
-    bounded by Σ bucket-size² over (band, key) buckets — uniform by
-    construction — never by corpus². This is the candidate generator
-    both the estimated (:func:`minhash_lsh_pairs`) and the exact
+    The band self-join runs over exact-duplicate REPRESENTATIVES
+    (:func:`exact_dup_stars` — the hot-bucket guard), so its output
+    is bounded by Σ bucket-size² over buckets of DISTINCT texts;
+    duplicate spam contributes linear star pairs instead of a
+    quadratic bucket. This is the candidate generator both the
+    estimated (:func:`minhash_lsh_pairs`) and the exact
     (:func:`ngram_jaccard_lsh`) scorers refine.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
+    reps, stars = exact_dup_stars(docs, id_col, text_col)
     # Cache: the band self-join consumes the signature plan twice —
     # uncached, the whole shingle→hash pipeline would execute twice.
     sig = managed_cache(minhash_signatures(
-        docs, id_col, text_col, num_hashes, shingle_k, mode
+        reps, id_col, text_col, num_hashes, shingle_k, mode
     ))
     band_rows = _band_rows(sig, id_col, num_hashes, bands)
     a = band_rows.alias("a")
     b = band_rows.alias("b")
-    return (
+    rep_pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -285,6 +344,9 @@ def lsh_candidates(
         )
         .distinct()
     )
+    # No overlap to dedup across the union: star members are by
+    # construction absent from the representative join's id space.
+    return rep_pairs.unionByName(stars)
 
 
 def ngram_jaccard_lsh(
@@ -348,14 +410,19 @@ def minhash_lsh_pairs(
 
     Docs sharing any band (r = H/bands consecutive signature slots)
     become candidates; ``est_jaccard`` is the fraction of agreeing
-    signature components.
+    signature components. The band self-join runs over
+    exact-duplicate representatives (:func:`exact_dup_stars`, the
+    hot-bucket guard); collapsed duplicates surface as (rep, member)
+    star pairs with ``est_jaccard`` 1.0 — exact by construction,
+    identical texts share every signature slot.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
+    reps, stars = exact_dup_stars(docs, id_col, text_col)
     # Cache the signatures: the band self-join consumes them twice, and
     # without the cache the whole dictionary+explode pipeline runs twice.
     sig = managed_cache(
-        minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k, mode)
+        minhash_signatures(reps, id_col, text_col, num_hashes, shingle_k, mode)
     )
 
     # Slim band rows: only (id, band, key) enter the self-join, so the
@@ -399,6 +466,13 @@ def minhash_lsh_pairs(
         pairs.join(sa, "id_a")
         .join(sb, "id_b")
         .select("id_a", "id_b", F.round(est, 4).alias("est_jaccard"))
+        .unionByName(
+            stars.select(
+                "id_a",
+                "id_b",
+                F.lit(1.0).cast("double").alias("est_jaccard"),
+            )
+        )
     )
 
 

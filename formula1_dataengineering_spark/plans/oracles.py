@@ -372,14 +372,39 @@ ORACLE_SQL["minhash_signatures_docs"] = (
     _MINHASH_BASE.format(sig_exprs=_SIG_EXPRS) + "SELECT * FROM sig"
 )
 
-_BAND_SELECTS = "\nUNION ALL\n".join(
-    "SELECT doc_id, "
-    + ", ".join(f"sig_{i}" for i in range(_H))
-    + f", {b} AS band, "
-    + " || '_' || ".join(f"CAST(sig_{b * _R + j} AS VARCHAR)" for j in range(_R))
-    + " AS key FROM sig"
-    for b in range(_BANDS)
-)
+def _band_selects(src: str = "sig") -> str:
+    return "\nUNION ALL\n".join(
+        "SELECT doc_id, "
+        + ", ".join(f"sig_{i}" for i in range(_H))
+        + f", {b} AS band, "
+        + " || '_' || ".join(
+            f"CAST(sig_{b * _R + j} AS VARCHAR)" for j in range(_R)
+        )
+        + f" AS key FROM {src}"
+        for b in range(_BANDS)
+    )
+
+
+_BAND_SELECTS = _band_selects()
+#: band rows restricted to exact-duplicate representatives — the
+#: hot-bucket-guard replay (operators/dedup.exact_dup_stars): rep =
+#: min doc_id per distinct text (NULL text is its own rep), stars =
+#: the linear (rep, member) pairs covering collapsed duplicates. The
+#: pair-generating self-join oracles read bands from repsig and UNION
+#: the stars, in lockstep with the Spark generator.
+_DUP_GRP_SQL = """, grp AS (
+  SELECT doc_id,
+         CASE WHEN text IS NOT NULL
+              THEN min(doc_id) OVER (PARTITION BY text)
+              ELSE doc_id END AS rep
+  FROM documents
+), stars AS (
+  SELECT rep AS id_a, doc_id AS id_b FROM grp WHERE doc_id <> rep
+), repsig AS (
+  SELECT sig.* FROM sig JOIN grp ON grp.doc_id = sig.doc_id
+  WHERE grp.rep = sig.doc_id
+)"""
+_BAND_SELECTS_REPS = _band_selects("repsig")
 
 _EQ_SUM = " + ".join(
     f"CASE WHEN a.sig_{i} = b.sig_{i} THEN 1 ELSE 0 END" for i in range(_H)
@@ -387,13 +412,16 @@ _EQ_SUM = " + ".join(
 
 ORACLE_SQL["minhash_lsh_docs"] = (
     _MINHASH_BASE_K3.format(sig_exprs=_SIG_EXPRS)
+    + _DUP_GRP_SQL
     + f""", bands AS (
-{_BAND_SELECTS}
+{_BAND_SELECTS_REPS}
 ), pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
          round(({_EQ_SUM}) / {float(_H)}, 4) AS est_jaccard
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+  UNION ALL
+  SELECT id_a, id_b, CAST(1.0 AS DOUBLE) AS est_jaccard FROM stars
 )
 SELECT * FROM pairs"""
 )
@@ -424,12 +452,14 @@ SELECT doc_id, CAST({_SIM_VALUE} AS BIGINT) AS simhash FROM bit_sums
 # Shared fragments for the LSH-candidate exact-Jaccard oracles: the
 # candidate pairs come from the same trigram-shingle band topology as
 # minhash_lsh_docs; exact scoring intersects distinct-bigram lists.
-_CAND_GRAMS_SQL = f""", bands AS (
-{_BAND_SELECTS}
+_CAND_GRAMS_SQL = _DUP_GRP_SQL + f""", bands AS (
+{_BAND_SELECTS_REPS}
 ), cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+  UNION ALL
+  SELECT id_a, id_b FROM stars
 ), gr AS (
   SELECT doc_id, list_distinct(
     list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))
@@ -1416,10 +1446,59 @@ WITH d AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + 10000000 AS doc_id, text FROM documents
+), grp AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS rep FROM d
 )
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+SELECT rep AS id_a, doc_id AS id_b,
        CAST(1.0 AS DOUBLE) AS est_jaccard
-FROM d a JOIN d b ON a.text = b.text AND a.doc_id < b.doc_id
+FROM grp WHERE doc_id <> rep
+"""
+
+# lsh_hot_bucket_guard: the planted duplicate-spam bucket replayed
+# end to end — spam constants imported from operators/dedup so the
+# two sides cannot drift; the sig/band/grouping fragments are the
+# shared ones above, over the spam-extended corpus.
+from ..operators.dedup import (  # noqa: E402
+    HOT_BUCKET_SPAM_BASE_ID as _SPAM_BASE,
+    HOT_BUCKET_SPAM_N as _SPAM_N,
+    HOT_BUCKET_SPAM_TEXT as _SPAM_TEXT,
+)
+
+ORACLE_SQL["lsh_hot_bucket_guard"] = f"""
+WITH docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT {_SPAM_BASE} + i AS doc_id, '{_SPAM_TEXT}' AS text
+  FROM range({_SPAM_N}) t(i)
+), toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM docs2
+), sh AS (
+  SELECT doc_id, unnest({_SHINGLE_K3}) AS shingle FROM toks
+), ids AS (
+  SELECT doc_id, {_tid('shingle')} AS sid FROM sh
+), sig AS (
+  SELECT doc_id, {_SIG_EXPRS}
+  FROM ids GROUP BY doc_id
+), grp AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS rep FROM docs2
+), stars AS (
+  SELECT rep AS id_a, doc_id AS id_b FROM grp WHERE doc_id <> rep
+), repsig AS (
+  SELECT sig.* FROM sig JOIN grp ON grp.doc_id = sig.doc_id
+  WHERE grp.rep = sig.doc_id
+), bands AS (
+{_BAND_SELECTS_REPS}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(({_EQ_SUM}) / {float(_H)}, 4) AS est_jaccard
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+  UNION ALL
+  SELECT id_a, id_b, CAST(1.0 AS DOUBLE) AS est_jaccard FROM stars
+)
+SELECT id_a, id_b, est_jaccard,
+       (id_a >= {_SPAM_BASE} OR id_b >= {_SPAM_BASE}) AS touches_spam
+FROM pairs
 """
 
 # media_real_decode_stats: the engine DECODES real containers it built
@@ -2135,12 +2214,15 @@ GROUP BY 1, 2
 
 ORACLE_SQL["fuzzy_neardup_pairs"] = (
     _MINHASH_BASE_K3.format(sig_exprs=_SIG_EXPRS)
+    + _DUP_GRP_SQL
     + f""", bands AS (
-{_BAND_SELECTS}
+{_BAND_SELECTS_REPS}
 ), pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+  UNION ALL
+  SELECT id_a, id_b FROM stars
 ), pref AS (
   SELECT doc_id, substring(text, 1, 64) AS p FROM documents
   WHERE text IS NOT NULL

@@ -2062,17 +2062,20 @@ def events_rocksdb_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("minhash_lsh_fast_dup_recall")
 def minhash_lsh_fast_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FAST dedup path (xxhash64 term ids — the mode a 100-TB run
-    uses) under an exact, hash-independent oracle: identical texts have
-    identical signatures, so every exact-duplicate pair MUST surface as
-    an LSH candidate with est_jaccard 1.0. The query runs the complete
-    fast pipeline (shingle → xxhash64 → groupBy-min signatures → band
-    self-join → signature rejoin) and keeps candidates whose texts are
-    verifiably equal — exactly the exact-duplicate pair set, which the
-    oracle computes by grouping on text.
+    uses) under an exact, hash-independent oracle: with the hot-bucket
+    guard (operators/dedup.exact_dup_stars, round 16) every exact
+    duplicate MUST surface as a (group-rep, member) star candidate
+    with est_jaccard 1.0 — the guard's grouping is by raw text, so the
+    star set is hash-independent and the oracle replays it by grouping
+    on text. The query runs the complete fast pipeline (dup grouping →
+    shingle → xxhash64 → groupBy-min signatures → rep band self-join ∪
+    stars → signature rejoin) and keeps candidates whose texts are
+    verifiably equal — exactly the star set.
 
     Hash collisions can't leak in (text equality is re-checked
-    JVM-side) and can't drop out (equal text ⇒ equal bands), so the
-    output is deterministic although xxhash64 isn't SQL-expressible.
+    JVM-side, and representatives have pairwise-distinct texts) and
+    stars can't drop out (emitted before any hashing), so the output
+    is deterministic although xxhash64 isn't SQL-expressible.
 
     The driver corpus has no exact duplicates, which would make the
     invariant vacuous — so the query doubles the corpus with id-shifted
@@ -2092,6 +2095,44 @@ def minhash_lsh_fast_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(tb, "id_b")
         .where(F.col("__ta") == F.col("__tb"))
         .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+@query("lsh_hot_bucket_guard")
+def lsh_hot_bucket_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-bucket guard under duplicate-spam load (VERDICT r15
+    item 5): plant a 10k-identical-doc bucket (one spam page copied
+    HOT_BUCKET_SPAM_N times — the web-crawl degenerate case) beside
+    the real corpus and run the guarded LSH pair generator. Without
+    the guard the spam bucket alone emits ~N²/2 ≈ 50M candidate
+    pairs; with it the whole output is 9,999 star pairs plus the
+    corpus's own (unchanged) candidates — every row hashed, so the
+    LINEAR candidate count and the untouched non-degenerate recall
+    are both pinned by the oracle, which replays the same text-keyed
+    grouping. ``touches_spam`` partitions the two populations in the
+    hashed output."""
+    from ..operators.dedup import (
+        HOT_BUCKET_SPAM_BASE_ID,
+        HOT_BUCKET_SPAM_N,
+        HOT_BUCKET_SPAM_TEXT,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    spam = spark.range(HOT_BUCKET_SPAM_N).select(
+        (F.col("id") + HOT_BUCKET_SPAM_BASE_ID).alias("doc_id"),
+        F.lit(HOT_BUCKET_SPAM_TEXT).alias("text"),
+    )
+    pairs = minhash_lsh_pairs(
+        d.unionByName(spam), num_hashes=12, bands=4, shingle_k=3
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "est_jaccard",
+        (
+            (F.col("id_a") >= HOT_BUCKET_SPAM_BASE_ID)
+            | (F.col("id_b") >= HOT_BUCKET_SPAM_BASE_ID)
+        ).alias("touches_spam"),
     )
 
 
