@@ -51,6 +51,10 @@ _PRIORITY: list[str] = [
     # additions) sort ahead automatically; the ~35 remaining slots
     # drain the r11-stale queue (VERDICT r15 item 1: freshness floor
     # moves from r11 toward r12).
+    # - the deletion/retraction/erasure family: their COW commits
+    #   moved from in-place swaps to the versioned snapshot protocol
+    #   (operators/snapshot.py) — identical values, changed execution
+    #   path and changed on-disk shape.
     "minhash_lsh_docs",
     "ngram_jaccard_docs",
     "fuzzy_neardup_pairs",
@@ -59,6 +63,12 @@ _PRIORITY: list[str] = [
     "scd2_feed_deletion_drift",
     "layout_maintenance_umbrella",
     "layout_vacuum_sweep",
+    "scd2_erasure_end_to_end",
+    "dedup_index_retraction",
+    "ann_index_retraction",
+    "scd2_feed_key_deletion",
+    "scd2_history_key_deletion",
+    "scd2_history_retention",
 ]
 
 

@@ -83,6 +83,13 @@ def delete(spark: "SparkSession", path: str) -> bool:
     return bool(fs.delete(p, True))
 
 
+def mkdirs(spark: "SparkSession", path: str) -> None:
+    """Create ``path`` (and parents) — the pre-step Hadoop rename
+    needs when moving into a directory that does not exist yet."""
+    fs, p = _fs_path(spark, path)
+    fs.mkdirs(p)
+
+
 def rename(spark: "SparkSession", src: str, dst: str) -> None:
     """Move ``src`` to ``dst`` (the staged-layout swap primitive).
     Hadoop rename returns False instead of raising on most failure
@@ -99,6 +106,23 @@ def touch(spark: "SparkSession", path: str) -> None:
     """Create (or truncate) an empty marker file."""
     fs, p = _fs_path(spark, path)
     fs.create(p, True).close()
+
+
+def create_exclusive(spark: "SparkSession", path: str, text: str) -> bool:
+    """Atomically create ``path`` with ``text`` iff it does not exist
+    (Hadoop ``create(overwrite=False)`` — the lock-file primitive the
+    maintainer lease builds on). Returns False when the file already
+    exists."""
+    fs, p = _fs_path(spark, path)
+    try:
+        out = fs.create(p, False)
+    except Exception:
+        return False
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+    return True
 
 
 def write_text(spark: "SparkSession", path: str, text: str) -> None:

@@ -799,7 +799,7 @@ def write_ann_index(
         # _COW_MANIFEST.json is the COW swap's equivalent
         # (round-15 review).
         if name.startswith(
-            ("codes_delta_", "_DELTA_", "_compact", "_cow_staging")
+            ("codes_delta_", "_DELTA_", "_compact", "_cow_staging", "_MANIFEST_v")
         ) or name in ("_COMPACT_MANIFEST.json", "_COW_MANIFEST.json"):
             fsutil.delete(spark, os.path.join(path, name))
     for name in ("codes", "codebook", "cells"):
@@ -856,6 +856,9 @@ def read_ann_index(
     meta = fsutil.require_layout_meta(
         spark, path, "ANN index", "write_ann_index"
     )
+    from . import snapshot
+
+    snap = snapshot.read_snapshot(spark, path)
 
     committed = sorted(
         name[len("_DELTA_") : -len("._SUCCESS")]
@@ -874,9 +877,14 @@ def read_ann_index(
                 "write_ann_index"
             )
         if fsutil.has_parquet(spark, d):
-            return spark.read.parquet(d)
-        # Part-file-less table (empty corpus at write time): parquet
-        # cannot infer a schema — synthesize the empty frame from the
+            df = snapshot.snapshot_dir_read(
+                spark, path, os.path.relpath(d, path), snap
+            )
+            if df is not None:
+                return df
+        # Part-file-less table (empty corpus at write time) or a
+        # snapshot that leaves no live rows here: parquet cannot
+        # infer a schema — synthesize the empty frame from the
         # schema the writer recorded (bootstrap contract).
         schema = meta.get(schema_key)
         if schema is None:

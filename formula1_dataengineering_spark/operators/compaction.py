@@ -98,6 +98,8 @@ def _is_partition_dir(name: str) -> bool:
 def _open_base(
     spark: SparkSession, path: str, spec: _TableSpec, meta: dict, what: str
 ) -> DataFrame:
+    from . import snapshot
+
     d = os.path.join(path, spec.table)
     if not fsutil.is_dir(spark, d):
         raise ValueError(
@@ -105,7 +107,13 @@ def _open_base(
             "although the layout's _SUCCESS marker exists — rebuild it"
         )
     if fsutil.has_parquet(spark, d):
-        return spark.read.parquet(d)
+        # Snapshot-aware (round 16): the fold must merge against the
+        # CURRENT rows, which a COW erasure may own via version dirs.
+        df = snapshot.snapshot_dir_read(
+            spark, path, spec.table, snapshot.read_snapshot(spark, path)
+        )
+        if df is not None:
+            return df
     schema = meta.get(spec.schema_key)
     if schema is None:
         raise ValueError(
@@ -119,7 +127,15 @@ def _commit(spark: SparkSession, path: str, manifest: dict) -> None:
     """The metadata-only commit/resume phase: swap staged partition
     directories in, drop the folded deltas, restore the marker. Every
     step is idempotent, so a crashed commit re-runs to completion."""
+    from . import snapshot
+
     fsutil.delete(spark, os.path.join(path, "_SUCCESS"))
+    # Fold any COW snapshot state into plain base dirs first (round
+    # 16): the swap below writes BASE partition dirs, so a live
+    # version assignment would shadow the fold's output. Runs inside
+    # this commit's marker-dropped window; state-driven idempotent,
+    # so the resume path re-runs it safely.
+    snapshot.collapse_snapshot(spark, path)
     staging_root = os.path.join(path, _STAGING)
     for table in manifest["tables"]:
         staged = os.path.join(staging_root, table)
@@ -152,7 +168,18 @@ def _commit(spark: SparkSession, path: str, manifest: dict) -> None:
     fsutil.delete(spark, os.path.join(path, _MANIFEST))
 
 
-def _compact_layout(
+def _compact_layout(spark, path, *args, **kwargs):
+    """Shared engine entry — runs :func:`_compact_layout_impl` under
+    the maintainer lease (round 16, VERDICT r15 item 3): one live
+    maintainer per layout; a concurrent second is refused loudly, a
+    crashed one is stolen after its TTL."""
+    from .lease import maintenance_lease
+
+    with maintenance_lease(spark, path):
+        return _compact_layout_impl(spark, path, *args, **kwargs)
+
+
+def _compact_layout_impl(
     spark: SparkSession,
     path: str,
     what: str,
@@ -222,10 +249,19 @@ def _compact_layout(
                     f"{os.path.basename(d)!r} is missing although its "
                     "commit marker exists — rebuild the layout"
                 )
+        from . import snapshot as _snapshot
+
+        _snap = _snapshot.read_snapshot(spark, path)
         frames = [
-            spark.read.parquet(d)
+            df
             for d in delta_dirs
             if fsutil.has_parquet(spark, d)
+            if (
+                df := _snapshot.snapshot_dir_read(
+                    spark, path, os.path.relpath(d, path), _snap
+                )
+            )
+            is not None
         ]
         if not frames:
             # Every delta of this table was a zero-row day: nothing

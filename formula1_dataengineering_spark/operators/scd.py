@@ -158,7 +158,7 @@ def write_scd2_feed(
     # partitions over the fresh base (round-13/round-15 reviews).
     for name in fsutil.list_names(spark, path):
         if name.startswith(
-            ("feed_rows", "_DELTA_", "_compact", "_cow_staging")
+            ("feed_rows", "_DELTA_", "_compact", "_cow_staging", "_MANIFEST_v")
         ) or name in ("_COMPACT_MANIFEST.json", "_COW_MANIFEST.json"):
             fsutil.delete(spark, os.path.join(path, name))
     fsutil.rename(
@@ -173,7 +173,10 @@ def write_scd2_feed(
 
 
 def read_scd2_feed(
-    spark: SparkSession, path: str, include_deltas: bool = True
+    spark: SparkSession,
+    path: str,
+    include_deltas: bool = True,
+    snapshot_version: int | None = None,
 ) -> tuple[DataFrame, dict]:
     """Open a :func:`write_scd2_feed` layout: ``(feed, meta)`` where
     ``feed`` carries the ``shard`` partition column the pruned
@@ -187,16 +190,26 @@ def read_scd2_feed(
     ``feed_rows/`` directory under an intact marker is CORRUPTION
     (raises), while a present-but-part-file-less directory is a
     legitimately empty feed (schema-synthesized empty frame) — the
-    same missing-vs-empty contract as the index readers."""
+    same missing-vs-empty contract as the index readers.
+
+    ``snapshot_version`` (round 16) pins the read to a specific
+    published snapshot manifest — time travel across COW deletion /
+    retention commits; None reads the current snapshot. The snapshot
+    pins COW-rewritten partitions only; delta VISIBILITY stays
+    marker-based (the single-maintainer window sequences refreshes
+    against erasures, so a pinned reader composes with at most the
+    maintenance tick it raced)."""
     import os
 
     from pyspark.sql.types import StructType
 
     from .. import fsutil
+    from . import snapshot
 
     meta = fsutil.require_layout_meta(
         spark, path, "scd2 feed layout", "write_scd2_feed"
     )
+    snap = snapshot.read_snapshot(spark, path, snapshot_version)
 
     def _open(d: str, what: str) -> DataFrame:
         if not fsutil.is_dir(spark, d):
@@ -206,7 +219,11 @@ def read_scd2_feed(
                 "— rebuild with write_scd2_feed"
             )
         if fsutil.has_parquet(spark, d):
-            return spark.read.parquet(d)
+            df = snapshot.snapshot_dir_read(
+                spark, path, os.path.relpath(d, path), snap
+            )
+            if df is not None:
+                return df
         return spark.createDataFrame(
             [], StructType.fromJson(meta["feed_schema"])
         )
@@ -456,7 +473,7 @@ def write_scd2_history(
         # manifest would let the next deletion-family verb replay
         # pre-rebuild staged shards over the fresh history
         # (round-15 review).
-        if name.startswith(("history_rows", "_cow_staging")) or (
+        if name.startswith(("history_rows", "_cow_staging", "_MANIFEST_v")) or (
             name == "_COW_MANIFEST.json"
         ):
             fsutil.delete(spark, os.path.join(path, name))
@@ -476,11 +493,13 @@ def write_scd2_history(
 
 
 def read_scd2_history(
-    spark: SparkSession, path: str
+    spark: SparkSession, path: str, snapshot_version: int | None = None
 ) -> tuple[DataFrame, dict]:
     """Open a :func:`write_scd2_history` layout: ``(history, meta)``,
     the frame still carrying the ``shard`` partition column. Same
     marker/metadata/missing-vs-empty contract as the feed layout.
+    ``snapshot_version`` pins a published snapshot (time travel
+    across COW erasure/retention commits); None reads current.
 
     Delta-read asymmetry (by design, documented per VERDICT r12): the
     FEED reader unions ``feed_rows_delta_*`` directories because the
@@ -501,6 +520,9 @@ def read_scd2_history(
     meta = fsutil.require_layout_meta(
         spark, path, "scd2 history layout", "write_scd2_history"
     )
+    from . import snapshot
+
+    snap = snapshot.read_snapshot(spark, path, snapshot_version)
     d = os.path.join(path, "history_rows")
     if not fsutil.is_dir(spark, d):
         raise ValueError(
@@ -508,9 +530,10 @@ def read_scd2_history(
             "history_rows/ is missing although the layout's _SUCCESS "
             "marker exists — rebuild with write_scd2_history"
         )
+    hist = None
     if fsutil.has_parquet(spark, d):
-        hist = spark.read.parquet(d)
-    else:
+        hist = snapshot.snapshot_dir_read(spark, path, "history_rows", snap)
+    if hist is None:
         hist = spark.createDataFrame(
             [], StructType.fromJson(meta["history_schema"])
         )
@@ -566,9 +589,18 @@ def _open_history_for_refresh(
             "history_rows/ is missing — rebuild with "
             "write_scd2_history"
         )
+    # Snapshot-aware (round 16): a COW erasure/retention commit may
+    # own touched shards via version directories — the maintenance
+    # verbs staging from this open must see the CURRENT rows, not the
+    # superseded base copies.
+    from . import snapshot
+
+    hist = None
     if fsutil.has_parquet(spark, d):
-        hist = spark.read.parquet(d)
-    else:
+        hist = snapshot.snapshot_dir_read(
+            spark, path, "history_rows", snapshot.read_snapshot(spark, path)
+        )
+    if hist is None:
         hist = spark.createDataFrame(
             [], StructType.fromJson(meta["history_schema"])
         )
@@ -629,9 +661,23 @@ def scd2_refresh_in_place(
     from pyspark.sql.functions import broadcast
 
     from .. import fsutil
+    from . import snapshot
+    from .cow import resume_pending_cow
 
     spark = feed.sparkSession
     new_changes = new_changes.where(F.col(key_col).isNotNull())
+    # Round 16: a COW erasure/retention commit may have left touched
+    # shards owned by hidden version directories. The dynamic
+    # overwrite below writes BASE shard dirs, so a live snapshot
+    # assignment would shadow this refresh — fold the version state
+    # into base first, inside this verb's own marker-dropped window
+    # (collapse is state-driven idempotent; a crash re-runs it).
+    import os as _os
+
+    resume_pending_cow(spark, path)
+    if snapshot.current_version(spark, path) > 0:
+        fsutil.delete(spark, _os.path.join(path, "_SUCCESS"))
+        snapshot.collapse_snapshot(spark, path)
     hist, meta = _open_history_for_refresh(spark, path)
     if meta.get("key_col") != key_col:
         raise ValueError(

@@ -5457,9 +5457,37 @@ SELECT user_id, event_type, effective_from_us, effective_to_us,
        is_current,
        CAST(cnt.fdel AS BIGINT) AS feed_rows_deleted,
        CAST(cnt.hdel AS BIGINT) AS hist_rows_deleted,
-       CASE WHEN cnt.fdel > 0.02 * cnt.flive
+       CASE WHEN cnt.fdel >= 0.02 * cnt.flive
             THEN 'rebuild' ELSE 'hold' END AS tick_decision,
        CAST(0 AS INTEGER) AS n_diff_rows
 FROM h CROSS JOIN cnt
 WHERE user_id % 17 <> 3"""
+)
+
+
+# snapshot_read_across_commit (round 16, VERDICT r15 item 2): the
+# time-travel read at version 0 is the FULL pre-erasure history, the
+# current read the survivors — whole-key erasure commutes with the
+# per-key window, so both replay from the one-truth full-rebuild
+# history text. Witness literals: version 0 -> 1, marker untouched
+# (the no-outage contract), rows_deleted = the erased users' events.
+ORACLE_SQL["snapshot_read_across_commit"] = (
+    "WITH hist AS ("
+    + ORACLE_SQL["scd2_user_event_history"]
+    + """)
+SELECT user_id, event_type, effective_from_us, effective_to_us,
+       is_current, 'before' AS snapshot,
+       CAST(0 AS INTEGER) AS v_before, CAST(1 AS INTEGER) AS v_after,
+       TRUE AS marker_untouched,
+       CAST((SELECT count(*) FROM events WHERE user_id % 17 = 3)
+            AS BIGINT) AS rows_deleted
+FROM hist
+UNION ALL
+SELECT user_id, event_type, effective_from_us, effective_to_us,
+       is_current, 'after' AS snapshot,
+       CAST(0 AS INTEGER) AS v_before, CAST(1 AS INTEGER) AS v_after,
+       TRUE AS marker_untouched,
+       CAST((SELECT count(*) FROM events WHERE user_id % 17 = 3)
+            AS BIGINT) AS rows_deleted
+FROM hist WHERE user_id % 17 <> 3"""
 )

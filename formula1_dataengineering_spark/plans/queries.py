@@ -7508,7 +7508,7 @@ def layout_vacuum_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     cols = ("user_id", "ts", "event_type")
     path, fresh = layout_artifact(
-        sf_dir, "spark_graft_vacuum_v2", "events"
+        sf_dir, "spark_graft_vacuum_v3", "events"
     )
     state: dict = {}
 
@@ -7598,7 +7598,7 @@ def scd2_history_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "events")
     path, fresh = layout_artifact(
-        sf_dir, "spark_graft_scd2_retention_v1", "events"
+        sf_dir, "spark_graft_scd2_retention_v2", "events"
     )
     state: dict = {"rows_expired": 0}
 
@@ -7806,7 +7806,7 @@ def dedup_index_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = d.where(F.col("doc_id") % 97 != 0)
     batch = d.where(F.col("doc_id") % 97 == 0)
     path, fresh = layout_artifact(
-        sf_dir, "spark_graft_dedup_retract_v1", "documents"
+        sf_dir, "spark_graft_dedup_retract_v2", "documents"
     )
     state: dict = {"rows_deleted": 0}
 
@@ -7875,7 +7875,7 @@ def ann_index_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     day2 = batch.where(F.expr("vec_id div 97") % 2 == 1)
     q = batch.select("vec_id", "embedding")
     path, fresh = layout_artifact(
-        sf_dir, "spark_graft_ann_retract_v1", "embeddings"
+        sf_dir, "spark_graft_ann_retract_v2", "embeddings"
     )
     state: dict = {"rows_deleted": 0}
 
@@ -7926,7 +7926,7 @@ def scd2_feed_key_deletion(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     cols = ("user_id", "ts", "event_type")
     path, fresh = layout_artifact(
-        sf_dir, "spark_graft_scd2_delete_v1", "events"
+        sf_dir, "spark_graft_scd2_delete_v2", "events"
     )
     state: dict = {"rows_deleted": 0}
 
@@ -7987,7 +7987,7 @@ def scd2_history_key_deletion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "events")
     path, fresh = layout_artifact(
-        sf_dir, "spark_graft_scd2_hist_delete_v1", "events"
+        sf_dir, "spark_graft_scd2_hist_delete_v2", "events"
     )
     state: dict = {"rows_deleted": 0}
 
@@ -8053,7 +8053,7 @@ def dedup_maintenance_deletion_drift(
     victims = corpus.where(F.col("doc_id") % 13 == 1).select("doc_id")
     live = corpus.join(victims, "doc_id", "left_anti")
     path, fresh = layout_artifact(
-        sf_dir, "spark_graft_dedup_del_drift_v1", "documents"
+        sf_dir, "spark_graft_dedup_del_drift_v2", "documents"
     )
     state: dict = {"decisions": [], "t2": {}}
 
@@ -8121,7 +8121,7 @@ def scd2_feed_deletion_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     cols = ("user_id", "ts", "event_type")
     path, fresh = layout_artifact(
-        sf_dir, "spark_graft_scd2_del_drift_v1", "events"
+        sf_dir, "spark_graft_scd2_del_drift_v2", "events"
     )
     state: dict = {"decisions": [], "t2": {}}
 
@@ -8294,7 +8294,7 @@ def layout_maintenance_umbrella(
     batch = d.where(F.col("doc_id") % 97 == 0)
     e = load(spark, sf_dir, "events")
     root, fresh = layout_artifact(
-        sf_dir, "spark_graft_maint_umbrella_v1", "documents"
+        sf_dir, "spark_graft_maint_umbrella_v2", "documents"
     )
     idx = os.path.join(root, "idx")
     fp = os.path.join(root, "feed")
@@ -8428,7 +8428,7 @@ def scd2_erasure_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     cols = ("user_id", "ts", "event_type")
     root, fresh = layout_artifact(
-        sf_dir, "spark_graft_erasure_e2e_v1", "events"
+        sf_dir, "spark_graft_erasure_e2e_v2", "events"
     )
     fp = os.path.join(root, "feed")
     hp = os.path.join(root, "hist")
@@ -8484,4 +8484,98 @@ def scd2_erasure_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("hist_rows_deleted"),
         F.lit(state["decision"]).alias("tick_decision"),
         F.lit(n_diff).cast("int").alias("n_diff_rows"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Round 16: versioned-manifest snapshot reads (VERDICT r15 item 2)
+
+
+@query("snapshot_read_across_commit")
+def snapshot_read_across_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT-ISOLATED reads across a COW commit (VERDICT r15 item
+    2): a reader that resolved the layout's snapshot BEFORE an
+    erasure commit and one that resolved AFTER both read exact,
+    consistent states — no ``_SUCCESS`` outage, no refusal window.
+
+    Chain: full events feed layout; resolve the pre-commit snapshot
+    (version 0 — plain directories); run ``delete_scd2_feed_keys``
+    for users ``% 17 == 3`` (a versioned COW commit: staged copies
+    land in hidden ``__v1`` dirs and ``_MANIFEST_v1.json`` publishes
+    atomically — the marker's mtime is pinned UNCHANGED through the
+    whole commit, the in-query no-outage witness). Hashed rows: the
+    SCD2 history windowed from BOTH reads — the version-0 time-travel
+    read (the FULL pre-erasure history, byte-readable after the
+    commit because superseded partition copies survive until vacuum)
+    and the current read (survivors only) — tagged ``snapshot``
+    'before'/'after', plus the replayed witness columns."""
+    from ..operators import snapshot as snap_mod
+    from ..operators.deletion import delete_scd2_feed_keys
+    from ..operators.scd import (
+        read_scd2_feed,
+        scd2_history,
+        write_scd2_feed,
+    )
+    from ..sources.catalog import layout_artifact
+
+    e = load(spark, sf_dir, "events")
+    cols = ("user_id", "ts", "event_type")
+    path, fresh = layout_artifact(
+        sf_dir, "spark_graft_snapread_v1", "events"
+    )
+    state: dict = {}
+
+    def mutate() -> None:
+        write_scd2_feed(e, path, *cols)
+        marker = os.path.join(path, "_SUCCESS")
+        m0 = os.path.getmtime(marker)
+        pre = snap_mod.read_snapshot(spark, path)  # resolved pre-commit
+        erased = (
+            e.where(F.col("user_id") % 17 == 3)
+            .select("user_id")
+            .distinct()
+        )
+        info = delete_scd2_feed_keys(spark, path, erased)
+        state.update(
+            {
+                "rows_deleted": info["rows_deleted"],
+                "v_before": pre["version"],
+                "v_after": snap_mod.current_version(spark, path),
+                "marker_untouched": bool(
+                    os.path.exists(marker)
+                    and os.path.getmtime(marker) == m0
+                ),
+            }
+        )
+
+    _gate_chain(spark, path, fresh, mutate, state)
+    before, _ = read_scd2_feed(
+        spark, path, snapshot_version=int(state["v_before"])
+    )
+    after, _ = read_scd2_feed(spark, path)
+
+    def tagged(feed: DataFrame, tag: str) -> DataFrame:
+        return scd2_history(feed, *cols).select(
+            "user_id",
+            "event_type",
+            "effective_from_us",
+            "effective_to_us",
+            "is_current",
+            F.lit(tag).alias("snapshot"),
+        )
+
+    return (
+        tagged(before, "before")
+        .unionByName(tagged(after, "after"))
+        .select(
+            "*",
+            F.lit(int(state["v_before"])).cast("int").alias("v_before"),
+            F.lit(int(state["v_after"])).cast("int").alias("v_after"),
+            F.lit(bool(state["marker_untouched"])).alias(
+                "marker_untouched"
+            ),
+            F.lit(int(state["rows_deleted"]))
+            .cast("bigint")
+            .alias("rows_deleted"),
+        )
     )

@@ -187,13 +187,19 @@ def test_delete_recovers_through_markerless_window(spark, tmp_path):
     feed = spark.createDataFrame(rows, "k long, ts long, v string")
     path = str(tmp_path / "feed")
     write_scd2_feed(feed, path, "k", "ts", "v", n_shards=2)
-    # A prior delete died mid-rewrite: marker already gone. The
-    # re-run must open marker-tolerantly, finish, and restore it.
+    # Another verb's crash window left the marker missing (e.g. the
+    # in-place refresher). The delete must still open
+    # marker-tolerantly and land; under the round-16 versioned
+    # protocol it no longer touches the marker at all — recovery of
+    # the marker belongs to re-running the verb that dropped it
+    # (emulated by the touch below).
     os.remove(os.path.join(path, "_SUCCESS"))
     erased = spark.createDataFrame([(1,)], "k long")
     info = delete_scd2_feed_keys(spark, path, erased)
     assert info["rows_deleted"] == 4
-    after, _ = read_scd2_feed(spark, path)  # marker back
+    assert not os.path.exists(os.path.join(path, "_SUCCESS"))
+    open(os.path.join(path, "_SUCCESS"), "w").close()
+    after, _ = read_scd2_feed(spark, path)
     assert after.where("k = 1").count() == 0
 
 
@@ -356,10 +362,14 @@ def test_delete_commit_crash_resumes_without_survivor_loss(
     with pytest.raises(RuntimeError, match="simulated kill"):
         delete_scd2_feed_keys(spark, path, erased)
     monkeypatch.setattr(cow.fsutil, "rename", real_rename)
-    # The crash state: marker gone, manifest + staging present, the
-    # touched partition's old dir already deleted.
-    assert not os.path.exists(os.path.join(path, "_SUCCESS"))
+    # The round-16 crash state: the marker SURVIVES (the versioned
+    # commit never touches it), the pending manifest is present, and
+    # a reader lands on the still-published old snapshot — the full
+    # PRE-delete content, not a refusal (VERDICT r15 item 2).
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
     assert os.path.exists(os.path.join(path, cow.COW_MANIFEST))
+    pre = _rows(read_scd2_feed(spark, path)[0].select("k", "ts", "v"))
+    assert [r for r in pre if r[0] == 1]  # erased key still visible
     # Re-running the SAME delete resumes the commit first, then finds
     # nothing left to delete — survivors intact.
     info = delete_scd2_feed_keys(spark, path, erased)

@@ -435,11 +435,13 @@ def test_maintain_layout_resumes_crashed_cow_before_marker_check(
     spark, tmp_path, monkeypatch
 ):
     """ADVICE r15 (medium): the umbrella must resume a pending COW
-    swap BEFORE the marker check — a history-key erasure that died
-    mid-commit leaves exactly the marker-less + _COW_MANIFEST state
-    require_layout_meta refuses, and scd2_history is the one family
-    whose tick calls no resuming verb. The nightly tick must
-    self-heal it, not raise."""
+    swap BEFORE reading layout state — scd2_history is the one family
+    whose tick calls no resuming verb. Under the round-16 versioned
+    protocol the crash keeps the marker AND the old snapshot readable;
+    the tick must still finish the pending commit first so it
+    maintains (and vacuums) the POST-erasure state, not the stale
+    snapshot. (Pre-round-16 marker-less crash states resume through
+    the same call — the legacy branch of commit_cow.)"""
     from formula1_dataengineering_spark.operators import cow
     from formula1_dataengineering_spark.operators.deletion import (
         delete_scd2_history_keys,
@@ -482,9 +484,13 @@ def test_maintain_layout_resumes_crashed_cow_before_marker_check(
             spark, hp, spark.createDataFrame([(1,)], "k long")
         )
     monkeypatch.setattr(cow.fsutil, "rename", real_rename)
-    assert not os.path.exists(os.path.join(hp, "_SUCCESS"))
+    # Round-16 crash state: marker intact, pending manifest present,
+    # readers still see the pre-erasure snapshot.
+    assert os.path.exists(os.path.join(hp, "_SUCCESS"))
     assert os.path.exists(os.path.join(hp, cow.COW_MANIFEST))
-    # The umbrella tick heals the crash, then holds + vacuums.
+    assert read_scd2_history(spark, hp)[0].count() > want
+    # The umbrella tick finishes the pending commit, then holds +
+    # vacuums — and the post-tick read is the POST-erasure state.
     r = maintain_layout(spark, hp)
     assert r["family"] == "scd2_history" and r["decision"] == "hold"
     assert os.path.exists(os.path.join(hp, "_SUCCESS"))

@@ -153,15 +153,19 @@ def test_expire_zero_keeps_only_current(spark, hist_layout):
 
 def test_expire_recovers_through_crash_window(spark, hist_layout):
     path, hist = hist_layout
-    # Simulate the worst window: the marker is already gone (a prior
-    # expiry died mid-overwrite). External readers refuse; the expiry
-    # itself must open marker-tolerantly, finish, and restore it.
+    # Simulate the worst window: the marker is already gone (the
+    # in-place refresher's crash window — the round-16 versioned COW
+    # commit itself never drops it). External readers refuse; the
+    # expiry must still open marker-tolerantly and land. The marker
+    # belongs to the verb that dropped it (re-run = recovery);
+    # emulate with the touch below.
     os.remove(os.path.join(path, "_SUCCESS"))
     with pytest.raises(ValueError, match="_SUCCESS"):
         read_scd2_history(spark, path)
     info = expire_scd2_history(spark, path, retain_versions=1)
     assert info["rows_expired"] > 0
-    after, _ = read_scd2_history(spark, path)  # marker restored
+    open(os.path.join(path, "_SUCCESS"), "w").close()
+    after, _ = read_scd2_history(spark, path)
     assert after.where("is_current").count() == hist.where(
         "is_current"
     ).count()
