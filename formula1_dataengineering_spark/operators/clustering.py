@@ -784,6 +784,13 @@ def write_ann_index(
                 "codes_schema": coded.schema.jsonValue(),
                 "codebook_schema": codebook.schema.jsonValue(),
                 "cells_schema": cells.schema.jsonValue(),
+                # Trained-codebook row count: refresh_ann_index's
+                # empty-corpus guard reads THIS instead of scanning
+                # the codebook table on every ingest (r16 optimization
+                # pass; the codebook is cached here, so the count is
+                # one cheap job per base rebuild, amortized over every
+                # later refresh).
+                "codebook_rows": codebook.count(),
             }
         )
     # COMMIT phase — the only unreadable window, a few metadata ops.
@@ -877,8 +884,18 @@ def read_ann_index(
                 "write_ann_index"
             )
         if fsutil.has_parquet(spark, d):
+            # Recorded schema (when the writer persisted one) skips
+            # Parquet schema inference — one footer-reading driver
+            # job per directory per open; measured ~0.3-0.5 s of the
+            # layout-open latency at sf0.1 (r16 optimization pass).
+            recorded = meta.get(schema_key)
+            stype = None
+            if recorded is not None:
+                from pyspark.sql.types import StructType
+
+                stype = StructType.fromJson(recorded)
             df = snapshot.snapshot_dir_read(
-                spark, path, os.path.relpath(d, path), snap
+                spark, path, os.path.relpath(d, path), snap, schema=stype
             )
             if df is not None:
                 return df
@@ -1003,35 +1020,16 @@ def refresh_ann_index(
     existing, codebook, cells, _ = read_ann_index(
         spark, path, exclude_deltas={batch_id}
     )
-    if check_disjoint:
-        clash = (
-            existing.where(F.col("sub_id") == 0)
-            .select(id_col)
-            .join(
-                F.broadcast(new_vectors.select(id_col).distinct()),
-                id_col,
-                "left_semi",
-            )
-        )
-        clashing = [r[0] for r in clash.limit(5).collect()]
-        if clashing:
-            raise ValueError(
-                f"refresh_ann_index: batch {batch_id!r} contains ids "
-                f"already present in the index at {path!r} (e.g. "
-                f"{clashing}) — the append is insert-only: a second "
-                "(id, sub_id) code row would make the ADC scorer "
-                "double-count that vector's subspace distances and "
-                "silently corrupt its rankings; rebuild with "
-                "write_ann_index to replace vectors (or pass "
-                "check_disjoint=False if disjointness is guaranteed "
-                "upstream)"
-            )
     # An empty-corpus index has NO trained codebook: encoding against
     # it would emit zero code rows and silently LOSE every appended
     # vector (and assign_ivf_cells would do the same against zero
     # cells). The dedup index can bootstrap from empty (signatures are
     # corpus-independent); a trained index cannot — fail loudly.
-    if codebook.isEmpty():
+    # ``codebook_rows`` (recorded by write_ann_index since r16)
+    # answers this from the layout metadata; older layouts pay the
+    # one-row scan.
+    cb_rows = meta.get("codebook_rows")
+    if (int(cb_rows) == 0) if cb_rows is not None else codebook.isEmpty():
         raise ValueError(
             f"refresh_ann_index: the index at {path!r} was written "
             "from an empty corpus and has no trained codebook — "
@@ -1048,10 +1046,55 @@ def refresh_ann_index(
     delta = coded.join(celled, id_col)
     commit_marker = os.path.join(path, f"_DELTA_{batch_id}._SUCCESS")
     fsutil.delete(spark, commit_marker)
-    # Same one-file-per-cell discipline as the base writer.
-    delta.repartition(cell_col).write.mode("overwrite").partitionBy(
-        cell_col
-    ).parquet(os.path.join(path, f"codes_delta_{batch_id}"))
+    # The disjointness scan and the delta write are INDEPENDENT jobs
+    # (the check reads base ∪ other deltas; the write only touches
+    # this batch's own directory), so they run concurrently (guide
+    # §2.6 — overlap independent jobs) and the check's verdict is
+    # simply collected before the commit marker is touched: a clash
+    # leaves the freshly written delta UNCOMMITTED (marker-less →
+    # invisible to readers, swept by vacuum / overwritten by a retry),
+    # which is exactly the crash-window state the protocol already
+    # tolerates. Same observable behavior, ~the cost of the slower of
+    # the two jobs instead of their sum.
+    clash_pool = None
+    clash_future = None
+    if check_disjoint:
+        from concurrent.futures import ThreadPoolExecutor
+
+        clash = (
+            existing.where(F.col("sub_id") == 0)
+            .select(id_col)
+            .join(
+                F.broadcast(new_vectors.select(id_col).distinct()),
+                id_col,
+                "left_semi",
+            )
+        )
+        clash_pool = ThreadPoolExecutor(max_workers=1)
+        clash_future = clash_pool.submit(
+            lambda: [r[0] for r in clash.limit(5).collect()]
+        )
+    try:
+        # Same one-file-per-cell discipline as the base writer.
+        delta.repartition(cell_col).write.mode("overwrite").partitionBy(
+            cell_col
+        ).parquet(os.path.join(path, f"codes_delta_{batch_id}"))
+        clashing = clash_future.result() if clash_future is not None else []
+    finally:
+        if clash_pool is not None:
+            clash_pool.shutdown(wait=False)
+    if clashing:
+        raise ValueError(
+            f"refresh_ann_index: batch {batch_id!r} contains ids "
+            f"already present in the index at {path!r} (e.g. "
+            f"{clashing}) — the append is insert-only: a second "
+            "(id, sub_id) code row would make the ADC scorer "
+            "double-count that vector's subspace distances and "
+            "silently corrupt its rankings; rebuild with "
+            "write_ann_index to replace vectors (or pass "
+            "check_disjoint=False if disjointness is guaranteed "
+            "upstream)"
+        )
     # An idempotent re-run overwrote this batch's delta files: drop
     # the cached listing so pre-refresh readers re-list, not 404.
     spark.catalog.refreshByPath(path)

@@ -31,6 +31,8 @@ see caching.py for the contract.
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
@@ -285,7 +287,15 @@ def exact_dup_stars(
     :func:`exact_dedup`); the shuffle it costs moves (id, text) once
     — strictly less than the shingle explode that follows, and at
     production scale the key would be a 128-bit content hash."""
-    w = Window.partitionBy(text_col)
+    # Window partition key is (xxhash64(text), text) — identical
+    # partitioning to plain text (the hash is a function of the text;
+    # NULLs hash to one value and the `when` below keeps them
+    # self-repped), but the window's partition-key sort compares a
+    # long first and touches the text only on hash-equal rows. On a
+    # near-dup-heavy corpus the text comparisons the plain-text sort
+    # pays are exactly the long-common-prefix worst case (r16
+    # optimization pass, guide §2.3 "narrower types").
+    w = Window.partitionBy(F.xxhash64(F.col(text_col)), F.col(text_col))
     g = docs.select(id_col, text_col).withColumn(
         "__rep",
         F.when(
@@ -1515,13 +1525,25 @@ def read_dedup_index(
         # or a zero-accepted-docs delta day) carry no schema for
         # parquet inference — skip them; if NOTHING has rows, return
         # an empty frame from the schema the writer recorded.
+        # The recorded schema (when present) is also SUPPLIED to every
+        # open: it skips Parquet schema inference — a footer-reading
+        # driver job per directory per open, which dominated
+        # layout-open latency at sf0.1 (r16 optimization pass,
+        # guide §6: schema from the manifest, not the files).
+        stype = None
+        recorded = meta.get(schema_key)
+        if recorded is not None:
+            from pyspark.sql.types import StructType
+
+            stype = StructType.fromJson(recorded)
         frames = [
             df
             for d in dirs
             if fsutil.has_parquet(spark, d)
             if (
                 df := snapshot.snapshot_dir_read(
-                    spark, path, os.path.relpath(d, path), snap
+                    spark, path, os.path.relpath(d, path), snap,
+                    schema=stype,
                 )
             )
             is not None

@@ -219,8 +219,12 @@ def read_scd2_feed(
                 "— rebuild with write_scd2_feed"
             )
         if fsutil.has_parquet(spark, d):
+            # Supplying the recorded schema skips Parquet schema
+            # inference (a footer-reading driver job per directory per
+            # open) — r16 optimization pass, guide §6.
             df = snapshot.snapshot_dir_read(
-                spark, path, os.path.relpath(d, path), snap
+                spark, path, os.path.relpath(d, path), snap,
+                schema=StructType.fromJson(meta["feed_schema"]),
             )
             if df is not None:
                 return df
@@ -532,7 +536,12 @@ def read_scd2_history(
         )
     hist = None
     if fsutil.has_parquet(spark, d):
-        hist = snapshot.snapshot_dir_read(spark, path, "history_rows", snap)
+        # Recorded schema supplied → no Parquet schema-inference job
+        # at open time (r16 optimization pass, guide §6).
+        hist = snapshot.snapshot_dir_read(
+            spark, path, "history_rows", snap,
+            schema=StructType.fromJson(meta["history_schema"]),
+        )
     if hist is None:
         hist = spark.createDataFrame(
             [], StructType.fromJson(meta["history_schema"])

@@ -163,7 +163,7 @@ def apply_cow_jobs(snap: dict, jobs: list[dict], new_version: int) -> dict:
 
 
 def snapshot_dir_read(
-    spark: SparkSession, path: str, rel: str, snap: dict
+    spark: SparkSession, path: str, rel: str, snap: dict, schema=None
 ) -> DataFrame | None:
     """The rows of table directory ``rel`` AT snapshot ``snap``:
     base partitions not shadowed by the snapshot, unioned with each
@@ -174,11 +174,27 @@ def snapshot_dir_read(
 
     Filters sit on the PARTITION column, so Catalyst prunes both the
     base scan and every version scan to the named directories — the
-    plan reads no superseded bytes."""
+    plan reads no superseded bytes.
+
+    ``schema`` (optional StructType): the layout's RECORDED schema
+    (from its ``_META.json``). Supplying it skips Parquet
+    schema-inference at plan time — one footer-reading driver job per
+    directory per open, which dominates layout-open latency for these
+    small metadata tables (r16 optimization pass, guide §6: schema
+    from the manifest, not the files). Rows are unchanged; column
+    ORDER follows the recorded writer schema, which every consumer
+    selects from by name."""
     d = os.path.join(path, rel)
+
+    def _read(p: str) -> DataFrame:
+        r = spark.read
+        if schema is not None:
+            r = r.schema(schema)
+        return r.parquet(p)
+
     entry = snap.get("dirs", {}).get(rel)
     if entry is None:
-        return spark.read.parquet(d)
+        return _read(d)
     pcol = entry["partition_col"]
     assign: dict = entry["assign"]
     shadowed_names = set(assign) | set(entry["dropped"])
@@ -189,7 +205,7 @@ def snapshot_dir_read(
     live_base = visible - shadowed_names
     if live_base:
         shadowed_vals = [parse_partition_value(n) for n in shadowed_names]
-        base = spark.read.parquet(d)
+        base = _read(d)
         if shadowed_vals:
             cond = _membership(pcol, shadowed_vals)
             # coalesce: a NULL-partition row must KEEP when NULL is
@@ -201,11 +217,7 @@ def snapshot_dir_read(
         by_tag.setdefault(int(tag), []).append(parse_partition_value(name))
     for tag in sorted(by_tag):
         vd = os.path.join(d, f"{VERSION_DIR_PREFIX}{tag}")
-        parts.append(
-            spark.read.parquet(vd).where(
-                _membership(pcol, by_tag[tag])
-            )
-        )
+        parts.append(_read(vd).where(_membership(pcol, by_tag[tag])))
     if not parts:
         return None
     out = parts[0]

@@ -580,6 +580,39 @@ def test_refresh_refuses_overlapping_batch_ids(spark, tmp_path):
     assert read_ann_index(spark, path)[0].count() == n_before + 4
 
 
+def test_refresh_clash_leaves_delta_uncommitted(spark, tmp_path):
+    """r16 optimization: the disjointness scan runs CONCURRENTLY with
+    the delta write (guide §2.6) and its verdict is collected before
+    the commit marker is touched — so a clash may leave the batch's
+    delta DIRECTORY on disk, but never a commit marker: the delta is
+    invisible to readers (the crash-window state the marker protocol
+    already tolerates), and a corrected retry under the same batch_id
+    overwrites it."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from formula1_dataengineering_spark.operators.clustering import (
+        read_ann_index,
+        refresh_ann_index,
+        write_ann_index,
+    )
+
+    e = _emb(spark)
+    corpus = e.where(F.col("vec_id") % 5 != 0)
+    path = str(tmp_path / "ann")
+    write_ann_index(corpus, path, m=4, k=3, iters=2)
+    with _pytest.raises(ValueError, match="insert-only"):
+        refresh_ann_index(e.where("vec_id = 1"), path, "day9")
+    assert not _os.path.exists(
+        _os.path.join(path, "_DELTA_day9._SUCCESS")
+    ), "a clashing refresh must never commit its delta"
+    codes, _, _, _ = read_ann_index(spark, path)
+    assert codes.count() == corpus.count() * 4  # base only, m=4 rows/vec
+
+
 def test_assign_ivf_cells_handles_string_and_null_ids(spark, tmp_path):
     """The batch-side broadcast key is pmod(crc32(coalesce(cast)))
     (ADVICE r12): pmod(id, 1) is NULL for string ids under non-ANSI
