@@ -1173,8 +1173,25 @@ def ivf_pq_topk_from_index(
                 "wrong neighbors; rebuild the index or match its "
                 "params"
             )
+    # nprobe may be a LIST of probe widths (r16 optimization): the
+    # recall-accounting gates compare nprobe ∈ {1,2,4} and the naive
+    # form scores the code table once PER width. A vector's ADC
+    # distance does not depend on nprobe — only its candidacy does
+    # (its cell's rank for the query ≤ n) — so the list form ranks
+    # cells once at max(n), scores the codes ONCE carrying each
+    # candidate's cell rank, and slices per width: one pruned code
+    # scan + one aggregate instead of len(nprobe) of each. Output per
+    # width is identical to the single-width call by construction.
+    multi = isinstance(nprobe, (list, tuple))
+    if multi:
+        if not nprobe:
+            raise ValueError("nprobe list must be non-empty")
+        nprobes = sorted({int(n) for n in nprobe})
+        nprobe_max = nprobes[-1]
+    else:
+        nprobe_max = nprobe
     if nprobe is not None:
-        if nprobe < 1:
+        if nprobe_max < 1:
             raise ValueError(f"nprobe must be >= 1, got {nprobe}")
         if cell_col is None:
             raise ValueError(
@@ -1187,6 +1204,7 @@ def ivf_pq_topk_from_index(
                 "table (the `cells` frame from read_ann_index)"
             )
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    rank_cols: list[str] = []
     if cell_col is None:
         probe = queries.select(F.col(id_col).alias("q_id"), vec_d.alias("__v"))
         cell_keys: list[str] = []
@@ -1220,10 +1238,12 @@ def ivf_pq_topk_from_index(
         wc = Window.partitionBy("q_id").orderBy(
             F.col("__cd").asc(), F.col(cell_col).asc()
         )
+        if multi:
+            rank_cols = ["__crk"]
         probe = (
             ranked.withColumn("__crk", F.row_number().over(wc))
-            .where(F.col("__crk") <= nprobe)
-            .select("q_id", cell_col, "__v")
+            .where(F.col("__crk") <= nprobe_max)
+            .select("q_id", cell_col, "__v", *rank_cols)
         )
         cell_keys = [cell_col]
     d_sub = F.coalesce(
@@ -1237,12 +1257,14 @@ def ivf_pq_topk_from_index(
         probe.select(
             "q_id",
             *cell_keys,
+            *rank_cols,
             F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub_id"),
             F.col("__v"),
         )
         .select(
             "q_id",
             *cell_keys,
+            *rank_cols,
             "sub_id",
             F.slice("__v", F.col("sub_id") * d_sub + 1, d_sub).alias("__qv"),
         )
@@ -1250,20 +1272,49 @@ def ivf_pq_topk_from_index(
     lut = qsubs.join(codebook, "sub_id").select(
         "q_id",
         *cell_keys,
+        *rank_cols,
         "sub_id",
         "code",
         _sq_dist("__qv", "centroid").alias("__ld"),
     )
+    # In the list form the candidate's cell rank rides the LUT as a
+    # passenger column (constant per (q, vec) group — each vector
+    # matches exactly its own cell's LUT rows), so slicing by width
+    # needs no re-join and no re-scan.
+    rank_aggs = [F.min("__crk").alias("__crk")] if multi else []
     scored = (
         codes.join(F.broadcast(lut), ["sub_id", "code", *cell_keys])
         .groupBy("q_id", id_col)
-        .agg(F.round(F.sum("__ld"), 6).alias("adc_dist"))
+        .agg(F.round(F.sum("__ld"), 6).alias("adc_dist"), *rank_aggs)
     )
     w = Window.partitionBy("q_id").orderBy(
         F.col("adc_dist").asc(), F.col(id_col).asc()
     )
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= topk)
-        .select("q_id", id_col, "adc_dist", F.col("rk").cast("int").alias("rk"))
-    )
+    if not multi:
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= topk)
+            .select(
+                "q_id", id_col, "adc_dist", F.col("rk").cast("int").alias("rk")
+            )
+        )
+    # One top-k slice per probe width over the SHARED scored relation:
+    # the subtree below the (q_id, id) aggregate exchange is identical
+    # across widths, so Spark's ReuseExchange executes the code scan +
+    # LUT join once; each width adds only a filter + a small window.
+    out = None
+    for n in nprobes:
+        sl = (
+            scored.where(F.col("__crk") <= n)
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= topk)
+            .select(
+                F.lit(n).cast("int").alias("nprobe"),
+                "q_id",
+                id_col,
+                "adc_dist",
+                F.col("rk").cast("int").alias("rk"),
+            )
+        )
+        out = sl if out is None else out.unionByName(sl)
+    return out
