@@ -1045,17 +1045,18 @@ def refresh_ann_index(
     )
     delta = coded.join(celled, id_col)
     commit_marker = os.path.join(path, f"_DELTA_{batch_id}._SUCCESS")
-    fsutil.delete(spark, commit_marker)
-    # The disjointness scan and the delta write are INDEPENDENT jobs
-    # (the check reads base ∪ other deltas; the write only touches
-    # this batch's own directory), so they run concurrently (guide
-    # §2.6 — overlap independent jobs) and the check's verdict is
-    # simply collected before the commit marker is touched: a clash
-    # leaves the freshly written delta UNCOMMITTED (marker-less →
-    # invisible to readers, swept by vacuum / overwritten by a retry),
-    # which is exactly the crash-window state the protocol already
-    # tolerates. Same observable behavior, ~the cost of the slower of
-    # the two jobs instead of their sum.
+    delta_dir = os.path.join(path, f"codes_delta_{batch_id}")
+    # Hidden STAGING dir (r17, ADVICE r16 high): the r16 overlap
+    # deleted the commit marker and overwrote the delta directory
+    # BEFORE the clash verdict arrived, so a rejected retry of a
+    # previously COMMITTED batch destroyed that batch's data. The
+    # overlap stays (guide §2.6 — the disjointness scan and the delta
+    # write are independent jobs), but the write now lands in
+    # ``.spark-staging-delta_<batch_id>`` — invisible to readers
+    # (dot-prefixed), reclaimed by vacuum's class-4 sweep if a crash
+    # strands it — and NOTHING committed is touched until the clash
+    # verdict passes; only then marker-delete → dir swap → marker.
+    staging_dir = os.path.join(path, f".spark-staging-delta_{batch_id}")
     clash_pool = None
     clash_future = None
     if check_disjoint:
@@ -1078,12 +1079,13 @@ def refresh_ann_index(
         # Same one-file-per-cell discipline as the base writer.
         delta.repartition(cell_col).write.mode("overwrite").partitionBy(
             cell_col
-        ).parquet(os.path.join(path, f"codes_delta_{batch_id}"))
+        ).parquet(staging_dir)
         clashing = clash_future.result() if clash_future is not None else []
     finally:
         if clash_pool is not None:
             clash_pool.shutdown(wait=False)
     if clashing:
+        fsutil.delete(spark, staging_dir)
         raise ValueError(
             f"refresh_ann_index: batch {batch_id!r} contains ids "
             f"already present in the index at {path!r} (e.g. "
@@ -1093,9 +1095,15 @@ def refresh_ann_index(
             "silently corrupt its rankings; rebuild with "
             "write_ann_index to replace vectors (or pass "
             "check_disjoint=False if disjointness is guaranteed "
-            "upstream)"
+            "upstream); the committed index state is untouched"
         )
-    # An idempotent re-run overwrote this batch's delta files: drop
+    # Verdict passed — swap the staged delta in. Marker first: from
+    # here to the final touch the delta is reader-invisible (the
+    # crash window the protocol already tolerates; a retry re-stages).
+    fsutil.delete(spark, commit_marker)
+    fsutil.delete(spark, delta_dir)
+    fsutil.rename(spark, staging_dir, delta_dir)
+    # An idempotent re-run replaced this batch's delta files: drop
     # the cached listing so pre-refresh readers re-list, not 404.
     spark.catalog.refreshByPath(path)
     # Commit marker LAST: the reader only unions a fully landed delta.

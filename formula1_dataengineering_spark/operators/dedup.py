@@ -287,26 +287,39 @@ def exact_dup_stars(
     :func:`exact_dedup`); the shuffle it costs moves (id, text) once
     — strictly less than the shingle explode that follows, and at
     production scale the key would be a 128-bit content hash."""
-    # Window partition key is (xxhash64(text), text) — identical
-    # partitioning to plain text (the hash is a function of the text;
-    # NULLs hash to one value and the `when` below keeps them
-    # self-repped), but the window's partition-key sort compares a
-    # long first and touches the text only on hash-equal rows. On a
-    # near-dup-heavy corpus the text comparisons the plain-text sort
-    # pays are exactly the long-common-prefix worst case (r16
-    # optimization pass, guide §2.3 "narrower types").
-    w = Window.partitionBy(F.xxhash64(F.col(text_col)), F.col(text_col))
-    g = docs.select(id_col, text_col).withColumn(
-        "__rep",
-        F.when(
-            F.col(text_col).isNotNull(), F.min(id_col).over(w)
-        ).otherwise(F.col(id_col)),
+    # Hash AGGREGATE, not a window (r17, VERDICT r16 item 1): the r16
+    # formulation ran Window.partitionBy(hash, text) over the whole
+    # corpus — a full shuffle PLUS a per-partition sort of (id, text)
+    # prepended to every LSH query, which the driver's calibration
+    # measured as +88% on minhash_lsh_docs. groupBy(text).min(id)
+    # computes the same representatives with map-side partial
+    # aggregation (duplicate-heavy input collapses before the
+    # exchange) and no sort; AQE coalesces the small result. The
+    # aggregate is cached because two consumers read it — the
+    # signature pipeline (reps) and the star builder (dups) — and the
+    # cache also hands the planner exact sizes, so the stars join
+    # below broadcasts the (usually tiny, usually empty) duplicated-
+    # text set instead of shuffling the corpus a second time.
+    # NULL is not a duplicate of NULL: the secondary group key ``__nk``
+    # (the id itself, only on NULL-text rows) keeps every NULL-text doc
+    # its own singleton group — same contract as the r16 window form,
+    # without a second docs-scan branch unioned in for the NULL side.
+    grouped = managed_cache(
+        docs.select(id_col, text_col)
+        .groupBy(
+            text_col,
+            F.when(F.col(text_col).isNull(), F.col(id_col)).alias("__nk"),
+        )
+        .agg(F.min(id_col).alias("__rep"), F.count(F.lit(1)).alias("__n"))
     )
-    reps = g.where(F.col(id_col) == F.col("__rep")).select(
-        id_col, text_col
-    )
-    stars = g.where(F.col(id_col) != F.col("__rep")).select(
-        F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b")
+    reps = grouped.select(F.col("__rep").alias(id_col), text_col)
+    dups = grouped.where(F.col("__n") > 1).select(text_col, "__rep")
+    stars = (
+        docs.select(id_col, text_col)
+        .where(F.col(text_col).isNotNull())
+        .join(dups, text_col)
+        .where(F.col(id_col) != F.col("__rep"))
+        .select(F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b"))
     )
     return reps, stars
 
@@ -1352,7 +1365,6 @@ def write_dedup_index(
     ``file:/`` URI, or a cluster filesystem.
     """
     import json
-    import os
 
     from .. import fsutil
 
@@ -1481,7 +1493,6 @@ def read_dedup_index(
     schema-synthesized empty frame is reserved for directories that
     exist but hold no part files (a legitimately empty corpus or
     zero-accepted-docs day)."""
-    import os
 
     from .. import fsutil
 
@@ -1610,7 +1621,6 @@ def refresh_dedup_index(
     write (delta rows sharded with a drifted salt land in shards the
     prober — which validates against the same metadata — would never
     probe: the silent-miss class again, failed loudly instead)."""
-    import os
     import re
 
     from .. import fsutil

@@ -6435,18 +6435,17 @@ def ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("__rk") <= 5)
         .select("q_id", "neighbor_id")
     )
-    probes = [
-        ivf_pq_topk_from_index(
-            q, codes, codebook, m=8, k=4, iters=2, topk=5,
-            index_meta=meta, cells=cells, nprobe=n,
-        ).select(
-            F.lit(n).alias("nprobe"),
-            "q_id",
-            F.col("vec_id").alias("neighbor_id"),
-        )
-        for n in (1, 2, 4)
-    ]
-    approx = probes[0].unionByName(probes[1]).unionByName(probes[2])
+    # One shared-scan probe at every width (r17, VERDICT r16 item 5):
+    # the list form ranks cells once at max(n), scores the codes once
+    # with each candidate's cell rank as a passenger column, and
+    # slices per width over the shared aggregate — ReuseExchange runs
+    # the code scan + LUT join once instead of three times. Per-width
+    # output is identical to the three single-width calls
+    # (tests/test_ann_index.py pins the equality).
+    approx = ivf_pq_topk_from_index(
+        q, codes, codebook, m=8, k=4, iters=2, topk=5,
+        index_meta=meta, cells=cells, nprobe=[1, 2, 4],
+    ).select("nprobe", "q_id", F.col("vec_id").alias("neighbor_id"))
     hits = (
         approx.join(exact, ["q_id", "neighbor_id"], "left_semi")
         .groupBy("nprobe")
@@ -6585,18 +6584,13 @@ def ann_delta_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("__rk") <= 5)
         .select("q_id", "neighbor_id")
     )
-    probes = [
-        ivf_pq_topk_from_index(
-            q, codes, codebook, m=8, k=4, iters=2, topk=5,
-            index_meta=meta, cells=cells, nprobe=n,
-        ).select(
-            F.lit(n).alias("nprobe"),
-            "q_id",
-            F.col("vec_id").alias("neighbor_id"),
-        )
-        for n in (1, 2, 4)
-    ]
-    approx = probes[0].unionByName(probes[1]).unionByName(probes[2])
+    # Shared-scan multiprobe (r17, VERDICT r16 item 5) — same list
+    # form as ann_multiprobe_recall: one code scan + LUT join at
+    # max(n), per-width slices over the shared aggregate.
+    approx = ivf_pq_topk_from_index(
+        q, codes, codebook, m=8, k=4, iters=2, topk=5,
+        index_meta=meta, cells=cells, nprobe=[1, 2, 4],
+    ).select("nprobe", "q_id", F.col("vec_id").alias("neighbor_id"))
     hits = (
         approx.join(exact, ["q_id", "neighbor_id"], "left_semi")
         .groupBy("nprobe")
@@ -8230,8 +8224,17 @@ def ann_sampled_recall_referee(
             float(r["recall_at_k"]),
         ]
 
-    full = row("full", None)
-    sampled = row("sampled", (1, 2))
+    # The two referee measurements are INDEPENDENT collects over the
+    # same committed index state — overlap them (guide §2.6) so the
+    # sampled referee's tasks back-fill the full referee's stragglers
+    # instead of paying the two chains' latencies end to end (r17).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_full = pool.submit(row, "full", None)
+        f_sampled = pool.submit(row, "sampled", (1, 2))
+        full = f_full.result()
+        sampled = f_sampled.result()
     schema = StructType(
         [
             StructField("mode", StringType()),

@@ -256,6 +256,50 @@ def test_multiprobe_widens_to_pure_adc_and_validates_inputs(
         )
 
 
+def test_multiprobe_list_form_equals_single_width_calls(spark, tmp_path):
+    """The list form (nprobe=[..]) ranks cells once at max(n), scores
+    the codes once with min(__crk) riding the aggregate, and slices
+    per width — its per-width output must equal the corresponding
+    single-width calls exactly (ADVICE r16: the r16 list form landed
+    with no caller and no test)."""
+    from formula1_dataengineering_spark.operators.clustering import (
+        ivf_pq_topk_from_index,
+        read_ann_index,
+        write_ann_index,
+    )
+    from pyspark.sql import functions as F
+
+    e = _emb(spark, cells=3)
+    q = e.where(F.col("vec_id") < 5).select("vec_id", "embedding")
+    path = str(tmp_path / "ann")
+    write_ann_index(e, path, m=4, k=3, iters=2)
+    codes, codebook, cells, meta = read_ann_index(spark, path)
+    multi = ivf_pq_topk_from_index(
+        q, codes, codebook, m=4, k=3, iters=2, topk=4,
+        index_meta=meta, cells=cells, nprobe=[1, 2, 3],
+    )
+    rows = sorted(
+        (r["nprobe"], r["q_id"], r["rk"], r["vec_id"], r["adc_dist"])
+        for r in multi.collect()
+    )
+    singles = []
+    for n in (1, 2, 3):
+        one = ivf_pq_topk_from_index(
+            q, codes, codebook, m=4, k=3, iters=2, topk=4,
+            index_meta=meta, cells=cells, nprobe=n,
+        )
+        singles.extend(
+            (n, r["q_id"], r["rk"], r["vec_id"], r["adc_dist"])
+            for r in one.collect()
+        )
+    assert rows == sorted(singles) and rows
+    with pytest.raises(ValueError, match="non-empty"):
+        ivf_pq_topk_from_index(
+            q, codes, codebook, m=4, k=3, iters=2, index_meta=meta,
+            cells=cells, nprobe=[],
+        )
+
+
 def test_multiprobe_plan_keeps_dynamic_partition_pruning(spark, tmp_path):
     """The WIDENED cell set must still reach the codes scan as dynamic
     partition pruning — the broadcast LUT carries explicit cell
@@ -581,13 +625,10 @@ def test_refresh_refuses_overlapping_batch_ids(spark, tmp_path):
 
 
 def test_refresh_clash_leaves_delta_uncommitted(spark, tmp_path):
-    """r16 optimization: the disjointness scan runs CONCURRENTLY with
-    the delta write (guide §2.6) and its verdict is collected before
-    the commit marker is touched — so a clash may leave the batch's
-    delta DIRECTORY on disk, but never a commit marker: the delta is
-    invisible to readers (the crash-window state the marker protocol
-    already tolerates), and a corrected retry under the same batch_id
-    overwrites it."""
+    """The disjointness scan runs CONCURRENTLY with the delta write
+    (guide §2.6), but the write lands in a hidden staging directory
+    (r17, ADVICE r16 high): a clash deletes the staging and raises —
+    no commit marker, no delta directory, nothing committed touched."""
     import os as _os
 
     import pytest as _pytest
@@ -609,8 +650,52 @@ def test_refresh_clash_leaves_delta_uncommitted(spark, tmp_path):
     assert not _os.path.exists(
         _os.path.join(path, "_DELTA_day9._SUCCESS")
     ), "a clashing refresh must never commit its delta"
+    assert not _os.path.exists(
+        _os.path.join(path, ".spark-staging-delta_day9")
+    ), "a rejected refresh must clean up its staging"
+    assert not _os.path.exists(
+        _os.path.join(path, "codes_delta_day9")
+    ), "a rejected refresh must never materialize a delta directory"
     codes, _, _, _ = read_ann_index(spark, path)
     assert codes.count() == corpus.count() * 4  # base only, m=4 rows/vec
+
+
+def test_refresh_clash_retry_preserves_committed_batch(spark, tmp_path):
+    """ADVICE r16 high: the r16 overlap deleted the commit marker and
+    overwrote the delta directory before the clash verdict was
+    collected, so a REJECTED retry of a previously COMMITTED batch
+    permanently destroyed that batch's delta. The staged-write fix
+    must keep the committed delta byte-identical through a clashing
+    retry."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from formula1_dataengineering_spark.operators.clustering import (
+        read_ann_index,
+        refresh_ann_index,
+        write_ann_index,
+    )
+
+    e = _emb(spark)
+    corpus = e.where(F.col("vec_id") % 5 != 0)
+    batch = e.where(F.col("vec_id") % 5 == 0)
+    path = str(tmp_path / "ann")
+    write_ann_index(corpus, path, m=4, k=3, iters=2)
+    refresh_ann_index(batch, path, "day1")
+    n_committed = read_ann_index(spark, path)[0].count()
+    # Retry day1 with vectors that clash with the BASE (vec_id=1 is
+    # base-resident; the check only excludes day1's own prior delta).
+    with _pytest.raises(ValueError, match="insert-only"):
+        refresh_ann_index(e.where("vec_id = 1"), path, "day1")
+    assert _os.path.exists(
+        _os.path.join(path, "_DELTA_day1._SUCCESS")
+    ), "the committed batch's marker must survive a rejected retry"
+    assert (
+        read_ann_index(spark, path)[0].count() == n_committed
+    ), "a rejected retry must not lose the committed batch's code rows"
 
 
 def test_assign_ivf_cells_handles_string_and_null_ids(spark, tmp_path):
