@@ -68,21 +68,27 @@ def main() -> None:
     # round-over-round catalog comparison divides by this control to
     # separate shared-box drift from catalog drift — the five span
     # the cost spectrum (scan-agg, window shuffle, pandas-UDF LSH,
-    # GEMM mapInPandas, iterative joins) and their code has been
-    # frozen since r4-r7.
+    # GEMM mapInPandas, iterative joins).
+    #
+    # Round 17 (VERDICT r16 items 5-6, calibration decontamination):
+    # the control now runs plans/calibration.py — FROZEN snapshots of
+    # the minhash-LSH and pagerank entries at their round-16 code
+    # (the same code r16's calibration timed, so r16→r17 stays
+    # comparable) plus the three genuinely untouched live queries.
+    # Optimization rounds may move operators/dedup.py or graph.py
+    # freely without the drift control absorbing the change. Timing
+    # methodology (order, best-of-2, scopes) is byte-identical.
+    from formula1_dataengineering_spark.plans.calibration import (
+        calibration_queries,
+    )
+
     calibration: dict[str, float] = {}
-    for name in (
-        "pricing_summary",
-        "asof_backward_purchase",
-        "minhash_lsh_docs",
-        "knn_bruteforce",
-        "supplier_pagerank",
-    ):
+    for name, cal_fn in calibration_queries().items():
         with cache_scope():
             runs = []
             for _ in range(2):
                 t0 = time.perf_counter()
-                QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                cal_fn(spark, sf_dir).write.format("noop").mode(
                     "overwrite"
                 ).save()
                 runs.append(time.perf_counter() - t0)

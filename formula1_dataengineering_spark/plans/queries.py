@@ -3960,7 +3960,15 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and far lower variance). eager=False so EXPLAIN-only consumers
     # pay nothing (the round-4 lazy-scalar rule).
     edges = edges.localCheckpoint(eager=False)
-    pr = pagerank_fixed(edges, iters=3, damping=0.85)
+    # broadcast_node_tables (r17, guide §3.1): the node space is
+    # customers + suppliers — ~1/40th of the edge rows at every TPC
+    # scale factor — so deg/ranks broadcast into each iteration's edge
+    # join and the checkpointed edge list is never exchanged (3.7 →
+    # 2.4 s at sf0.1; the planner otherwise sizes the node tables off
+    # the checkpoint's unknown stats and shuffles edges per iteration).
+    pr = pagerank_fixed(
+        edges, iters=3, damping=0.85, broadcast_node_tables=True
+    )
     return (
         pr.where(F.col("node") < 1_000_000_000)
         .select(
@@ -6337,6 +6345,13 @@ def scd2_two_day_cycle_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             int(hmeta["n_shards"]),
         )
+        # NOT overlapped (r17, tried and reverted): the history COW
+        # rewrite and the feed delta append look independent (different
+        # layouts), but on an idempotent RE-DRIVE the append overwrites
+        # its own prior delta's part files while the refresh's feed
+        # view — which on a re-drive includes that very delta — is
+        # mid-read: FAILED_READ_FILE.FILE_NOT_EXIST. The serial order
+        # is load-bearing.
         for day_df, batch_id in ((day1, "day1"), (day2, "day2")):
             feed_v, fmeta = read_scd2_feed(spark, fpath)
             scd2_refresh_in_place(
