@@ -32,43 +32,43 @@ from formula1_dataengineering_spark.plans import ORACLE_SQL, QUERIES
 #: queue (per round-4 advice). Keep this list current — add any query
 #: whose Spark plan or oracle changed since its last green row.
 _PRIORITY: list[str] = [
-    # round 16 — gates whose plans or oracles changed this round, so
-    # their old green rows hashed pre-change behavior:
-    # - the four LSH pair-generator gates: the hot-bucket guard
-    #   (operators/dedup.exact_dup_stars — VERDICT r15 item 5) moved
-    #   the band self-join onto exact-duplicate representatives and
-    #   added star pairs; identical values at dup-free sf0.01, but
-    #   the plan AND the oracle text both changed.
-    # - minhash_lsh_fast_dup_recall: output restated as the star set
-    #   (same rows at 1x, oracle rewritten).
-    # - scd2_feed_deletion_drift: erosion boundary standardized to >=
-    #   (ADVICE r15) — operator and oracle moved together.
-    # - layout_maintenance_umbrella / layout_vacuum_sweep: the
-    #   umbrella now resumes pending COW swaps before the marker
-    #   check and vacuum's table anchor tightened to Spark-written
-    #   dirs (ADVICE r15) — same values, changed verbs.
-    # The round-16 never-green gates (lsh_hot_bucket_guard + later
-    # additions) sort ahead automatically; the ~35 remaining slots
-    # drain the r11-stale queue (VERDICT r15 item 1: freshness floor
-    # moves from r11 toward r12).
-    # - the deletion/retraction/erasure family: their COW commits
-    #   moved from in-place swaps to the versioned snapshot protocol
-    #   (operators/snapshot.py) — identical values, changed execution
-    #   path and changed on-disk shape.
+    # round 17 (optimization round 2) — gates whose PLANS changed this
+    # round, so their old green rows hashed pre-change execution:
+    # - the six LSH pair gates: the hot-bucket guard's window became a
+    #   cached hash aggregate + keyed join (operators/dedup.
+    #   exact_dup_stars — VERDICT r16 item 1); values identical
+    #   (reps/stars equality pinned), plan rewritten.
+    # - the multiprobe recall gates: nprobe=[1,2,4] shared-scan list
+    #   form replaces three independent probe plans (VERDICT r16
+    #   item 5); ann_sampled_recall_referee overlaps its two referee
+    #   collects.
+    # - the ANN delta family: refresh_ann_index stages its delta and
+    #   swaps after the clash verdict (ADVICE r16 high).
+    # - the dedup-index ingest family: refresh/write_dedup_index land
+    #   their two tables concurrently (same marker protocol).
+    # - supplier_pagerank: broadcast node tables into the iteration
+    #   joins (guide §3.1).
     "minhash_lsh_docs",
     "ngram_jaccard_docs",
     "fuzzy_neardup_pairs",
     "corpus_selection",
     "minhash_lsh_fast_dup_recall",
-    "scd2_feed_deletion_drift",
+    "lsh_hot_bucket_guard",
+    "ann_multiprobe_recall",
+    "ann_delta_recall",
+    "ann_sampled_recall_referee",
+    "ann_index_delta_topk",
+    "ann_rebuild_trigger_policy",
+    "supplier_pagerank",
+    "stream_dedup_ingest_probe",
+    "end_to_end_incremental_ingest",
+    "e2e_ingest_neardup_resolution",
+    "incremental_dedup_indexed",
+    "incremental_dedup_new_batch",
+    "compaction_ingest_interleave",
+    "dedup_index_maintenance",
+    "dedup_index_compaction_probe",
     "layout_maintenance_umbrella",
-    "layout_vacuum_sweep",
-    "scd2_erasure_end_to_end",
-    "dedup_index_retraction",
-    "ann_index_retraction",
-    "scd2_feed_key_deletion",
-    "scd2_history_key_deletion",
-    "scd2_history_retention",
 ]
 
 
