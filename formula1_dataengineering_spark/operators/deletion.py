@@ -145,20 +145,23 @@ def _stage_delete(
         if touched_hint is not None
         else rows
     )
-    # One column-pruned pass: only (id, partition) columns decode.
-    touched = [
-        r[0]
-        for r in scope.join(bids, id_col, "left_semi")
-        .select(partition_col)
-        .distinct()
+    # One column-pruned pass: only (id, partition) columns decode —
+    # and ONE job yields both the touched-partition set and the
+    # deleted-row count (previously two scans of the slice; every
+    # deleted row lives in a touched partition by definition, so the
+    # per-partition counts carry both answers — guide §2.4, fewer
+    # jobs per lifecycle verb).
+    per_part = (
+        scope.join(bids, id_col, "left_semi")
+        .groupBy(partition_col)
+        .count()
         .collect()
-    ]
+    )
+    touched = [r[0] for r in per_part]
     if not touched:
         return None, 0, 0
+    n_del = int(sum(r[1] for r in per_part))
     slice_ = rows.where(partition_filter(partition_col, touched))
-    n_del = slice_.join(bids, id_col, "left_semi").count()
-    if n_del == 0:
-        return None, 0, 0
     keep = slice_.join(bids, id_col, "left_anti")
     job = stage_partition_rewrite(
         spark, path, d, keep, partition_col, touched, sort_cols

@@ -697,10 +697,17 @@ def scd2_refresh_in_place(
         )
     n_shards = int(meta["n_shards"])
     cols = [key_col, ts_col, value_col]
+    # Materialize the changed-key set ONCE (guide §2.4/§5): it feeds
+    # the shard collect, the keeper anti-join broadcast AND the feed
+    # semi-join broadcast — without the pin each consumer re-scans the
+    # batch source to re-derive the distinct. O(batch distinct keys)
+    # by contract, so the checkpoint stays batch-sized; an RDD pin
+    # also survives the refreshByPath below (a .cache() would not).
     touched = (
         new_changes.select(key_col)
         .where(F.col(key_col).isNotNull())
         .distinct()
+        .localCheckpoint(eager=True)
     )
     # ``touched_shards`` lets a multi-batch driver precollect every
     # batch's shard set in ONE job (:func:`touched_shard_sets`)
@@ -804,10 +811,14 @@ def scd2_refresh(
     from pyspark.sql.functions import broadcast
 
     cols = [key_col, ts_col, value_col]
+    # Same single-derivation pin as scd2_refresh_in_place: the
+    # changed-key set feeds the feed semi-join and the untouched
+    # anti-join — one batch scan, not one per consumer.
     touched = (
         new_changes.select(key_col)
         .where(F.col(key_col).isNotNull())
         .distinct()
+        .localCheckpoint(eager=True)
     )
     feed_slice = _touched_feed_slice(
         feed, touched, key_col, cols, feed_meta

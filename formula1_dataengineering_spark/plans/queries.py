@@ -4764,13 +4764,21 @@ def events_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "events")
     first_half = _timeline_halves(e).where(F.col("half") == 1)
-    edges = first_half.groupBy("event_type").agg(
-        F.transform(
-            F.percentile(
-                "value", F.lit([i / 10.0 for i in range(1, 10)])
-            ),
-            lambda x: F.round(x, 9),
-        ).alias("edges")
+    # Cache the #types-row edge table: the stream-static join
+    # re-resolves its static side PER MICRO-BATCH, and the batch-side
+    # PSI frame references it again — without the cache each
+    # resolution re-runs the full first-half percentile scan (guide
+    # §5: reused + expensive to recompute). Values are unchanged
+    # (deterministic percentile); release is scope-owned.
+    edges = managed_cache(
+        first_half.groupBy("event_type").agg(
+            F.transform(
+                F.percentile(
+                    "value", F.lit([i / 10.0 for i in range(1, 10)])
+                ),
+                lambda x: F.round(x, 9),
+            ).alias("edges")
+        )
     )
     ref_binned = first_half.join(F.broadcast(edges), "event_type").select(
         "event_type",
@@ -5250,13 +5258,21 @@ def _bm25_rankings(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
         [(q, t) for q, ts in _BM25_QUERIES for t in ts], ["query", "term"]
     )
     d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    toks = d.select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    # ONE tokenization pass (guide §4: the Arrow tokenizer over the
+    # full corpus is the dominant cost here, and `toks` used to feed
+    # doclen AND tf as two separate evaluations): cache the per-doc
+    # token arrays, derive dl as size() (no explode, no doc-level
+    # shuffle — the old groupBy(doc_id).count over exploded rows), and
+    # explode only for the postings side. dl semantics unchanged:
+    # explode emitted no rows for zero-token docs, so doclen only ever
+    # held dl > 0 docs — the size() form filters them explicitly.
+    tokd = managed_cache(
+        d.select("doc_id", tokens(F.col("text")).alias("__ts"))
     )
-    # dl derived from toks (one tokenization pass, the oracle's own dl
-    # CTE shape); zero-token docs emit no toks rows, so dl > 0 is
-    # implied.
-    doclen = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    toks = tokd.select("doc_id", F.explode("__ts").alias("term"))
+    doclen = tokd.select(
+        "doc_id", F.size("__ts").cast("bigint").alias("dl")
+    ).where(F.col("dl") > 0)
     stats = doclen.agg(
         F.count("*").alias("n_corpus"),
         F.avg("dl").alias("avgdl"),
@@ -6674,7 +6690,14 @@ def e2e_ingest_neardup_resolution(
     pairs = neardup_collisions_from_index(
         review_docs, bands, index_meta=meta
     )
-    members = (
+    # Cache the tiny cluster-membership frame: the returned plan
+    # references it TWICE (canonical_keep + the per-cluster counts),
+    # and everything above it — the batch LSH probe and the banded
+    # collision pull — would otherwise execute twice in the sink
+    # (guide §5: reused and expensive to recompute; ~review-docs ×
+    # colliders rows, never corpus-sized). Downstream of the index
+    # probes, so the DPP-on-probe rule (round 11) is untouched.
+    members = managed_cache(
         review.select(
             F.col("doc_id").alias("cluster_id"),
             F.col("doc_id").alias("member_id"),
