@@ -15,14 +15,13 @@ SF_CORRECTNESS = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.0
 
 @pytest.fixture(scope="session")
 def spark():
-    # local[8], not local[$SPARK_GRAFT_CPUS]: test data is sf0.001, so
-    # every suite is task-scheduling-bound, and 8 cores measures ~15%
-    # faster than 32 on both the lifecycle-verb and the compute-heavy
-    # modules (r17 A/B: test_ann_index 144.7→122.9 s, test_properties
-    # 122.0→101.3 s). Keeps the full suite inside the driver's window.
-    # The bench/driver core-count contract (session.py reading
-    # $SPARK_GRAFT_CPUS) is untouched — this pins only the test session.
-    s = get_spark(app_name="f1spark-tests", master="local[8]", shuffle_partitions=8)
+    # Core count deliberately left to $SPARK_GRAFT_CPUS (default 32):
+    # an r17 A/B pinned local[8] after two modules measured ~15%
+    # faster at 8 cores, but the FULL suite came out a wash
+    # (32c 19:10 vs 8c 19:57, within box noise) — per-test Spark job
+    # latency, not task scheduling, is the floor. Recorded so the
+    # experiment isn't re-run every round.
+    s = get_spark(app_name="f1spark-tests", shuffle_partitions=8)
     yield s
 
 
