@@ -4702,6 +4702,9 @@ def value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # `counts` feeds both `tot` and the shares join, but a cache here
+    # measured as pure overhead (r17 A/B): AQE's exchange reuse
+    # already dedups the scan+histogram subtree below the aggregate.
     counts = binned.groupBy("event_type", "half", "bin").agg(
         F.count("*").alias("n")
     )
@@ -5034,6 +5037,10 @@ def events_stream_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.percentile("absdev", F.lit(0.5)), 9).alias("mad"),
         )
     )
+    # NOT cached (unlike the PSI gate's edges): this gate's bounded
+    # source drains in one micro-batch and the thresholds have no
+    # batch-side consumer, so the static side resolves once either
+    # way — an r17 A/B measured the cache as pure overhead here.
     thresholds = mad.select(
         "event_type",
         "med",
