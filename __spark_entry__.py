@@ -48,6 +48,11 @@ _PRIORITY: list[str] = [
     #   their two tables concurrently (same marker protocol).
     # - supplier_pagerank: broadcast node tables into the iteration
     #   joins (guide §3.1).
+    # - batch 3 (same round): bm25's single tokenization pass
+    #   (bm25_topk_docs + hybrid_rrf_fusion), the PSI edges cache, the
+    #   e2e-resolution members cache, the SCD2 changed-key
+    #   localCheckpoint pin (all four refresh-shaped SCD2 gates), and
+    #   the deletion verbs' folded touched/count job.
     "minhash_lsh_docs",
     "ngram_jaccard_docs",
     "fuzzy_neardup_pairs",
@@ -69,6 +74,21 @@ _PRIORITY: list[str] = [
     "dedup_index_maintenance",
     "dedup_index_compaction_probe",
     "layout_maintenance_umbrella",
+    "bm25_topk_docs",
+    "hybrid_rrf_fusion",
+    "events_stream_psi_drift",
+    "scd2_refresh_history",
+    "scd2_refresh_pruned_history",
+    "scd2_cow_refresh_history",
+    "scd2_two_day_cycle_history",
+    "stream_feed_ingest_history",
+    "scd2_erasure_end_to_end",
+    "dedup_index_retraction",
+    "ann_index_retraction",
+    "scd2_feed_key_deletion",
+    "scd2_history_key_deletion",
+    "dedup_maintenance_deletion_drift",
+    "scd2_feed_deletion_drift",
 ]
 
 
